@@ -1,13 +1,60 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.etl.Pipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 is exposed as a named query
+  * over the sf-dir parquet tables, with a DuckDB oracle in [[Oracle]].
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    new Pipeline(spark, "/root/testdata/sf0.001").retentionCompact
+
+  /** Money columns are DECIMAL(14,2) inside the engine but canonicalized to
+    * DOUBLE at query output — see Oracle's scaladoc for why. */
+  private def money(df: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(df)((acc, c) => acc.withColumn(c, col(c).cast("double")))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 sources + §2.2 projections/casts (S4-S6, P1-P2, P9)
+    "q_user_order_log"     -> ((s, d) => money(new Pipeline(s, d).uol, "payment_amount")),
+    "q_user_order_log_inc" -> ((s, d) => money(new Pipeline(s, d).uolTemp, "payment_amount")),
+    // U2/S13: history ∪ increment with status backfill
+    "q_user_order_log_v2"  -> ((s, d) => money(new Pipeline(s, d).uolV2, "payment_amount")),
+    "q_user_activity_log"  -> ((s, d) => new Pipeline(s, d).ual),
+    "q_customer_research"  -> ((s, d) => money(new Pipeline(s, d).research, "sales_amt")),
+    "q_price_log"          -> ((s, d) => new Pipeline(s, d).priceLog),
+    // A1 + P3/P4 + W2 (surrogate ids)
+    "q_d_calendar"         -> ((s, d) => new Pipeline(s, d).dCalendar),
+    "q_d_calendar_inc"     -> ((s, d) => new Pipeline(s, d).dCalendarTemp),
+    // A2/A3 (DISTINCT ON with pinned determinism)
+    "q_d_customer"         -> ((s, d) => new Pipeline(s, d).dCustomer),
+    "q_d_item"             -> ((s, d) => new Pipeline(s, d).dItem),
+    // J1 + S15 (dense ids via two-phase assignment)
+    "q_f_sales"            -> ((s, d) => money(new Pipeline(s, d).fSales, "payment_amount")),
+    "q_f_sales_inc"        -> ((s, d) => money(new Pipeline(s, d).fSalesTemp, "payment_amount")),
+    "q_f_sales_v2"         -> ((s, d) => money(new Pipeline(s, d).fSalesV2, "payment_amount")),
+    // P5 + A8 + W1
+    "q_d_calendar_weeks"   -> ((s, d) => new Pipeline(s, d).weeks),
+    // J3 + A4-A7 (two-level aggregates with HAVING)
+    "q_new_customers"              -> ((s, d) => money(new Pipeline(s, d).newCust(true), "new_cust_revenue")),
+    "q_new_customers_compact"      -> ((s, d) => money(new Pipeline(s, d).newCust(false), "new_cust_revenue")),
+    "q_returned_customers"         -> ((s, d) => money(new Pipeline(s, d).returnedCust(true), "returned_revenue")),
+    "q_returned_customers_compact" -> ((s, d) => money(new Pipeline(s, d).returnedCust(false), "returned_revenue")),
+    "q_refunded_customers"         -> ((s, d) => new Pipeline(s, d).refundedCust(true)),
+    "q_refunded_customers_compact" -> ((s, d) => new Pipeline(s, d).refundedCust(false)),
+    // J2 + N5/N6
+    "q_retention_compact"     -> ((s, d) => money(new Pipeline(s, d).retentionCompact,
+                                                  "new_cust_revenue", "returned_revenue")),
+    "q_f_customer_retention"  -> ((s, d) => new Pipeline(s, d).fCustomerRetention))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Oracle.sql
 }

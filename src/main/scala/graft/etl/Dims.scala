@@ -1,0 +1,47 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** `mart.d_customer` / `mart.d_item` — the small dimensions.
+  *
+  * Reference: /root/reference/src/dags/sql/update_mart_d_tables.sql:19-29
+  * (full load), load_inc_d_tables.sql:16-24 (incremental temps continuing the
+  * sequences).
+  *
+  * Determinism pinning (SURVEY §7.4 H3): the reference's `DISTINCT ON (key)`
+  * without ORDER BY picks an arbitrary row per key, and `nextval()` assigns
+  * ids in an unspecified order. We pin: winner row = first by
+  * (first_name, last_name) / (item_name); ids dense in key order. Both
+  * orderings are documented here and mirrored in the DuckDB oracle.
+  */
+object Dims {
+
+  /** A2: one row per customer (pinned winner among name variants),
+    * city_id = max within the winning (customer, name) group. */
+  def dCustomer(uol: DataFrame, offset: Long = 0L): DataFrame = {
+    val grouped = uol
+      .groupBy(col("customer_id").cast("int").as("customer_id"),
+               col("first_name"), col("last_name"))
+      .agg(max("city_id").as("city_id"))
+    val pick = Window.partitionBy("customer_id")
+      .orderBy("first_name", "last_name")
+    grouped
+      .withColumn("rn", row_number().over(pick)).where(col("rn") === 1)
+      .withColumn("id",
+        row_number().over(Window.orderBy("customer_id")).cast("long") + lit(offset))
+      .select("id", "customer_id", "first_name", "last_name", "city_id")
+  }
+
+  /** A3: one row per item (pinned winner by item_name). */
+  def dItem(uol: DataFrame, offset: Long = 0L): DataFrame = {
+    val pick = Window.partitionBy("item_id").orderBy("item_name")
+    uol.select(col("item_id").cast("int").as("item_id"), col("item_name"))
+      .distinct()
+      .withColumn("rn", row_number().over(pick)).where(col("rn") === 1)
+      .withColumn("id",
+        row_number().over(Window.orderBy("item_id")).cast("long") + lit(offset))
+      .select("id", "item_id", "item_name")
+  }
+}

@@ -1,0 +1,167 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Synthesizes the reference's staging feeds from the driver's TPC-H-ish
+  * parquet test tables (/root/repo/FIXTURES.md §B).
+  *
+  * Reference shapes (SURVEY.md §1.2):
+  *  - `staging.user_order_log` (+ `_temp` with `status`) —
+  *    /root/reference/src/dags/sql/staging.create_user_order_log.sql:2-16,
+  *    create_stage_inc_tables.sql:13-28
+  *  - `staging.user_activity_log` — staging.create_user_activity_log.sql:2-10
+  *  - `staging.customer_research` — staging.create_customer_research.sql:2-10
+  *
+  * The "increment" split (reference: a dated `_inc` CSV per business day,
+  * ETL_logs_inc.py:95-109) is modeled as a deterministic recency cut: the
+  * last 60 days of order dates / last 7 days of events. The cut is computed
+  * as a 1-row aggregate broadcast-crossjoined into the filter, so the plan
+  * stays fully lazy and distributed (no driver collect).
+  */
+object Feeds {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries parquet TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw
+    * longs and truncate to microsecond timestamps — the same truncation
+    * DuckDB applies when casting TIMESTAMP_NS to TIMESTAMP, keeping the
+    * oracle comparable. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Unified order feed (all rows, with derived status) before the
+    * history/increment split. One row per lineitem.
+    *
+    * `uniq_id` determinism: the test generator emits duplicate
+    * (l_orderkey, l_linenumber) pairs, so a per-pair `row_number` (ordered by
+    * the remaining attributes) disambiguates. Rows identical in ALL those
+    * attributes may swap sequence numbers, which is output-invariant. The
+    * window is partitioned (no global sort) — scales. */
+  def orderFeed(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li0 = table(spark, dir, "lineitem")
+    val dedupW = Window
+      .partitionBy("l_orderkey", "l_linenumber")
+      .orderBy("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity",
+               "l_discount")
+    val li = li0.withColumn("line_seq", row_number().over(dedupW))
+    val o = table(spark, dir, "orders")
+    val c = table(spark, dir, "customer")
+    val n = table(spark, dir, "nation")
+    val p = table(spark, dir, "part")
+    // nation is O(25) rows — always broadcast; customer/part are left to
+    // AQE/auto-broadcast (they are dimension-sized at test SFs but could be
+    // large in production).
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .select(
+        concat_ws("-", col("l_orderkey").cast("string"),
+                       col("l_linenumber").cast("string"),
+                       col("line_seq").cast("string")).as("uniq_id"),
+        col("o_orderdate").as("date_time"),
+        col("c_nationkey").cast("int").as("city_id"),
+        col("n_name").as("city_name"),
+        col("o_custkey").cast("long").as("customer_id"),
+        substring(col("c_name"), 1, 8).as("first_name"),
+        expr("substring(c_name, 10)").as("last_name"),
+        col("l_partkey").cast("int").as("item_id"),
+        col("p_name").as("item_name"),
+        floor(col("l_quantity")).cast("long").as("quantity"),
+        col("l_extendedprice").cast(DecimalType(14, 2)).as("payment_amount"),
+        when(col("l_returnflag") === "R", "refunded")
+          .otherwise("shipped").as("status"))
+  }
+
+  /** 1-row DataFrame with the order-feed increment cutoff. */
+  def ordersCutoff(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .agg(expr("max(o_orderdate) - INTERVAL '60' DAY").as("cutoff"))
+
+  /** 1-row DataFrame with the events increment cutoff. */
+  def eventsCutoff(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .agg(expr("max(ts) - INTERVAL '7' DAY").as("cutoff"))
+
+  private def splitLe(df: DataFrame, cut: DataFrame, tsCol: String): DataFrame =
+    df.crossJoin(broadcast(cut)).where(col(tsCol) <= col("cutoff")).drop("cutoff")
+
+  private def splitGt(df: DataFrame, cut: DataFrame, tsCol: String): DataFrame =
+    df.crossJoin(broadcast(cut)).where(col(tsCol) > col("cutoff")).drop("cutoff")
+
+  /** `staging.user_order_log` — the full-history feed (no status column). */
+  def uol(spark: SparkSession, dir: String): DataFrame =
+    splitLe(orderFeed(spark, dir), ordersCutoff(spark, dir), "date_time")
+      .drop("status")
+
+  /** `staging.user_order_log_temp` — the increment feed (carries status). */
+  def uolTemp(spark: SparkSession, dir: String): DataFrame =
+    splitGt(orderFeed(spark, dir), ordersCutoff(spark, dir), "date_time")
+
+  /** `staging.user_order_log_v2` — history backfilled with status='shipped'
+    * plus the increment with its real status
+    * (/root/reference/src/dags/sql/date_periods.sql:17-26: CTAS + ALTER ADD
+    * COLUMN + UPDATE SET status + INSERT SELECT, re-expressed as a pure
+    * projection + unionByName — Spark has no in-place UPDATE; SURVEY §7.4 H2). */
+  def uolV2(spark: SparkSession, dir: String): DataFrame =
+    uol(spark, dir).withColumn("status", lit("shipped"))
+      .unionByName(uolTemp(spark, dir))
+
+  private def actionId(c: Column): Column =
+    when(c === "click", 1).when(c === "view", 2).when(c === "purchase", 3)
+      .when(c === "signup", 4).otherwise(5).cast("long")
+
+  private def activityAll(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(
+      col("event_id").cast("string").as("uniq_id"),
+      date_trunc("second", col("ts")).as("date_time"),
+      actionId(col("event_type")).as("action_id"),
+      col("user_id").cast("long").as("customer_id"),
+      floor(col("value")).cast("long").as("quantity"))
+
+  /** `staging.user_activity_log`. */
+  def ual(spark: SparkSession, dir: String): DataFrame =
+    splitLe(activityAll(spark, dir), eventsCutoff(spark, dir), "date_time")
+
+  /** `staging.user_activity_log_temp`. */
+  def ualTemp(spark: SparkSession, dir: String): DataFrame =
+    splitGt(activityAll(spark, dir), eventsCutoff(spark, dir), "date_time")
+
+  private def researchAll(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(
+        date_trunc("day", col("ts")).as("date_id"),
+        actionId(col("event_type")).cast("int").as("category_id"))
+      .agg(
+        min(col("user_id") % 25).cast("int").as("geo_id"),
+        count(lit(1)).cast("int").as("sales_qty"),
+        sum(floor(col("value")).cast("long")).cast(DecimalType(14, 2))
+          .as("sales_amt"),
+        max(col("ts")).as("max_ts"))
+
+  /** `staging.customer_research` — daily/category sales rollup of events. */
+  def research(spark: SparkSession, dir: String): DataFrame =
+    splitLe(researchAll(spark, dir), eventsCutoff(spark, dir), "max_ts")
+      .drop("max_ts")
+
+  /** `staging.customer_research_temp`. */
+  def researchTemp(spark: SparkSession, dir: String): DataFrame =
+    splitGt(researchAll(spark, dir), eventsCutoff(spark, dir), "max_ts")
+      .drop("max_ts")
+
+  /** `staging.price_log` — headerless CSV in the reference
+    * (ETL_logs_inc.py:126: names=['prod_name','price']); synthesized from
+    * part. Loaded-but-unused downstream in the reference; kept for parity. */
+  def priceLog(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "part").select(
+      col("p_name").as("prod_name"),
+      round(col("p_retailprice")).cast("int").as("price"))
+}

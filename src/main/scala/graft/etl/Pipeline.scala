@@ -1,0 +1,58 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Wires the §3 DAG as plain function composition: feeds → dims → facts →
+  * retention. Each step is a lazy DataFrame; actions happen only at the
+  * caller's sink (Verify writes parquet, Bench counts).
+  *
+  * Incremental id continuation (PG sequences living across statements)
+  * requires the previous table's cardinality; those are the only driver-side
+  * scalars (`count()` of a dimension-sized plan).
+  */
+class Pipeline(spark: SparkSession, dir: String) {
+
+  lazy val uol: DataFrame = Feeds.uol(spark, dir)
+  lazy val uolTemp: DataFrame = Feeds.uolTemp(spark, dir)
+  lazy val uolV2: DataFrame = Feeds.uolV2(spark, dir)
+  lazy val ual: DataFrame = Feeds.ual(spark, dir)
+  lazy val ualTemp: DataFrame = Feeds.ualTemp(spark, dir)
+  lazy val research: DataFrame = Feeds.research(spark, dir)
+  lazy val researchTemp: DataFrame = Feeds.researchTemp(spark, dir)
+  lazy val priceLog: DataFrame = Feeds.priceLog(spark, dir)
+
+  lazy val calDates: DataFrame = Calendar.dates(research, ual, uol)
+  lazy val dCalendar: DataFrame = Calendar.attrs(calDates)
+  /** |d_calendar| — offset for the incremental calendar ids. */
+  lazy val calCount: Long = calDates.count()
+  lazy val dCalendarTemp: DataFrame =
+    Calendar.attrs(Calendar.dates(researchTemp, ualTemp, uolTemp), calCount)
+  lazy val dCalendarFull: DataFrame = dCalendar.unionAll(dCalendarTemp)
+
+  lazy val dCustomer: DataFrame = Dims.dCustomer(uol)
+  lazy val dItem: DataFrame = Dims.dItem(uol)
+
+  lazy val fSales: DataFrame = Sales.fSales(uol, dCalendar)
+  /** |f_sales| = |uol| (every order date is a calendar date) — cheaper count. */
+  lazy val fSalesCount: Long = uol.count()
+  lazy val fSalesTemp: DataFrame =
+    Sales.fSalesTemp(uolTemp, dCalendarTemp, fSalesCount)
+  lazy val fSalesV2: DataFrame = Sales.fSalesV2(fSales, fSalesTemp)
+
+  lazy val weeks: DataFrame = Retention.weeks(dCalendarFull)
+  lazy val uolvPeriod: DataFrame = Retention.withPeriod(uolV2, weeks)
+
+  def newCust(includeItem: Boolean): DataFrame =
+    Retention.newCust(uolvPeriod, includeItem)
+  def returnedCust(includeItem: Boolean): DataFrame =
+    Retention.returnedCust(uolvPeriod, includeItem)
+  def refundedCust(includeItem: Boolean): DataFrame =
+    Retention.refundedCust(uolvPeriod, includeItem)
+
+  lazy val retentionCompact: DataFrame =
+    Retention.retentionCompact(newCust(false), returnedCust(false),
+                               refundedCust(false))
+  lazy val fCustomerRetention: DataFrame =
+    Retention.fCustomerRetention(newCust(true), returnedCust(true),
+                                 refundedCust(true))
+}

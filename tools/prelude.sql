@@ -1,0 +1,192 @@
+WITH
+feed AS (
+  SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS uniq_id,
+         o_orderdate AS date_time,
+         CAST(c_nationkey AS INTEGER) AS city_id,
+         n_name AS city_name,
+         CAST(o_custkey AS BIGINT) AS customer_id,
+         substring(c_name, 1, 8) AS first_name,
+         substring(c_name, 10) AS last_name,
+         CAST(l_partkey AS INTEGER) AS item_id,
+         p_name AS item_name,
+         CAST(floor(l_quantity) AS BIGINT) AS quantity,
+         CAST(l_extendedprice AS DECIMAL(14,2)) AS payment_amount,
+         CASE WHEN l_returnflag = 'R' THEN 'refunded' ELSE 'shipped' END AS status
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN part ON l_partkey = p_partkey),
+ord_cut AS (SELECT max(o_orderdate) - INTERVAL 60 DAY AS cutoff FROM orders),
+ev_cut AS (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 7 DAY AS cutoff FROM events),
+uol AS (SELECT uniq_id, date_time, city_id, city_name, customer_id, first_name,
+               last_name, item_id, item_name, quantity, payment_amount
+        FROM feed, ord_cut WHERE date_time <= cutoff),
+uol_temp AS (SELECT * FROM feed, ord_cut WHERE date_time > cutoff),
+uol_v2 AS (
+  SELECT uniq_id, date_time, city_id, city_name, customer_id, first_name, last_name,
+         item_id, item_name, quantity, payment_amount, 'shipped' AS status FROM uol
+  UNION ALL
+  SELECT uniq_id, date_time, city_id, city_name, customer_id, first_name, last_name,
+         item_id, item_name, quantity, payment_amount, status FROM uol_temp),
+ual_all AS (
+  SELECT CAST(event_id AS VARCHAR) AS uniq_id,
+         date_trunc('second', CAST(ts AS TIMESTAMP)) AS date_time,
+         CAST(CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+              WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4 ELSE 5 END AS BIGINT) AS action_id,
+         CAST(user_id AS BIGINT) AS customer_id,
+         CAST(floor(value) AS BIGINT) AS quantity
+  FROM events),
+ual AS (SELECT uniq_id, date_time, action_id, customer_id, quantity
+        FROM ual_all, ev_cut WHERE date_time <= cutoff),
+ual_temp AS (SELECT uniq_id, date_time, action_id, customer_id, quantity
+             FROM ual_all, ev_cut WHERE date_time > cutoff),
+research_all AS (
+  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS date_id,
+         CAST(CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+              WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4 ELSE 5 END AS INTEGER) AS category_id,
+         CAST(min(user_id % 25) AS INTEGER) AS geo_id,
+         CAST(count(*) AS INTEGER) AS sales_qty,
+         CAST(sum(CAST(floor(value) AS BIGINT)) AS DECIMAL(14,2)) AS sales_amt,
+         max(CAST(ts AS TIMESTAMP)) AS max_ts
+  FROM events GROUP BY 1, 2),
+research AS (SELECT date_id, category_id, geo_id, sales_qty, sales_amt
+             FROM research_all, ev_cut WHERE max_ts <= cutoff),
+research_temp AS (SELECT date_id, category_id, geo_id, sales_qty, sales_amt
+                  FROM research_all, ev_cut WHERE max_ts > cutoff),
+cal_dates AS (SELECT DISTINCT date_time AS fact_date FROM (
+    SELECT date_id AS date_time FROM research
+    UNION ALL SELECT date_time FROM ual
+    UNION ALL SELECT date_time FROM uol) dates),
+d_calendar AS (
+  SELECT CAST(row_number() OVER (ORDER BY fact_date) AS BIGINT) AS date_id,
+         fact_date,
+         CAST(extract(day FROM fact_date) AS INTEGER) AS day_num,
+         CAST(extract(month FROM fact_date) AS INTEGER) AS month_num,
+         lower(strftime(fact_date, '%b')) AS month_name,
+         CAST(extract(year FROM fact_date) AS INTEGER) AS year_num
+  FROM cal_dates),
+cal_temp_dates AS (SELECT DISTINCT date_time AS fact_date FROM (
+    SELECT date_id AS date_time FROM research_temp
+    UNION ALL SELECT date_time FROM ual_temp
+    UNION ALL SELECT date_time FROM uol_temp) dates),
+d_calendar_temp AS (
+  SELECT CAST((SELECT count(*) FROM cal_dates) + row_number() OVER (ORDER BY fact_date) AS BIGINT) AS date_id,
+         fact_date,
+         CAST(extract(day FROM fact_date) AS INTEGER) AS day_num,
+         CAST(extract(month FROM fact_date) AS INTEGER) AS month_num,
+         lower(strftime(fact_date, '%b')) AS month_name,
+         CAST(extract(year FROM fact_date) AS INTEGER) AS year_num
+  FROM cal_temp_dates),
+d_calendar_full AS (
+  SELECT * FROM d_calendar UNION ALL SELECT * FROM d_calendar_temp),
+d_customer AS (
+  SELECT CAST(row_number() OVER (ORDER BY customer_id) AS BIGINT) AS id,
+         customer_id, first_name, last_name, city_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY customer_id
+                                     ORDER BY first_name, last_name) AS rn
+        FROM (SELECT CAST(customer_id AS INTEGER) AS customer_id, first_name,
+                     last_name, max(city_id) AS city_id
+              FROM uol GROUP BY 1, 2, 3) g0) g WHERE rn = 1),
+d_item AS (
+  SELECT CAST(row_number() OVER (ORDER BY item_id) AS BIGINT) AS id,
+         item_id, item_name
+  FROM (SELECT *, row_number() OVER (PARTITION BY item_id ORDER BY item_name) AS rn
+        FROM (SELECT DISTINCT CAST(item_id AS INTEGER) AS item_id, item_name
+              FROM uol) g0) g WHERE rn = 1),
+f_sales AS (
+  SELECT CAST(row_number() OVER (ORDER BY uol.date_time, uol.uniq_id) AS BIGINT) AS id,
+         dc.date_id AS date_id, uol.item_id AS item_id, uol.customer_id AS customer_id,
+         uol.city_id AS city_id, uol.quantity AS quantity, uol.payment_amount AS payment_amount
+  FROM uol JOIN d_calendar dc ON dc.fact_date = uol.date_time),
+f_sales_temp AS (
+  SELECT CAST((SELECT count(*) FROM f_sales) + row_number() OVER (ORDER BY uol.date_time, uol.uniq_id) AS BIGINT) AS id,
+         dc.date_id AS date_id, uol.item_id AS item_id, uol.customer_id AS customer_id,
+         uol.city_id AS city_id, uol.quantity AS quantity, uol.payment_amount AS payment_amount,
+         uol.status AS status
+  FROM uol_temp uol JOIN d_calendar_temp dc ON dc.fact_date = uol.date_time),
+f_sales_v2 AS (
+  SELECT id, date_id, item_id, customer_id, city_id, quantity, payment_amount,
+         'shipped' AS status FROM f_sales
+  UNION ALL SELECT * FROM f_sales_temp),
+d_calendar_weeks AS (
+  SELECT start_date, end_date,
+         CAST(row_number() OVER (ORDER BY start_date) AS BIGINT) AS period
+  FROM (SELECT min(fact_date) AS start_date, max(fact_date) AS end_date
+        FROM d_calendar_full GROUP BY date_trunc('week', fact_date)) w),
+uolv_period AS (
+  SELECT v.*, w.period
+  FROM uol_v2 v LEFT JOIN d_calendar_weeks w
+    ON v.date_time BETWEEN w.start_date AND w.end_date),
+new_cust AS (
+  SELECT period, item_id AS item_new,
+         CAST(count(customer_id) AS BIGINT) AS new_cust_count,
+         sum(revenue) AS new_cust_revenue
+  FROM (SELECT customer_id, date_time, period, item_id, count(*) AS cnt,
+               sum(payment_amount) AS revenue
+        FROM uolv_period WHERE status = 'shipped'
+        GROUP BY 1, 2, 3, 4 HAVING count(*) = 1) nc
+  GROUP BY 1, 2),
+new_cust_compact AS (
+  SELECT period, CAST(count(customer_id) AS BIGINT) AS new_cust_count,
+         sum(revenue) AS new_cust_revenue
+  FROM (SELECT customer_id, date_time, period, count(*) AS cnt,
+               sum(payment_amount) AS revenue
+        FROM uolv_period WHERE status = 'shipped'
+        GROUP BY 1, 2, 3 HAVING count(*) = 1) nc
+  GROUP BY 1),
+returned_cust AS (
+  SELECT period, item_id AS item_ret,
+         CAST(count(customer_id) AS BIGINT) AS returned_cust_count,
+         sum(revenue) AS returned_revenue
+  FROM (SELECT customer_id, date_time, period, item_id, count(*) AS cnt,
+               sum(payment_amount) AS revenue
+        FROM uolv_period WHERE status = 'shipped'
+        GROUP BY 1, 2, 3, 4 HAVING count(*) > 1) rc
+  GROUP BY 1, 2),
+returned_cust_compact AS (
+  SELECT period, CAST(count(customer_id) AS BIGINT) AS returned_cust_count,
+         sum(revenue) AS returned_revenue
+  FROM (SELECT customer_id, date_time, period, count(*) AS cnt,
+               sum(payment_amount) AS revenue
+        FROM uolv_period WHERE status = 'shipped'
+        GROUP BY 1, 2, 3 HAVING count(*) > 1) rc
+  GROUP BY 1),
+refunded_cust AS (
+  SELECT period, item_id AS item_ref,
+         CAST(count(*) AS BIGINT) AS cust_with_refunds,
+         CAST(sum(refunds) AS BIGINT) AS total_refunds
+  FROM (SELECT customer_id, date_time, period, item_id, count(*) AS refunds
+        FROM uolv_period WHERE status = 'refunded'
+        GROUP BY 1, 2, 3, 4) rf
+  GROUP BY 1, 2),
+refunded_cust_compact AS (
+  SELECT period, CAST(count(*) AS BIGINT) AS cust_with_refunds,
+         CAST(sum(refunds) AS BIGINT) AS total_refunds
+  FROM (SELECT customer_id, date_time, period, count(*) AS refunds
+        FROM uolv_period WHERE status = 'refunded'
+        GROUP BY 1, 2, 3) rf
+  GROUP BY 1),
+retention_compact AS (
+  SELECT COALESCE(n.period, r.period, f.period) AS period,
+         n.new_cust_count, n.new_cust_revenue,
+         r.returned_cust_count, r.returned_revenue,
+         f.cust_with_refunds, f.total_refunds
+  FROM new_cust_compact n
+  FULL JOIN returned_cust_compact r ON n.period = r.period
+  FULL JOIN refunded_cust_compact f ON COALESCE(n.period, r.period) = f.period),
+f_customer_retention AS (
+  SELECT n.new_cust_count AS new_customers_count,
+         r.returned_cust_count AS returning_customers_count,
+         f.cust_with_refunds AS refunded_customer_count,
+         'weekly' AS period_name,
+         CAST(COALESCE(n.period, r.period, f.period) AS INTEGER) AS period_id,
+         n.item_new AS item_id_new_cust,
+         r.item_ret AS item_id_returned_cust,
+         f.item_ref AS item_id_refunded_cust,
+         CAST(round(n.new_cust_revenue) AS BIGINT) AS new_customers_revenue,
+         CAST(round(r.returned_revenue) AS BIGINT) AS returning_customers_revenue,
+         CAST(f.total_refunds AS INTEGER) AS customers_refunded
+  FROM new_cust n
+  FULL JOIN returned_cust r ON n.period = r.period
+  FULL JOIN refunded_cust f ON COALESCE(n.period, r.period) = f.period)
