@@ -219,7 +219,14 @@ f_customer_retention AS (
   FULL JOIN refunded_cust f ON COALESCE(n.period, r.period) = f.period)
 """
 
+  /** Docs/vectors prelude for the training-data-pipeline operators
+    * (dedup / similarity / text analysis / multimodal). Kept separate from
+    * the ETL prelude — different base tables, smaller SQL per query. */
+  val docsPrelude: String = DocsOracleSql.text
+
   private def from(cte: String): String = prelude + s"SELECT * FROM $cte"
+  private def fromDocs(cte: String): String =
+    docsPrelude + s"SELECT * FROM $cte"
 
   /** Money columns are computed as exact DECIMAL(14,2) inside the engine
     * (reference `numeric(14,2)`) but canonicalized to DOUBLE at each query's
@@ -257,5 +264,21 @@ f_customer_retention AS (
     "q_refunded_customers_compact" -> from("refunded_cust_compact"),
     "q_retention_compact" ->
       fromD("retention_compact", "new_cust_revenue", "returned_revenue"),
-    "q_f_customer_retention" -> from("f_customer_retention"))
+    "q_f_customer_retention" -> from("f_customer_retention"),
+    // --- training-data-pipeline operators (docs/embeddings tables) ---
+    "q_dedup_exact"         -> fromDocs("dedup_exact"),
+    "q_dedup_minhash_lsh"   -> fromDocs("minhash_bands"),
+    "q_dedup_minhash_pairs" -> fromDocs("minhash_pairs"),
+    "q_dedup_simhash"       -> fromDocs("simhash"),
+    "q_dedup_ngram_jaccard" -> fromDocs("ngram_jaccard"),
+    "q_dedup_embedding"     -> fromDocs("dedup_embedding"),
+    "q_text_stats"          -> fromDocs("text_stats"),
+    "q_quality_score"       -> fromDocs("quality_score"),
+    "q_lang_id"             -> fromDocs("lang_id"),
+    "q_doc_fingerprint"     -> fromDocs("doc_fingerprint"),
+    "q_multimodal_meta"     -> fromDocs("mm_meta"),
+    "q_multimodal_frames"   -> fromDocs("mm_frames"),
+    "q_ann_cosine_topk"     -> fromDocs("ann_cosine_topk"),
+    "q_ann_ivf_assign"      -> fromDocs("ivf_assign"),
+    "q_ann_ivf_topk"        -> fromDocs("ivf_topk"))
 }

@@ -52,7 +52,23 @@ object SparkEntry {
     // J2 + N5/N6
     "q_retention_compact"     -> ((s, d) => money(new Pipeline(s, d).retentionCompact,
                                                   "new_cust_revenue", "returned_revenue")),
-    "q_f_customer_retention"  -> ((s, d) => new Pipeline(s, d).fCustomerRetention))
+    "q_f_customer_retention"  -> ((s, d) => new Pipeline(s, d).fCustomerRetention),
+    // --- training-data-pipeline operators (BASELINE.json north star) ---
+    "q_dedup_exact"         -> ((s, d) => ops.Dedup.exact(s, d)),
+    "q_dedup_minhash_lsh"   -> ((s, d) => ops.Dedup.minhashBands(s, d)),
+    "q_dedup_minhash_pairs" -> ((s, d) => ops.Dedup.minhashPairs(s, d)),
+    "q_dedup_simhash"       -> ((s, d) => ops.Dedup.simhash(s, d)),
+    "q_dedup_ngram_jaccard" -> ((s, d) => ops.Dedup.ngramJaccard(s, d)),
+    "q_dedup_embedding"     -> ((s, d) => ops.Vectors.nearDup(s, d)),
+    "q_text_stats"          -> ((s, d) => ops.TextOps.textStats(s, d)),
+    "q_quality_score"       -> ((s, d) => ops.TextOps.qualityScore(s, d)),
+    "q_lang_id"             -> ((s, d) => ops.TextOps.langId(s, d)),
+    "q_doc_fingerprint"     -> ((s, d) => ops.TextOps.fingerprint(s, d)),
+    "q_multimodal_meta"     -> ((s, d) => ops.Multimodal.meta(s, d)),
+    "q_multimodal_frames"   -> ((s, d) => ops.Multimodal.frames(s, d)),
+    "q_ann_cosine_topk"     -> ((s, d) => ops.Vectors.annCosineTopK(s, d)),
+    "q_ann_ivf_assign"      -> ((s, d) => ops.Vectors.ivfAssign(s, d)),
+    "q_ann_ivf_topk"        -> ((s, d) => ops.Vectors.ivfTopK(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

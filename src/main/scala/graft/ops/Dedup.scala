@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` — exact, MinHash+LSH, SimHash,
+  * and exact n-gram Jaccard (BASELINE.json north star).
+  *
+  * Scale design:
+  *  - exact dedup = one hash-groupBy shuffle on a 32-byte key (not the doc);
+  *  - MinHash: shingle explosion is map-side; the signature groupBy shuffles
+  *    (doc_id, seed) pairs only; LSH banding turns the quadratic all-pairs
+  *    problem into an equi-join on (band, band_hash) — the only pairs ever
+  *    materialized are bucket collisions;
+  *  - SimHash: 32 bit-rows per distinct word, two partial-agg groupBys;
+  *  - Jaccard is computed exactly only for candidate pairs.
+  * Everything is built-in expressions (md5, higher-order array fns) —
+  * portable to the DuckDB oracle and codegen-friendly.
+  */
+object Dedup {
+
+  /** Exact dedup: group by md5(normalized text); keeper = min doc_id. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    TextOps.docs(spark, dir)
+      .groupBy(md5(col("norm")).as("fp"))
+      .agg(min("doc_id").as("keeper_doc_id"),
+           count(lit(1)).as("n_dups"))
+
+  /** MinHash signatures: k=8 seeded min-hashes per doc
+    * (min over shingles of md5(seed || '|' || shingle) — lexicographic min
+    * of a uniform hash is a valid min-hash). */
+  def minhash(spark: SparkSession, dir: String): DataFrame =
+    TextOps.shingles(spark, dir)
+      .withColumn("seed", explode(expr("sequence(0, 7)")))
+      .groupBy("doc_id", "seed")
+      .agg(min(md5(concat(col("seed").cast("string"), lit("|"),
+                          col("shingle")))).as("sig"))
+
+  /** LSH banding: 4 bands × 2 rows; band key = md5 of the band's signature
+    * slice in seed order. */
+  def minhashBands(spark: SparkSession, dir: String): DataFrame =
+    minhash(spark, dir)
+      .groupBy(col("doc_id"), expr("CAST(seed div 2 AS BIGINT)").as("band"))
+      .agg(expr(
+        "md5(array_join(transform(array_sort(collect_list(struct(seed, sig))), x -> x.sig), '|'))")
+        .as("band_hash"))
+
+  /** Candidate near-dup pairs = docs sharing any LSH bucket. */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val b = minhashBands(spark, dir)
+    val a = b.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
+    val c = b.select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
+    a.join(c, Seq("band", "band_hash"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** 32-bit SimHash over the doc's distinct words (bit i from nibble i/4 of
+    * the word's md5; majority vote per bit). */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    TextOps.docsWords(spark, dir)
+      .select(col("doc_id"), explode(col("words")).as("w")).distinct()
+      .withColumn("bit", explode(expr("sequence(0, 31)")))
+      .groupBy("doc_id", "bit")
+      .agg(sum(expr(
+        """CASE WHEN (shiftright(
+                 instr('0123456789abcdef',
+                       substring(md5(w), 1 + CAST(bit div 4 AS INT), 1)) - 1,
+                 bit % 4) & 1) = 1 THEN 1 ELSE -1 END""")).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(expr(
+        """CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))
+                ELSE CAST(0 AS BIGINT) END""")).cast("long").as("simhash"))
+
+  /** Exact word-3-gram Jaccard for a deterministic pair sample
+    * (consecutive even/odd doc_id pairs — exercises the full set-intersection
+    * machinery regardless of whether real near-dups exist). */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = TextOps.docs(spark, dir).select(col("doc_id"))
+    val pairs = d.select(col("doc_id").as("doc_a"))
+      .where(col("doc_a") % 2 === 0)
+      .join(d.select(col("doc_id").as("doc_b")),
+            col("doc_b") === col("doc_a") + 1)
+    val sh = TextOps.shingles(spark, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+            Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left_outer")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        coalesce(col("i"), lit(0L)).as("n_common"),
+        (col("na") + col("nb") - coalesce(col("i"), lit(0L))).as("n_union"))
+      .withColumn("jaccard",
+        expr("CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE)"))
+  }
+}

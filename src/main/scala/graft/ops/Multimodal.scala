@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.etl.Feeds
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: opaque binary payloads + typed metadata,
+  * decode / feature-extract / frame-sample (BASELINE.json north star).
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic fake (dimensions derived from byte length);
+  * everything around it — binary columns, schema, partition-parallel
+  * mapPartitions batching, frame explosion — is real Spark plumbing, the
+  * part that matters at 100 TB (payload bytes never leave the executor;
+  * metadata-only aggregates never read payloads thanks to parquet column
+  * pruning).
+  */
+object Multimodal {
+
+  /** documents.text re-encoded as an opaque binary payload — the stand-in
+    * for an image/audio blob column. */
+  def blobs(spark: SparkSession, dir: String): DataFrame =
+    Feeds.table(spark, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+              col("text"))
+
+  /** Typed metadata extracted per payload (expression-only fast path). */
+  def meta(spark: SparkSession, dir: String): DataFrame =
+    blobs(spark, dir).select(
+      col("doc_id"),
+      length(col("payload")).cast("long").as("byte_len"),
+      (lit(64) + length(col("payload")) % 577).cast("long").as("width"),
+      (lit(64) + (length(col("payload")) * 31) % 433).cast("long").as("height"),
+      (lit(1) + expr("length(payload) div 256")).cast("long").as("n_frames"))
+
+  /** Frame sampling: one row per (doc, frame) with a deterministic frame
+    * fingerprint — the shape of video-frame extraction. */
+  def frames(spark: SparkSession, dir: String): DataFrame =
+    meta(spark, dir)
+      .select(col("doc_id"),
+              explode(expr("sequence(0, CAST(n_frames - 1 AS INT))"))
+                .as("frame_idx0"))
+      .select(col("doc_id"), col("frame_idx0").cast("long").as("frame_idx"))
+      .join(blobs(spark, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("frame_idx"),
+              md5(concat(md5(col("text")), lit("#"),
+                         col("frame_idx").cast("string"))).as("frame_fp"))
+
+  /** Decoded-image schema used by the mapPartitions decode path. */
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("pixels", BinaryType, nullable = false)))
+
+  /** STUB DECODE — deterministic fake in lieu of a real codec (none in this
+    * container). Real implementation would replace `fakeDecode` only; the
+    * partition-parallel batching, schema, and row plumbing are production
+    * shape. */
+  def decode(blobs: DataFrame): DataFrame = {
+    val spark = blobs.sparkSession
+    val rdd = blobs.select("doc_id", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val (w, h, c, px) = fakeDecode(payload)
+        Row(id, w, h, c, px)
+      }
+    }
+    spark.createDataFrame(rdd, decodedSchema)
+  }
+
+  /** Deterministic fake codec: 8×8 single-channel "image" whose pixels are
+    * a repeating slice of the payload. */
+  private def fakeDecode(payload: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+    val w = 8; val h = 8; val c = 1
+    val px = Array.tabulate[Byte](w * h * c) { i =>
+      if (payload.isEmpty) 0 else payload(i % payload.length)
+    }
+    (w, h, c, px)
+  }
+}

@@ -1,0 +1,106 @@
+package graft.ops
+
+import graft.etl.Feeds
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline surface beyond the reference (BASELINE.json north
+  * star): token counting, quality scoring, n-gram language ID, document
+  * fingerprinting.
+  *
+  * All operators are pure Column expressions (whole-stage codegen, no UDFs).
+  * Per-doc word work uses array higher-order functions (`filter`/`size`)
+  * instead of explode+groupBy where possible — no shuffle at all for the
+  * per-document statistics; these scale embarrassingly-parallel over doc
+  * partitions at 100 TB.
+  */
+object TextOps {
+
+  /** Canonical normalization shared by every text operator (and mirrored
+    * byte-for-byte in the DuckDB oracle): lowercase, whitespace-collapse,
+    * trim. */
+  def docs(spark: SparkSession, dir: String): DataFrame =
+    Feeds.table(spark, dir, "documents")
+      .withColumn("norm", lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+
+  def docsWords(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).withColumn("words", split(col("norm"), " "))
+
+  private val stoplist =
+    "'the','a','of','and','to','in','is','it','for','on'"
+
+  /** Whitespace tokens, regex word tokens, punctuation and stopword counts. */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    docsWords(spark, dir).select(
+      col("doc_id"),
+      length(col("norm")).cast("long").as("n_chars_norm"),
+      size(col("words")).cast("long").as("n_tokens"),
+      expr("regexp_count(norm, '[a-z0-9]+')").cast("long").as("n_word_tokens"),
+      (length(col("norm")) -
+        length(regexp_replace(col("norm"), "[.,;:!?]", "")))
+        .cast("long").as("punct_cnt"),
+      expr(s"size(filter(words, w -> w IN ($stoplist)))")
+        .cast("long").as("stop_cnt"))
+
+  /** Composite quality score in [0,1]: length, punctuation-density and
+    * stopword-ratio components (deterministic double arithmetic — the
+    * expression tree is identical in the oracle, so results are
+    * bit-identical). */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    textStats(spark, dir).select(
+      col("doc_id"),
+      expr(
+        """least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+           + (1.0 - least(CAST(punct_cnt AS DOUBLE)
+                          / CAST(n_chars_norm AS DOUBLE) * 5.0, 1.0)) * 0.3
+           + least(CAST(stop_cnt AS DOUBLE)
+                   / CAST(n_tokens AS DOUBLE) * 4.0, 1.0) * 0.2""")
+        .as("quality"))
+
+  /** Marker-word (1-gram) language scoring with a pinned argmax order
+    * (en ≥ de ≥ fr ≥ es). Real-world accuracy needs real marker lists; the
+    * operator shape — per-language counts + deterministic argmax — is what
+    * scales. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val scored = docsWords(spark, dir).select(
+      col("doc_id"), col("lang"),
+      expr("size(filter(words, w -> w IN ('the','a','of','and','to','is')))")
+        .cast("long").as("s_en"),
+      expr("size(filter(words, w -> w IN ('der','die','das','und','ist','nicht')))")
+        .cast("long").as("s_de"),
+      expr("size(filter(words, w -> w IN ('le','la','les','et','est','dans')))")
+        .cast("long").as("s_fr"),
+      expr("size(filter(words, w -> w IN ('el','los','las','y','es','en')))")
+        .cast("long").as("s_es"))
+    scored.select(
+      col("doc_id"), col("s_en"), col("s_de"), col("s_fr"), col("s_es"),
+      expr(
+        """CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END""").as("pred_lang"),
+      col("lang"))
+      .withColumn("correct", col("pred_lang") === col("lang"))
+  }
+
+  /** Word-3-gram shingles (fallback: the whole normalized doc when shorter
+    * than 3 words), deduplicated per doc. The base of MinHash / Jaccard. */
+  def shingles(spark: SparkSession, dir: String): DataFrame =
+    docsWords(spark, dir)
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(words) >= 3
+             THEN transform(sequence(0, size(words) - 3),
+                    i -> concat_ws(' ', words[i], words[i+1], words[i+2]))
+             ELSE array(norm) END""")).as("shingle"))
+      .distinct()
+
+  /** Full-doc md5 + min-shingle-hash fingerprint (rolling-hash-style
+    * winnowing reduced to its minimum: the smallest k-gram hash). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"), md5(col("norm")).as("md5_norm"))
+      .join(
+        shingles(spark, dir).groupBy("doc_id")
+          .agg(min(md5(col("shingle"))).as("min_shingle_hash")),
+        Seq("doc_id"))
+      .select("doc_id", "md5_norm", "min_shingle_hash")
+}

@@ -1,0 +1,126 @@
+package graft.ops
+
+import graft.etl.Feeds
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (Array[Float], 64-dim):
+  * brute-force cosine top-k as the exact baseline, IVF (nearest-centroid
+  * cells) as the scale path, and embedding near-dup detection.
+  *
+  * Determinism across engines: embeddings are quantized to integer
+  * micro-units (round(x·10⁶)), so dot products and norms are EXACT int64
+  * arithmetic; the only floating-point step is the final
+  * double(dot)/sqrt(double(na²)·double(nb²)) — a fixed operation sequence on
+  * identical inputs, hence bit-identical in Spark and DuckDB.
+  *
+  * Scale design: queries and centroids are broadcast; candidate generation
+  * for IVF is an equi-join on centroid_id (hash join, no cross product).
+  * Brute force is O(|Q|·N) with broadcast Q — the right baseline; IVF cuts
+  * the candidate set per query to one cell. At 100 TB the same plan holds
+  * with bucketed cells.
+  */
+object Vectors {
+
+  private val dotExpr =
+    "aggregate(zip_with(q_qv, c_qv, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"
+  private val scoreExpr =
+    "CAST(dot AS DOUBLE) / sqrt(CAST(qa2 AS DOUBLE) * CAST(ca2 AS DOUBLE))"
+
+  /** Quantized embeddings with precomputed squared norm. */
+  def quantized(spark: SparkSession, dir: String): DataFrame =
+    Feeds.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))")
+          .as("qv"))
+      .withColumn("n2",
+        expr("aggregate(transform(qv, x -> x * x), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+
+  private def scored(q: DataFrame, c: DataFrame): DataFrame =
+    q.join(c, col("cand_id") =!= col("query_id"))
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("score", expr(scoreExpr))
+
+  /** Brute-force cosine top-5 for the deterministic query subset
+    * (vec_id % 50 == 0). */
+  def annCosineTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val emb = quantized(spark, dir)
+    val q = broadcast(emb.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+              col("n2").as("qa2")))
+    val c = emb.select(col("vec_id").as("cand_id"), col("qv").as("c_qv"),
+                       col("n2").as("ca2"))
+    scored(q, c)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("cand_id"))).cast("long"))
+      .where(col("rnk") <= k)
+      .select("query_id", "cand_id", "score", "rnk")
+  }
+
+  /** IVF cell assignment: nearest of the deterministic centroid subset
+    * (vec_id % 40 == 0), ties broken by centroid id. */
+  def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
+    val emb = quantized(spark, dir)
+    val cent = broadcast(emb.where(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("centroid_id"), col("qv").as("c_qv"),
+              col("n2").as("ca2")))
+    val v = emb.select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+                       col("n2").as("qa2"))
+    v.join(cent)
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("score", expr(scoreExpr))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("centroid_id"))))
+      .where(col("rn") === 1)
+      .select(col("query_id").as("vec_id"), col("centroid_id"), col("score"))
+  }
+
+  /** IVF probe search: top-3 within the query's own cell. */
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val assign = ivfAssign(spark, dir).select("vec_id", "centroid_id")
+    val emb = quantized(spark, dir)
+    val q = assign.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("centroid_id"))
+      .join(emb.select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+                       col("n2").as("qa2")), Seq("query_id"))
+    val c = assign
+      .select(col("vec_id").as("cand_id"), col("centroid_id"))
+      .join(emb.select(col("vec_id").as("cand_id"), col("qv").as("c_qv"),
+                       col("n2").as("ca2")), Seq("cand_id"))
+    broadcast(q).join(c, Seq("centroid_id"))
+      .where(col("cand_id") =!= col("query_id"))
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("score", expr(scoreExpr))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("cand_id"))).cast("long"))
+      .where(col("rnk") <= k)
+      .select("query_id", "cand_id", "score", "rnk")
+  }
+
+  /** Embedding near-dup: nearest same-label neighbor per vector with an
+    * is_dup threshold flag (label join = blocking; at real scale the block
+    * key would be an LSH bucket — see Dedup.minhashBands for the pattern). */
+  def nearDup(spark: SparkSession, dir: String,
+              threshold: Double = 0.90): DataFrame = {
+    val emb = quantized(spark, dir)
+    val a = emb.select(col("vec_id").as("query_id"), col("label"),
+                       col("qv").as("q_qv"), col("n2").as("qa2"))
+    val b = emb.select(col("vec_id").as("cand_id"), col("label"),
+                       col("qv").as("c_qv"), col("n2").as("ca2"))
+    a.join(b, Seq("label"))
+      .where(col("cand_id") =!= col("query_id"))
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("score", expr(scoreExpr))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("cand_id"))))
+      .where(col("rn") === 1)
+      .select(col("query_id").as("vec_id"), col("cand_id").as("nn_vec_id"),
+              col("label"), col("score"))
+      .withColumn("is_dup", col("score") >= threshold)
+  }
+}

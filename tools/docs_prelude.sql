@@ -1,0 +1,179 @@
+WITH
+docs AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+  FROM documents),
+docs_words AS (
+  SELECT *, string_split(norm, ' ') AS words FROM docs),
+words_flat AS (
+  SELECT doc_id, unnest(words) AS w FROM docs_words),
+words_dist AS (SELECT DISTINCT doc_id, w FROM words_flat),
+docs_sh AS (
+  SELECT doc_id, unnest(CASE WHEN len(words) >= 3
+      THEN [words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
+            for i in range(0, len(words)-2)]
+      ELSE [norm] END) AS shingle
+  FROM docs_words),
+docs_sh_d AS (SELECT DISTINCT doc_id, shingle FROM docs_sh),
+sh_sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM docs_sh_d GROUP BY 1),
+dedup_exact AS (
+  SELECT md5(norm) AS fp, min(doc_id) AS keeper_doc_id,
+         CAST(count(*) AS BIGINT) AS n_dups
+  FROM docs GROUP BY 1),
+minhash AS (
+  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS sig
+  FROM docs_sh_d, range(0, 8) t(seed)
+  GROUP BY 1, 2),
+minhash_bands AS (
+  SELECT doc_id, CAST(seed // 2 AS BIGINT) AS band,
+         md5(string_agg(sig, '|' ORDER BY seed)) AS band_hash
+  FROM minhash GROUP BY 1, 2),
+minhash_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM minhash_bands a JOIN minhash_bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+sim_bits AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN ((strpos('0123456789abcdef',
+                    substr(md5(w), 1 + CAST(bit // 4 AS INTEGER), 1)) - 1)
+                   >> (bit % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM words_dist, range(0, 32) t(bit) GROUP BY 1, 2),
+simhash AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(bit AS INTEGER)
+                  ELSE 0 END) AS BIGINT) AS simhash
+  FROM sim_bits GROUP BY 1),
+jacc_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.norm AS norm_a, b.norm AS norm_b
+  FROM docs a JOIN docs b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id % 2 = 0),
+jacc_inter AS (
+  SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS i
+  FROM jacc_pairs p
+  JOIN docs_sh_d a ON a.doc_id = p.doc_a
+  JOIN docs_sh_d b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2),
+ngram_jaccard AS (
+  SELECT p.doc_a, p.doc_b, COALESCE(i.i, 0) AS n_common,
+         sa.n_sh + sb.n_sh - COALESCE(i.i, 0) AS n_union,
+         CAST(COALESCE(i.i, 0) AS DOUBLE)
+           / CAST(sa.n_sh + sb.n_sh - COALESCE(i.i, 0) AS DOUBLE) AS jaccard
+  FROM jacc_pairs p
+  LEFT JOIN jacc_inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+  JOIN sh_sizes sa ON sa.doc_id = p.doc_a
+  JOIN sh_sizes sb ON sb.doc_id = p.doc_b),
+stop_stats AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN w IN ('the','a','of','and','to','in','is','it',
+                                  'for','on') THEN 1 ELSE 0 END) AS BIGINT) AS stop_cnt
+  FROM words_flat GROUP BY 1),
+text_stats AS (
+  SELECT d.doc_id,
+         CAST(length(d.norm) AS BIGINT) AS n_chars_norm,
+         CAST(len(w.words) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(d.norm, '[a-z0-9]+')) AS BIGINT) AS n_word_tokens,
+         CAST(length(d.norm)
+              - length(regexp_replace(d.norm, '[.,;:!?]', '', 'g')) AS BIGINT) AS punct_cnt,
+         s.stop_cnt
+  FROM docs d JOIN docs_words w ON w.doc_id = d.doc_id
+  JOIN stop_stats s ON s.doc_id = d.doc_id),
+quality_score AS (
+  SELECT doc_id,
+         least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+         + (1.0 - least(CAST(punct_cnt AS DOUBLE) / CAST(n_chars_norm AS DOUBLE) * 5.0, 1.0)) * 0.3
+         + least(CAST(stop_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 4.0, 1.0) * 0.2
+           AS quality
+  FROM text_stats),
+lang_scores AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN w IN ('the','a','of','and','to','is') THEN 1 ELSE 0 END) AS BIGINT) AS s_en,
+    CAST(sum(CASE WHEN w IN ('der','die','das','und','ist','nicht') THEN 1 ELSE 0 END) AS BIGINT) AS s_de,
+    CAST(sum(CASE WHEN w IN ('le','la','les','et','est','dans') THEN 1 ELSE 0 END) AS BIGINT) AS s_fr,
+    CAST(sum(CASE WHEN w IN ('el','los','las','y','es','en') THEN 1 ELSE 0 END) AS BIGINT) AS s_es
+  FROM words_flat GROUP BY 1),
+lang_id AS (
+  SELECT l.doc_id, s_en, s_de, s_fr, s_es,
+         CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+              WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+              WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS pred_lang,
+         d.lang,
+         (CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+               WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+               WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END) = d.lang AS correct
+  FROM lang_scores l JOIN docs d ON d.doc_id = l.doc_id),
+doc_fingerprint AS (
+  SELECT d.doc_id, md5(d.norm) AS md5_norm, min(md5(s.shingle)) AS min_shingle_hash
+  FROM docs d JOIN docs_sh_d s ON s.doc_id = d.doc_id
+  GROUP BY 1, 2),
+mm_meta AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         CAST(64 + octet_length(encode(text)) % 577 AS BIGINT) AS width,
+         CAST(64 + (octet_length(encode(text)) * 31) % 433 AS BIGINT) AS height,
+         CAST(1 + octet_length(encode(text)) // 256 AS BIGINT) AS n_frames
+  FROM documents),
+mm_frames AS (
+  SELECT m.doc_id, CAST(f AS BIGINT) AS frame_idx,
+         md5(md5(d.text) || '#' || CAST(f AS VARCHAR)) AS frame_fp
+  FROM mm_meta m JOIN documents d ON d.doc_id = m.doc_id,
+       range(0, 64) t(f)
+  WHERE f < m.n_frames),
+emb_n AS (
+  SELECT vec_id, label, qv,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+  FROM (SELECT vec_id, label,
+               list_transform(embedding,
+                 v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        FROM embeddings)),
+emb_nn AS (
+  SELECT a.vec_id, b.vec_id AS nn_vec_id, a.label, b.label AS nn_label,
+         CAST(list_sum(list_transform(list_zip(a.qv, b.qv), x -> x[1] * x[2])) AS BIGINT) AS dot,
+         a.n2 AS na2, b.n2 AS nb2
+  FROM emb_n a JOIN emb_n b ON a.label = b.label AND b.vec_id != a.vec_id),
+dedup_embedding AS (
+  SELECT vec_id, nn_vec_id, label, score, score >= 0.90 AS is_dup
+  FROM (SELECT vec_id, nn_vec_id, label,
+               CAST(dot AS DOUBLE) / sqrt(CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE)) AS score,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE)) DESC,
+                          nn_vec_id) AS rn
+        FROM emb_nn) WHERE rn = 1),
+ann_scores AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         CAST(list_sum(list_transform(list_zip(q.qv, c.qv), x -> x[1] * x[2])) AS BIGINT) AS dot,
+         q.n2 AS qa2, c.n2 AS ca2
+  FROM emb_n q JOIN emb_n c ON c.vec_id != q.vec_id
+  WHERE q.vec_id % 50 = 0),
+ann_cosine_topk AS (
+  SELECT query_id, cand_id, score, CAST(rnk AS BIGINT) AS rnk FROM (
+    SELECT query_id, cand_id,
+           CAST(dot AS DOUBLE) / sqrt(CAST(qa2 AS DOUBLE) * CAST(ca2 AS DOUBLE)) AS score,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qa2 AS DOUBLE) * CAST(ca2 AS DOUBLE)) DESC,
+                      cand_id) AS rnk
+    FROM ann_scores) s WHERE rnk <= 5),
+ivf_assign AS (
+  SELECT vec_id, centroid_id, CAST(cdot AS DOUBLE) / sqrt(CAST(vn2 AS DOUBLE) * CAST(cn2 AS DOUBLE)) AS score
+  FROM (
+    SELECT v.vec_id, c.vec_id AS centroid_id,
+           CAST(list_sum(list_transform(list_zip(v.qv, c.qv), x -> x[1] * x[2])) AS BIGINT) AS cdot,
+           v.n2 AS vn2, c.n2 AS cn2,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY CAST(list_sum(list_transform(list_zip(v.qv, c.qv), x -> x[1] * x[2])) AS DOUBLE)
+                      / sqrt(CAST(v.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE)) DESC,
+                      c.vec_id) AS rn
+    FROM emb_n v JOIN emb_n c ON c.vec_id % 40 = 0) a
+  WHERE rn = 1),
+ivf_topk AS (
+  SELECT query_id, cand_id, score, CAST(rnk AS BIGINT) AS rnk FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           CAST(list_sum(list_transform(list_zip(qe.qv, ce.qv), x -> x[1] * x[2])) AS DOUBLE)
+             / sqrt(CAST(qe.n2 AS DOUBLE) * CAST(ce.n2 AS DOUBLE)) AS score,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY CAST(list_sum(list_transform(list_zip(qe.qv, ce.qv), x -> x[1] * x[2])) AS DOUBLE)
+                      / sqrt(CAST(qe.n2 AS DOUBLE) * CAST(ce.n2 AS DOUBLE)) DESC,
+                      c.vec_id) AS rnk
+    FROM ivf_assign q
+    JOIN ivf_assign c ON c.centroid_id = q.centroid_id AND c.vec_id != q.vec_id
+    JOIN emb_n qe ON qe.vec_id = q.vec_id
+    JOIN emb_n ce ON ce.vec_id = c.vec_id
+    WHERE q.vec_id % 50 = 0) s WHERE rnk <= 3)
