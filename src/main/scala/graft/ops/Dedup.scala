@@ -13,24 +13,30 @@ import org.apache.spark.sql.functions._
   *    problem into an equi-join on (band, band_hash) — the only pairs ever
   *    materialized are bucket collisions;
   *  - SimHash: 32 bit-rows per distinct word, two partial-agg groupBys;
-  *  - Jaccard is computed exactly only for candidate pairs.
+  *  - Jaccard is computed exactly only for given candidate pairs.
   * Everything is built-in expressions (md5, higher-order array fns) —
   * portable to the DuckDB oracle and codegen-friendly.
+  *
+  * `*Of` variants take DataFrames (unit-testable); (spark, dir) variants
+  * read the driver's documents.parquet.
   */
 object Dedup {
 
   /** Exact dedup: group by md5(normalized text); keeper = min doc_id. */
-  def exact(spark: SparkSession, dir: String): DataFrame =
-    TextOps.docs(spark, dir)
+  def exactOf(docsNorm: DataFrame): DataFrame =
+    docsNorm
       .groupBy(md5(col("norm")).as("fp"))
       .agg(min("doc_id").as("keeper_doc_id"),
            count(lit(1)).as("n_dups"))
 
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    exactOf(TextOps.docs(spark, dir))
+
   /** MinHash signatures: k=8 seeded min-hashes per doc
     * (min over shingles of md5(seed || '|' || shingle) — lexicographic min
     * of a uniform hash is a valid min-hash). */
-  def minhash(spark: SparkSession, dir: String): DataFrame =
-    TextOps.shingles(spark, dir)
+  def minhashOf(shingles: DataFrame): DataFrame =
+    shingles
       .withColumn("seed", explode(expr("sequence(0, 7)")))
       .groupBy("doc_id", "seed")
       .agg(min(md5(concat(col("seed").cast("string"), lit("|"),
@@ -38,27 +44,32 @@ object Dedup {
 
   /** LSH banding: 4 bands × 2 rows; band key = md5 of the band's signature
     * slice in seed order. */
-  def minhashBands(spark: SparkSession, dir: String): DataFrame =
-    minhash(spark, dir)
+  def minhashBandsOf(minhash: DataFrame): DataFrame =
+    minhash
       .groupBy(col("doc_id"), expr("CAST(seed div 2 AS BIGINT)").as("band"))
       .agg(expr(
         "md5(array_join(transform(array_sort(collect_list(struct(seed, sig))), x -> x.sig), '|'))")
         .as("band_hash"))
 
+  def minhashBands(spark: SparkSession, dir: String): DataFrame =
+    minhashBandsOf(minhashOf(TextOps.shingles(spark, dir)))
+
   /** Candidate near-dup pairs = docs sharing any LSH bucket. */
-  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val b = minhashBands(spark, dir)
-    val a = b.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
-    val c = b.select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
+  def minhashPairsOf(bands: DataFrame): DataFrame = {
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
+    val c = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
     a.join(c, Seq("band", "band_hash"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
   }
 
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashPairsOf(minhashBands(spark, dir))
+
   /** 32-bit SimHash over the doc's distinct words (bit i from nibble i/4 of
     * the word's md5; majority vote per bit). */
-  def simhash(spark: SparkSession, dir: String): DataFrame =
-    TextOps.docsWords(spark, dir)
+  def simhashOf(docsWords: DataFrame): DataFrame =
+    docsWords
       .select(col("doc_id"), explode(col("words")).as("w")).distinct()
       .withColumn("bit", explode(expr("sequence(0, 31)")))
       .groupBy("doc_id", "bit")
@@ -72,20 +83,15 @@ object Dedup {
         """CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))
                 ELSE CAST(0 AS BIGINT) END""")).cast("long").as("simhash"))
 
-  /** Exact word-3-gram Jaccard for a deterministic pair sample
-    * (consecutive even/odd doc_id pairs — exercises the full set-intersection
-    * machinery regardless of whether real near-dups exist). */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val d = TextOps.docs(spark, dir).select(col("doc_id"))
-    val pairs = d.select(col("doc_id").as("doc_a"))
-      .where(col("doc_a") % 2 === 0)
-      .join(d.select(col("doc_id").as("doc_b")),
-            col("doc_b") === col("doc_a") + 1)
-    val sh = TextOps.shingles(spark, dir)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashOf(TextOps.docsWords(spark, dir))
+
+  /** Exact word-3-gram Jaccard for given candidate pairs (doc_a, doc_b). */
+  def ngramJaccardFor(pairs: DataFrame, shingles: DataFrame): DataFrame = {
+    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = pairs
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+      .join(shingles.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(shingles.select(col("doc_id").as("doc_b"), col("shingle")),
             Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
     pairs
@@ -98,5 +104,17 @@ object Dedup {
         (col("na") + col("nb") - coalesce(col("i"), lit(0L))).as("n_union"))
       .withColumn("jaccard",
         expr("CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE)"))
+  }
+
+  /** Deterministic pair sample (consecutive even/odd doc_id pairs —
+    * exercises the full set-intersection machinery regardless of whether
+    * real near-dups exist). */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = TextOps.docs(spark, dir).select(col("doc_id"))
+    val pairs = d.select(col("doc_id").as("doc_a"))
+      .where(col("doc_a") % 2 === 0)
+      .join(d.select(col("doc_id").as("doc_b")),
+            col("doc_b") === col("doc_a") + 1)
+    ngramJaccardFor(pairs, TextOps.shingles(spark, dir))
   }
 }

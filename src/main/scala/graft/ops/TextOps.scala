@@ -14,25 +14,34 @@ import org.apache.spark.sql.functions._
   * instead of explode+groupBy where possible — no shuffle at all for the
   * per-document statistics; these scale embarrassingly-parallel over doc
   * partitions at 100 TB.
+  *
+  * `*Of` variants take the input DataFrame (unit-testable on fixtures);
+  * the (spark, dir) variants read the driver's documents.parquet.
   */
 object TextOps {
 
   /** Canonical normalization shared by every text operator (and mirrored
     * byte-for-byte in the DuckDB oracle): lowercase, whitespace-collapse,
-    * trim. */
+    * trim. Input needs a `text` column. */
+  def normalize(documents: DataFrame): DataFrame =
+    documents.withColumn("norm",
+      lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+
+  def withWords(docsNorm: DataFrame): DataFrame =
+    docsNorm.withColumn("words", split(col("norm"), " "))
+
   def docs(spark: SparkSession, dir: String): DataFrame =
-    Feeds.table(spark, dir, "documents")
-      .withColumn("norm", lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+    normalize(Feeds.table(spark, dir, "documents"))
 
   def docsWords(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).withColumn("words", split(col("norm"), " "))
+    withWords(docs(spark, dir))
 
   private val stoplist =
     "'the','a','of','and','to','in','is','it','for','on'"
 
   /** Whitespace tokens, regex word tokens, punctuation and stopword counts. */
-  def textStats(spark: SparkSession, dir: String): DataFrame =
-    docsWords(spark, dir).select(
+  def textStatsOf(docsWords: DataFrame): DataFrame =
+    docsWords.select(
       col("doc_id"),
       length(col("norm")).cast("long").as("n_chars_norm"),
       size(col("words")).cast("long").as("n_tokens"),
@@ -43,12 +52,15 @@ object TextOps {
       expr(s"size(filter(words, w -> w IN ($stoplist)))")
         .cast("long").as("stop_cnt"))
 
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    textStatsOf(docsWords(spark, dir))
+
   /** Composite quality score in [0,1]: length, punctuation-density and
     * stopword-ratio components (deterministic double arithmetic — the
     * expression tree is identical in the oracle, so results are
     * bit-identical). */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame =
-    textStats(spark, dir).select(
+  def qualityScoreOf(stats: DataFrame): DataFrame =
+    stats.select(
       col("doc_id"),
       expr(
         """least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
@@ -58,12 +70,15 @@ object TextOps {
                    / CAST(n_tokens AS DOUBLE) * 4.0, 1.0) * 0.2""")
         .as("quality"))
 
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityScoreOf(textStats(spark, dir))
+
   /** Marker-word (1-gram) language scoring with a pinned argmax order
     * (en ≥ de ≥ fr ≥ es). Real-world accuracy needs real marker lists; the
     * operator shape — per-language counts + deterministic argmax — is what
-    * scales. */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    val scored = docsWords(spark, dir).select(
+    * scales. Input needs doc_id, lang, words. */
+  def langIdOf(docsWords: DataFrame): DataFrame =
+    docsWords.select(
       col("doc_id"), col("lang"),
       expr("size(filter(words, w -> w IN ('the','a','of','and','to','is')))")
         .cast("long").as("s_en"),
@@ -73,20 +88,22 @@ object TextOps {
         .cast("long").as("s_fr"),
       expr("size(filter(words, w -> w IN ('el','los','las','y','es','en')))")
         .cast("long").as("s_es"))
-    scored.select(
-      col("doc_id"), col("s_en"), col("s_de"), col("s_fr"), col("s_es"),
-      expr(
-        """CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
-                WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END""").as("pred_lang"),
-      col("lang"))
+      .select(
+        col("doc_id"), col("s_en"), col("s_de"), col("s_fr"), col("s_es"),
+        expr(
+          """CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                  WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                  WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END""").as("pred_lang"),
+        col("lang"))
       .withColumn("correct", col("pred_lang") === col("lang"))
-  }
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    langIdOf(docsWords(spark, dir))
 
   /** Word-3-gram shingles (fallback: the whole normalized doc when shorter
     * than 3 words), deduplicated per doc. The base of MinHash / Jaccard. */
-  def shingles(spark: SparkSession, dir: String): DataFrame =
-    docsWords(spark, dir)
+  def shinglesOf(docsWords: DataFrame): DataFrame =
+    docsWords
       .select(col("doc_id"), explode(expr(
         """CASE WHEN size(words) >= 3
              THEN transform(sequence(0, size(words) - 3),
@@ -94,13 +111,19 @@ object TextOps {
              ELSE array(norm) END""")).as("shingle"))
       .distinct()
 
+  def shingles(spark: SparkSession, dir: String): DataFrame =
+    shinglesOf(docsWords(spark, dir))
+
   /** Full-doc md5 + min-shingle-hash fingerprint (rolling-hash-style
     * winnowing reduced to its minimum: the smallest k-gram hash). */
-  def fingerprint(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).select(col("doc_id"), md5(col("norm")).as("md5_norm"))
+  def fingerprintOf(docsNorm: DataFrame, shingles: DataFrame): DataFrame =
+    docsNorm.select(col("doc_id"), md5(col("norm")).as("md5_norm"))
       .join(
-        shingles(spark, dir).groupBy("doc_id")
+        shingles.groupBy("doc_id")
           .agg(min(md5(col("shingle"))).as("min_shingle_hash")),
         Seq("doc_id"))
       .select("doc_id", "md5_norm", "min_shingle_hash")
+
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    fingerprintOf(docs(spark, dir), shingles(spark, dir))
 }

@@ -28,14 +28,18 @@ object Vectors {
   private val scoreExpr =
     "CAST(dot AS DOUBLE) / sqrt(CAST(qa2 AS DOUBLE) * CAST(ca2 AS DOUBLE))"
 
-  /** Quantized embeddings with precomputed squared norm. */
-  def quantized(spark: SparkSession, dir: String): DataFrame =
-    Feeds.table(spark, dir, "embeddings")
+  /** Quantized embeddings with precomputed squared norm. Input needs
+    * vec_id, label, embedding(Array[Float]). */
+  def quantizedOf(embeddings: DataFrame): DataFrame =
+    embeddings
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))")
           .as("qv"))
       .withColumn("n2",
         expr("aggregate(transform(qv, x -> x * x), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+
+  def quantized(spark: SparkSession, dir: String): DataFrame =
+    quantizedOf(Feeds.table(spark, dir, "embeddings"))
 
   private def scored(q: DataFrame, c: DataFrame): DataFrame =
     q.join(c, col("cand_id") =!= col("query_id"))

@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VectorsMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Seq(
+    (0L, 0, Array(1.0f, 0.0f, 0.0f)),
+    (1L, 0, Array(1.0f, 0.0f, 0.0f)),   // identical to 0
+    (2L, 0, Array(0.0f, 1.0f, 0.0f)),   // orthogonal
+    (3L, 1, Array(-1.0f, 0.0f, 0.0f)))  // opposite, other label
+    .toDF("vec_id", "label", "embedding")
+
+  test("quantization: exact integer norms") {
+    val n2 = Vectors.quantizedOf(emb).where($"vec_id" === 0L)
+      .select("n2").as[Long].head()
+    assert(n2 == 1000000L * 1000000L)
+  }
+
+  test("nearest same-label neighbor: identical wins with score 1.0") {
+    val q = Vectors.quantizedOf(emb)
+    val a = q.select(col("vec_id").as("query_id"), col("label"),
+                     col("qv").as("q_qv"), col("n2").as("qa2"))
+    val b = q.select(col("vec_id").as("cand_id"), col("label"),
+                     col("qv").as("c_qv"), col("n2").as("ca2"))
+    val scored = a.join(b, Seq("label")).where($"cand_id" =!= $"query_id")
+      .withColumn("dot", expr(
+        "aggregate(zip_with(q_qv, c_qv, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .withColumn("score", expr(
+        "CAST(dot AS DOUBLE) / sqrt(CAST(qa2 AS DOUBLE) * CAST(ca2 AS DOUBLE))"))
+    val m = scored.where($"query_id" === 0L)
+      .select("cand_id", "score").as[(Long, Double)].collect().toMap
+    assert(m(1L) == 1.0)
+    assert(m(2L) == 0.0)
+  }
+
+  test("multimodal decode stub: deterministic 8x8 single-channel frames") {
+    val blobs = Seq((0L, "hello world")).toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val dec = Multimodal.decode(blobs).collect().head
+    assert(dec.getInt(1) == 8 && dec.getInt(2) == 8 && dec.getInt(3) == 1)
+    val px = dec.getAs[Array[Byte]](4)
+    assert(px.length == 64 && px(0) == 'h'.toByte && px(11) == 'h'.toByte)
+  }
+
+  test("multimodal meta/frames agree on frame counts (sf0.001)") {
+    val d = "/root/testdata/sf0.001"
+    val totalFrames = Multimodal.meta(spark, d)
+      .agg(sum("n_frames")).as[Long].head()
+    assert(Multimodal.frames(spark, d).count() == totalFrames)
+  }
+}
