@@ -29,7 +29,10 @@ object Ids {
   def dense(df: DataFrame, sortCols: Seq[String], idCol: String,
             offset: Long = 0L): DataFrame = {
     val cols = sortCols.map(df.col)
+    // Persisted: zipWithIndex runs a light counting job before the main
+    // pass — without the cache the whole upstream plan would execute twice.
     val sorted = df.repartitionByRange(cols: _*).sortWithinPartitions(cols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val schema = StructType(
       StructField(idCol, LongType, nullable = false) +: sorted.schema.fields)
     val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>

@@ -91,10 +91,10 @@ object Feeds {
     events(spark, dir)
       .agg(expr("max(ts) - INTERVAL '7' DAY").as("cutoff"))
 
-  private def splitLe(df: DataFrame, cut: DataFrame, tsCol: String): DataFrame =
+  private[etl] def splitLe(df: DataFrame, cut: DataFrame, tsCol: String): DataFrame =
     df.crossJoin(broadcast(cut)).where(col(tsCol) <= col("cutoff")).drop("cutoff")
 
-  private def splitGt(df: DataFrame, cut: DataFrame, tsCol: String): DataFrame =
+  private[etl] def splitGt(df: DataFrame, cut: DataFrame, tsCol: String): DataFrame =
     df.crossJoin(broadcast(cut)).where(col(tsCol) > col("cutoff")).drop("cutoff")
 
   /** `staging.user_order_log` — the full-history feed (no status column). */

@@ -12,16 +12,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 class Pipeline(spark: SparkSession, dir: String) {
 
-  lazy val uol: DataFrame = Feeds.uol(spark, dir)
-  lazy val uolTemp: DataFrame = Feeds.uolTemp(spark, dir)
-  lazy val uolV2: DataFrame = Feeds.uolV2(spark, dir)
+  import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  /** Shared subplans consumed more than once within a single query are
+    * persisted (spill-safe MEMORY_AND_DISK): the synthesized order feed
+    * (scanned by history + increment + v2 branches) and the period-tagged
+    * v2 log (scanned by all three retention classes). At cluster scale
+    * these correspond to materialized staging tables; in-memory caching is
+    * the single-job equivalent. */
+  private lazy val feedCached: DataFrame =
+    Feeds.orderFeed(spark, dir).persist(MEMORY_AND_DISK)
+  private lazy val ordCut: DataFrame = Feeds.ordersCutoff(spark, dir)
+
+  lazy val uol: DataFrame = Feeds.splitLe(feedCached, ordCut, "date_time")
+    .drop("status")
+  lazy val uolTemp: DataFrame = Feeds.splitGt(feedCached, ordCut, "date_time")
+  lazy val uolV2: DataFrame =
+    uol.withColumn("status", org.apache.spark.sql.functions.lit("shipped"))
+      .unionByName(uolTemp)
   lazy val ual: DataFrame = Feeds.ual(spark, dir)
   lazy val ualTemp: DataFrame = Feeds.ualTemp(spark, dir)
   lazy val research: DataFrame = Feeds.research(spark, dir)
   lazy val researchTemp: DataFrame = Feeds.researchTemp(spark, dir)
   lazy val priceLog: DataFrame = Feeds.priceLog(spark, dir)
 
-  lazy val calDates: DataFrame = Calendar.dates(research, ual, uol)
+  lazy val calDates: DataFrame =
+    Calendar.dates(research, ual, uol).persist(MEMORY_AND_DISK)
   lazy val dCalendar: DataFrame = Calendar.attrs(calDates)
   /** |d_calendar| — offset for the incremental calendar ids. */
   lazy val calCount: Long = calDates.count()
@@ -40,7 +56,8 @@ class Pipeline(spark: SparkSession, dir: String) {
   lazy val fSalesV2: DataFrame = Sales.fSalesV2(fSales, fSalesTemp)
 
   lazy val weeks: DataFrame = Retention.weeks(dCalendarFull)
-  lazy val uolvPeriod: DataFrame = Retention.withPeriod(uolV2, weeks)
+  lazy val uolvPeriod: DataFrame =
+    Retention.withPeriod(uolV2, weeks).persist(MEMORY_AND_DISK)
 
   def newCust(includeItem: Boolean): DataFrame =
     Retention.newCust(uolvPeriod, includeItem)

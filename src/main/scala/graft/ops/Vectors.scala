@@ -84,8 +84,11 @@ object Vectors {
 
   /** IVF probe search: top-3 within the query's own cell. */
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    // both consumed twice (query side + candidate side) — persist once
     val assign = ivfAssign(spark, dir).select("vec_id", "centroid_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val emb = quantized(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = assign.where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("centroid_id"))
       .join(emb.select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
