@@ -67,6 +67,8 @@ object SparkEntry {
     "q_multimodal_meta"     -> ((s, d) => ops.Multimodal.meta(s, d)),
     "q_multimodal_frames"   -> ((s, d) => ops.Multimodal.frames(s, d)),
     "q_ann_cosine_topk"     -> ((s, d) => ops.Vectors.annCosineTopK(s, d)),
+    // no oracle (raw-float scores): driver records a rows-only check
+    "q_ann_cosine_topk_fast" -> ((s, d) => ops.Vectors.annCosineTopKFast(s, d)),
     "q_ann_ivf_assign"      -> ((s, d) => ops.Vectors.ivfAssign(s, d)),
     "q_ann_ivf_topk"        -> ((s, d) => ops.Vectors.ivfTopK(s, d)))
 

@@ -108,6 +108,32 @@ object Vectors {
       .select("query_id", "cand_id", "score", "rnk")
   }
 
+  /** Brute-force cosine top-k on the RAW float vectors via the native
+    * codegen expression [[graft.expr.VecDotF]] — the performance path
+    * (identical loop semantics to the HOF form, compiled instead of
+    * interpreted). No integer quantization → not oracle-pinned; exposed as
+    * a rows-only-checked query and benchmarked against the exact variant. */
+  def annCosineTopKFast(spark: SparkSession, dir: String,
+                        k: Int = 5): DataFrame = {
+    import graft.expr.VecFunctions.vec_dot
+    val emb = Feeds.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("n2", vec_dot(col("embedding"), col("embedding")))
+    val q = broadcast(emb.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+              col("n2").as("qa2")))
+    val c = emb.select(col("vec_id").as("cand_id"),
+                       col("embedding").as("c_emb"), col("n2").as("ca2"))
+    q.join(c, col("cand_id") =!= col("query_id"))
+      .withColumn("score",
+        vec_dot(col("q_emb"), col("c_emb")) / sqrt(col("qa2") * col("ca2")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("cand_id"))).cast("long"))
+      .where(col("rnk") <= k)
+      .select("query_id", "cand_id", "score", "rnk")
+  }
+
   /** Embedding near-dup: nearest same-label neighbor per vector with an
     * is_dup threshold flag (label join = blocking; at real scale the block
     * key would be an LSH bucket — see Dedup.minhashBands for the pattern). */

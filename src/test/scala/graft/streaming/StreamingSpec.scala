@@ -1,0 +1,88 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.etl.Feeds
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def stage(src: String): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val name = new java.io.File(src).getName
+    java.nio.file.Files.copy(java.nio.file.Paths.get(src),
+      java.nio.file.Paths.get(d, name))
+    d
+  }
+
+  test("file-source increment stream matches the batch feed projection") {
+    val dir = "/root/testdata/sf0.001"
+    val watch = stage(s"$dir/lineitem.parquet")
+    val q = IncrementStream.orderLogStream(spark, dir, watch)
+      .writeStream.format("memory").queryName("inc_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("inc_stream")
+      val batch = Feeds.orderFeed(spark, dir)
+        .withColumn("uniq_id", // stream variant has no dedup line_seq suffix
+          expr("substring_index(uniq_id, '-', 2)"))
+      assert(streamed.count() == batch.count())
+      // spot-check full-row equality modulo the uniq_id suffix
+      val a = streamed.groupBy("status").agg(
+        sum("payment_amount").as("amt"), count(lit(1)).as("n"))
+      val b = batch.groupBy("status").agg(
+        sum("payment_amount").as("amt"), count(lit(1)).as("n"))
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    } finally q.stop()
+  }
+
+  test("watermarked daily event aggregation matches batch rollup") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = Feeds.events(spark, dir)
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val evStream = spark.readStream
+      .schema(rawSchema).parquet(stage(s"$dir/events.parquet"))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // events.parquet carries ns-as-long after Feeds.events set the conf;
+    // the stream read does the same conversion
+    val q = IncrementStream.dailyEventAgg(evStream)
+      .writeStream.format("memory").queryName("daily_agg")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("daily_agg")
+      val want = ev.groupBy(date_trunc("day", col("ts")).as("day_start"),
+                            col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(expr("CAST(floor(value) AS BIGINT)")).as("value_sum"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions across micro-batches") {
+    import Sessionize._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(Event(1L, ts(0), 1.0), Event(1L, ts(5), 2.0),
+                    Event(2L, ts(0), 5.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() == 0) // all sessions still open
+      input.addData(Event(1L, ts(60), 3.0)) // gap > 30min closes session 1
+      q.processAllAvailable()
+      val closed = spark.table("sessions")
+        .as[Session].collect()
+      assert(closed.length == 1)
+      val s = closed.head
+      assert(s.user_id == 1L && s.n_events == 2L && s.value_sum == 3.0)
+      assert(s.session_start == ts(0) && s.session_end == ts(5))
+    } finally q.stop()
+  }
+}
