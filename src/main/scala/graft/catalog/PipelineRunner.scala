@@ -1,0 +1,57 @@
+package graft.catalog
+
+import graft.etl.Pipeline
+import org.apache.spark.sql.SparkSession
+
+/** End-to-end materializing run of the reference DAG (§3): staging feeds →
+  * dims → facts → retention marts, each layer persisted to the warehouse
+  * exactly where the reference materializes a table. Running it twice is a
+  * no-op on the mart contents (reference README.md:20-22 idempotency
+  * property — every table is an overwrite of a deterministic input).
+  */
+object PipelineRunner {
+
+  val stagingTables: Seq[String] = Seq(
+    "user_order_log", "user_order_log_temp", "user_order_log_v2",
+    "user_activity_log", "user_activity_log_temp",
+    "customer_research", "customer_research_temp", "price_log")
+
+  val martTables: Seq[String] = Seq(
+    "d_calendar", "d_calendar_temp", "d_customer", "d_item",
+    "f_sales", "f_sales_temp", "f_sales_v2", "d_calendar_weeks",
+    "new_cust", "new_cust_compact", "returned_cust", "returned_cust_compact",
+    "refunded_cust", "refunded_cust_compact",
+    "retention_compact", "f_customer_retention")
+
+  def run(spark: SparkSession, sfDir: String, warehouseRoot: String): Warehouse = {
+    val wh = new Warehouse(spark, warehouseRoot)
+    val p = new Pipeline(spark, sfDir)
+
+    wh.overwrite("staging", "user_order_log", p.uol)
+    wh.overwrite("staging", "user_order_log_temp", p.uolTemp)
+    wh.overwrite("staging", "user_order_log_v2", p.uolV2)
+    wh.overwrite("staging", "user_activity_log", p.ual)
+    wh.overwrite("staging", "user_activity_log_temp", p.ualTemp)
+    wh.overwrite("staging", "customer_research", p.research)
+    wh.overwrite("staging", "customer_research_temp", p.researchTemp)
+    wh.overwrite("staging", "price_log", p.priceLog)
+
+    wh.overwrite("mart", "d_calendar", p.dCalendar)
+    wh.overwrite("mart", "d_calendar_temp", p.dCalendarTemp)
+    wh.overwrite("mart", "d_customer", p.dCustomer)
+    wh.overwrite("mart", "d_item", p.dItem)
+    wh.overwrite("mart", "f_sales", p.fSales)
+    wh.overwrite("mart", "f_sales_temp", p.fSalesTemp)
+    wh.overwrite("mart", "f_sales_v2", p.fSalesV2)
+    wh.overwrite("mart", "d_calendar_weeks", p.weeks)
+    wh.overwrite("mart", "new_cust", p.newCust(true))
+    wh.overwrite("mart", "new_cust_compact", p.newCust(false))
+    wh.overwrite("mart", "returned_cust", p.returnedCust(true))
+    wh.overwrite("mart", "returned_cust_compact", p.returnedCust(false))
+    wh.overwrite("mart", "refunded_cust", p.refundedCust(true))
+    wh.overwrite("mart", "refunded_cust_compact", p.refundedCust(false))
+    wh.overwrite("mart", "retention_compact", p.retentionCompact)
+    wh.overwrite("mart", "f_customer_retention", p.fCustomerRetention)
+    wh
+  }
+}

@@ -1,0 +1,38 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** The staging/mart warehouse layer — Spark-native replacement for the
+  * reference's two PostgreSQL schemas and their DDL verbs (SURVEY §2.1):
+  *
+  *  - S8  DROP+CREATE (full refresh)  → `overwrite`
+  *  - S9  TRUNCATE                    → `overwrite` with the replacement set
+  *  - S10 CREATE TABLE AS SELECT      → `overwrite`
+  *  - S12 INSERT INTO … SELECT        → `append`
+  *  - S13 UPDATE (whole-table)        → rewrite-on-write (caller projects)
+  *  - S14 DELETE (full)               → `overwrite` empty/replacement
+  *  - S11 ALTER ADD COLUMN            → schema evolution by projection
+  *
+  * Tables are parquet under `root/<db>/<table>` — the lake layout that maps
+  * 1:1 onto a production metastore; every write goes through the normal
+  * committer so concurrent readers never see partial output. Idempotent
+  * re-runs (the reference's one stated correctness property,
+  * /root/reference/README.md:20-22) hold because every layer is a pure
+  * overwrite of its inputs.
+  */
+class Warehouse(spark: SparkSession, root: String) {
+
+  private def path(db: String, table: String) = s"$root/$db/$table"
+
+  def overwrite(db: String, table: String, df: DataFrame): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path(db, table))
+
+  def append(db: String, table: String, df: DataFrame): Unit =
+    df.write.mode(SaveMode.Append).parquet(path(db, table))
+
+  def read(db: String, table: String): DataFrame =
+    spark.read.parquet(path(db, table))
+
+  def exists(db: String, table: String): Boolean =
+    new java.io.File(path(db, table)).exists()
+}

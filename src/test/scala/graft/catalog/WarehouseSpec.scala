@@ -1,0 +1,65 @@
+package graft.catalog
+
+import graft.SparkSpec
+import graft.sources.{LocalFixtureClient, Poll}
+import org.apache.spark.sql.functions._
+
+class WarehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("graft_wh").toString
+
+  test("overwrite/append/read roundtrip + schema evolution by projection") {
+    val wh = new Warehouse(spark, tmp())
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    wh.overwrite("staging", "t", df)
+    assert(wh.read("staging", "t").count() == 2)
+    wh.append("staging", "t", Seq((3, "c")).toDF("id", "v"))
+    assert(wh.read("staging", "t").count() == 3)
+    // S8/S9: full refresh replaces, not accumulates
+    wh.overwrite("staging", "t", df)
+    assert(wh.read("staging", "t").count() == 2)
+    // S11: ALTER ADD COLUMN as projection
+    wh.overwrite("staging", "t_v2",
+      wh.read("staging", "t").withColumn("status", lit(null).cast("string")))
+    assert(wh.read("staging", "t_v2").columns.contains("status"))
+  }
+
+  test("poll utility: succeeds within budget, gives up after it") {
+    val client = new LocalFixtureClient(spark, "/root/testdata/sf0.001",
+                                        pendingPolls = 2)
+    val task = client.generateReport()
+    val got = Poll.until(attempts = 5, delayMs = 1)(client.getReport(task))
+    assert(got.contains("report:/root/testdata/sf0.001"))
+    val never = Poll.until(attempts = 3, delayMs = 1)(
+      Option.empty[String])
+    assert(never.isEmpty)
+  }
+
+  test("fixture client feeds have the reference schemas") {
+    val client = new LocalFixtureClient(spark, "/root/testdata/sf0.001")
+    val feeds = client.fetchReport("r")
+    assert(feeds("user_order_log").columns.toSeq == Seq(
+      "uniq_id", "date_time", "city_id", "city_name", "customer_id",
+      "first_name", "last_name", "item_id", "item_name", "quantity",
+      "payment_amount"))
+    assert(feeds("price_log").columns.toSeq == Seq("prod_name", "price"))
+    val inc = client.fetchIncrement("i")
+    assert(inc("user_order_log_inc").columns.contains("status"))
+  }
+
+  test("materializing runner is idempotent across re-runs (sf0.001)") {
+    val root = tmp()
+    val sf = "/root/testdata/sf0.001"
+    PipelineRunner.run(spark, sf, root)
+    val first = new Warehouse(spark, root)
+      .read("mart", "retention_compact").collect().toSet
+    PipelineRunner.run(spark, sf, root) // re-run over same warehouse
+    val second = new Warehouse(spark, root)
+      .read("mart", "retention_compact").collect().toSet
+    assert(first == second && first.nonEmpty)
+    for (t <- PipelineRunner.martTables)
+      assert(new Warehouse(spark, root).exists("mart", t), t)
+  }
+}
