@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress harness: synthesizes an N× dataset from sf0.1 by key-shifted
+  * self-union (orderkeys/event ids/doc ids shifted per copy so cardinalities
+  * genuinely grow; dims stay fixed like real dimensions), then times a
+  * representative query subset at 1× and N× to show the plans scale
+  * near-linearly (documented in ARCHITECTURE.md).
+  *
+  *   sbt "runMain graft.ScaleProbe 8"
+  */
+object ScaleProbe {
+
+  val probeQueries: Seq[String] = Seq(
+    "q_user_order_log_v2", "q_d_calendar", "q_d_customer", "q_f_sales",
+    "q_d_calendar_weeks", "q_new_customers_compact", "q_refunded_customers",
+    "q_retention_compact", "q_dedup_exact", "q_dedup_minhash_pairs",
+    "q_dedup_simhash", "q_text_stats", "q_quality_score",
+    "q_multimodal_meta")
+
+  def makeBig(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
+    def shifted(name: String, shift: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      val big = (0 until copies).map(i => shift(base, i)).reduce(_ unionAll _)
+      big.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+    }
+    val K = 100000000L
+    shifted("lineitem", (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * K)))
+    shifted("orders", (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * K)))
+    shifted("events", (df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i * K)))
+    shifted("documents", (df, i) =>
+      df.withColumn("doc_id", col("doc_id") + lit(i * K)))
+    shifted("embeddings", (df, i) =>
+      df.withColumn("vec_id", col("vec_id") + lit(i * K)))
+    for (t <- Seq("customer", "part", "nation", "region", "supplier"))
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(8)
+    val src = "/root/testdata/sf0.1"
+    val dst = s"/tmp/graft_sf_x$copies"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // events.parquet is TIMESTAMP(NANOS); copy it as raw longs (Feeds.events
+    // converts either representation identically)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    makeBig(spark, src, dst, copies)
+    println(s"[scale] built ${copies}x dataset at $dst")
+
+    def runAll(dir: String): Map[String, Double] = {
+      spark.catalog.clearCache()
+      probeQueries.map { q =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, dir).count()
+        q -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    }
+    runAll(src) // warm code paths
+    val t1 = runAll(src)
+    val tN = runAll(dst)
+    println(f"[scale] ${"query"}%-28s 1x(s)   ${copies}x(s)  ratio")
+    probeQueries.foreach { q =>
+      println(f"[scale] $q%-28s ${t1(q)}%6.2f ${tN(q)}%7.2f ${tN(q) / t1(q)}%6.1f")
+    }
+    val s1 = t1.values.sum; val sN = tN.values.sum
+    println(f"[scale] TOTAL 1x=$s1%.1fs ${copies}x=$sN%.1fs ratio=${sN / s1}%.1f (ideal ≤ $copies)")
+    spark.stop()
+  }
+}
