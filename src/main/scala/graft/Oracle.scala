@@ -280,5 +280,40 @@ f_customer_retention AS (
     "q_multimodal_frames"   -> fromDocs("mm_frames"),
     "q_ann_cosine_topk"     -> fromDocs("ann_cosine_topk"),
     "q_ann_ivf_assign"      -> fromDocs("ivf_assign"),
-    "q_ann_ivf_topk"        -> fromDocs("ivf_topk"))
+    "q_ann_ivf_topk"        -> fromDocs("ivf_topk"),
+    "q_dedup_clusters"      -> fromDocs("dedup_clusters"),
+    "q_sample_stratified"   -> fromDocs("sample_stratified"),
+    "q_split_train_val_test" -> fromDocs("split_tvt"),
+    // classic analytics anchors over the raw tables (standalone SQL)
+    "q_pricing_summary" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2))
+                           * (CAST(1 AS DECIMAL(14,2)) - CAST(l_discount AS DECIMAL(14,2)))
+                           AS DECIMAL(24,4))) AS DOUBLE) AS sum_disc_price,
+             CAST(count(*) AS BIGINT) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY 1, 2""",
+    "q_shipping_priority" -> """
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2))
+                           * (CAST(1 AS DECIMAL(14,2)) - CAST(l_discount AS DECIMAL(14,2)))
+                           AS DECIMAL(24,4))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderdate < TIMESTAMP '1996-01-01'
+        AND l_shipdate > TIMESTAMP '1996-01-01'
+      GROUP BY 1, 2, 3""",
+    "q_top_customers" -> """
+      WITH rev AS (
+        SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(14,2))) AS revenue
+        FROM orders GROUP BY 1),
+      top AS (
+        SELECT o_custkey, revenue,
+               row_number() OVER (ORDER BY revenue DESC, o_custkey) AS rnk
+        FROM rev)
+      SELECT t.o_custkey AS custkey, c.c_name,
+             CAST(t.revenue AS DOUBLE) AS revenue, CAST(t.rnk AS BIGINT) AS rnk
+      FROM top t JOIN customer c ON c.c_custkey = t.o_custkey
+      WHERE t.rnk <= 10""")
 }

@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.etl.Feeds
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Classic analytical aggregates over the raw TPC-H-ish tables — familiar
+  * perf/correctness anchors alongside the reference-derived queries.
+  * Monetary math in DECIMAL for exact, engine-independent sums; DOUBLE only
+  * at output (see Oracle scaladoc). */
+object Analytics {
+
+  private val one = lit(java.math.BigDecimal.ONE).cast(DecimalType(14, 2))
+  private def discPrice = (col("l_extendedprice").cast(DecimalType(14, 2)) *
+    (one - col("l_discount").cast(DecimalType(14, 2)))).cast(DecimalType(24, 4))
+
+  /** Pricing summary (TPC-H Q1 shape): wide partial-aggregatable groupBy. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Feeds.table(spark, dir, "lineitem")
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(floor(col("l_quantity")).cast("long")).as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(14, 2))).cast("double")
+          .as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  /** Shipping-priority shape (TPC-H Q3): selective join + date predicates,
+    * aggregated revenue per order. */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1996-01-01").cast("timestamp")
+    val o = Feeds.table(spark, dir, "orders").where(col("o_orderdate") < cutoff)
+    val li = Feeds.table(spark, dir, "lineitem").where(col("l_shipdate") > cutoff)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(discPrice).cast("double").as("revenue"))
+  }
+
+  /** Top-k customers by revenue. Scale pattern: `orderBy(...).limit(k)`
+    * plans as TakeOrderedAndProject (per-partition top-k + driver merge of
+    * k·P rows — no global sort); the rank window then runs over k rows. */
+  def topCustomers(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val rev = Feeds.table(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast(DecimalType(14, 2))).as("revenue"))
+    val top = rev.orderBy(col("revenue").desc, col("o_custkey")).limit(k)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("revenue").desc, col("o_custkey"))).cast("long"))
+    val c = Feeds.table(spark, dir, "customer")
+    top.join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("o_custkey").as("custkey"), col("c_name"),
+              col("revenue").cast("double").as("revenue"), col("rnk"))
+  }
+}

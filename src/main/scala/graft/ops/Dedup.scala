@@ -86,6 +86,48 @@ object Dedup {
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhashOf(TextOps.docsWords(spark, dir))
 
+  /** Near-dup clusters: connected components over the LSH candidate-pair
+    * graph via min-label propagation (iterate: every node takes the min
+    * label among itself and its neighbors, until fixpoint). Output:
+    * (doc_id, cluster) where cluster = min doc_id of the component — the
+    * canonical dedup keeper assignment.
+    *
+    * Scale: the driver loop runs O(graph diameter) joins; near-dup
+    * components are short chains in practice (diameter ≪ 20). Each
+    * iteration is one hash join + partial-agg groupBy on (doc_id) — no
+    * global structure, arbitrarily partitionable. This is the DataFrame
+    * form of GraphX-style label propagation, with the DuckDB oracle
+    * expressed as a recursive CTE over the same edges. */
+  def clustersOf(docIds: DataFrame, pairs: DataFrame,
+                 maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(MEMORY_AND_DISK)
+    var labels = docIds.select(col("doc_id"), col("doc_id").as("cluster"))
+      .persist(MEMORY_AND_DISK)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val viaEdges = labels.join(edges, labels("doc_id") === edges("src"))
+        .select(col("dst").as("doc_id"), col("cluster"))
+      val next = labels.unionAll(viaEdges)
+        .groupBy("doc_id").agg(min("cluster").as("cluster"))
+        .persist(MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
+        .where(col("cluster") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  def clusters(spark: SparkSession, dir: String): DataFrame =
+    clustersOf(TextOps.docs(spark, dir).select("doc_id"),
+               minhashPairs(spark, dir))
+
   /** Exact word-3-gram Jaccard for given candidate pairs (doc_a, doc_b). */
   def ngramJaccardFor(pairs: DataFrame, shingles: DataFrame): DataFrame = {
     val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))

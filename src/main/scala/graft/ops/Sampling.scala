@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting for training-data pipelines.
+  *
+  * Rate control is by md5-hex prefix comparison (uniform over inputs,
+  * engine-independent, reproducible — no RNG state, no seed drift between
+  * runs or engines; the standard content-hash split trick). Purely map-side:
+  * no shuffle, trivially parallel at any scale.
+  */
+object Sampling {
+
+  /** Keep rows whose md5(key) is lexicographically below the hex prefix:
+    * "2" ≈ 2/16 rate, "08" ≈ 8/256, etc. */
+  def hashSample(df: DataFrame, keyCol: String, hexThreshold: String): DataFrame =
+    df.where(md5(col(keyCol).cast("string")) < lit(hexThreshold))
+
+  /** Stratified doc sample: per-language hex thresholds (e.g. boost rare
+    * languages, downsample the dominant one). */
+  def stratifiedDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = TextOps.docs(spark, dir)
+    // en is ~40% of the corpus → sample 4/16; others keep 12/16
+    docs.withColumn("threshold",
+        when(col("lang") === "en", lit("4")).otherwise(lit("c")))
+      .where(md5(col("doc_id").cast("string")) < col("threshold"))
+      .select("doc_id", "lang")
+  }
+
+  /** Deterministic train/val/test split on the doc id hash:
+    * first hex char 0-b → train (12/16), c-d → val (2/16), e-f → test. */
+  def trainValTestSplit(spark: SparkSession, dir: String): DataFrame =
+    TextOps.docs(spark, dir).select(
+      col("doc_id"), col("lang"),
+      expr("""CASE WHEN substring(md5(CAST(doc_id AS STRING)), 1, 1) < 'c' THEN 'train'
+                   WHEN substring(md5(CAST(doc_id AS STRING)), 1, 1) < 'e' THEN 'val'
+                   ELSE 'test' END""").as("split"))
+}

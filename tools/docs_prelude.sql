@@ -1,4 +1,4 @@
-WITH
+WITH RECURSIVE
 docs AS (
   SELECT doc_id, text, lang, source, n_chars,
          lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
@@ -176,4 +176,23 @@ ivf_topk AS (
     JOIN ivf_assign c ON c.centroid_id = q.centroid_id AND c.vec_id != q.vec_id
     JOIN emb_n qe ON qe.vec_id = q.vec_id
     JOIN emb_n ce ON ce.vec_id = c.vec_id
-    WHERE q.vec_id % 50 = 0) s WHERE rnk <= 3)
+    WHERE q.vec_id % 50 = 0) s WHERE rnk <= 3),
+sym_edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM minhash_pairs
+  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM minhash_pairs),
+reach AS (
+  SELECT doc_id AS node, doc_id AS label FROM docs
+  UNION
+  SELECT e.dst AS node, r.label FROM reach r JOIN sym_edges e ON e.src = r.node),
+dedup_clusters AS (
+  SELECT node AS doc_id, min(label) AS cluster FROM reach GROUP BY node),
+sample_stratified AS (
+  SELECT doc_id, lang FROM docs
+  WHERE md5(CAST(doc_id AS VARCHAR)) <
+        CASE WHEN lang = 'en' THEN '4' ELSE 'c' END),
+split_tvt AS (
+  SELECT doc_id, lang,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+              WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+              ELSE 'test' END AS split
+  FROM docs)
