@@ -54,8 +54,12 @@ object Dedup {
   def minhashBands(spark: SparkSession, dir: String): DataFrame =
     minhashBandsOf(minhashOf(TextOps.shingles(spark, dir)))
 
-  /** Candidate near-dup pairs = docs sharing any LSH bucket. */
-  def minhashPairsOf(bands: DataFrame): DataFrame = {
+  /** Candidate near-dup pairs = docs sharing any LSH bucket. The bands
+    * frame feeds both join sides — persist so the signature pipeline runs
+    * once (and is reused by cluster queries in the same session). */
+  def minhashPairsOf(bands0: DataFrame): DataFrame = {
+    val bands = bands0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
     val c = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
     a.join(c, Seq("band", "band_hash"))
@@ -104,8 +108,14 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(MEMORY_AND_DISK)
-    var labels = docIds.select(col("doc_id"), col("doc_id").as("cluster"))
-      .persist(MEMORY_AND_DISK)
+    // Only nodes that appear in the pair graph can ever change label;
+    // the (overwhelming) singleton majority never enters the loop.
+    // localCheckpoint (eager) truncates lineage each round — without it the
+    // plan nests one join deeper per iteration and analysis/canonicalization
+    // cost grows superlinearly (the standard iterative-algorithm pitfall).
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id"))
+      .localCheckpoint(true)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -113,15 +123,17 @@ object Dedup {
         .select(col("dst").as("doc_id"), col("cluster"))
       val next = labels.unionAll(viaEdges)
         .groupBy("doc_id").agg(min("cluster").as("cluster"))
-        .persist(MEMORY_AND_DISK)
+        .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
         .where(col("cluster") =!= col("prev")).count()
-      labels.unpersist()
       labels = next
       iter += 1
     }
     edges.unpersist()
-    labels
+    // singletons keep their own id as cluster
+    docIds.join(labels, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+              coalesce(col("cluster"), col("doc_id")).as("cluster"))
   }
 
   def clusters(spark: SparkSession, dir: String): DataFrame =
