@@ -315,5 +315,13 @@ f_customer_retention AS (
       SELECT t.o_custkey AS custkey, c.c_name,
              CAST(t.revenue AS DOUBLE) AS revenue, CAST(t.rnk AS BIGINT) AS rnk
       FROM top t JOIN customer c ON c.c_custkey = t.o_custkey
-      WHERE t.rnk <= 10""")
+      WHERE t.rnk <= 10""",
+    "q_profile_orders" -> Seq("o_orderkey", "o_custkey", "o_totalprice").map { c =>
+      s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count($c) AS BIGINT) AS n_nonnull,
+             CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             CAST(min($c) AS DOUBLE) AS min_val,
+             CAST(max($c) AS DOUBLE) AS max_val
+          FROM orders"""
+    }.mkString(" UNION ALL "))
 }

@@ -73,10 +73,11 @@ object SparkEntry {
     "q_dedup_clusters"       -> ((s, d) => ops.Dedup.clusters(s, d)),
     "q_sample_stratified"    -> ((s, d) => ops.Sampling.stratifiedDocs(s, d)),
     "q_split_train_val_test" -> ((s, d) => ops.Sampling.trainValTestSplit(s, d)),
-    // classic analytics anchors
+    // classic analytics anchors + data profiling
     "q_pricing_summary"   -> ((s, d) => ops.Analytics.pricingSummary(s, d)),
     "q_shipping_priority" -> ((s, d) => ops.Analytics.shippingPriority(s, d)),
     "q_top_customers"     -> ((s, d) => ops.Analytics.topCustomers(s, d)),
+    "q_profile_orders"    -> ((s, d) => ops.Profile.ordersProfile(s, d)),
     "q_ann_ivf_assign"      -> ((s, d) => ops.Vectors.ivfAssign(s, d)),
     "q_ann_ivf_topk"        -> ((s, d) => ops.Vectors.ivfTopK(s, d)))
 
