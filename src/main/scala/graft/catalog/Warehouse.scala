@@ -35,4 +35,21 @@ class Warehouse(spark: SparkSession, root: String) {
 
   def exists(db: String, table: String): Boolean =
     new java.io.File(path(db, table)).exists()
+
+  /** Bucketed overwrite: pre-shuffles the table into `n` buckets on
+    * `bucketCol` at write time so subsequent equi-joins between tables
+    * bucketed the same way are co-located — no Exchange at query time
+    * (asserted in WarehouseSpec). The catalog name is `<db>_<table>`
+    * (bucketing metadata requires a catalog entry, not a bare path). */
+  def bucketedOverwrite(db: String, table: String, df: DataFrame,
+                        bucketCol: String, n: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .option("path", path(db, table))
+      .bucketBy(n, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(s"${db}_$table")
+
+  def readTable(db: String, table: String): DataFrame =
+    spark.table(s"${db}_$table")
 }
