@@ -316,6 +316,16 @@ f_customer_retention AS (
              CAST(t.revenue AS DOUBLE) AS revenue, CAST(t.rnk AS BIGINT) AS rnk
       FROM top t JOIN customer c ON c.c_custkey = t.o_custkey
       WHERE t.rnk <= 10""",
+    "q_asof_latest_order" -> """
+      SELECT e.event_id, CAST(e.user_id AS BIGINT) AS user_id,
+             date_trunc('second', CAST(e.ts AS TIMESTAMP)) AS ts,
+             o.o_orderkey AS asof_o_orderkey,
+             o.o_orderdate AS asof_o_orderdate
+      FROM events e LEFT JOIN LATERAL (
+        SELECT o_orderkey, o_orderdate FROM orders o
+        WHERE o.o_custkey = e.user_id
+          AND o.o_orderdate <= date_trunc('second', CAST(e.ts AS TIMESTAMP))
+        ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o ON true""",
     "q_profile_orders" -> Seq("o_orderkey", "o_custkey", "o_totalprice").map { c =>
       s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
              CAST(count($c) AS BIGINT) AS n_nonnull,

@@ -1,0 +1,78 @@
+package graft.ops
+
+import graft.etl.Feeds
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — "for each left row, the most recent right row at or before
+  * its timestamp, per key". Spark has no native ASOF; per the extension
+  * ladder this composes from built-ins: tag both sides, union, and take a
+  * running `last(..., ignoreNulls)` over a (key)-partitioned window ordered
+  * by (ts, side, tiebreak).
+  *
+  * Scale: ONE shuffle on the join key + a partitioned running window — no
+  * per-row range probe, no nested loop, state is a single row per
+  * partition-order position. This is the standard big-data as-of shape
+  * (events × slowly-changing reference data).
+  *
+  * Determinism: right rows sort before left rows at equal timestamps
+  * (inclusive "at or before"), and ties among right rows resolve to the
+  * largest tiebreak value — pinned identically in the DuckDB LATERAL
+  * oracle.
+  */
+object AsOf {
+
+  /** Generic as-of: returns `left` plus `asof_<c>` for each right payload
+    * column. `rightTiebreak` must make (rightTs, rightTiebreak) unique per
+    * key. */
+  def joinLatest(left: DataFrame, right: DataFrame,
+                 leftKey: String, rightKey: String,
+                 leftTs: String, rightTs: String,
+                 rightTiebreak: String,
+                 payload: Seq[String]): DataFrame = {
+    val lTagged = left
+      .withColumn("__k", col(leftKey)).withColumn("__t", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__tb", lit(null).cast("long"))
+    val lWithNullPayload = payload.foldLeft(lTagged) { (df, c) =>
+      df.withColumn(s"__p_$c", lit(null).cast(right.schema(c).dataType))
+    }
+    val rTagged = payload.foldLeft(
+      right
+        .withColumn("__k", col(rightKey)).withColumn("__t", col(rightTs))
+        .withColumn("__side", lit(0))
+        .withColumn("__tb", col(rightTiebreak).cast("long"))) { (df, c) =>
+      df.withColumn(s"__p_$c", col(c))
+    }
+    val cols = Seq("__k", "__t", "__side", "__tb") ++ payload.map(c => s"__p_$c")
+    val leftCols = left.columns.toSeq
+    val u = lWithNullPayload.select((leftCols.map(c => col(c)) ++
+        cols.map(col)): _*)
+      .unionByName(
+        rTagged.select(cols.map(col): _*)
+          .select((leftCols.map(c => lit(null).cast(
+            left.schema(c).dataType).as(c)) ++ cols.map(col)): _*))
+    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"),
+        col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(u) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
+    }
+    filled.where(col("__side") === 1)
+      .select((leftCols.map(col) ++ payload.map(c => col(s"asof_$c"))): _*)
+  }
+
+  /** For each event: the customer's most recent order at or before the
+    * event time (ts second-truncated for cross-engine stability). */
+  def latestOrderPerEvent(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Feeds.events(spark, dir).select(
+      col("event_id"),
+      col("user_id").cast("long").as("user_id"),
+      date_trunc("second", col("ts")).as("ts"))
+    val o = Feeds.table(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    joinLatest(ev, o, "user_id", "o_custkey", "ts", "o_orderdate",
+               "o_orderkey", Seq("o_orderkey", "o_orderdate"))
+  }
+}

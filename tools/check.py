@@ -12,6 +12,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:  # canonical unit so ns-vs-us frames render alike
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
     df = df.convert_dtypes()
     s = df.astype(str)
     if len(s.columns):
