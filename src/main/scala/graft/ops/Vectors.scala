@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
-  private val dotExpr =
-    "aggregate(zip_with(q_qv, c_qv, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"
+  // codegen int-dot (exactly the HOF aggregate(zip_with(...)) semantics,
+  // compiled — see expr/VecDotQ); keeps oracle determinism, drops the
+  // interpreted higher-order evaluation from the hot path
+  private def dotCol = graft.expr.VecDotQ(col("q_qv"), col("c_qv"))
   private val scoreExpr =
     "CAST(dot AS DOUBLE) / sqrt(CAST(qa2 AS DOUBLE) * CAST(ca2 AS DOUBLE))"
 
@@ -35,15 +37,14 @@ object Vectors {
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))")
           .as("qv"))
-      .withColumn("n2",
-        expr("aggregate(transform(qv, x -> x * x), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .withColumn("n2", graft.expr.VecDotQ(col("qv"), col("qv")))
 
   def quantized(spark: SparkSession, dir: String): DataFrame =
     quantizedOf(Feeds.table(spark, dir, "embeddings"))
 
   private def scored(q: DataFrame, c: DataFrame): DataFrame =
     q.join(c, col("cand_id") =!= col("query_id"))
-      .withColumn("dot", expr(dotExpr))
+      .withColumn("dot", dotCol)
       .withColumn("score", expr(scoreExpr))
 
   /** Brute-force cosine top-5 for the deterministic query subset
@@ -73,7 +74,7 @@ object Vectors {
     val v = emb.select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
                        col("n2").as("qa2"))
     v.join(cent)
-      .withColumn("dot", expr(dotExpr))
+      .withColumn("dot", dotCol)
       .withColumn("score", expr(scoreExpr))
       .withColumn("rn", row_number().over(
         Window.partitionBy("query_id")
@@ -99,7 +100,7 @@ object Vectors {
                        col("n2").as("ca2")), Seq("cand_id"))
     broadcast(q).join(c, Seq("centroid_id"))
       .where(col("cand_id") =!= col("query_id"))
-      .withColumn("dot", expr(dotExpr))
+      .withColumn("dot", dotCol)
       .withColumn("score", expr(scoreExpr))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("query_id")
@@ -146,7 +147,7 @@ object Vectors {
                        col("qv").as("c_qv"), col("n2").as("ca2"))
     a.join(b, Seq("label"))
       .where(col("cand_id") =!= col("query_id"))
-      .withColumn("dot", expr(dotExpr))
+      .withColumn("dot", dotCol)
       .withColumn("score", expr(scoreExpr))
       .withColumn("rn", row_number().over(
         Window.partitionBy("query_id")
