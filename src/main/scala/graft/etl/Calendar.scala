@@ -1,7 +1,6 @@
 package graft.etl
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** `mart.d_calendar` — the date dimension.
@@ -12,9 +11,11 @@ import org.apache.spark.sql.functions._
   * unions RAW `date_time` values (not day-truncated), so second-grain
   * activity timestamps each become a calendar row; we reproduce that.
   *
-  * Scale note: the calendar is bounded by |distinct event timestamps|, i.e.
-  * dimension-sized, so the id-assigning `row_number` over a global window is
-  * acceptable here; facts use `Ids.dense` instead (SURVEY §7.4 H1).
+  * Scale note: because the reference unions RAW second-grain timestamps, the
+  * calendar grows with |distinct event timestamps| — NOT |distinct dates| —
+  * so id assignment must not funnel through one partition. Ids use the
+  * two-phase `Ids.dense` (range-repartition + zipWithIndex), same as facts
+  * (SURVEY §7.4 H1).
   */
 object Calendar {
 
@@ -28,9 +29,7 @@ object Calendar {
   /** P3/P4 calendar attributes + dense `date_id` starting at offset+1.
     * `lower(date_format('MMM'))` == PG `to_char(ts,'mon')` ('jan'). */
   def attrs(dates: DataFrame, offset: Long = 0L): DataFrame =
-    dates
-      .withColumn("date_id",
-        row_number().over(Window.orderBy("fact_date")).cast("long") + lit(offset))
+    graft.Ids.dense(dates, Seq("fact_date"), "date_id", offset)
       .select(
         col("date_id"),
         col("fact_date"),

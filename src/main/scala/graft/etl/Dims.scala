@@ -27,21 +27,22 @@ object Dims {
       .agg(max("city_id").as("city_id"))
     val pick = Window.partitionBy("customer_id")
       .orderBy("first_name", "last_name")
-    grouped
+    val winners = grouped
       .withColumn("rn", row_number().over(pick)).where(col("rn") === 1)
-      .withColumn("id",
-        row_number().over(Window.orderBy("customer_id")).cast("long") + lit(offset))
+      .drop("rn")
+    graft.Ids.dense(winners, Seq("customer_id"), "id", offset)
       .select("id", "customer_id", "first_name", "last_name", "city_id")
   }
 
   /** A3: one row per item (pinned winner by item_name). */
   def dItem(uol: DataFrame, offset: Long = 0L): DataFrame = {
     val pick = Window.partitionBy("item_id").orderBy("item_name")
-    uol.select(col("item_id").cast("int").as("item_id"), col("item_name"))
+    val winners = uol
+      .select(col("item_id").cast("int").as("item_id"), col("item_name"))
       .distinct()
       .withColumn("rn", row_number().over(pick)).where(col("rn") === 1)
-      .withColumn("id",
-        row_number().over(Window.orderBy("item_id")).cast("long") + lit(offset))
+      .drop("rn")
+    graft.Ids.dense(winners, Seq("item_id"), "id", offset)
       .select("id", "item_id", "item_name")
   }
 }
