@@ -216,7 +216,23 @@ f_customer_retention AS (
          CAST(f.total_refunds AS INTEGER) AS customers_refunded
   FROM new_cust n
   FULL JOIN returned_cust r ON n.period = r.period
-  FULL JOIN refunded_cust f ON COALESCE(n.period, r.period) = f.period)
+  FULL JOIN refunded_cust f ON COALESCE(n.period, r.period) = f.period),
+f_customer_retention_grain AS (
+  SELECT CAST(COALESCE(n.period, r.period, f.period) AS INTEGER) AS period_id,
+         COALESCE(n.item_new, r.item_ret, f.item_ref) AS item_id,
+         n.new_cust_count AS new_customers_count,
+         r.returned_cust_count AS returning_customers_count,
+         f.cust_with_refunds AS refunded_customer_count,
+         'weekly' AS period_name,
+         CAST(round(n.new_cust_revenue) AS BIGINT) AS new_customers_revenue,
+         CAST(round(r.returned_revenue) AS BIGINT) AS returning_customers_revenue,
+         CAST(f.total_refunds AS INTEGER) AS customers_refunded
+  FROM new_cust n
+  FULL JOIN returned_cust r
+    ON n.period = r.period AND n.item_new = r.item_ret
+  FULL JOIN refunded_cust f
+    ON COALESCE(n.period, r.period) = f.period
+   AND COALESCE(n.item_new, r.item_ret) = f.item_ref)
 """
 
   /** Docs/vectors prelude for the training-data-pipeline operators
@@ -265,6 +281,7 @@ f_customer_retention AS (
     "q_retention_compact" ->
       fromD("retention_compact", "new_cust_revenue", "returned_revenue"),
     "q_f_customer_retention" -> from("f_customer_retention"),
+    "q_f_customer_retention_grain" -> from("f_customer_retention_grain"),
     // --- training-data-pipeline operators (docs/embeddings tables) ---
     "q_dedup_exact"         -> fromDocs("dedup_exact"),
     "q_dedup_minhash_lsh"   -> fromDocs("minhash_bands"),
@@ -279,6 +296,10 @@ f_customer_retention AS (
     "q_multimodal_meta"     -> fromDocs("mm_meta"),
     "q_multimodal_frames"   -> fromDocs("mm_frames"),
     "q_ann_cosine_topk"     -> fromDocs("ann_cosine_topk"),
+    // fast path checks the rank SET against the quantized exact top-k
+    // (float scores excluded — accumulation order is engine-specific)
+    "q_ann_cosine_topk_fast" ->
+      (docsPrelude + "SELECT query_id, cand_id, rnk FROM ann_cosine_topk"),
     "q_ann_ivf_assign"      -> fromDocs("ivf_assign"),
     "q_ann_ivf_topk"        -> fromDocs("ivf_topk"),
     "q_dedup_clusters"      -> fromDocs("dedup_clusters"),

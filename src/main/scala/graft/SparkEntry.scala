@@ -53,6 +53,9 @@ object SparkEntry {
     "q_retention_compact"     -> ((s, d) => money(new Pipeline(s, d).retentionCompact,
                                                   "new_cust_revenue", "returned_revenue")),
     "q_f_customer_retention"  -> ((s, d) => new Pipeline(s, d).fCustomerRetention),
+    // (period,item)-grain variant — the scale-sane default (see Retention)
+    "q_f_customer_retention_grain" ->
+      ((s, d) => new Pipeline(s, d).fCustomerRetentionGrain),
     // --- training-data-pipeline operators (BASELINE.json north star) ---
     "q_dedup_exact"         -> ((s, d) => ops.Dedup.exact(s, d)),
     "q_dedup_minhash_lsh"   -> ((s, d) => ops.Dedup.minhashBands(s, d)),
@@ -67,7 +70,7 @@ object SparkEntry {
     "q_multimodal_meta"     -> ((s, d) => ops.Multimodal.meta(s, d)),
     "q_multimodal_frames"   -> ((s, d) => ops.Multimodal.frames(s, d)),
     "q_ann_cosine_topk"     -> ((s, d) => ops.Vectors.annCosineTopK(s, d)),
-    // no oracle (raw-float scores): driver records a rows-only check
+    // rank-set contract: float scores are engine-specific, ranks are not
     "q_ann_cosine_topk_fast" -> ((s, d) => ops.Vectors.annCosineTopKFast(s, d)),
     // near-dup clustering + deterministic sampling/splitting
     "q_dedup_clusters"       -> ((s, d) => ops.Dedup.clusters(s, d)),

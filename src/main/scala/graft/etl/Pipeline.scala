@@ -72,4 +72,7 @@ class Pipeline(spark: SparkSession, dir: String) {
   lazy val fCustomerRetention: DataFrame =
     Retention.fCustomerRetention(newCust(true), returnedCust(true),
                                  refundedCust(true))
+  lazy val fCustomerRetentionGrain: DataFrame =
+    Retention.fCustomerRetentionGrain(newCust(true), returnedCust(true),
+                                      refundedCust(true))
 }

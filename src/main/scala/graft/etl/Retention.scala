@@ -121,4 +121,30 @@ object Retention {
         round(col("returned_revenue")).cast("long")
           .as("returning_customers_revenue"),
         col("total_refunds").cast("int").as("customers_refunded"))
+
+  /** `f_customer_retention` at its natural (period, item) grain — the
+    * scale-sane default. The faithful N6 variant above joins on period only,
+    * so its row count grows with the PRODUCT of the three sides'
+    * items-per-period (quadratic in catalog size); this variant joins on
+    * (period, item_id), keeping output linear in |periods|·|items| and the
+    * join a plain hash equi-join. Use this at scale; keep [[fCustomerRetention]]
+    * for reference parity (quirk at loading_retention_mart.sql:8). */
+  def fCustomerRetentionGrain(n: DataFrame, r: DataFrame,
+                              f: DataFrame): DataFrame =
+    n.withColumnRenamed("item_new", "item_id")
+      .join(r.withColumnRenamed("item_ret", "item_id"),
+            Seq("period", "item_id"), "full_outer")
+      .join(f.withColumnRenamed("item_ref", "item_id"),
+            Seq("period", "item_id"), "full_outer")
+      .select(
+        col("period").cast("int").as("period_id"),
+        col("item_id"),
+        col("new_cust_count").as("new_customers_count"),
+        col("returned_cust_count").as("returning_customers_count"),
+        col("cust_with_refunds").as("refunded_customer_count"),
+        lit("weekly").as("period_name"),
+        round(col("new_cust_revenue")).cast("long").as("new_customers_revenue"),
+        round(col("returned_revenue")).cast("long")
+          .as("returning_customers_revenue"),
+        col("total_refunds").cast("int").as("customers_refunded"))
 }

