@@ -56,15 +56,40 @@ object Dedup {
 
   /** Candidate near-dup pairs = docs sharing any LSH bucket. The bands
     * frame feeds both join sides — persist so the signature pipeline runs
-    * once (and is reused by cluster queries in the same session). */
-  def minhashPairsOf(bands0: DataFrame): DataFrame = {
+    * once (and is reused by cluster queries in the same session).
+    *
+    * Giant-bucket guard: a degenerate bucket of B identical/boilerplate
+    * docs would materialize B² join rows — the classic 100 TB blowup.
+    * Buckets larger than `maxBucket` instead emit a linear STAR pairing
+    * (each member ↔ the bucket's min doc_id). A bucket is a clique in the
+    * candidate graph and a star spans the same connected component, so
+    * downstream clustering ([[clustersOf]]) is EXACTLY unchanged; only the
+    * explicit pair list degrades (documented) to the spanning subset for
+    * pathological buckets. Guarded buckets are logged. */
+  def minhashPairsOf(bands0: DataFrame, maxBucket: Int = 256): DataFrame = {
     val bands = bands0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
-    val c = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
-    a.join(c, Seq("band", "band_hash"))
+    val stats = bands.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("bsz"), min("doc_id").as("bmin"))
+    // one tiny agg job (bands is persisted; the pair join reuses it)
+    val g = stats.where(col("bsz") > maxBucket)
+      .agg(count(lit(1)), sum(expr("bsz * (bsz - 1) DIV 2 - (bsz - 1)"))).head
+    if (g.getLong(0) > 0) {
+      System.err.println(
+        s"[dedup] LSH giant-bucket guard: ${g.getLong(0)} bucket(s) > $maxBucket docs; " +
+        s"star-paired instead of dense (${g.getLong(1)} candidate pairs not materialized)")
+    }
+    val tagged = bands.join(stats, Seq("band", "band_hash"))
+    val small = tagged.where(col("bsz") <= maxBucket)
+    val a = small.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
+    val c = small.select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
+    val dense = a.join(c, Seq("band", "band_hash"))
       .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+      .select("doc_a", "doc_b")
+    val star = tagged.where(col("bsz") > maxBucket)
+      .where(col("doc_id") =!= col("bmin"))
+      .select(col("bmin").as("doc_a"), col("doc_id").as("doc_b"))
+    dense.unionAll(star).distinct()
   }
 
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =

@@ -37,6 +37,31 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("giant-bucket guard: 1000 identical docs yield linear pairs, exact clusters") {
+    val many = TextOps.normalize(
+      (1L to 1000L).map(i => (i, "same boilerplate text repeated everywhere"))
+        .toDF("doc_id", "text"))
+    val bands = Dedup.minhashBandsOf(Dedup.minhashOf(
+      TextOps.shinglesOf(TextOps.withWords(many))))
+    val pairs = Dedup.minhashPairsOf(bands)
+    // dense pairing would be 499 500 rows; the star guard keeps it linear
+    assert(pairs.count() == 999L)
+    val star = pairs.as[(Long, Long)].collect().toSet
+    assert(star == (2L to 1000L).map(i => (1L, i)).toSet)
+    // connected components are unchanged by the star degradation
+    val clusters = Dedup.clustersOf(many.select("doc_id"), pairs)
+      .as[(Long, Long)].collect()
+    assert(clusters.length == 1000 && clusters.forall(_._2 == 1L))
+  }
+
+  test("guard leaves small buckets dense: capped and uncapped pairs agree") {
+    val bands = Dedup.minhashBandsOf(Dedup.minhashOf(shingles))
+    val capped = Dedup.minhashPairsOf(bands).as[(Long, Long)].collect().toSet
+    val uncapped = Dedup.minhashPairsOf(bands, maxBucket = Int.MaxValue)
+      .as[(Long, Long)].collect().toSet
+    assert(capped == uncapped)
+  }
+
   test("simhash: identical docs equal; disjoint docs differ") {
     val sh = Dedup.simhashOf(words)
     val m = sh.as[(Long, Long)].collect().toMap
