@@ -117,11 +117,11 @@ mm_meta AS (
          CAST(1 + octet_length(encode(text)) // 256 AS BIGINT) AS n_frames
   FROM documents),
 mm_frames AS (
-  SELECT m.doc_id, CAST(f AS BIGINT) AS frame_idx,
-         md5(md5(d.text) || '#' || CAST(f AS VARCHAR)) AS frame_fp
-  FROM mm_meta m JOIN documents d ON d.doc_id = m.doc_id,
-       range(0, 64) t(f)
-  WHERE f < m.n_frames),
+  SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+         md5(md5(doc_text) || '#' || CAST(f AS VARCHAR)) AS frame_fp
+  FROM (SELECT m.doc_id, d.text AS doc_text,
+               unnest(range(0, m.n_frames)) AS f
+        FROM mm_meta m JOIN documents d ON d.doc_id = m.doc_id) e),
 emb_n AS (
   SELECT vec_id, label, qv,
          CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2

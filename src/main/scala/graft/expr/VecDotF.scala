@@ -18,10 +18,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * scale, per the Catalyst extension ladder (custom Expression before
   * custom physical operator).
   *
-  * Accumulates in double in index order, matching the HOF form bit-for-bit.
+  * Accumulates in double in index order. Edge-case semantics (deliberately
+  * NOT the HOF form's, which returns NULL for unequal lengths or any null
+  * element): unequal-length inputs sum over the min-length prefix, and null
+  * ELEMENTS contribute 0 (null top-level arrays still yield NULL). On dense
+  * equal-length vectors the two forms agree bit-for-bit.
   */
 case class VecDotF(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  /** Static: unguarded tight loop when neither side can hold null elements. */
+  private lazy val nullableElems =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+    right.dataType.asInstanceOf[ArrayType].containsNull
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -41,7 +50,8 @@ case class VecDotF(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
-      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      if (!nullableElems || (!x.isNullAt(i) && !y.isNullAt(i)))
+        s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
     java.lang.Double.valueOf(s)
@@ -53,11 +63,15 @@ case class VecDotF(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val add = s"$s += (double) $a.getFloat($i) * (double) $b.getFloat($i);"
+      val step = if (nullableElems)
+        s"if (!$a.isNullAt($i) && !$b.isNullAt($i)) { $add }"
+      else add
       s"""
          |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  $step
          |}
          |${ev.value} = $s;
        """.stripMargin

@@ -8,13 +8,24 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
-/** Integer-vector dot product with codegen — the compiled form of
-  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0L, +)` over the quantized
-  * embedding arrays (see [[graft.ops.Vectors]]). Same exact int64 arithmetic
-  * (including wraparound semantics) as the HOF composition, so swapping it
-  * into the oracle-checked queries changes nothing but speed. */
+/** Integer-vector dot product with codegen over the quantized embedding
+  * arrays (see [[graft.ops.Vectors]]). Exact int64 arithmetic (including
+  * wraparound), accumulated in index order.
+  *
+  * Edge-case semantics (deliberately NOT the HOF
+  * `aggregate(zip_with(a,b,(x,y)->x*y), 0L, +)` semantics, which returns
+  * NULL for unequal lengths or any null element): unequal-length inputs sum
+  * over the min-length prefix, and null ELEMENTS contribute 0 to the sum
+  * (null top-level arrays still yield NULL). On dense equal-length vectors —
+  * every oracle-checked query here — the two forms agree exactly. */
 case class VecDotQ(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  /** Static: when neither input can hold null elements, codegen emits the
+    * unguarded tight loop. */
+  private lazy val nullableElems =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+    right.dataType.asInstanceOf[ArrayType].containsNull
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -33,7 +44,11 @@ case class VecDotQ(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var s = 0L
     var i = 0
-    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (!nullableElems || (!x.isNullAt(i) && !y.isNullAt(i)))
+        s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
     java.lang.Long.valueOf(s)
   }
 
@@ -43,11 +58,15 @@ case class VecDotQ(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val add = s"$s += $a.getLong($i) * $b.getLong($i);"
+      val step = if (nullableElems)
+        s"if (!$a.isNullAt($i) && !$b.isNullAt($i)) { $add }"
+      else add
       s"""
          |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $s = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getLong($i) * $b.getLong($i);
+         |  $step
          |}
          |${ev.value} = $s;
        """.stripMargin

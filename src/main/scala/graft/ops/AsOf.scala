@@ -25,30 +25,35 @@ object AsOf {
 
   /** Generic as-of: returns `left` plus `asof_<c>` for each right payload
     * column. `rightTiebreak` must make (rightTs, rightTiebreak) unique per
-    * key. */
+    * key.
+    *
+    * The payload travels as ONE struct column filled with a single
+    * `last(ignoreNulls)` — per-column fills could assemble a "torn" row
+    * (a NULL in one payload column backfilling from an OLDER right row).
+    * Right rows with a NULL timestamp are dropped up front: they have no
+    * place on the time axis, and sorting NULLS FIRST would otherwise leak
+    * their payload into every left row with no true match. */
   def joinLatest(left: DataFrame, right: DataFrame,
                  leftKey: String, rightKey: String,
                  leftTs: String, rightTs: String,
                  rightTiebreak: String,
                  payload: Seq[String]): DataFrame = {
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(c => right.schema(c).copy(name = c)))
     val lTagged = left
       .withColumn("__k", col(leftKey)).withColumn("__t", col(leftTs))
       .withColumn("__side", lit(1))
       .withColumn("__tb", lit(null).cast("long"))
-    val lWithNullPayload = payload.foldLeft(lTagged) { (df, c) =>
-      df.withColumn(s"__p_$c", lit(null).cast(right.schema(c).dataType))
-    }
-    val rTagged = payload.foldLeft(
-      right
-        .withColumn("__k", col(rightKey)).withColumn("__t", col(rightTs))
-        .withColumn("__side", lit(0))
-        .withColumn("__tb", col(rightTiebreak).cast("long"))) { (df, c) =>
-      df.withColumn(s"__p_$c", col(c))
-    }
-    val cols = Seq("__k", "__t", "__side", "__tb") ++ payload.map(c => s"__p_$c")
+      .withColumn("__p", lit(null).cast(payloadType))
+    val rTagged = right
+      .where(col(rightTs).isNotNull)
+      .withColumn("__k", col(rightKey)).withColumn("__t", col(rightTs))
+      .withColumn("__side", lit(0))
+      .withColumn("__tb", col(rightTiebreak).cast("long"))
+      .withColumn("__p", struct(payload.map(col): _*))
+    val cols = Seq("__k", "__t", "__side", "__tb", "__p")
     val leftCols = left.columns.toSeq
-    val u = lWithNullPayload.select((leftCols.map(c => col(c)) ++
-        cols.map(col)): _*)
+    val u = lTagged.select((leftCols.map(c => col(c)) ++ cols.map(col)): _*)
       .unionByName(
         rTagged.select(cols.map(col): _*)
           .select((leftCols.map(c => lit(null).cast(
@@ -56,11 +61,11 @@ object AsOf {
     val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"),
         col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(u) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
-    }
+    val filled = u.withColumn("__asof",
+      last(col("__p"), ignoreNulls = true).over(w))
     filled.where(col("__side") === 1)
-      .select((leftCols.map(col) ++ payload.map(c => col(s"asof_$c"))): _*)
+      .select((leftCols.map(col) ++
+        payload.map(c => col("__asof").getField(c).as(s"asof_$c"))): _*)
   }
 
   /** For each event: the customer's most recent order at or before the

@@ -155,6 +155,12 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // Silent non-convergence would return WRONG cluster labels (components
+    // with diameter > maxIters) while still matching row counts — fail loudly.
+    if (changed > 0) throw new IllegalStateException(
+      s"clustersOf: label propagation did not converge after $maxIters " +
+      s"iterations ($changed labels still changing); raise maxIters — the " +
+      s"component diameter exceeds it")
     // singletons keep their own id as cluster
     docIds.join(labels, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),

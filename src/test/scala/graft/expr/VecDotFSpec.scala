@@ -34,6 +34,24 @@ class VecDotFSpec extends SparkSpec {
     assert(viaSql == 14.0)
   }
 
+  test("documented edge semantics: min-length prefix, null elements as 0") {
+    VecFunctions.register(spark)
+    val prefix = spark.sql(
+      """SELECT vec_dot(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT), CAST(3 AS FLOAT)),
+        |               array(CAST(4 AS FLOAT), CAST(5 AS FLOAT)))""".stripMargin)
+      .as[Double].head()
+    assert(prefix == 14.0) // 1*4 + 2*5; third element has no partner
+    val withNull = spark.sql(
+      """SELECT vec_dot(array(CAST(1 AS FLOAT), CAST(NULL AS FLOAT), CAST(3 AS FLOAT)),
+        |               array(CAST(2 AS FLOAT), CAST(5 AS FLOAT), CAST(7 AS FLOAT)))""".stripMargin)
+      .as[Double].head()
+    assert(withNull == 23.0) // 1*2 + 0 + 3*7
+    val nullArray = spark.sql(
+      "SELECT vec_dot(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1 AS FLOAT)))")
+      .collect()(0)
+    assert(nullArray.isNullAt(0)) // null top-level array still yields NULL
+  }
+
   test("fast ANN equals exact-arithmetic ANN ranking on real data") {
     val d = "/root/testdata/sf0.001"
     val fast = graft.ops.Vectors.annCosineTopKFast(spark, d)

@@ -29,6 +29,24 @@ class AsOfSpec extends SparkSpec {
                       4L -> Some(200L)))
   }
 
+  test("no torn rows: null payload stays null; null-ts right rows ignored") {
+    val left = Seq((1L, 10L, ts("2024-01-05 00:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, Option(ts("2024-01-01 00:00:00")), 100L, Option("old")),
+      (10L, Option(ts("2024-01-03 00:00:00")), 101L, Option.empty[String]),
+      (10L, Option.empty[Timestamp], 999L, Option("timeless")))
+      .toDF("o_custkey", "o_orderdate", "o_orderkey", "note")
+    val row = AsOf.joinLatest(left, right, "user_id", "o_custkey",
+        "ts", "o_orderdate", "o_orderkey", Seq("o_orderkey", "note"))
+      .select("asof_o_orderkey", "asof_note").head()
+    // the matched row is orderkey 101, whose note is NULL — it must NOT
+    // backfill from the older row, and the null-timestamp row (999) must
+    // never participate
+    assert(row.getLong(0) == 101L)
+    assert(row.isNullAt(1))
+  }
+
   test("ties on timestamp resolve to the largest tiebreak (pinned)") {
     val left = Seq((1L, 10L, ts("2024-01-02 00:00:00")))
       .toDF("event_id", "user_id", "ts")
