@@ -2,7 +2,7 @@ package graft.expr
 
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Typed `Aggregator` producing a k=8 MinHash signature from a group of
@@ -50,8 +50,12 @@ object MinHashAgg extends Aggregator[String, Array[String], Array[String]] {
 
   override def finish(r: Array[String]): Array[String] = r
 
+  // ExpressionEncoder for BOTH buffer and output: the buffer crosses the
+  // partial-aggregation shuffle once per group, and Java serialization
+  // there costs ~10× the bytes and per-row ser/deser of the columnar
+  // array encoding.
   override def bufferEncoder: Encoder[Array[String]] =
-    implicitly[Encoder[Array[String]]](Encoders.javaSerialization)
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[String]]()
   override def outputEncoder: Encoder[Array[String]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[String]]()
 }

@@ -5,28 +5,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Exact data-quality profiling — per-column row/null/distinct counts and
-  * numeric ranges, the first step of any training-data ingest. One pass per
-  * profiled column set via a single multi-aggregate projection would also
-  * work; the per-column union keeps the output long-format (column, stats)
-  * like production profilers, and each branch is a partial-aggregatable
-  * scan of exactly one column (parquet pruning per branch). */
+  * numeric ranges, the first step of any training-data ingest. ALL columns
+  * are profiled in ONE multi-aggregate pass over the table (the distinct
+  * counts plan through a single Expand + aggregate, still one scan), then
+  * pivoted to the long (column, stats) format production profilers emit
+  * via `stack`. */
 object Profile {
 
-  private def numericProfile(df: DataFrame, column: String): DataFrame =
-    df.agg(
-      count(lit(1)).as("n_rows"),
-      count(col(column)).as("n_nonnull"),
-      countDistinct(col(column)).as("n_distinct"),
-      min(col(column)).cast("double").as("min_val"),
-      max(col(column)).cast("double").as("max_val"))
-      .select(lit(column).as("column"), col("n_rows"), col("n_nonnull"),
-              col("n_distinct"), col("min_val"), col("max_val"))
+  /** One scan: every column's aggregates in a single agg, stacked long. */
+  def numericProfile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +: columns.flatMap(c => Seq(
+      count(col(c)).as(s"${c}__nonnull"),
+      countDistinct(col(c)).as(s"${c}__distinct"),
+      min(col(c)).cast("double").as(s"${c}__min"),
+      max(col(c)).cast("double").as(s"${c}__max")))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = columns.map(c =>
+      s"'$c', n_rows, `${c}__nonnull`, `${c}__distinct`, `${c}__min`, `${c}__max`")
+      .mkString(", ")
+    one.select(expr(
+      s"stack(${columns.length}, $rows) AS " +
+        "(column, n_rows, n_nonnull, n_distinct, min_val, max_val)"))
+  }
 
   /** Profile of the orders table's numeric columns. */
-  def ordersProfile(spark: SparkSession, dir: String): DataFrame = {
-    val o = Feeds.table(spark, dir, "orders")
-    Seq("o_orderkey", "o_custkey", "o_totalprice")
-      .map(numericProfile(o, _))
-      .reduce(_ unionAll _)
-  }
+  def ordersProfile(spark: SparkSession, dir: String): DataFrame =
+    numericProfile(Feeds.table(spark, dir, "orders"),
+                   Seq("o_orderkey", "o_custkey", "o_totalprice"))
 }
