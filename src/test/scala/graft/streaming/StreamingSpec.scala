@@ -85,4 +85,31 @@ class StreamingSpec extends SparkSpec {
       assert(s.session_start == ts(0) && s.session_end == ts(5))
     } finally q.stop()
   }
+
+  test("idle session closes via event-time timeout without a newer event") {
+    import Sessionize._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_timeout")
+      .outputMode("append").start()
+    try {
+      input.addData(Event(1L, ts(0), 1.0), Event(1L, ts(5), 2.0))
+      q.processAllAvailable() // user 1 session open; watermark = ts(5) - 30m
+      assert(spark.table("sessions_timeout").count() == 0)
+      // advance the watermark far past ts(5)+30m via OTHER users' events —
+      // user 1 never gets another event
+      input.addData(Event(2L, ts(120), 5.0))
+      q.processAllAvailable() // watermark -> ts(90) after this batch
+      input.addData(Event(3L, ts(121), 6.0))
+      q.processAllAvailable() // timeout for user 1 fires in this batch
+      val closed = spark.table("sessions_timeout").as[Session].collect()
+        .filter(_.user_id == 1L)
+      assert(closed.length == 1)
+      val s = closed.head
+      assert(s.n_events == 2L && s.value_sum == 3.0)
+      assert(s.session_start == ts(0) && s.session_end == ts(5))
+    } finally q.stop()
+  }
 }
