@@ -26,6 +26,45 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.read("staging", "t_v2").columns.contains("status"))
   }
 
+  test("merge upserts by key and equals the rewrite-on-write result") {
+    val wh = new Warehouse(spark, tmp())
+    val hist = Seq((1L, "shipped", 10.0), (2L, "shipped", 20.0),
+                   (3L, "shipped", 30.0)).toDF("id", "status", "amt")
+    wh.overwrite("mart", "f", hist)
+    val updates = Seq((2L, "refunded", 20.0), (4L, "shipped", 40.0))
+      .toDF("id", "status", "amt")
+    wh.merge("mart", "f", updates, Seq("id"))
+    val got = wh.read("mart", "f").as[(Long, String, Double)].collect().toSet
+    // rewrite-on-write equivalent: keep non-matched history, take updates
+    val want = Set((1L, "shipped", 10.0), (3L, "shipped", 30.0),
+                   (2L, "refunded", 20.0), (4L, "shipped", 40.0))
+    assert(got == want)
+    // merge into a missing table degenerates to create
+    wh.merge("mart", "fresh", updates, Seq("id"))
+    assert(wh.read("mart", "fresh").count() == 2)
+  }
+
+  test("partitioned merge rewrites only the partitions present in updates") {
+    val root = tmp()
+    val wh = new Warehouse(spark, root)
+    val hist = Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-01", 20.0),
+                   (3L, "2024-01-02", 30.0)).toDF("id", "day", "amt")
+    wh.mergePartitioned("mart", "fp", hist, Seq("id"), "day")
+    def files(day: String): Set[String] =
+      Option(new java.io.File(s"$root/mart/fp/day=$day").list())
+        .map(_.toSet.filter(_.startsWith("part-"))).getOrElse(Set())
+    val day1Before = files("2024-01-01")
+    val updates = Seq((3L, "2024-01-02", 31.0), (4L, "2024-01-02", 40.0))
+      .toDF("id", "day", "amt")
+    wh.mergePartitioned("mart", "fp", updates, Seq("id"), "day")
+    val got = wh.read("mart", "fp")
+      .select("id", "day", "amt").as[(Long, String, Double)].collect().toSet
+    assert(got == Set((1L, "2024-01-01", 10.0), (2L, "2024-01-01", 20.0),
+                      (3L, "2024-01-02", 31.0), (4L, "2024-01-02", 40.0)))
+    // untouched partition keeps its exact files (never rewritten)
+    assert(files("2024-01-01") == day1Before && day1Before.nonEmpty)
+  }
+
   test("poll utility: succeeds within budget, gives up after it") {
     val client = new LocalFixtureClient(spark, "/root/testdata/sf0.001",
                                         pendingPolls = 2)
