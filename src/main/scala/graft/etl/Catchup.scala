@@ -1,0 +1,37 @@
+package graft.etl
+
+import graft.Ids
+import org.apache.spark.sql.DataFrame
+
+/** Multi-day increment catchup — the reference DAG runs daily with
+  * `catchup=True` (/root/reference/src/dags/ETL_logs_inc.py:287-289), i.e.
+  * N dated increments applied IN ORDER, with the live PG sequences handing
+  * out ids that continue across every batch.
+  *
+  * Spark model: a fold over batches. Each step assigns dense ids to the
+  * batch's NEW rows (two-phase [[graft.Ids.dense]], offset = accumulated
+  * row count — valid because ids stay dense 1..n) and appends. Re-applying
+  * a batch is a no-op: rows already present (by `uniq_id`) are dropped with
+  * an anti-join before id assignment — the reference's one stated
+  * correctness property ("re-run must not duplicate",
+  * /root/reference/README.md:20-22) holds per step, not just per run.
+  */
+object Catchup {
+
+  /** Id-assignment sort key within a batch (same pin as f_sales). */
+  private val sortCols = Seq("date_time", "uniq_id")
+
+  /** Assign ids to `history` and fold the dated `increments` over it in
+    * order. All inputs carry `uniq_id` + `date_time` and identical schemas. */
+  def applyAll(history: DataFrame, increments: Seq[DataFrame]): DataFrame =
+    increments.foldLeft(Ids.dense(history, sortCols, "id"))(applyOne)
+
+  /** One catchup step: drop rows the accumulated log already has (re-run
+    * idempotency), id the rest from the accumulated count, append. */
+  def applyOne(acc: DataFrame, inc: DataFrame): DataFrame = {
+    val nextOffset = acc.count() // ids are dense, so count == max id
+    val fresh = inc.join(acc.select("uniq_id"), Seq("uniq_id"), "left_anti")
+      .select(inc.columns.map(inc.col): _*)
+    acc.unionByName(Ids.dense(fresh, sortCols, "id", nextOffset))
+  }
+}
