@@ -13,7 +13,7 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    new Pipeline(spark, "/root/testdata/sf0.001").retentionCompact
+    Pipeline.of(spark, "/root/testdata/sf0.001").retentionCompact
 
   /** Money columns are DECIMAL(14,2) inside the engine but canonicalized to
     * DOUBLE at query output — see Oracle's scaladoc for why. */
@@ -23,39 +23,39 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.1 sources + §2.2 projections/casts (S4-S6, P1-P2, P9)
-    "q_user_order_log"     -> ((s, d) => money(new Pipeline(s, d).uol, "payment_amount")),
-    "q_user_order_log_inc" -> ((s, d) => money(new Pipeline(s, d).uolTemp, "payment_amount")),
+    "q_user_order_log"     -> ((s, d) => money(Pipeline.of(s, d).uol, "payment_amount")),
+    "q_user_order_log_inc" -> ((s, d) => money(Pipeline.of(s, d).uolTemp, "payment_amount")),
     // U2/S13: history ∪ increment with status backfill
-    "q_user_order_log_v2"  -> ((s, d) => money(new Pipeline(s, d).uolV2, "payment_amount")),
-    "q_user_activity_log"  -> ((s, d) => new Pipeline(s, d).ual),
-    "q_customer_research"  -> ((s, d) => money(new Pipeline(s, d).research, "sales_amt")),
-    "q_price_log"          -> ((s, d) => new Pipeline(s, d).priceLog),
+    "q_user_order_log_v2"  -> ((s, d) => money(Pipeline.of(s, d).uolV2, "payment_amount")),
+    "q_user_activity_log"  -> ((s, d) => Pipeline.of(s, d).ual),
+    "q_customer_research"  -> ((s, d) => money(Pipeline.of(s, d).research, "sales_amt")),
+    "q_price_log"          -> ((s, d) => Pipeline.of(s, d).priceLog),
     // A1 + P3/P4 + W2 (surrogate ids)
-    "q_d_calendar"         -> ((s, d) => new Pipeline(s, d).dCalendar),
-    "q_d_calendar_inc"     -> ((s, d) => new Pipeline(s, d).dCalendarTemp),
+    "q_d_calendar"         -> ((s, d) => Pipeline.of(s, d).dCalendar),
+    "q_d_calendar_inc"     -> ((s, d) => Pipeline.of(s, d).dCalendarTemp),
     // A2/A3 (DISTINCT ON with pinned determinism)
-    "q_d_customer"         -> ((s, d) => new Pipeline(s, d).dCustomer),
-    "q_d_item"             -> ((s, d) => new Pipeline(s, d).dItem),
+    "q_d_customer"         -> ((s, d) => Pipeline.of(s, d).dCustomer),
+    "q_d_item"             -> ((s, d) => Pipeline.of(s, d).dItem),
     // J1 + S15 (dense ids via two-phase assignment)
-    "q_f_sales"            -> ((s, d) => money(new Pipeline(s, d).fSales, "payment_amount")),
-    "q_f_sales_inc"        -> ((s, d) => money(new Pipeline(s, d).fSalesTemp, "payment_amount")),
-    "q_f_sales_v2"         -> ((s, d) => money(new Pipeline(s, d).fSalesV2, "payment_amount")),
+    "q_f_sales"            -> ((s, d) => money(Pipeline.of(s, d).fSales, "payment_amount")),
+    "q_f_sales_inc"        -> ((s, d) => money(Pipeline.of(s, d).fSalesTemp, "payment_amount")),
+    "q_f_sales_v2"         -> ((s, d) => money(Pipeline.of(s, d).fSalesV2, "payment_amount")),
     // P5 + A8 + W1
-    "q_d_calendar_weeks"   -> ((s, d) => new Pipeline(s, d).weeks),
+    "q_d_calendar_weeks"   -> ((s, d) => Pipeline.of(s, d).weeks),
     // J3 + A4-A7 (two-level aggregates with HAVING)
-    "q_new_customers"              -> ((s, d) => money(new Pipeline(s, d).newCust(true), "new_cust_revenue")),
-    "q_new_customers_compact"      -> ((s, d) => money(new Pipeline(s, d).newCust(false), "new_cust_revenue")),
-    "q_returned_customers"         -> ((s, d) => money(new Pipeline(s, d).returnedCust(true), "returned_revenue")),
-    "q_returned_customers_compact" -> ((s, d) => money(new Pipeline(s, d).returnedCust(false), "returned_revenue")),
-    "q_refunded_customers"         -> ((s, d) => new Pipeline(s, d).refundedCust(true)),
-    "q_refunded_customers_compact" -> ((s, d) => new Pipeline(s, d).refundedCust(false)),
+    "q_new_customers"              -> ((s, d) => money(Pipeline.of(s, d).newCust(true), "new_cust_revenue")),
+    "q_new_customers_compact"      -> ((s, d) => money(Pipeline.of(s, d).newCust(false), "new_cust_revenue")),
+    "q_returned_customers"         -> ((s, d) => money(Pipeline.of(s, d).returnedCust(true), "returned_revenue")),
+    "q_returned_customers_compact" -> ((s, d) => money(Pipeline.of(s, d).returnedCust(false), "returned_revenue")),
+    "q_refunded_customers"         -> ((s, d) => Pipeline.of(s, d).refundedCust(true)),
+    "q_refunded_customers_compact" -> ((s, d) => Pipeline.of(s, d).refundedCust(false)),
     // J2 + N5/N6
-    "q_retention_compact"     -> ((s, d) => money(new Pipeline(s, d).retentionCompact,
+    "q_retention_compact"     -> ((s, d) => money(Pipeline.of(s, d).retentionCompact,
                                                   "new_cust_revenue", "returned_revenue")),
-    "q_f_customer_retention"  -> ((s, d) => new Pipeline(s, d).fCustomerRetention),
+    "q_f_customer_retention"  -> ((s, d) => Pipeline.of(s, d).fCustomerRetention),
     // (period,item)-grain variant — the scale-sane default (see Retention)
     "q_f_customer_retention_grain" ->
-      ((s, d) => new Pipeline(s, d).fCustomerRetentionGrain),
+      ((s, d) => Pipeline.of(s, d).fCustomerRetentionGrain),
     // --- training-data-pipeline operators (BASELINE.json north star) ---
     "q_dedup_exact"         -> ((s, d) => ops.Dedup.exact(s, d)),
     "q_dedup_minhash_lsh"   -> ((s, d) => ops.Dedup.minhashBands(s, d)),

@@ -10,6 +10,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * requires the previous table's cardinality; those are the only driver-side
   * scalars (`count()` of a dimension-sized plan).
   */
+object Pipeline {
+  private val instances =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Pipeline]
+
+  /** One shared Pipeline per (session, sf-dir): its lazy DataFrames (and
+    * their persisted shared subplans) are the in-session materialized
+    * staging layer. Sharing the INSTANCE matters since Ids.dense — the
+    * two-phase id assignment is RDD-backed, so two instances' id plans
+    * never canonicalize equal and would each re-cache their own copy. */
+  def of(spark: SparkSession, dir: String): Pipeline =
+    instances.computeIfAbsent((spark, dir), { case (s, d) => new Pipeline(s, d) })
+}
+
 class Pipeline(spark: SparkSession, dir: String) {
 
   import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK

@@ -74,11 +74,19 @@ object Dedup {
     // one tiny agg job (bands is persisted; the pair join reuses it)
     val g = stats.where(col("bsz") > maxBucket)
       .agg(count(lit(1)), sum(expr("bsz * (bsz - 1) DIV 2 - (bsz - 1)"))).head
-    if (g.getLong(0) > 0) {
-      System.err.println(
-        s"[dedup] LSH giant-bucket guard: ${g.getLong(0)} bucket(s) > $maxBucket docs; " +
-        s"star-paired instead of dense (${g.getLong(1)} candidate pairs not materialized)")
+    val nGiants = g.getLong(0)
+    if (nGiants == 0) {
+      // common case: no degenerate buckets — plain dense bucket join,
+      // no stats join in the plan
+      val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
+      val c = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
+      return a.join(c, Seq("band", "band_hash"))
+        .where(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
     }
+    System.err.println(
+      s"[dedup] LSH giant-bucket guard: $nGiants bucket(s) > $maxBucket docs; " +
+      s"star-paired instead of dense (${g.getLong(1)} candidate pairs not materialized)")
     val tagged = bands.join(stats, Seq("band", "band_hash"))
     val small = tagged.where(col("bsz") <= maxBucket)
     val a = small.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
@@ -92,8 +100,15 @@ object Dedup {
     dense.unionAll(star).distinct()
   }
 
+  // Memoized per (session, dir): the guard's one-time stats job and the
+  // bands persist are shared by every consumer (pairs, clusters) instead
+  // of re-running at each query construction.
+  private val pairsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
-    minhashPairsOf(minhashBands(spark, dir))
+    pairsCache.computeIfAbsent((spark, dir),
+      { case (s, d) => minhashPairsOf(minhashBands(s, d)) })
 
   /** 32-bit SimHash over the doc's distinct words (bit i from nibble i/4 of
     * the word's md5; majority vote per bit). */
