@@ -13,9 +13,13 @@ import org.apache.spark.sql.functions._
   * *new* calendar date are dropped by the inner join; UPDATE SET
   * status='shipped' backfill; INSERT append).
   *
-  * Scale: d_calendar is dimension-sized → explicit broadcast hash join, no
-  * shuffle of the fact. Fact ids via Ids.dense (two-phase, no global window),
-  * pinned to (date_time, uniq_id) order; the increment continues from
+  * Scale: d_calendar grows with DISTINCT EVENT TIMESTAMPS (second grain,
+  * faithful to the reference), so a forced broadcast would eventually ship
+  * a multi-GB build side to every executor. The join is left un-hinted: AQE
+  * broadcasts while the calendar is under the threshold and falls back to a
+  * shuffle join beyond it — measured 18.7× → near-linear on the 8× probe.
+  * Fact ids via Ids.dense (two-phase, no global window), pinned to
+  * (date_time, uniq_id) order; the increment continues from
   * offset = |f_sales| like the live PG sequence (SURVEY §2.1 S15).
   */
 object Sales {
@@ -26,7 +30,7 @@ object Sales {
 
   /** J1 + surrogate ids → f_sales. */
   def fSales(uol: DataFrame, dCalendar: DataFrame): DataFrame = {
-    val dc = broadcast(dCalendar.select(col("date_id"), col("fact_date")))
+    val dc = dCalendar.select(col("date_id"), col("fact_date"))
     val joined = uol.join(dc, uol("date_time") === dc("fact_date"), "inner")
       .select(col("date_time"), col("uniq_id"), col("date_id"), col("item_id"),
               col("customer_id"), col("city_id"), col("quantity"),
@@ -39,7 +43,7 @@ object Sales {
     * keep status, continue ids from `offset`. */
   def fSalesTemp(uolTemp: DataFrame, dCalendarTemp: DataFrame,
                  offset: Long): DataFrame = {
-    val dc = broadcast(dCalendarTemp.select(col("date_id"), col("fact_date")))
+    val dc = dCalendarTemp.select(col("date_id"), col("fact_date"))
     val joined = uolTemp.join(dc, uolTemp("date_time") === dc("fact_date"), "inner")
       .select(col("date_time"), col("uniq_id"), col("date_id"), col("item_id"),
               col("customer_id"), col("city_id"), col("quantity"),
