@@ -303,6 +303,7 @@ f_customer_retention_grain AS (
     "q_ann_ivf_assign"      -> fromDocs("ivf_assign"),
     "q_ann_ivf_topk"        -> fromDocs("ivf_topk"),
     "q_dedup_clusters"      -> fromDocs("dedup_clusters"),
+    "q_dedup_clusters_fast" -> fromDocs("dedup_clusters"),
     "q_sample_stratified"   -> fromDocs("sample_stratified"),
     "q_split_train_val_test" -> fromDocs("split_tvt"),
     // classic analytics anchors over the raw tables (standalone SQL)

@@ -74,6 +74,9 @@ object SparkEntry {
     "q_ann_cosine_topk_fast" -> ((s, d) => ops.Vectors.annCosineTopKFast(s, d)),
     // near-dup clustering + deterministic sampling/splitting
     "q_dedup_clusters"       -> ((s, d) => ops.Dedup.clusters(s, d)),
+    // O(log n)-round star-contraction CC — same contract, same oracle
+    "q_dedup_clusters_fast"  -> ((s, d) => ops.Dedup.clustersFastOf(
+      ops.TextOps.docs(s, d).select("doc_id"), ops.Dedup.minhashPairs(s, d))),
     "q_sample_stratified"    -> ((s, d) => ops.Sampling.stratifiedDocs(s, d)),
     "q_split_train_val_test" -> ((s, d) => ops.Sampling.trainValTestSplit(s, d)),
     // classic analytics anchors + data profiling

@@ -186,6 +186,68 @@ object Dedup {
     clustersOf(TextOps.docs(spark, dir).select("doc_id"),
                minhashPairs(spark, dir))
 
+  /** Connected components via alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * converges in O(log n) rounds REGARDLESS of component diameter, unlike
+    * [[clustersOf]]'s min-label propagation (O(diameter) rounds). Same
+    * output contract: (doc_id, cluster = component min).
+    *
+    * large-star: every node's strictly-larger neighbors re-point to the
+    * min of its neighborhood (incl. itself); small-star: its ≤ neighbors
+    * do. Both preserve connectivity and strictly shrink the potential
+    * function, ending in star graphs rooted at component minima. Each
+    * round is two groupBy-min + join shuffles over the edge set — no
+    * global structure; lineage is truncated per round (localCheckpoint). */
+  def clustersFastOf(docIds: DataFrame, pairs: DataFrame,
+                     maxIters: Int = 50): DataFrame = {
+    import org.apache.spark.sql.functions.{greatest, least}
+
+    // canonical undirected edges (hi, lo), self-loops dropped
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+              least(col("doc_a"), col("doc_b")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u"), col("v"))
+        .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      sym.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // e is (u, v) with v < u: group each u's smaller neighbors
+      val mins = e.groupBy("u").agg(min(col("v")).as("m"))
+      val joined = e.join(mins, "u")
+      joined.select(col("v").as("u"), col("m").as("v"))
+        .unionAll(joined.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v")).distinct()
+    }
+
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // fixpoint: the canonical edge set stopped changing
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
+      edges = next
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"clustersFastOf: star contraction did not converge in $maxIters " +
+      "rounds (theoretical bound is O(log n) — raise maxIters)")
+    docIds.join(edges.select(col("u").as("doc_id"), col("v").as("cluster")),
+                Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+              coalesce(col("cluster"), col("doc_id")).as("cluster"))
+  }
+
   /** Exact word-3-gram Jaccard for given candidate pairs (doc_a, doc_b). */
   def ngramJaccardFor(pairs: DataFrame, shingles: DataFrame): DataFrame = {
     val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))

@@ -29,6 +29,33 @@ class ClustersSamplingSpec extends SparkSpec {
     assert(clusters(10L) == 10L && clusters(11L) == 10L && clusters(12L) == 12L)
   }
 
+  test("star-contraction CC equals label propagation on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 40
+      val ids = (0L until n.toLong).toDF("doc_id")
+      val pairs = Seq.fill(30)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2).toDF("doc_a", "doc_b")
+      val slow = Dedup.clustersOf(ids, pairs, maxIters = 100)
+        .as[(Long, Long)].collect().toSet
+      val fast = Dedup.clustersFastOf(ids, pairs)
+        .as[(Long, Long)].collect().toSet
+      assert(fast == slow, s"trial $trial")
+    }
+  }
+
+  test("star contraction handles diameter > label-propagation budget") {
+    // a 120-node chain: label propagation at maxIters=20 must fail loudly,
+    // star contraction converges in O(log n) rounds
+    val ids = (0L until 120L).toDF("doc_id")
+    val chain = (0L until 119L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    assertThrows[IllegalStateException] {
+      Dedup.clustersOf(ids, chain, maxIters = 20).count()
+    }
+    val fast = Dedup.clustersFastOf(ids, chain).as[(Long, Long)].collect()
+    assert(fast.length == 120 && fast.forall(_._2 == 0L))
+  }
+
   test("hash sampling is deterministic and rate-accurate") {
     val df = (0L until 4096L).toDF("doc_id")
     val once = Sampling.hashSample(df, "doc_id", "4").count()
