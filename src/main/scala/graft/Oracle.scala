@@ -355,5 +355,11 @@ f_customer_retention_grain AS (
              CAST(min($c) AS DOUBLE) AS min_val,
              CAST(max($c) AS DOUBLE) AS max_val
           FROM orders"""
-    }.mkString(" UNION ALL "))
+    }.mkString(" UNION ALL "),
+    // exact interpolated quantiles: DuckDB quantile_cont == Spark percentile
+    "q_profile_quantiles" -> """
+      SELECT 'o_totalprice' AS "column",
+             unnest([0.25, 0.5, 0.75, 0.95]) AS p,
+             unnest(quantile_cont(o_totalprice, [0.25, 0.5, 0.75, 0.95])) AS q_value
+      FROM orders""")
 }

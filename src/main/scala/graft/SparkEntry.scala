@@ -84,6 +84,7 @@ object SparkEntry {
     "q_shipping_priority" -> ((s, d) => ops.Analytics.shippingPriority(s, d)),
     "q_top_customers"     -> ((s, d) => ops.Analytics.topCustomers(s, d)),
     "q_profile_orders"    -> ((s, d) => ops.Profile.ordersProfile(s, d)),
+    "q_profile_quantiles" -> ((s, d) => ops.Profile.ordersQuantiles(s, d)),
     // as-of join (union+window composition — single shuffle, no range probe)
     "q_asof_latest_order" -> ((s, d) => ops.AsOf.latestOrderPerEvent(s, d)),
     "q_ann_ivf_assign"      -> ((s, d) => ops.Vectors.ivfAssign(s, d)),

@@ -32,4 +32,24 @@ object Profile {
   def ordersProfile(spark: SparkSession, dir: String): DataFrame =
     numericProfile(Feeds.table(spark, dir, "orders"),
                    Seq("o_orderkey", "o_custkey", "o_totalprice"))
+
+  /** EXACT interpolated quantiles (SQL `percentile`, the same
+    * lower + (higher-lower)·frac interpolation DuckDB's quantile_cont
+    * uses — cross-engine comparable, unlike HLL/t-digest approximations).
+    * Exact percentile sorts per group; for a quick scan at 100 TB swap in
+    * approx_percentile (t-digest, one pass, no sort) — kept exact here so
+    * the oracle can hash-match. */
+  def quantileProfile(df: DataFrame, column: String,
+                      ps: Seq[Double]): DataFrame = {
+    val arr = ps.map(p => s"CAST($p AS DOUBLE)").mkString(", ")
+    df.agg(expr(s"percentile($column, array($arr))").as("qs"))
+      .select(posexplode(col("qs")).as(Seq("pos", "q_value")))
+      .select(lit(column).as("column"),
+              element_at(typedLit(ps), col("pos") + 1).as("p"),
+              col("q_value"))
+  }
+
+  def ordersQuantiles(spark: SparkSession, dir: String): DataFrame =
+    quantileProfile(Feeds.table(spark, dir, "orders"), "o_totalprice",
+                    Seq(0.25, 0.5, 0.75, 0.95))
 }

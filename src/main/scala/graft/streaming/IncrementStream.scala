@@ -68,6 +68,18 @@ object IncrementStream {
           .otherwise("shipped").as("status"))
   }
 
+  /** Streaming exact dedup: drop re-delivered rows by key within the
+    * watermark horizon — the streaming face of `ops.Dedup.exact` and the
+    * real-world guard for at-least-once increment delivery (a re-dropped
+    * daily file must not double rows; the batch path's anti-join in
+    * `etl.Catchup.applyOne` is the same contract). State = one entry per
+    * key seen within the watermark window, expired by event time — bounded,
+    * unlike an unwatermarked dropDuplicates whose state grows forever. */
+  def dedupStream(rows: DataFrame, key: String, tsCol: String,
+                  horizon: String = "7 days"): DataFrame =
+    rows.withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark(key)
+
   /** Event-time windowed aggregation with watermark: daily event counts and
     * value sums per event_type — the streaming analog of the
     * `customer_research` daily rollup (§2.4 A8 re-expressed with event-time

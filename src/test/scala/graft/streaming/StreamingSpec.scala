@@ -62,6 +62,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-delivered keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val q = IncrementStream.dedupStream(
+        input.toDS().toDF("uniq_id", "date_time", "amt"),
+        "uniq_id", "date_time")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(("a", ts(0), 1.0), ("b", ts(1), 2.0))
+      q.processAllAvailable()
+      // re-deliver "a" (same key, later batch) + one new key
+      input.addData(("a", ts(2), 1.0), ("c", ts(3), 3.0))
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream").select("uniq_id")
+        .as[String].collect().sorted.toSeq
+      assert(got == Seq("a", "b", "c"))
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions across micro-batches") {
     import Sessionize._
     implicit val sqlCtx = spark.sqlContext
