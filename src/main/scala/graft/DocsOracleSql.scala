@@ -156,9 +156,7 @@ ann_cosine_topk AS (
              ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qa2 AS DOUBLE) * CAST(ca2 AS DOUBLE)) DESC,
                       cand_id) AS rnk
     FROM ann_scores) s WHERE rnk <= 5),
-ivf_assign AS (
-  SELECT vec_id, centroid_id, CAST(cdot AS DOUBLE) / sqrt(CAST(vn2 AS DOUBLE) * CAST(cn2 AS DOUBLE)) AS score
-  FROM (
+ivf_cells AS (
     SELECT v.vec_id, c.vec_id AS centroid_id,
            CAST(list_sum(list_transform(list_zip(v.qv, c.qv), x -> x[1] * x[2])) AS BIGINT) AS cdot,
            v.n2 AS vn2, c.n2 AS cn2,
@@ -166,8 +164,26 @@ ivf_assign AS (
              ORDER BY CAST(list_sum(list_transform(list_zip(v.qv, c.qv), x -> x[1] * x[2])) AS DOUBLE)
                       / sqrt(CAST(v.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE)) DESC,
                       c.vec_id) AS rn
-    FROM emb_n v JOIN emb_n c ON c.vec_id % 40 = 0) a
+    FROM emb_n v JOIN emb_n c ON c.vec_id % 40 = 0),
+ivf_assign AS (
+  SELECT vec_id, centroid_id, CAST(cdot AS DOUBLE) / sqrt(CAST(vn2 AS DOUBLE) * CAST(cn2 AS DOUBLE)) AS score
+  FROM ivf_cells
   WHERE rn = 1),
+ivf_topk_probe2 AS (
+  SELECT query_id, cand_id, score, CAST(rnk AS BIGINT) AS rnk FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           CAST(list_sum(list_transform(list_zip(qe.qv, ce.qv), x -> x[1] * x[2])) AS DOUBLE)
+             / sqrt(CAST(qe.n2 AS DOUBLE) * CAST(ce.n2 AS DOUBLE)) AS score,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY CAST(list_sum(list_transform(list_zip(qe.qv, ce.qv), x -> x[1] * x[2])) AS DOUBLE)
+                      / sqrt(CAST(qe.n2 AS DOUBLE) * CAST(ce.n2 AS DOUBLE)) DESC,
+                      c.vec_id) AS rnk
+    FROM (SELECT vec_id, centroid_id FROM ivf_cells WHERE rn <= 2) q
+    JOIN (SELECT vec_id, centroid_id FROM ivf_cells WHERE rn = 1) c
+      ON c.centroid_id = q.centroid_id AND c.vec_id != q.vec_id
+    JOIN emb_n qe ON qe.vec_id = q.vec_id
+    JOIN emb_n ce ON ce.vec_id = c.vec_id
+    WHERE q.vec_id % 50 = 0) s WHERE rnk <= 3),
 ivf_topk AS (
   SELECT query_id, cand_id, score, CAST(rnk AS BIGINT) AS rnk FROM (
     SELECT q.vec_id AS query_id, c.vec_id AS cand_id,

@@ -88,7 +88,9 @@ object SparkEntry {
     // as-of join (union+window composition — single shuffle, no range probe)
     "q_asof_latest_order" -> ((s, d) => ops.AsOf.latestOrderPerEvent(s, d)),
     "q_ann_ivf_assign"      -> ((s, d) => ops.Vectors.ivfAssign(s, d)),
-    "q_ann_ivf_topk"        -> ((s, d) => ops.Vectors.ivfTopK(s, d)))
+    "q_ann_ivf_topk"        -> ((s, d) => ops.Vectors.ivfTopK(s, d)),
+    // multi-probe IVF: nprobe=2 nearest cells per query
+    "q_ann_ivf_topk_probe2" -> ((s, d) => ops.Vectors.ivfTopKProbed(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -64,24 +64,29 @@ object Vectors {
       .select("query_id", "cand_id", "score", "rnk")
   }
 
-  /** IVF cell assignment: nearest of the deterministic centroid subset
-    * (vec_id % 40 == 0), ties broken by centroid id. */
-  def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-vector centroid ranking (broadcast centroids, deterministic subset
+    * vec_id % 40 == 0; ties broken by centroid id). rn = 1 is the IVF cell
+    * assignment; rn ≤ nprobe is the probe list. */
+  private def ivfCells(spark: SparkSession, dir: String): DataFrame = {
     val emb = quantized(spark, dir)
     val cent = broadcast(emb.where(col("vec_id") % 40 === 0)
       .select(col("vec_id").as("centroid_id"), col("qv").as("c_qv"),
               col("n2").as("ca2")))
-    val v = emb.select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
-                       col("n2").as("qa2"))
-    v.join(cent)
+    emb.select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+               col("n2").as("qa2"))
+      .join(cent)
       .withColumn("dot", dotCol)
       .withColumn("score", expr(scoreExpr))
       .withColumn("rn", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("score").desc, col("centroid_id"))))
+  }
+
+  /** IVF cell assignment: each vector's nearest centroid. */
+  def ivfAssign(spark: SparkSession, dir: String): DataFrame =
+    ivfCells(spark, dir)
       .where(col("rn") === 1)
       .select(col("query_id").as("vec_id"), col("centroid_id"), col("score"))
-  }
 
   /** IVF probe search: top-3 within the query's own cell. */
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
@@ -95,6 +100,39 @@ object Vectors {
       .join(emb.select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
                        col("n2").as("qa2")), Seq("query_id"))
     val c = assign
+      .select(col("vec_id").as("cand_id"), col("centroid_id"))
+      .join(emb.select(col("vec_id").as("cand_id"), col("qv").as("c_qv"),
+                       col("n2").as("ca2")), Seq("cand_id"))
+    broadcast(q).join(c, Seq("centroid_id"))
+      .where(col("cand_id") =!= col("query_id"))
+      .withColumn("dot", dotCol)
+      .withColumn("score", expr(scoreExpr))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("cand_id"))).cast("long"))
+      .where(col("rnk") <= k)
+      .select("query_id", "cand_id", "score", "rnk")
+  }
+
+  /** Multi-probe IVF: each query searches its `nprobe` nearest cells
+    * instead of one — the standard recall/cost dial (recall lost to
+    * boundary effects comes back at ~nprobe× candidate cost). Candidates
+    * stay uniquely assigned (rn = 1), so no dedup is needed; the probe
+    * list is still an equi-join on centroid_id — same 100 TB shape as
+    * single-probe. */
+  def ivfTopKProbed(spark: SparkSession, dir: String, k: Int = 3,
+                    nprobe: Int = 2): DataFrame = {
+    val cells = ivfCells(spark, dir)
+      .select(col("query_id").as("vec_id"), col("centroid_id"), col("rn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val emb = quantized(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = cells.where(col("rn") <= nprobe)
+      .where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("centroid_id"))
+      .join(emb.select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+                       col("n2").as("qa2")), Seq("query_id"))
+    val c = cells.where(col("rn") === 1)
       .select(col("vec_id").as("cand_id"), col("centroid_id"))
       .join(emb.select(col("vec_id").as("cand_id"), col("qv").as("c_qv"),
                        col("n2").as("ca2")), Seq("cand_id"))
