@@ -52,6 +52,16 @@ class VecDotFSpec extends SparkSpec {
     assert(nullArray.isNullAt(0)) // null top-level array still yields NULL
   }
 
+  test("VecDotQ shares the edge semantics (min-prefix, null-as-0, exact int64)") {
+    val row = spark.sql(
+      """SELECT array(CAST(1 AS BIGINT), CAST(NULL AS BIGINT), CAST(3 AS BIGINT)) AS a,
+        |       array(CAST(2 AS BIGINT), CAST(5 AS BIGINT)) AS b""".stripMargin)
+    val d = row.select(graft.expr.VecDotQ($"a", $"b")).as[Long].head()
+    assert(d == 2L) // 1*2; index 1 null on a, index 2 absent on b
+    val exact = row.select(graft.expr.VecDotQ($"a", $"a")).as[Long].head()
+    assert(exact == 10L) // 1 + 0 + 9
+  }
+
   test("fast ANN equals exact-arithmetic ANN ranking on real data") {
     val d = "/root/testdata/sf0.001"
     val fast = graft.ops.Vectors.annCosineTopKFast(spark, d)
