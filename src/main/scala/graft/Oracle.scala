@@ -287,6 +287,7 @@ f_customer_retention_grain AS (
     "q_dedup_minhash_lsh"   -> fromDocs("minhash_bands"),
     "q_dedup_minhash_pairs" -> fromDocs("minhash_pairs"),
     "q_dedup_simhash"       -> fromDocs("simhash"),
+    "q_dedup_simhash_pairs" -> fromDocs("simhash_pairs"),
     "q_dedup_ngram_jaccard" -> fromDocs("ngram_jaccard"),
     "q_dedup_embedding"     -> fromDocs("dedup_embedding"),
     "q_text_stats"          -> fromDocs("text_stats"),

@@ -61,6 +61,8 @@ object SparkEntry {
     "q_dedup_minhash_lsh"   -> ((s, d) => ops.Dedup.minhashBands(s, d)),
     "q_dedup_minhash_pairs" -> ((s, d) => ops.Dedup.minhashPairs(s, d)),
     "q_dedup_simhash"       -> ((s, d) => ops.Dedup.simhash(s, d)),
+    // hamming-banded simhash candidates (pigeonhole LSH, no all-pairs)
+    "q_dedup_simhash_pairs" -> ((s, d) => ops.Dedup.simhashPairs(s, d)),
     "q_dedup_ngram_jaccard" -> ((s, d) => ops.Dedup.ngramJaccard(s, d)),
     "q_dedup_embedding"     -> ((s, d) => ops.Vectors.nearDup(s, d)),
     "q_text_stats"          -> ((s, d) => ops.TextOps.textStats(s, d)),

@@ -130,6 +130,38 @@ object Dedup {
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhashOf(TextOps.docsWords(spark, dir))
 
+  /** SimHash near-dup candidate pairs within `maxHamming` bit flips, via
+    * pigeonhole banding: split the 32-bit hash into maxHamming+1 byte
+    * chunks — any pair within the distance must agree EXACTLY on at least
+    * one chunk, so candidates come from an equi-join on (band, chunk) and
+    * only they pay the bit_count(xor) filter. Same no-all-pairs shape as
+    * MinHash LSH: the only shuffle keys are (band, 8-bit chunk).
+    *
+    * Scale note: 8-bit chunks give only 256 buckets per band — fine for the
+    * 32-bit parity hash here, but at corpus scale the hash must widen (64+
+    * bits, 16-bit chunks) so buckets stay small; candidate volume per
+    * bucket is (N/buckets)² per band. The banding algebra is unchanged. */
+  def simhashPairsOf(simhash: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    val banded = simhash
+      .withColumn("band", explode(expr(s"sequence(0, ${nBands - 1})")))
+      .withColumn("chunk",
+        expr("shiftright(simhash, CAST(band * 8 AS INT)) & 255"))
+    val a = banded.select(col("doc_id").as("doc_a"),
+                          col("simhash").as("sh_a"), col("band"), col("chunk"))
+    val b = banded.select(col("doc_id").as("doc_b"),
+                          col("simhash").as("sh_b"), col("band"), col("chunk"))
+    a.join(b, Seq("band", "chunk"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+              expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashPairsOf(simhash(spark, dir))
+
   /** Near-dup clusters: connected components over the LSH candidate-pair
     * graph via min-label propagation (iterate: every node takes the min
     * label among itself and its neighbors, until fixpoint). Output:

@@ -69,6 +69,20 @@ class DedupSpec extends SparkSpec {
     assert(m(0L) != m(2L))
   }
 
+  test("simhash hamming pairs: identical docs pair at distance 0") {
+    val sh = Dedup.simhashOf(words)
+    val pairs = Dedup.simhashPairsOf(sh)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0L))
+    // pigeonhole completeness: every pair within distance 3 is found
+    val hashes = sh.as[(Long, Long)].collect().toMap
+    val expect = for {
+      a <- hashes.keys; b <- hashes.keys if a < b
+      h = java.lang.Long.bitCount(hashes(a) ^ hashes(b)) if h <= 3
+    } yield (a, b)
+    assert(pairs.map(p => (p._1, p._2)).toSet == expect.toSet)
+  }
+
   test("ngram jaccard: identical = 1.0, disjoint = 0.0") {
     val pairs = Seq((0L, 1L), (0L, 2L)).toDF("doc_a", "doc_b")
     val j = Dedup.ngramJaccardFor(pairs, shingles)

@@ -43,6 +43,15 @@ simhash AS (
          CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(bit AS INTEGER)
                   ELSE 0 END) AS BIGINT) AS simhash
   FROM sim_bits GROUP BY 1),
+sh_bands AS (
+  SELECT doc_id, simhash, band, (simhash >> CAST(band * 8 AS INTEGER)) & 255 AS chunk
+  FROM simhash, range(0, 4) t(band)),
+simhash_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM sh_bands a JOIN sh_bands b
+    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
 jacc_pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.norm AS norm_a, b.norm AS norm_b
   FROM docs a JOIN docs b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id % 2 = 0),
