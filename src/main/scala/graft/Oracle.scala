@@ -294,6 +294,7 @@ f_customer_retention_grain AS (
     "q_quality_score"       -> fromDocs("quality_score"),
     "q_lang_id"             -> fromDocs("lang_id"),
     "q_doc_fingerprint"     -> fromDocs("doc_fingerprint"),
+    "q_word_freq"           -> fromDocs("word_freq"),
     "q_multimodal_meta"     -> fromDocs("mm_meta"),
     "q_multimodal_frames"   -> fromDocs("mm_frames"),
     "q_ann_cosine_topk"     -> fromDocs("ann_cosine_topk"),

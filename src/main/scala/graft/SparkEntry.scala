@@ -69,6 +69,8 @@ object SparkEntry {
     "q_quality_score"       -> ((s, d) => ops.TextOps.qualityScore(s, d)),
     "q_lang_id"             -> ((s, d) => ops.TextOps.langId(s, d)),
     "q_doc_fingerprint"     -> ((s, d) => ops.TextOps.fingerprint(s, d)),
+    // vocabulary/Zipf profile: top-100 words, deterministic tiebreak
+    "q_word_freq"           -> ((s, d) => ops.TextOps.wordFreq(s, d)),
     "q_multimodal_meta"     -> ((s, d) => ops.Multimodal.meta(s, d)),
     "q_multimodal_frames"   -> ((s, d) => ops.Multimodal.frames(s, d)),
     "q_ann_cosine_topk"     -> ((s, d) => ops.Vectors.annCosineTopK(s, d)),

@@ -126,4 +126,23 @@ object TextOps {
 
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     fingerprintOf(docs(spark, dir), shingles(spark, dir))
+
+  /** Corpus word-frequency top-k — the vocabulary/Zipf profile a tokenizer
+    * build starts from. Two-phase count (map-side partial agg on word),
+    * then a global top-k that plans as TakeOrdered (no full sort): rank by
+    * (count desc, word) for a deterministic tiebreak. Integer-only output —
+    * trivially cross-engine. */
+  def wordFreqOf(docsWords: DataFrame, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = docsWords
+      .select(explode(col("words")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(k) // TakeOrdered, no full sort
+    // rank window runs over k rows only — never the full vocabulary
+    top.withColumn("rank", row_number().over(
+      Window.orderBy(col("n").desc, col("w"))).cast("long"))
+  }
+
+  def wordFreq(spark: SparkSession, dir: String): DataFrame =
+    wordFreqOf(docsWords(spark, dir))
 }

@@ -109,6 +109,10 @@ lang_id AS (
                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
                WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END) = d.lang AS correct
   FROM lang_scores l JOIN docs d ON d.doc_id = l.doc_id),
+word_freq AS (
+  SELECT w, n, CAST(row_number() OVER (ORDER BY n DESC, w) AS BIGINT) AS rank
+  FROM (SELECT w, CAST(count(*) AS BIGINT) AS n FROM words_flat GROUP BY 1) f
+  QUALIFY rank <= 100),
 doc_fingerprint AS (
   SELECT d.doc_id, md5(d.norm) AS md5_norm, min(md5(s.shingle)) AS min_shingle_hash
   FROM docs d JOIN docs_sh_d s ON s.doc_id = d.doc_id
