@@ -142,21 +142,41 @@ object Dedup {
     * bits, 16-bit chunks) so buckets stay small; candidate volume per
     * bucket is (N/buckets)² per band. The banding algebra is unchanged. */
   def simhashPairsOf(simhash: DataFrame, maxHamming: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions.{greatest, least}
     val nBands = maxHamming + 1
-    val banded = simhash
+    // Band over DISTINCT hash values, not docs: corpora are full of exact
+    // and near-exact duplicates that share a hash, so the quadratic bucket
+    // join runs on |distinct hashes| and the (cheap, linear-per-output)
+    // doc expansion happens only for value pairs that already passed the
+    // hamming filter.
+    val vals = simhash.select(col("simhash").as("sh")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = vals
       .withColumn("band", explode(expr(s"sequence(0, ${nBands - 1})")))
-      .withColumn("chunk",
-        expr("shiftright(simhash, CAST(band * 8 AS INT)) & 255"))
-    val a = banded.select(col("doc_id").as("doc_a"),
-                          col("simhash").as("sh_a"), col("band"), col("chunk"))
-    val b = banded.select(col("doc_id").as("doc_b"),
-                          col("simhash").as("sh_b"), col("band"), col("chunk"))
-    a.join(b, Seq("band", "chunk"))
-      .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
+      .withColumn("chunk", expr("shiftright(sh, CAST(band * 8 AS INT)) & 255"))
+    val a = banded.select(col("sh").as("sh_a"), col("band"), col("chunk"))
+    val b = banded.select(col("sh").as("sh_b"), col("band"), col("chunk"))
+    val valPairs = a.join(b, Seq("band", "chunk"))
+      .where(col("sh_a") <= col("sh_b")) // keep equal: same-hash doc groups
+      .select(col("sh_a"), col("sh_b"),
               expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)").as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
+    val d1 = simhash.select(col("doc_id").as("da"), col("simhash").as("sh_a"))
+    val d2 = simhash.select(col("doc_id").as("db"), col("simhash").as("sh_b"))
+    // duplicate-free expansion — no global distinct over the (large) output:
+    // distinct value pairs u<v produce each cross combo once; the u==v case
+    // pairs within one hash group with an ordering filter instead.
+    val cross = valPairs.where(col("sh_a") < col("sh_b"))
+      .join(d1, "sh_a").join(d2, "sh_b")
+      .select(least(col("da"), col("db")).as("doc_a"),
+              greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+    val same = valPairs.where(col("sh_a") === col("sh_b"))
+      .join(d1, "sh_a")
+      .join(d2.withColumnRenamed("sh_b", "sh_a"), "sh_a")
+      .where(col("da") < col("db"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"), col("hamming"))
+    cross.unionAll(same)
   }
 
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
