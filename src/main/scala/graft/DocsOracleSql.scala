@@ -211,6 +211,49 @@ ivf_topk AS (
     JOIN emb_n qe ON qe.vec_id = q.vec_id
     JOIN emb_n ce ON ce.vec_id = c.vec_id
     WHERE q.vec_id % 50 = 0) s WHERE rnk <= 3),
+km_c0 AS (
+  SELECT vec_id AS cell, qv AS cqv, n2 AS cn2 FROM emb_n WHERE vec_id % 40 = 0),
+km_a1 AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             CAST(list_sum(list_transform(list_zip(e.qv, c.cqv), x -> x[1] * x[2])) AS DOUBLE)
+             / sqrt(CAST(e.n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)) DESC, c.cell) AS rn
+    FROM emb_n e, km_c0 c) t WHERE rn = 1),
+km_s1 AS (
+  SELECT cell, dim, sum(val) AS s, count(*) AS n FROM (
+    SELECT a.cell, unnest(e.qv) AS val, unnest(range(0, len(e.qv))) AS dim
+    FROM km_a1 a JOIN emb_n e ON e.vec_id = a.vec_id) z
+  GROUP BY 1, 2),
+km_c1 AS (
+  SELECT cell, cqv, CAST(list_sum(list_transform(cqv, x -> x * x)) AS BIGINT) AS cn2 FROM (
+    SELECT cell, array_agg(CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) ORDER BY dim) AS cqv
+    FROM km_s1 GROUP BY 1) g),
+km_a2 AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             CAST(list_sum(list_transform(list_zip(e.qv, c.cqv), x -> x[1] * x[2])) AS DOUBLE)
+             / sqrt(CAST(e.n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)) DESC, c.cell) AS rn
+    FROM emb_n e, km_c1 c) t WHERE rn = 1),
+km_s2 AS (
+  SELECT cell, dim, sum(val) AS s, count(*) AS n FROM (
+    SELECT a.cell, unnest(e.qv) AS val, unnest(range(0, len(e.qv))) AS dim
+    FROM km_a2 a JOIN emb_n e ON e.vec_id = a.vec_id) z
+  GROUP BY 1, 2),
+km_c2 AS (
+  SELECT cell, cqv, CAST(list_sum(list_transform(cqv, x -> x * x)) AS BIGINT) AS cn2 FROM (
+    SELECT cell, array_agg(CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) ORDER BY dim) AS cqv
+    FROM km_s2 GROUP BY 1) g),
+ann_kmeans_assign AS (
+  SELECT vec_id, cell, score FROM (
+    SELECT e.vec_id, c.cell,
+           CAST(list_sum(list_transform(list_zip(e.qv, c.cqv), x -> x[1] * x[2])) AS DOUBLE)
+             / sqrt(CAST(e.n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)) AS score,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             CAST(list_sum(list_transform(list_zip(e.qv, c.cqv), x -> x[1] * x[2])) AS DOUBLE)
+             / sqrt(CAST(e.n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)) DESC, c.cell) AS rn
+    FROM emb_n e, km_c2 c) t WHERE rn = 1),
 sym_edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM minhash_pairs
   UNION ALL SELECT doc_b AS src, doc_a AS dst FROM minhash_pairs),

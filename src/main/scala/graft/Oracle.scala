@@ -305,6 +305,7 @@ f_customer_retention_grain AS (
     "q_ann_ivf_assign"      -> fromDocs("ivf_assign"),
     "q_ann_ivf_topk"        -> fromDocs("ivf_topk"),
     "q_ann_ivf_topk_probe2" -> fromDocs("ivf_topk_probe2"),
+    "q_ann_kmeans_assign"   -> fromDocs("ann_kmeans_assign"),
     "q_dedup_clusters"      -> fromDocs("dedup_clusters"),
     "q_dedup_clusters_fast" -> fromDocs("dedup_clusters"),
     "q_sample_stratified"   -> fromDocs("sample_stratified"),

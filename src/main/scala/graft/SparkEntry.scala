@@ -94,7 +94,9 @@ object SparkEntry {
     "q_ann_ivf_assign"      -> ((s, d) => ops.Vectors.ivfAssign(s, d)),
     "q_ann_ivf_topk"        -> ((s, d) => ops.Vectors.ivfTopK(s, d)),
     // multi-probe IVF: nprobe=2 nearest cells per query
-    "q_ann_ivf_topk_probe2" -> ((s, d) => ops.Vectors.ivfTopKProbed(s, d)))
+    "q_ann_ivf_topk_probe2" -> ((s, d) => ops.Vectors.ivfTopKProbed(s, d)),
+    // IVF centroid training: 2 Lloyd rounds, exact integer centroids
+    "q_ann_kmeans_assign"   -> ((s, d) => ops.Vectors.kmeansAssign(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -114,6 +114,56 @@ object Vectors {
       .select("query_id", "cand_id", "score", "rnk")
   }
 
+  /** Nearest-centroid assignment for a (cell, c_qv, ca2) centroid set. */
+  private def assignTo(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+               col("n2").as("qa2"))
+      .join(broadcast(cents))
+      .withColumn("dot", dotCol)
+      .withColumn("score", expr(scoreExpr))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("cell"))))
+      .where(col("rn") === 1)
+      .select(col("query_id").as("vec_id"), col("cell"), col("score"))
+
+  /** IVF centroid TRAINING: `iters` Lloyd rounds from the deterministic
+    * seed subset (vec_id % 40 == 0), then the final assignment.
+    *
+    * Determinism across engines: member vectors are int64-quantized, the
+    * per-cell mean is computed as exact integer sums then RE-QUANTIZED
+    * (round(sum/count) per dimension — one IEEE-exact double division +
+    * round on identical operands), so every iteration's centroids are
+    * identical integer vectors in Spark and DuckDB and cosine assignment
+    * reuses the exact int-dot scoring. Scale shape: assignment is a
+    * broadcast of k centroids (map-side, one pass); the update is one
+    * (cell, dim) partial-agg shuffle — the standard distributed Lloyd
+    * step. Empty cells drop out, like any k-means. */
+  def kmeansAssign(spark: SparkSession, dir: String,
+                   iters: Int = 2): DataFrame = {
+    val emb = quantized(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents = emb.where(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("cell"), col("qv").as("c_qv"),
+              col("n2").as("ca2"))
+    for (_ <- 1 to iters) {
+      val assign = assignTo(emb, cents).select("vec_id", "cell")
+      val sums = assign
+        .join(emb.select(col("vec_id"), col("qv")), "vec_id")
+        .select(col("cell"), posexplode(col("qv")).as(Seq("dim", "v")))
+        .groupBy("cell", "dim")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      cents = sums
+        .withColumn("c",
+          expr("CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)"))
+        .groupBy("cell")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, c))), x -> x.c)")
+          .as("c_qv"))
+        .withColumn("ca2", graft.expr.VecDotQ(col("c_qv"), col("c_qv")))
+    }
+    assignTo(emb, cents)
+  }
+
   /** Multi-probe IVF: each query searches its `nprobe` nearest cells
     * instead of one — the standard recall/cost dial (recall lost to
     * boundary effects comes back at ~nprobe× candidate cost). Candidates

@@ -19,6 +19,18 @@ class VectorsMultimodalSpec extends SparkSpec {
     assert(n2 == 1000000L * 1000000L)
   }
 
+  test("k-means training improves (or preserves) assignment similarity") {
+    val d = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.avg
+    val seedAvg = Vectors.ivfAssign(spark, d)
+      .agg(avg("score")).head.getDouble(0)
+    val trainedAvg = Vectors.kmeansAssign(spark, d)
+      .agg(avg("score")).head.getDouble(0)
+    // Lloyd rounds refine centroids toward their members; allow a hair of
+    // slack for the integer re-quantization of the means
+    assert(trainedAvg >= seedAvg - 0.01, s"seed=$seedAvg trained=$trainedAvg")
+  }
+
   test("nearest same-label neighbor: identical wins with score 1.0") {
     val q = Vectors.quantizedOf(emb)
     val a = q.select(col("vec_id").as("query_id"), col("label"),
