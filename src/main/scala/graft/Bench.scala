@@ -99,13 +99,24 @@ object Bench {
       .map { case (n, f) => n -> (() => f(spark, sfDir)) }
     val (pQs, pTotal) = json(series(pipelineQs, "pipeline"))
 
-    val whRoot = java.nio.file.Files
-      .createTempDirectory("graft_bench_wh").toString
-    val (matSec, matOk) = time { PipelineRunner.run(spark, sfDir, whRoot); () }
-    if (!matOk) errors += "warehouse:materialize"
-    val (wQs, wTotal) =
-      if (matOk) json(series(warehouseQueries(spark, whRoot), "warehouse"))
-      else ("{}", -1.0)
+    val whRootPath = java.nio.file.Files.createTempDirectory("graft_bench_wh")
+    val whRoot = whRootPath.toString
+    val (matSec, wQs, wTotal) =
+      try {
+        val (sec, ok) = time { PipelineRunner.run(spark, sfDir, whRoot); () }
+        if (!ok) errors += "warehouse:materialize"
+        val (qs, total) =
+          if (ok) json(series(warehouseQueries(spark, whRoot), "warehouse"))
+          else ("{}", -1.0)
+        (sec, qs, total)
+      } finally { // don't leak a full warehouse copy per bench run
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        val walk = Files.walk(whRootPath)
+        try walk.sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      }
 
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$pTotal,"unit":"sec","queries":$pQs,"sf":"$sfDir","warehouse":{"materialize_sec":$matSec,"total":$wTotal,"queries":$wQs},"errors":$errJson}""")

@@ -59,7 +59,12 @@ object SparkEntry {
     // --- training-data-pipeline operators (BASELINE.json north star) ---
     "q_dedup_exact"         -> ((s, d) => ops.Dedup.exact(s, d)),
     "q_dedup_minhash_lsh"   -> ((s, d) => ops.Dedup.minhashBands(s, d)),
-    "q_dedup_minhash_pairs" -> ((s, d) => ops.Dedup.minhashPairs(s, d)),
+    // exact dense pair list (guard off) — matches the oracle's dense pairs
+    "q_dedup_minhash_pairs" -> ((s, d) =>
+      ops.Dedup.minhashPairs(s, d, Int.MaxValue)),
+    // production guard level (star-pairs giant buckets; rows-only check —
+    // at SFs where a bucket tops the cap this differs from dense BY DESIGN)
+    "q_dedup_minhash_pairs_guarded" -> ((s, d) => ops.Dedup.minhashPairs(s, d)),
     "q_dedup_simhash"       -> ((s, d) => ops.Dedup.simhash(s, d)),
     // hamming-banded simhash candidates (pigeonhole LSH, no all-pairs)
     "q_dedup_simhash_pairs" -> ((s, d) => ops.Dedup.simhashPairs(s, d)),

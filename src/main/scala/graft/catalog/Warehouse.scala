@@ -53,6 +53,29 @@ class Warehouse(spark: SparkSession, root: String) {
   def readTable(db: String, table: String): DataFrame =
     spark.table(s"${db}_$table")
 
+  /** Write `df` to a hidden temp path next to the table, then swap it into
+    * place (current → `.bak`, temp → live, drop `.bak`). The merged data is
+    * DURABLY on the filesystem before the live path is touched — unlike the
+    * previous localCheckpoint-then-overwrite-in-place, which kept the only
+    * copy in non-replicated executor storage while the target was being
+    * cleared (executor loss ⇒ table destroyed, on a real cluster). Uses the
+    * Hadoop FileSystem API, so the same swap works on HDFS/object-store
+    * paths; rename is atomic per-path on HDFS and a cheap move locally. */
+  private def writeSwap(db: String, table: String, df: DataFrame)(
+      write: (DataFrame, String) => Unit): Unit = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(path(db, table))
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(s"$root/$db/.${table}__swap_tmp")
+    val bak = new Path(s"$root/$db/.${table}__swap_bak")
+    fs.delete(tmp, true)
+    write(df, tmp.toString)
+    fs.delete(bak, true)
+    if (fs.exists(target)) fs.rename(target, bak)
+    fs.rename(tmp, target)
+    fs.delete(bak, true)
+  }
+
   /** Key-based upsert (MERGE): target rows whose key appears in `updates`
     * are replaced by the update row; all other target rows are kept; update
     * rows with no match are appended. The reference's motivating case is the
@@ -60,22 +83,32 @@ class Warehouse(spark: SparkSession, root: String) {
     * full-table UPDATE+INSERT rewrites ALL of history every day; merge
     * rewrites once and appends.
     *
-    * The merged frame is materialized (eager localCheckpoint) before the
-    * overwrite so the write does not scan the path it replaces. */
+    * The merged frame is written to a temp path and atomically swapped in
+    * ([[writeSwap]]) — readers of the old table keep a consistent snapshot,
+    * a crash mid-merge leaves either the old table or the old table +
+    * recoverable temp, never a destroyed one. */
   def merge(db: String, table: String, updates: DataFrame,
             keys: Seq[String]): Unit = {
     if (!exists(db, table)) { overwrite(db, table, updates); return }
     val target = read(db, table)
     val kept = target.join(
       updates.select(keys.map(updates.col): _*), keys, "left_anti")
-    overwrite(db, table, kept.unionByName(updates).localCheckpoint(true))
+    writeSwap(db, table, kept.unionByName(updates)) { (df, p) =>
+      df.write.mode(SaveMode.Overwrite).parquet(p)
+    }
   }
 
   /** Partition-pruned merge for tables partitioned on `partitionCol` — the
     * 100 TB shape: only partitions PRESENT in `updates` are read, merged and
     * rewritten (dynamic partition overwrite); untouched partitions' files
     * are never opened or replaced. An increment touching one day of a
-    * 5-year fact table rewrites 1/1800th of it. */
+    * 5-year fact table rewrites 1/1800th of it.
+    *
+    * Durability: the merged affected partitions are first written to a temp
+    * path (a real parquet copy, not executor-local blocks); the dynamic
+    * partition overwrite then reads FROM the temp copy, so the target scan
+    * and target write never race, and a failure mid-overwrite leaves the
+    * temp copy on disk for recovery. The temp dir is removed on success. */
   def mergePartitioned(db: String, table: String, updates: DataFrame,
                        keys: Seq[String], partitionCol: String): Unit = {
     if (!exists(db, table)) {
@@ -89,10 +122,18 @@ class Warehouse(spark: SparkSession, root: String) {
             Seq(partitionCol), "left_semi")
     val kept = affected.join(
       updates.select(keys.map(updates.col): _*), keys, "left_anti")
-    kept.unionByName(updates).localCheckpoint(true)
+
+    import org.apache.hadoop.fs.Path
+    val tmp = new Path(s"$root/$db/.${table}__merge_tmp")
+    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(tmp, true)
+    kept.unionByName(updates)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    spark.read.parquet(tmp.toString)
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol)
       .parquet(path(db, table))
+    fs.delete(tmp, true)
   }
 }

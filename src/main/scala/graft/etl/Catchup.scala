@@ -22,12 +22,26 @@ object Catchup {
   private val sortCols = Seq("date_time", "uniq_id")
 
   /** Assign ids to `history` and fold the dated `increments` over it in
-    * order. All inputs carry `uniq_id` + `date_time` and identical schemas. */
-  def applyAll(history: DataFrame, increments: Seq[DataFrame]): DataFrame =
-    increments.foldLeft(Ids.dense(history, sortCols, "id"))(applyOne)
+    * order. All inputs carry `uniq_id` + `date_time` and identical schemas.
+    *
+    * `materialize` truncates the accumulator's lineage once per step —
+    * without it every fold step re-executes the whole accumulated plan
+    * (the offset count AND the anti-join probe), O(batches²) work with
+    * ever-deepening plans. Default: eager localCheckpoint (fine
+    * single-JVM). For long cluster catchups pass a durable materializer,
+    * e.g. write-to-warehouse-and-read-back — `PipelineRunner`+`Warehouse`
+    * already provide the pieces. */
+  def applyAll(history: DataFrame, increments: Seq[DataFrame],
+               materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame =
+    increments.foldLeft(materialize(Ids.dense(history, sortCols, "id"))) {
+      (acc, inc) => materialize(applyOne(acc, inc))
+    }
 
   /** One catchup step: drop rows the accumulated log already has (re-run
-    * idempotency), id the rest from the accumulated count, append. */
+    * idempotency), id the rest from the accumulated count, append. The
+    * caller materializes `acc` between steps ([[applyAll]]); the count here
+    * then reads the materialized blocks, not the whole re-derived plan. */
   def applyOne(acc: DataFrame, inc: DataFrame): DataFrame = {
     val nextOffset = acc.count() // ids are dense, so count == max id
     val fresh = inc.join(acc.select("uniq_id"), Seq("uniq_id"), "left_anti")

@@ -18,14 +18,34 @@ object Pipeline {
     * their persisted shared subplans) are the in-session materialized
     * staging layer. Sharing the INSTANCE matters since Ids.dense — the
     * two-phase id assignment is RDD-backed, so two instances' id plans
-    * never canonicalize equal and would each re-cache their own copy. */
+    * never canonicalize equal and would each re-cache their own copy.
+    *
+    * STALE-READ CONTRACT: instances are never invalidated automatically.
+    * If the parquet under `dir` is rewritten within a session, call
+    * [[invalidate]] first — otherwise callers keep getting results
+    * computed over the OLD files' persisted partitions. */
   def of(spark: SparkSession, dir: String): Pipeline =
     instances.computeIfAbsent((spark, dir), { case (s, d) => new Pipeline(s, d) })
+
+  /** Drop the memoized instance for (session, dir) and unpersist every
+    * shared subplan it cached — REQUIRED before re-reading a dir whose
+    * files changed. */
+  def invalidate(spark: SparkSession, dir: String): Unit =
+    Option(instances.remove((spark, dir))).foreach(_.unpersistAll())
 }
 
 class Pipeline(spark: SparkSession, dir: String) {
 
   import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  private val persistedFrames =
+    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private def cached(df: DataFrame): DataFrame = persistedFrames.synchronized {
+    val p = df.persist(MEMORY_AND_DISK); persistedFrames += p; p
+  }
+  private[etl] def unpersistAll(): Unit = persistedFrames.synchronized {
+    persistedFrames.foreach(_.unpersist(false)); persistedFrames.clear()
+  }
 
   /** Shared subplans consumed more than once within a single query are
     * persisted (spill-safe MEMORY_AND_DISK): the synthesized order feed
@@ -34,7 +54,7 @@ class Pipeline(spark: SparkSession, dir: String) {
     * these correspond to materialized staging tables; in-memory caching is
     * the single-job equivalent. */
   private lazy val feedCached: DataFrame =
-    Feeds.orderFeed(spark, dir).persist(MEMORY_AND_DISK)
+    cached(Feeds.orderFeed(spark, dir))
   private lazy val ordCut: DataFrame = Feeds.ordersCutoff(spark, dir)
 
   lazy val uol: DataFrame = Feeds.splitLe(feedCached, ordCut, "date_time")
@@ -50,7 +70,7 @@ class Pipeline(spark: SparkSession, dir: String) {
   lazy val priceLog: DataFrame = Feeds.priceLog(spark, dir)
 
   lazy val calDates: DataFrame =
-    Calendar.dates(research, ual, uol).persist(MEMORY_AND_DISK)
+    cached(Calendar.dates(research, ual, uol))
   lazy val dCalendar: DataFrame = Calendar.attrs(calDates)
   /** |d_calendar| — offset for the incremental calendar ids. */
   lazy val calCount: Long = calDates.count()
@@ -70,7 +90,7 @@ class Pipeline(spark: SparkSession, dir: String) {
 
   lazy val weeks: DataFrame = Retention.weeks(dCalendarFull)
   lazy val uolvPeriod: DataFrame =
-    Retention.withPeriod(uolV2, weeks).persist(MEMORY_AND_DISK)
+    cached(Retention.withPeriod(uolV2, weeks))
 
   def newCust(includeItem: Boolean): DataFrame =
     Retention.newCust(uolvPeriod, includeItem)

@@ -65,28 +65,24 @@ object Dedup {
     * candidate graph and a star spans the same connected component, so
     * downstream clustering ([[clustersOf]]) is EXACTLY unchanged; only the
     * explicit pair list degrades (documented) to the spanning subset for
-    * pathological buckets. Guarded buckets are logged. */
+    * pathological buckets — `maxBucket = Int.MaxValue` gives the exact
+    * dense pair list (the oracle-checked parity form, no stats join in the
+    * plan). The guard is entirely LAZY — no Spark job runs at query
+    * construction; use [[minhashGiantBuckets]] to inspect/log what a guard
+    * run would degrade. */
   def minhashPairsOf(bands0: DataFrame, maxBucket: Int = 256): DataFrame = {
     val bands = bands0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val stats = bands.groupBy("band", "band_hash")
-      .agg(count(lit(1)).as("bsz"), min("doc_id").as("bmin"))
-    // one tiny agg job (bands is persisted; the pair join reuses it)
-    val g = stats.where(col("bsz") > maxBucket)
-      .agg(count(lit(1)), sum(expr("bsz * (bsz - 1) DIV 2 - (bsz - 1)"))).head
-    val nGiants = g.getLong(0)
-    if (nGiants == 0) {
-      // common case: no degenerate buckets — plain dense bucket join,
-      // no stats join in the plan
+    if (maxBucket == Int.MaxValue) {
+      // exact dense bucket join — plain plan, no stats join
       val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
       val c = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
       return a.join(c, Seq("band", "band_hash"))
         .where(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
     }
-    System.err.println(
-      s"[dedup] LSH giant-bucket guard: $nGiants bucket(s) > $maxBucket docs; " +
-      s"star-paired instead of dense (${g.getLong(1)} candidate pairs not materialized)")
+    val stats = bands.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("bsz"), min("doc_id").as("bmin"))
     val tagged = bands.join(stats, Seq("band", "band_hash"))
     val small = tagged.where(col("bsz") <= maxBucket)
     val a = small.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
@@ -100,15 +96,46 @@ object Dedup {
     dense.unionAll(star).distinct()
   }
 
-  // Memoized per (session, dir): the guard's one-time stats job and the
-  // bands persist are shared by every consumer (pairs, clusters) instead
-  // of re-running at each query construction.
-  private val pairsCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]
+  /** Buckets the giant-bucket guard would star-pair at `maxBucket`, with
+    * the number of dense pairs each would NOT materialize — the "no silent
+    * caps" audit view for guarded runs. */
+  def minhashGiantBuckets(bands: DataFrame, maxBucket: Int = 256): DataFrame =
+    bands.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") > maxBucket)
+      .withColumn("pairs_dropped", expr("bsz * (bsz - 1) DIV 2 - (bsz - 1)"))
 
-  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
-    pairsCache.computeIfAbsent((spark, dir),
-      { case (s, d) => minhashPairsOf(minhashBands(s, d)) })
+  // Memoized per (session, dir): the banded-signature pipeline (and its
+  // persist) is shared by every consumer — pairs at any guard level,
+  // clusters — instead of re-running per query construction.
+  //
+  // STALE-READ CONTRACT: entries are never invalidated automatically. If
+  // the parquet under `dir` is rewritten within a session, call
+  // [[invalidate]] first — otherwise consumers keep reading the persisted
+  // result of the OLD files (same contract as Spark's own table cache
+  // after an external overwrite).
+  private val bandsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+  private val pairsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), DataFrame]
+
+  private def bandsCached(spark: SparkSession, dir: String): DataFrame =
+    bandsCache.computeIfAbsent((spark, dir),
+      { case (s, d) =>
+        minhashBands(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) })
+
+  def minhashPairs(spark: SparkSession, dir: String,
+                   maxBucket: Int = 256): DataFrame =
+    pairsCache.computeIfAbsent((spark, dir, maxBucket),
+      { case (s, d, m) => minhashPairsOf(bandsCached(s, d), m) })
+
+  /** Drop this (session, dir)'s memoized frames and unpersist their cached
+    * partitions — REQUIRED before re-reading a dir whose files changed. */
+  def invalidate(spark: SparkSession, dir: String): Unit = {
+    Option(bandsCache.remove((spark, dir))).foreach(_.unpersist(false))
+    pairsCache.keySet.removeIf(k => k._1 == spark && k._2 == dir)
+  }
 
   /** 32-bit SimHash over the doc's distinct words (bit i from nibble i/4 of
     * the word's md5; majority vote per bit). */
