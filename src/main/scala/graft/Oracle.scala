@@ -288,6 +288,8 @@ f_customer_retention_grain AS (
     "q_dedup_minhash_pairs" -> fromDocs("minhash_pairs"),
     "q_dedup_simhash"       -> fromDocs("simhash"),
     "q_dedup_simhash_pairs" -> fromDocs("simhash_pairs"),
+    "q_dedup_simhash64"       -> fromDocs("simhash64"),
+    "q_dedup_simhash64_pairs" -> fromDocs("simhash64_pairs"),
     "q_dedup_ngram_jaccard" -> fromDocs("ngram_jaccard"),
     "q_dedup_embedding"     -> fromDocs("dedup_embedding"),
     "q_text_stats"          -> fromDocs("text_stats"),

@@ -68,6 +68,9 @@ object SparkEntry {
     "q_dedup_simhash"       -> ((s, d) => ops.Dedup.simhash(s, d)),
     // hamming-banded simhash candidates (pigeonhole LSH, no all-pairs)
     "q_dedup_simhash_pairs" -> ((s, d) => ops.Dedup.simhashPairs(s, d)),
+    // 64-bit hash + 16-bit chunks: the corpus-scale banding shape
+    "q_dedup_simhash64"       -> ((s, d) => ops.Dedup.simhash64(s, d)),
+    "q_dedup_simhash64_pairs" -> ((s, d) => ops.Dedup.simhash64Pairs(s, d)),
     "q_dedup_ngram_jaccard" -> ((s, d) => ops.Dedup.ngramJaccard(s, d)),
     "q_dedup_embedding"     -> ((s, d) => ops.Vectors.nearDup(s, d)),
     "q_text_stats"          -> ((s, d) => ops.TextOps.textStats(s, d)),

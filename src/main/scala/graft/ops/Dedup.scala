@@ -157,30 +157,69 @@ object Dedup {
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhashOf(TextOps.docsWords(spark, dir))
 
-  /** SimHash near-dup candidate pairs within `maxHamming` bit flips, via
-    * pigeonhole banding: split the 32-bit hash into maxHamming+1 byte
-    * chunks — any pair within the distance must agree EXACTLY on at least
-    * one chunk, so candidates come from an equi-join on (band, chunk) and
-    * only they pay the bit_count(xor) filter. Same no-all-pairs shape as
-    * MinHash LSH: the only shuffle keys are (band, 8-bit chunk).
+  /** 64-bit SimHash — same majority-vote construction as [[simhashOf]]
+    * over the first 16 nibbles of each word's md5. The wider hash is the
+    * corpus-scale variant: with 16-bit banding chunks it gives 65 536
+    * buckets per band instead of 256, keeping per-bucket candidate volume
+    * (quadratic in bucket size) small as N grows.
     *
-    * Scale note: 8-bit chunks give only 256 buckets per band — fine for the
-    * 32-bit parity hash here, but at corpus scale the hash must widen (64+
-    * bits, 16-bit chunks) so buckets stay small; candidate volume per
-    * bucket is (N/buckets)² per band. The banding algebra is unchanged. */
-  def simhashPairsOf(simhash: DataFrame, maxHamming: Int = 3): DataFrame = {
+    * Bit 63 is the sign bit: its arm adds Long.MinValue (= setting the top
+    * bit in two's complement), so the accumulating BIGINT sum of distinct
+    * powers never leaves the signed-64 range — exact in both engines. */
+  def simhash64Of(docsWords: DataFrame): DataFrame =
+    docsWords
+      .select(col("doc_id"), explode(col("words")).as("w")).distinct()
+      .withColumn("bit", explode(expr("sequence(0, 63)")))
+      .groupBy("doc_id", "bit")
+      .agg(sum(expr(
+        """CASE WHEN (shiftright(
+                 instr('0123456789abcdef',
+                       substring(md5(w), 1 + CAST(bit div 4 AS INT), 1)) - 1,
+                 bit % 4) & 1) = 1 THEN 1 ELSE -1 END""")).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(expr(
+        """CASE WHEN s <= 0 THEN CAST(0 AS BIGINT)
+                WHEN bit = 63 THEN CAST(-9223372036854775807 AS BIGINT) - CAST(1 AS BIGINT)
+                ELSE shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)) END"""))
+        .cast("long").as("simhash64"))
+
+  def simhash64(spark: SparkSession, dir: String): DataFrame =
+    simhash64Of(TextOps.docsWords(spark, dir))
+
+  /** SimHash near-dup candidate pairs within `maxHamming` bit flips, via
+    * pigeonhole banding: split the hash into maxHamming+1 chunks — any
+    * pair within the distance must agree EXACTLY on at least one chunk, so
+    * candidates come from an equi-join on (band, chunk) and only they pay
+    * the bit_count(xor) filter. Same no-all-pairs shape as MinHash LSH:
+    * the only shuffle keys are (band, chunk).
+    *
+    * Scale note: 8-bit chunks give only 256 buckets per band — fine for
+    * the 32-bit parity hash; at corpus scale use [[simhash64PairsOf]]
+    * (64-bit hash, 16-bit chunks) so buckets stay small — candidate volume
+    * per bucket is (N/buckets)² per band. The banding algebra is shared. */
+  def simhashPairsOf(simhash: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingPairs(simhash, "simhash", chunkBits = 8, maxHamming)
+
+  /** 16-bit-chunk banding over the 64-bit hash — the corpus-scale shape. */
+  def simhash64PairsOf(simhash64: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingPairs(simhash64, "simhash64", chunkBits = 16, maxHamming)
+
+  private def hammingPairs(hashes: DataFrame, hashCol: String,
+                           chunkBits: Int, maxHamming: Int): DataFrame = {
     import org.apache.spark.sql.functions.{greatest, least}
     val nBands = maxHamming + 1
+    val mask = (1L << chunkBits) - 1
     // Band over DISTINCT hash values, not docs: corpora are full of exact
     // and near-exact duplicates that share a hash, so the quadratic bucket
     // join runs on |distinct hashes| and the (cheap, linear-per-output)
     // doc expansion happens only for value pairs that already passed the
     // hamming filter.
-    val vals = simhash.select(col("simhash").as("sh")).distinct()
+    val vals = hashes.select(col(hashCol).as("sh")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = vals
       .withColumn("band", explode(expr(s"sequence(0, ${nBands - 1})")))
-      .withColumn("chunk", expr("shiftright(sh, CAST(band * 8 AS INT)) & 255"))
+      .withColumn("chunk",
+        expr(s"shiftright(sh, CAST(band * $chunkBits AS INT)) & $mask"))
     val a = banded.select(col("sh").as("sh_a"), col("band"), col("chunk"))
     val b = banded.select(col("sh").as("sh_b"), col("band"), col("chunk"))
     val valPairs = a.join(b, Seq("band", "chunk"))
@@ -189,8 +228,8 @@ object Dedup {
               expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)").as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
-    val d1 = simhash.select(col("doc_id").as("da"), col("simhash").as("sh_a"))
-    val d2 = simhash.select(col("doc_id").as("db"), col("simhash").as("sh_b"))
+    val d1 = hashes.select(col("doc_id").as("da"), col(hashCol).as("sh_a"))
+    val d2 = hashes.select(col("doc_id").as("db"), col(hashCol).as("sh_b"))
     // duplicate-free expansion — no global distinct over the (large) output:
     // distinct value pairs u<v produce each cross combo once; the u==v case
     // pairs within one hash group with an ordering filter instead.
@@ -208,6 +247,9 @@ object Dedup {
 
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     simhashPairsOf(simhash(spark, dir))
+
+  def simhash64Pairs(spark: SparkSession, dir: String): DataFrame =
+    simhash64PairsOf(simhash64(spark, dir))
 
   /** Near-dup clusters: connected components over the LSH candidate-pair
     * graph via min-label propagation (iterate: every node takes the min

@@ -83,6 +83,29 @@ class DedupSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)).toSet == expect.toSet)
   }
 
+  test("simhash64: identical docs equal, low 32 bits agree with 32-bit hash") {
+    val sh64 = Dedup.simhash64Of(words).as[(Long, Long)].collect().toMap
+    assert(sh64(0L) == sh64(1L))
+    assert(sh64(0L) != sh64(2L))
+    // construction check: bit i of the 64-bit hash uses nibble i/4 of the
+    // word md5, so bits 0..31 coincide with the 32-bit hash by definition
+    val sh32 = Dedup.simhashOf(words).as[(Long, Long)].collect().toMap
+    for ((id, v) <- sh32) assert((sh64(id) & 0xFFFFFFFFL) == v, s"doc $id")
+  }
+
+  test("simhash64 pairs: pigeonhole completeness at 16-bit chunks") {
+    val sh = Dedup.simhash64Of(words)
+    val pairs = Dedup.simhash64PairsOf(sh)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0L))
+    val hashes = sh.as[(Long, Long)].collect().toMap
+    val expect = for {
+      a <- hashes.keys; b <- hashes.keys if a < b
+      h = java.lang.Long.bitCount(hashes(a) ^ hashes(b)) if h <= 3
+    } yield (a, b)
+    assert(pairs.map(p => (p._1, p._2)).toSet == expect.toSet)
+  }
+
   test("ngram jaccard: identical = 1.0, disjoint = 0.0") {
     val pairs = Seq((0L, 1L), (0L, 2L)).toDF("doc_a", "doc_b")
     val j = Dedup.ngramJaccardFor(pairs, shingles)

@@ -52,6 +52,28 @@ simhash_pairs AS (
   FROM sh_bands a JOIN sh_bands b
     ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
   WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+sim_bits64 AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN ((strpos('0123456789abcdef',
+                    substr(md5(w), 1 + CAST(bit // 4 AS INTEGER), 1)) - 1)
+                   >> (bit % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM words_dist, range(0, 64) t(bit) GROUP BY 1, 2),
+simhash64 AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s <= 0 THEN CAST(0 AS BIGINT)
+                  WHEN bit = 63 THEN CAST(-9223372036854775807 AS BIGINT) - CAST(1 AS BIGINT)
+                  ELSE CAST(1 AS BIGINT) << CAST(bit AS INTEGER) END) AS BIGINT) AS simhash64
+  FROM sim_bits64 GROUP BY 1),
+sh64_bands AS (
+  SELECT doc_id, simhash64, band,
+         (simhash64 >> CAST(band * 16 AS INTEGER)) & 65535 AS chunk
+  FROM simhash64, range(0, 4) t(band)),
+simhash64_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash64, b.simhash64)) AS BIGINT) AS hamming
+  FROM sh64_bands a JOIN sh64_bands b
+    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash64, b.simhash64)) <= 3),
 jacc_pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.norm AS norm_a, b.norm AS norm_b
   FROM docs a JOIN docs b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id % 2 = 0),
