@@ -33,8 +33,17 @@ class Warehouse(spark: SparkSession, root: String) {
   def read(db: String, table: String): DataFrame =
     spark.read.parquet(path(db, table))
 
-  def exists(db: String, table: String): Boolean =
-    new java.io.File(path(db, table)).exists()
+  private def hPath(s: String) = new org.apache.hadoop.fs.Path(s)
+  private def fsOf(p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Existence through the same Hadoop FileSystem handle the swap/merge
+    * paths use — on HDFS/object-store roots a java.io.File check would be
+    * always-false and silently turn merge into overwrite(updates). */
+  def exists(db: String, table: String): Boolean = {
+    val p = hPath(path(db, table))
+    fsOf(p).exists(p)
+  }
 
   /** Bucketed overwrite: pre-shuffles the table into `n` buckets on
     * `bucketCol` at write time so subsequent equi-joins between tables
@@ -61,19 +70,61 @@ class Warehouse(spark: SparkSession, root: String) {
     * cleared (executor loss ⇒ table destroyed, on a real cluster). Uses the
     * Hadoop FileSystem API, so the same swap works on HDFS/object-store
     * paths; rename is atomic per-path on HDFS and a cheap move locally. */
+  private def bakPath(db: String, table: String) =
+    hPath(s"$root/$db/.${table}__swap_bak")
+
+  /** Rename checking the boolean result — the Hadoop API reports many
+    * failures (missing parent, cross-FS, existing destination) as `false`
+    * rather than throwing, and ignoring that is how a swap destroys the
+    * only surviving copy. */
+  private def renameOrThrow(fs: org.apache.hadoop.fs.FileSystem,
+                            src: org.apache.hadoop.fs.Path,
+                            dst: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"swap: rename $src -> $dst failed")
+
   private def writeSwap(db: String, table: String, df: DataFrame)(
       write: (DataFrame, String) => Unit): Unit = {
-    import org.apache.hadoop.fs.Path
-    val target = new Path(path(db, table))
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(s"$root/$db/.${table}__swap_tmp")
-    val bak = new Path(s"$root/$db/.${table}__swap_bak")
+    val target = hPath(path(db, table))
+    val fs = fsOf(target)
+    val tmp = hPath(s"$root/$db/.${table}__swap_tmp")
+    val bak = bakPath(db, table)
     fs.delete(tmp, true)
     write(df, tmp.toString)
     fs.delete(bak, true)
-    if (fs.exists(target)) fs.rename(target, bak)
-    fs.rename(tmp, target)
-    fs.delete(bak, true)
+    val hadTarget = fs.exists(target)
+    if (hadTarget) renameOrThrow(fs, target, bak)
+    if (!fs.rename(tmp, target)) {
+      // never leave no live path: put the original back before failing
+      if (hadTarget) fs.rename(bak, target)
+      throw new java.io.IOException(
+        s"swap: rename $tmp -> $target failed; original restored")
+    }
+    // drop the backup only once the new live copy is confirmed in place
+    if (fs.exists(target)) fs.delete(bak, true)
+  }
+
+  /** Heal a crash that hit between writeSwap's two renames (live path gone,
+    * `.bak` still holding the previous table): restore the backup. Called on
+    * merge entry so the exists() check never mistakes a mid-swap crash for a
+    * missing table (which would overwrite history with just the updates). */
+  private def recoverSwap(db: String, table: String): Unit = {
+    val target = hPath(path(db, table))
+    val fs = fsOf(target)
+    val bak = bakPath(db, table)
+    if (!fs.exists(target) && fs.exists(bak)) renameOrThrow(fs, bak, target)
+  }
+
+  /** Full refresh through the temp-write + swap path — for callers whose
+    * replacement frame READS the current table (e.g. a catchup accumulator
+    * folding over itself): plain overwrite would clear the files out from
+    * under the scan; here the new copy is fully written before the live
+    * path changes. */
+  def overwriteAtomic(db: String, table: String, df: DataFrame): Unit = {
+    recoverSwap(db, table)
+    writeSwap(db, table, df) { (d, p) =>
+      d.write.mode(SaveMode.Overwrite).parquet(p)
+    }
   }
 
   /** Key-based upsert (MERGE): target rows whose key appears in `updates`
@@ -83,12 +134,16 @@ class Warehouse(spark: SparkSession, root: String) {
     * full-table UPDATE+INSERT rewrites ALL of history every day; merge
     * rewrites once and appends.
     *
-    * The merged frame is written to a temp path and atomically swapped in
-    * ([[writeSwap]]) — readers of the old table keep a consistent snapshot,
-    * a crash mid-merge leaves either the old table or the old table +
-    * recoverable temp, never a destroyed one. */
+    * The merged frame is written to a temp path and swapped in
+    * ([[writeSwap]]) — readers of the old table keep a consistent snapshot.
+    * A crash between the swap's two renames leaves the table parked at its
+    * `.bak` path; [[recoverSwap]] restores it on the next merge before the
+    * exists() check, so history is never mistaken for a missing table. The
+    * unrecoverable window is a crash inside a single rename — atomic on
+    * HDFS per-path, not guaranteed on every object store. */
   def merge(db: String, table: String, updates: DataFrame,
             keys: Seq[String]): Unit = {
+    recoverSwap(db, table)
     if (!exists(db, table)) { overwrite(db, table, updates); return }
     val target = read(db, table)
     val kept = target.join(
@@ -123,9 +178,8 @@ class Warehouse(spark: SparkSession, root: String) {
     val kept = affected.join(
       updates.select(keys.map(updates.col): _*), keys, "left_anti")
 
-    import org.apache.hadoop.fs.Path
-    val tmp = new Path(s"$root/$db/.${table}__merge_tmp")
-    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = hPath(s"$root/$db/.${table}__merge_tmp")
+    val fs = fsOf(tmp)
     fs.delete(tmp, true)
     kept.unionByName(updates)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)

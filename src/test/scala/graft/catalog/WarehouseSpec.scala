@@ -44,6 +44,35 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.read("mart", "fresh").count() == 2)
   }
 
+  test("merge recovers a table parked at .bak by a crash mid-swap") {
+    val root = tmp()
+    val wh = new Warehouse(spark, root)
+    val hist = Seq((1L, "shipped"), (2L, "shipped")).toDF("id", "status")
+    wh.overwrite("mart", "f", hist)
+    // simulate a crash between writeSwap's two renames: live path gone,
+    // previous table parked at the .bak path
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$root/mart/f"),
+                     new org.apache.hadoop.fs.Path(s"$root/mart/.f__swap_bak")))
+    val updates = Seq((2L, "refunded")).toDF("id", "status")
+    wh.merge("mart", "f", updates, Seq("id"))
+    val got = wh.read("mart", "f").as[(Long, String)].collect().toSet
+    // history row 1 survives — merge did NOT degrade to overwrite(updates)
+    assert(got == Set((1L, "shipped"), (2L, "refunded")))
+  }
+
+  test("overwriteAtomic replaces a table from a frame that reads it") {
+    val wh = new Warehouse(spark, tmp())
+    wh.overwrite("stg", "acc", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // replacement frame scans the live table — plain overwrite would race
+    val next = wh.read("stg", "acc")
+      .unionByName(Seq((3L, "c")).toDF("id", "v"))
+    wh.overwriteAtomic("stg", "acc", next)
+    assert(wh.read("stg", "acc").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("partitioned merge rewrites only the partitions present in updates") {
     val root = tmp()
     val wh = new Warehouse(spark, root)
