@@ -89,8 +89,15 @@ object Bench {
       }
     }
 
+    // 3-decimal rounding everywhere: full double precision made the JSON
+    // line long enough that the driver's tail capture truncated it
+    // mid-object (BENCH_r03 lost its series totals to that).
+    def r3(v: Double): String =
+      new java.math.BigDecimal(v).setScale(3, java.math.RoundingMode.HALF_UP)
+        .toPlainString
+
     def json(results: Seq[(String, Double)]): (String, Double) = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
       (qs, results.map(_._2).filter(_ >= 0).sum)
     }
@@ -119,7 +126,16 @@ object Bench {
       }
 
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$pTotal,"unit":"sec","queries":$pQs,"sf":"$sfDir","warehouse":{"materialize_sec":$matSec,"total":$wTotal,"queries":$wQs},"errors":$errJson}""")
+    val line = s"""{"metric":"total","value":${r3(pTotal)},"unit":"sec","queries":$pQs,"sf":"$sfDir","warehouse":{"materialize_sec":${r3(matSec)},"total":${r3(wTotal)},"queries":$wQs},"errors":$errJson}"""
+    println(line)
+    // belt-and-braces against stdout tail truncation: the same JSON lands
+    // in a file the driver (or a human) can always pick up whole
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write BENCH_full.json: $e") }
     spark.stop()
   }
 }

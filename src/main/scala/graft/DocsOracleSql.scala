@@ -37,6 +37,22 @@ minhash_pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM minhash_bands a JOIN minhash_bands b
     ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+mh_bstats AS (
+  SELECT band, band_hash, CAST(count(*) AS BIGINT) AS bsz, min(doc_id) AS bmin
+  FROM minhash_bands GROUP BY 1, 2),
+minhash_pairs_guarded AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM minhash_bands a
+    JOIN minhash_bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    JOIN mh_bstats s ON s.band = a.band AND s.band_hash = a.band_hash
+    WHERE s.bsz <= 256
+    UNION ALL
+    SELECT s.bmin AS doc_a, a.doc_id AS doc_b
+    FROM minhash_bands a
+    JOIN mh_bstats s ON s.band = a.band AND s.band_hash = a.band_hash
+    WHERE s.bsz > 256 AND a.doc_id <> s.bmin) u),
 sim_bits AS (
   SELECT doc_id, bit,
          sum(CASE WHEN ((strpos('0123456789abcdef',
@@ -294,6 +310,14 @@ split_tvt AS (
          CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
               WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
               ELSE 'test' END AS split
-  FROM docs)
+  FROM docs),
+corpus_curated AS (
+  SELECT c.doc_id, d.lang, q.quality, e.n_dups, s.split
+  FROM dedup_clusters c
+  JOIN docs d ON d.doc_id = c.doc_id
+  JOIN quality_score q ON q.doc_id = c.doc_id
+  JOIN dedup_exact e ON e.keeper_doc_id = c.doc_id
+  JOIN split_tvt s ON s.doc_id = c.doc_id
+  WHERE c.doc_id = c.cluster AND q.quality >= 0.5)
 """
 }

@@ -310,8 +310,12 @@ f_customer_retention_grain AS (
     "q_ann_kmeans_assign"   -> fromDocs("ann_kmeans_assign"),
     "q_dedup_clusters"      -> fromDocs("dedup_clusters"),
     "q_dedup_clusters_fast" -> fromDocs("dedup_clusters"),
+    // guard degradation is deterministic (bucket > cap ⇒ member↔bucket-min
+    // star), so the guarded pair list is fully oracle-checkable too
+    "q_dedup_minhash_pairs_guarded" -> fromDocs("minhash_pairs_guarded"),
     "q_sample_stratified"   -> fromDocs("sample_stratified"),
     "q_split_train_val_test" -> fromDocs("split_tvt"),
+    "q_corpus_curated"      -> fromDocs("corpus_curated"),
     // classic analytics anchors over the raw tables (standalone SQL)
     "q_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,

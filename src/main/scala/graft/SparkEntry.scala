@@ -62,8 +62,8 @@ object SparkEntry {
     // exact dense pair list (guard off) — matches the oracle's dense pairs
     "q_dedup_minhash_pairs" -> ((s, d) =>
       ops.Dedup.minhashPairs(s, d, Int.MaxValue)),
-    // production guard level (star-pairs giant buckets; rows-only check —
-    // at SFs where a bucket tops the cap this differs from dense BY DESIGN)
+    // production guard level — star-pairs giant buckets; the degradation is
+    // deterministic, so the oracle mirrors it (minhash_pairs_guarded CTE)
     "q_dedup_minhash_pairs_guarded" -> ((s, d) => ops.Dedup.minhashPairs(s, d)),
     "q_dedup_simhash"       -> ((s, d) => ops.Dedup.simhash(s, d)),
     // hamming-banded simhash candidates (pigeonhole LSH, no all-pairs)
@@ -91,6 +91,8 @@ object SparkEntry {
       ops.TextOps.docs(s, d).select("doc_id"), ops.Dedup.minhashPairs(s, d))),
     "q_sample_stratified"    -> ((s, d) => ops.Sampling.stratifiedDocs(s, d)),
     "q_split_train_val_test" -> ((s, d) => ops.Sampling.trainValTestSplit(s, d)),
+    // end-to-end curation: dedup clusters → keepers → quality → split
+    "q_corpus_curated"       -> ((s, d) => ops.Corpus.curated(s, d)),
     // classic analytics anchors + data profiling
     "q_pricing_summary"   -> ((s, d) => ops.Analytics.pricingSummary(s, d)),
     "q_shipping_priority" -> ((s, d) => ops.Analytics.shippingPriority(s, d)),

@@ -28,15 +28,49 @@ object Catchup {
     * without it every fold step re-executes the whole accumulated plan
     * (the offset count AND the anti-join probe), O(batches²) work with
     * ever-deepening plans. Default: eager localCheckpoint (fine
-    * single-JVM). For long cluster catchups pass a durable materializer,
-    * e.g. write-to-warehouse-and-read-back — `PipelineRunner`+`Warehouse`
-    * already provide the pieces. */
+    * single-JVM). For long cluster catchups use [[warehouseMaterializer]]
+    * (durable parquet, constant-depth per-step plans, survives executor
+    * loss).
+    *
+    * `release` frees the PREVIOUS step's materialization once the next one
+    * exists — the default pairs with the default materializer and
+    * unpersists the superseded checkpoint's blocks, so a long catchup
+    * holds O(1) executor storage, not O(#increments). */
   def applyAll(history: DataFrame, increments: Seq[DataFrame],
-               materialize: DataFrame => DataFrame = _.localCheckpoint(true))
-      : DataFrame =
-    increments.foldLeft(materialize(Ids.dense(history, sortCols, "id"))) {
-      (acc, inc) => materialize(applyOne(acc, inc))
+               materialize: DataFrame => DataFrame = _.localCheckpoint(true),
+               release: DataFrame => Unit = releaseLocalCheckpoint)
+      : DataFrame = {
+    var acc = materialize(Ids.dense(history, sortCols, "id"))
+    increments.foreach { inc =>
+      val next = materialize(applyOne(acc, inc))
+      release(acc) // next is fully materialized; acc's blocks are dead
+      acc = next
     }
+    acc
+  }
+
+  /** Unpersist the RDD blocks behind an eager localCheckpoint result.
+    * (Dataset.unpersist only covers CacheManager entries; a checkpoint's
+    * blocks sit behind the returned frame's LogicalRDD leaf.) Safe no-op
+    * on frames that aren't checkpoint-backed. */
+  def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
+  /** Durable per-step materializer: atomically overwrite a warehouse table
+    * with the accumulator and read it back. Each fold step's plan is then a
+    * constant-depth parquet scan (no lineage growth, nothing pinned in
+    * executor storage, survives executor loss — the long-catchup shape on a
+    * real cluster). [[graft.catalog.Warehouse.overwriteAtomic]] writes the
+    * new copy to a temp path BEFORE swapping, so the write that reads the
+    * current table never clears files out from under its own scan. Pair
+    * with `release = _ => ()` (nothing to unpersist). */
+  def warehouseMaterializer(wh: graft.catalog.Warehouse, db: String,
+                            table: String): DataFrame => DataFrame =
+    df => { wh.overwriteAtomic(db, table, df); wh.read(db, table) }
 
   /** One catchup step: drop rows the accumulated log already has (re-run
     * idempotency), id the rest from the accumulated count, append. The

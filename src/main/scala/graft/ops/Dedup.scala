@@ -125,34 +125,73 @@ object Dedup {
         minhashBands(s, d)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) })
 
+  // The pair list itself is persisted too (it is tiny next to its inputs):
+  // one guard level's pairs are computed ONCE and shared by every consumer —
+  // q_dedup_minhash_pairs_guarded, clustersOf and clustersFastOf all iterate
+  // over the same materialized edge list instead of re-running the bucket
+  // join per query (the r3 q_dedup_clusters regression).
   def minhashPairs(spark: SparkSession, dir: String,
                    maxBucket: Int = 256): DataFrame =
     pairsCache.computeIfAbsent((spark, dir, maxBucket),
-      { case (s, d, m) => minhashPairsOf(bandsCached(s, d), m) })
+      { case (s, d, m) => minhashPairsOf(bandsCached(s, d), m)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) })
 
   /** Drop this (session, dir)'s memoized frames and unpersist their cached
     * partitions — REQUIRED before re-reading a dir whose files changed. */
   def invalidate(spark: SparkSession, dir: String): Unit = {
     Option(bandsCache.remove((spark, dir))).foreach(_.unpersist(false))
-    pairsCache.keySet.removeIf(k => k._1 == spark && k._2 == dir)
+    pairsCache.entrySet.removeIf { e =>
+      val hit = e.getKey._1 == spark && e.getKey._2 == dir
+      if (hit) e.getValue.unpersist(false)
+      hit
+    }
+  }
+
+  /** Per-doc SimHash as ONE map-side higher-order expression — ZERO shuffle
+    * for the hash computation (the former shape exploded ×nBits bit-rows
+    * per distinct word through a groupBy(doc_id, bit) shuffle: a 32/64×
+    * input amplification that made simhash the slowest query family and
+    * would be a scale-killer on a 100 TB corpus).
+    *
+    * inner aggregate: fold the doc's DISTINCT words into nBits vote
+    * counters (zip_with adds each word's ±1 vote vector — bit i of a
+    * word's vote comes from nibble i/4 of its md5); outer fold: majority
+    * vote per bit → sum of distinct powers of two. All integer arithmetic,
+    * identical vote sums to the exploded form (addition is commutative),
+    * so results are bit-identical to the oracle's groupBy formulation. */
+  private def simhashExpr(nBits: Int): String = {
+    // bit nBits-1 of a 64-bit hash is the sign bit: its arm adds
+    // Long.MinValue (= setting the top bit in two's complement) so the
+    // BIGINT sum of distinct powers never leaves the signed-64 range.
+    val topArm =
+      if (nBits == 64)
+        "WHEN bit = 63 THEN CAST(-9223372036854775807 AS BIGINT) - CAST(1 AS BIGINT)"
+      else ""
+    s"""aggregate(
+          zip_with(
+            aggregate(
+              array_distinct(words),
+              array_repeat(CAST(0 AS BIGINT), $nBits),
+              (acc, w) -> zip_with(acc,
+                transform(sequence(0, ${nBits - 1}), bit ->
+                  CASE WHEN (shiftright(
+                         instr('0123456789abcdef',
+                               substring(md5(w), 1 + CAST(bit div 4 AS INT), 1)) - 1,
+                         bit % 4) & 1) = 1
+                       THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END),
+                (a, b) -> a + b)),
+            sequence(0, ${nBits - 1}),
+            (s, bit) -> CASE WHEN s <= 0 THEN CAST(0 AS BIGINT)
+                             $topArm
+                             ELSE shiftleft(CAST(1 AS BIGINT), bit) END),
+          CAST(0 AS BIGINT), (x, y) -> x + y)"""
   }
 
   /** 32-bit SimHash over the doc's distinct words (bit i from nibble i/4 of
-    * the word's md5; majority vote per bit). */
+    * the word's md5; majority vote per bit). Map-side only — no shuffle. */
   def simhashOf(docsWords: DataFrame): DataFrame =
-    docsWords
-      .select(col("doc_id"), explode(col("words")).as("w")).distinct()
-      .withColumn("bit", explode(expr("sequence(0, 31)")))
-      .groupBy("doc_id", "bit")
-      .agg(sum(expr(
-        """CASE WHEN (shiftright(
-                 instr('0123456789abcdef',
-                       substring(md5(w), 1 + CAST(bit div 4 AS INT), 1)) - 1,
-                 bit % 4) & 1) = 1 THEN 1 ELSE -1 END""")).as("s"))
-      .groupBy("doc_id")
-      .agg(sum(expr(
-        """CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))
-                ELSE CAST(0 AS BIGINT) END""")).cast("long").as("simhash"))
+    docsWords.select(col("doc_id"),
+      expr(simhashExpr(32)).cast("long").as("simhash"))
 
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhashOf(TextOps.docsWords(spark, dir))
@@ -161,27 +200,10 @@ object Dedup {
     * over the first 16 nibbles of each word's md5. The wider hash is the
     * corpus-scale variant: with 16-bit banding chunks it gives 65 536
     * buckets per band instead of 256, keeping per-bucket candidate volume
-    * (quadratic in bucket size) small as N grows.
-    *
-    * Bit 63 is the sign bit: its arm adds Long.MinValue (= setting the top
-    * bit in two's complement), so the accumulating BIGINT sum of distinct
-    * powers never leaves the signed-64 range — exact in both engines. */
+    * (quadratic in bucket size) small as N grows. Map-side only. */
   def simhash64Of(docsWords: DataFrame): DataFrame =
-    docsWords
-      .select(col("doc_id"), explode(col("words")).as("w")).distinct()
-      .withColumn("bit", explode(expr("sequence(0, 63)")))
-      .groupBy("doc_id", "bit")
-      .agg(sum(expr(
-        """CASE WHEN (shiftright(
-                 instr('0123456789abcdef',
-                       substring(md5(w), 1 + CAST(bit div 4 AS INT), 1)) - 1,
-                 bit % 4) & 1) = 1 THEN 1 ELSE -1 END""")).as("s"))
-      .groupBy("doc_id")
-      .agg(sum(expr(
-        """CASE WHEN s <= 0 THEN CAST(0 AS BIGINT)
-                WHEN bit = 63 THEN CAST(-9223372036854775807 AS BIGINT) - CAST(1 AS BIGINT)
-                ELSE shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)) END"""))
-        .cast("long").as("simhash64"))
+    docsWords.select(col("doc_id"),
+      expr(simhashExpr(64)).cast("long").as("simhash64"))
 
   def simhash64(spark: SparkSession, dir: String): DataFrame =
     simhash64Of(TextOps.docsWords(spark, dir))
@@ -350,14 +372,30 @@ object Dedup {
         .where(col("u") =!= col("v")).distinct()
     }
 
+    // Fixpoint test: the canonical edge SET stopped changing. Compared via
+    // an order-independent signature — count plus two independent xor-folds
+    // of per-edge hashes — ONE cheap aggregate over the just-checkpointed
+    // blocks per round, instead of the former count + count + exceptAll
+    // (a full shuffle comparison, 3 jobs/round). A missed change needs two
+    // rounds' edge sets colliding in both 64-bit folds at equal counts
+    // (~2^-128, and the sets here are adversary-free hash outputs).
+    def sig(e: DataFrame): (Long, Long, Long) = {
+      val r = e.agg(
+        count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)),
+        coalesce(expr("bit_xor(xxhash64(v, u, 42))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+
+    var cur = sig(edges)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      // fixpoint: the canonical edge set stopped changing
-      converged = next.count() == edges.count() &&
-        next.exceptAll(edges).isEmpty
+      val nextSig = sig(next)
+      converged = nextSig == cur
       edges = next
+      cur = nextSig
       iter += 1
     }
     if (!converged) throw new IllegalStateException(
