@@ -228,6 +228,60 @@ object Vectors {
       .select("query_id", "cand_id", "rnk")
   }
 
+  /** Persist the IVF index in the warehouse, bucketed on `centroid_id` —
+    * the 100 TB ANN serving shape: the cell assignment joined back to the
+    * quantized vectors is written once via
+    * [[graft.catalog.Warehouse.bucketedOverwrite]], and the query probe
+    * lists are bucketed the same way, so every subsequent probe join is
+    * co-located by bucket — NO Exchange at query time (asserted in
+    * VectorsMultimodalSpec). Two tables:
+    *  - `<db>.ivf_index`:  (cand_id, centroid_id, c_qv, ca2)
+    *  - `<db>.ivf_probes`: (query_id, centroid_id, q_qv, qa2)
+    *    (the deterministic query subset, vec_id % 50 == 0) */
+  def ivfIndexTo(wh: graft.catalog.Warehouse, spark: SparkSession,
+                 dir: String, db: String = "ann", nBuckets: Int = 8): Unit = {
+    val assign = ivfAssign(spark, dir).select("vec_id", "centroid_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val emb = quantized(spark, dir)
+    wh.bucketedOverwrite(db, "ivf_index",
+      assign.join(emb.select(col("vec_id"), col("qv"), col("n2")), "vec_id")
+        .select(col("vec_id").as("cand_id"), col("centroid_id"),
+                col("qv").as("c_qv"), col("n2").as("ca2")),
+      "centroid_id", nBuckets)
+    wh.bucketedOverwrite(db, "ivf_probes",
+      assign.where(col("vec_id") % 50 === 0)
+        .join(emb.select(col("vec_id"), col("qv"), col("n2")), "vec_id")
+        .select(col("vec_id").as("query_id"), col("centroid_id"),
+                col("qv").as("q_qv"), col("n2").as("qa2")),
+      "centroid_id", nBuckets)
+    assign.unpersist()
+  }
+
+  /** The co-located probe join over the persisted bucketed index — both
+    * sides pre-bucketed on centroid_id, so the planned join has no
+    * Exchange. Exposed separately from [[ivfTopKIndexed]] for plan-shape
+    * assertions (the top-k window after it legitimately repartitions by
+    * query_id). */
+  def ivfProbeJoin(wh: graft.catalog.Warehouse,
+                   db: String = "ann"): DataFrame =
+    wh.readTable(db, "ivf_probes")
+      .join(wh.readTable(db, "ivf_index"), Seq("centroid_id"))
+      .where(col("cand_id") =!= col("query_id"))
+      .withColumn("dot", dotCol)
+      .withColumn("score", expr(scoreExpr))
+
+  /** IVF top-k served from the bucketed warehouse index — same results as
+    * [[ivfTopK]], but candidate generation reads pre-bucketed parquet with
+    * zero shuffle before scoring. */
+  def ivfTopKIndexed(wh: graft.catalog.Warehouse, db: String = "ann",
+                     k: Int = 3): DataFrame =
+    ivfProbeJoin(wh, db)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("cand_id"))).cast("long"))
+      .where(col("rnk") <= k)
+      .select("query_id", "cand_id", "score", "rnk")
+
   /** Embedding near-dup: nearest same-label neighbor per vector with an
     * is_dup threshold flag (label join = blocking; at real scale the block
     * key would be an LSH bucket — see Dedup.minhashBands for the pattern). */

@@ -68,6 +68,27 @@ object IncrementStream {
           .otherwise("shipped").as("status"))
   }
 
+  /** One daily-increment run as an `AvailableNow` drain: process every
+    * file currently in `watchDir` through the increment projection into a
+    * parquet sink, then STOP — the streaming form of the reference's daily
+    * batch DAG run, with exactly-once file tracking in the checkpoint. A
+    * later invocation with the same checkpoint picks up ONLY files that
+    * arrived since the last run (asserted batch≡stream in StreamingSpec):
+    * the same wrapper, re-triggered daily, IS the reference's catchup loop.
+    * Blocks until the drain completes. */
+  def runIncrementAvailableNow(spark: SparkSession, dir: String,
+                               watchDir: String, sinkDir: String,
+                               checkpointDir: String): Unit = {
+    val q = orderLogStream(spark, dir, watchDir)
+      .writeStream.format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming exact dedup: drop re-delivered rows by key within the
     * watermark horizon — the streaming face of `ops.Dedup.exact` and the
     * real-world guard for at-least-once increment delivery (a re-dropped

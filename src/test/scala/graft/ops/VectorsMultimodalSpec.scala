@@ -63,4 +63,25 @@ class VectorsMultimodalSpec extends SparkSpec {
       .agg(sum("n_frames")).as[Long].head()
     assert(Multimodal.frames(spark, d).count() == totalFrames)
   }
+
+  test("bucketed IVF index: probe join has no Exchange, matches ivfTopK") {
+    val d = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val wh = new graft.catalog.Warehouse(spark, root)
+    Vectors.ivfIndexTo(wh, spark, d)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the co-located sort-merge path (no broadcast fallback)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Vectors.ivfProbeJoin(wh).queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(600))
+      val got = Vectors.ivfTopKIndexed(wh)
+        .select("query_id", "cand_id", "rnk")
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+      val want = Vectors.ivfTopK(spark, d)
+        .select("query_id", "cand_id", "rnk")
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+      assert(got == want && got.nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -39,6 +39,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("AvailableNow drains deliveries incrementally and matches batch") {
+    val dir = "/root/testdata/sf0.001"
+    val watch = java.nio.file.Files.createTempDirectory("graft_anw").toString
+    val sink = java.nio.file.Files.createTempDirectory("graft_ans").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_anc").toString
+    def deliver(name: String): Unit =
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/lineitem.parquet"),
+        java.nio.file.Paths.get(watch, name))
+    val batchN = Feeds.orderFeed(spark, dir).count()
+    // day 1: one increment file → drain terminates on its own, sink == batch
+    deliver("inc_day1.parquet")
+    IncrementStream.runIncrementAvailableNow(spark, dir, watch, sink, ckpt)
+    assert(spark.read.parquet(sink).count() == batchN)
+    // day 2: second delivery; same checkpoint picks up ONLY the new file
+    deliver("inc_day2.parquet")
+    IncrementStream.runIncrementAvailableNow(spark, dir, watch, sink, ckpt)
+    assert(spark.read.parquet(sink).count() == 2 * batchN)
+    // semantic equality with the batch projection (modulo dedup suffix)
+    val streamed = spark.read.parquet(sink)
+      .groupBy("status").agg(sum("payment_amount").as("amt"))
+    val batch = Feeds.orderFeed(spark, dir)
+      .groupBy("status").agg((sum("payment_amount") * 2).as("amt"))
+    assert(streamed.exceptAll(batch).isEmpty &&
+           batch.exceptAll(streamed).isEmpty)
+  }
+
   test("watermarked daily event aggregation matches batch rollup") {
     val dir = "/root/testdata/sf0.001"
     val ev = Feeds.events(spark, dir)
