@@ -145,7 +145,16 @@ object Dedup {
       if (hit) e.getValue.unpersist(false)
       hit
     }
+    clustersCache.keySet.removeIf(k => k._1 == spark && k._2 == dir)
   }
+
+  // Cluster labels are memoized too: the CC label-propagation loop runs
+  // driver-side at construction, so without this every consumer
+  // (q_dedup_clusters, Corpus.curated's keeper join) re-runs the whole
+  // iterative computation. The memoized frame is a join of doc_ids with
+  // the final labels (checkpoint-backed — already materialized).
+  private val clustersCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
 
   /** Per-doc SimHash as ONE map-side higher-order expression — ZERO shuffle
     * for the hash computation (the former shape exploded ×nBits bit-rows
@@ -167,19 +176,24 @@ object Dedup {
       if (nBits == 64)
         "WHEN bit = 63 THEN CAST(-9223372036854775807 AS BIGINT) - CAST(1 AS BIGINT)"
       else ""
+    // `transform(array(md5(w)), h -> …)` is a let-binding: md5(w) is
+    // loop-invariant over bits but a lambda body re-evaluates per element,
+    // so without the hoist each word would pay nBits md5 calls instead of 1
     s"""aggregate(
           zip_with(
             aggregate(
               array_distinct(words),
               array_repeat(CAST(0 AS BIGINT), $nBits),
-              (acc, w) -> zip_with(acc,
-                transform(sequence(0, ${nBits - 1}), bit ->
-                  CASE WHEN (shiftright(
-                         instr('0123456789abcdef',
-                               substring(md5(w), 1 + CAST(bit div 4 AS INT), 1)) - 1,
-                         bit % 4) & 1) = 1
-                       THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END),
-                (a, b) -> a + b)),
+              (acc, w) -> element_at(
+                transform(array(md5(w)), h -> zip_with(acc,
+                  transform(sequence(0, ${nBits - 1}), bit ->
+                    CASE WHEN (shiftright(
+                           instr('0123456789abcdef',
+                                 substring(h, 1 + CAST(bit div 4 AS INT), 1)) - 1,
+                           bit % 4) & 1) = 1
+                         THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END),
+                  (a, b) -> a + b)),
+                1)),
             sequence(0, ${nBits - 1}),
             (s, bit) -> CASE WHEN s <= 0 THEN CAST(0 AS BIGINT)
                              $topArm
@@ -226,11 +240,15 @@ object Dedup {
   def simhash64PairsOf(simhash64: DataFrame, maxHamming: Int = 3): DataFrame =
     hammingPairs(simhash64, "simhash64", chunkBits = 16, maxHamming)
 
-  private def hammingPairs(hashes: DataFrame, hashCol: String,
+  private def hammingPairs(hashes0: DataFrame, hashCol: String,
                            chunkBits: Int, maxHamming: Int): DataFrame = {
     import org.apache.spark.sql.functions.{greatest, least}
     val nBands = maxHamming + 1
     val mask = (1L << chunkBits) - 1
+    // the hash frame feeds THREE scans (distinct values + both doc-expansion
+    // sides) — persist so the per-doc hash expression evaluates once, not 3×
+    val hashes = hashes0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Band over DISTINCT hash values, not docs: corpora are full of exact
     // and near-exact duplicates that share a hash, so the quadratic bucket
     // join runs on |distinct hashes| and the (cheap, linear-per-output)
@@ -326,8 +344,9 @@ object Dedup {
   }
 
   def clusters(spark: SparkSession, dir: String): DataFrame =
-    clustersOf(TextOps.docs(spark, dir).select("doc_id"),
-               minhashPairs(spark, dir))
+    clustersCache.computeIfAbsent((spark, dir),
+      { case (s, d) => clustersOf(TextOps.docs(s, d).select("doc_id"),
+                                  minhashPairs(s, d)) })
 
   /** Connected components via alternating large-star / small-star rounds
     * (Kiveris et al., "Connected Components in MapReduce and Beyond") —

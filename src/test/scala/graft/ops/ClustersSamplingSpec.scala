@@ -56,6 +56,17 @@ class ClustersSamplingSpec extends SparkSpec {
     assert(fast.length == 120 && fast.forall(_._2 == 0L))
   }
 
+  test("cluster labels are memoized: curation reuses the computed frame") {
+    val d = "/root/testdata/sf0.001"
+    // same instance ⇒ the driver-side CC loop ran once; Corpus.curated's
+    // keeper join consumes the identical frame instead of recomputing
+    assert(Dedup.clusters(spark, d) eq Dedup.clusters(spark, d))
+    val curated = Corpus.curated(spark, d)
+    val keepers = Dedup.clusters(spark, d)
+      .where(col("doc_id") === col("cluster")).count()
+    assert(curated.count() <= keepers && curated.count() > 0)
+  }
+
   test("hash sampling is deterministic and rate-accurate") {
     val df = (0L until 4096L).toDF("doc_id")
     val once = Sampling.hashSample(df, "doc_id", "4").count()
