@@ -17,7 +17,8 @@ object ScaleProbe {
     "q_user_order_log_v2", "q_d_calendar", "q_d_customer", "q_f_sales",
     "q_d_calendar_weeks", "q_new_customers_compact", "q_refunded_customers",
     "q_retention_compact", "q_dedup_exact", "q_dedup_minhash_pairs",
-    "q_dedup_simhash", "q_text_stats", "q_quality_score",
+    "q_dedup_simhash", "q_dedup_simhash64_pairs", "q_dedup_clusters",
+    "q_corpus_curated", "q_text_stats", "q_quality_score",
     "q_multimodal_meta")
 
   def makeBig(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
@@ -60,7 +61,11 @@ object ScaleProbe {
     println(s"[scale] built ${copies}x dataset at $dst")
 
     def runAll(dir: String): Map[String, Double] = {
+      // drop BOTH cache layers so every timed pass recomputes from parquet:
+      // CacheManager data (persist frames) and the per-(session, dir) memo
+      // maps (bands/pairs/cluster labels), which clearCache can't see
       spark.catalog.clearCache()
+      ops.Dedup.invalidate(spark, dir)
       probeQueries.map { q =>
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, dir).count()

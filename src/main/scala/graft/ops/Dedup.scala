@@ -51,8 +51,44 @@ object Dedup {
         "md5(array_join(transform(array_sort(collect_list(struct(seed, sig))), x -> x.sig), '|'))")
         .as("band_hash"))
 
+  /** Map-side MinHash banding: signatures AND band hashes computed per doc
+    * in one projection over the words array — ZERO shuffle (the exploded
+    * [[minhashOf]]→[[minhashBandsOf]] pipeline pushes |shingles|×8 rows
+    * through a groupBy(doc_id, seed) shuffle plus a second band groupBy;
+    * at corpus scale that is 8× shingle-count rows of pure shuffle for a
+    * value each doc can compute locally). Results are row-identical to the
+    * grouped form (equivalence-tested in DedupSpec): a min over duplicated
+    * shingles equals the min over distinct ones, and `array_min` uses the
+    * same binary string ordering as the grouped `min`.
+    *
+    * The md5 let-binding trick from [[simhashExpr]] is NOT needed here —
+    * each (seed, shingle) hash is genuinely distinct work — but the shingle
+    * array is bound once per doc instead of re-deriving per seed. */
+  private val minhashBandExpr: String = {
+    val shingleArr =
+      """CASE WHEN size(words) >= 3
+           THEN transform(sequence(0, size(words) - 3),
+                  i -> concat_ws(' ', words[i], words[i+1], words[i+2]))
+           ELSE array(norm) END"""
+    s"""transform(array($shingleArr), sh ->
+          transform(sequence(0, 3), band ->
+            md5(concat(
+              array_min(transform(sh, s ->
+                md5(concat(CAST(band * 2 AS STRING), '|', s)))),
+              '|',
+              array_min(transform(sh, s ->
+                md5(concat(CAST(band * 2 + 1 AS STRING), '|', s))))))))[0]"""
+  }
+
+  def minhashBandsFastOf(docsWords: DataFrame): DataFrame =
+    docsWords
+      .select(col("doc_id"),
+        posexplode(expr(minhashBandExpr)).as(Seq("band", "band_hash")))
+      .select(col("doc_id"), col("band").cast("bigint").as("band"),
+              col("band_hash"))
+
   def minhashBands(spark: SparkSession, dir: String): DataFrame =
-    minhashBandsOf(minhashOf(TextOps.shingles(spark, dir)))
+    minhashBandsFastOf(TextOps.docsWords(spark, dir))
 
   /** Candidate near-dup pairs = docs sharing any LSH bucket. The bands
     * frame feeds both join sides — persist so the signature pipeline runs

@@ -37,6 +37,23 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("map-side banding equals the grouped signature pipeline") {
+    // fixture docs (incl. the short-doc fallback) …
+    val grouped = Dedup.minhashBandsOf(Dedup.minhashOf(shingles))
+      .as[(Long, Long, String)].collect().toSet
+    val mapSide = Dedup.minhashBandsFastOf(words)
+      .as[(Long, Long, String)].collect().toSet
+    assert(mapSide == grouped && mapSide.nonEmpty)
+    // … and real data, where shingle sets are large and duplicated
+    val d = "/root/testdata/sf0.001"
+    val dw = TextOps.docsWords(spark, d)
+    val g2 = Dedup.minhashBandsOf(Dedup.minhashOf(TextOps.shinglesOf(dw)))
+      .as[(Long, Long, String)].collect().toSet
+    val m2 = Dedup.minhashBandsFastOf(dw)
+      .as[(Long, Long, String)].collect().toSet
+    assert(m2 == g2)
+  }
+
   test("giant-bucket guard: 1000 identical docs yield linear pairs, exact clusters") {
     val many = TextOps.normalize(
       (1L to 1000L).map(i => (i, "same boilerplate text repeated everywhere"))
