@@ -66,6 +66,49 @@ class StreamingSpec extends SparkSpec {
            batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streamed increments merged into the warehouse reproduce batch marts") {
+    val dir = "/root/testdata/sf0.001"
+    val watch = java.nio.file.Files.createTempDirectory("graft_e2w").toString
+    val sink = java.nio.file.Files.createTempDirectory("graft_e2s").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_e2c").toString
+    val root = java.nio.file.Files.createTempDirectory("graft_e2wh").toString
+    val wh = new graft.catalog.Warehouse(spark, root)
+    // two DISJOINT daily increments: lineitem split by orderkey parity
+    def deliver(name: String, parity: Int): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e2d").toString
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .where(pmod(col("l_orderkey"), lit(2)) === parity)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(watch, name))
+    }
+    // the daily cycle, twice: drain the day's delivery, merge the sink
+    // snapshot into the warehouse by key — the reference's daily
+    // reconciliation as stream + MERGE
+    for ((parity, day) <- Seq(0 -> "d1", 1 -> "d2")) {
+      deliver(s"inc_$day.parquet", parity)
+      IncrementStream.runIncrementAvailableNow(spark, dir, watch, sink, ckpt)
+      wh.merge("staging", "uol_stream", spark.read.parquet(sink),
+        Seq("uniq_id"))
+    }
+    val batch = Feeds.orderFeed(spark, dir)
+    assert(wh.read("staging", "uol_stream").count() == batch.count())
+    // at-least-once: re-merging the full accumulated snapshot is a no-op
+    wh.merge("staging", "uol_stream", spark.read.parquet(sink), Seq("uniq_id"))
+    val merged = wh.read("staging", "uol_stream")
+    assert(merged.count() == batch.count())
+    // mart-level equality: revenue/count rollup by (date, status) matches
+    // the batch projection exactly (uniq_id differs only in the dedup
+    // suffix, which the rollup is insensitive to)
+    val a = merged.groupBy("date_time", "status")
+      .agg(sum("payment_amount").as("amt"), count(lit(1)).as("n"))
+    val b = batch.groupBy("date_time", "status")
+      .agg(sum("payment_amount").as("amt"), count(lit(1)).as("n"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("watermarked daily event aggregation matches batch rollup") {
     val dir = "/root/testdata/sf0.001"
     val ev = Feeds.events(spark, dir)
