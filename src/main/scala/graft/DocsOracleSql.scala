@@ -235,6 +235,19 @@ ivf_topk_probe2 AS (
     JOIN emb_n qe ON qe.vec_id = q.vec_id
     JOIN emb_n ce ON ce.vec_id = c.vec_id
     WHERE q.vec_id % 50 = 0) s WHERE rnk <= 3),
+dedup_embedding_ivf AS (
+  SELECT vec_id, nn_vec_id, score, score >= 0.90 AS is_dup FROM (
+    SELECT q.vec_id, c.vec_id AS nn_vec_id,
+           CAST(list_sum(list_transform(list_zip(qe.qv, ce.qv), x -> x[1] * x[2])) AS DOUBLE)
+             / sqrt(CAST(qe.n2 AS DOUBLE) * CAST(ce.n2 AS DOUBLE)) AS score,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY CAST(list_sum(list_transform(list_zip(qe.qv, ce.qv), x -> x[1] * x[2])) AS DOUBLE)
+                      / sqrt(CAST(qe.n2 AS DOUBLE) * CAST(ce.n2 AS DOUBLE)) DESC,
+                      c.vec_id) AS rn
+    FROM ivf_assign q
+    JOIN ivf_assign c ON c.centroid_id = q.centroid_id AND c.vec_id != q.vec_id
+    JOIN emb_n qe ON qe.vec_id = q.vec_id
+    JOIN emb_n ce ON ce.vec_id = c.vec_id) s WHERE rn = 1),
 ivf_topk AS (
   SELECT query_id, cand_id, score, CAST(rnk AS BIGINT) AS rnk FROM (
     SELECT q.vec_id AS query_id, c.vec_id AS cand_id,

@@ -292,6 +292,7 @@ f_customer_retention_grain AS (
     "q_dedup_simhash64_pairs" -> fromDocs("simhash64_pairs"),
     "q_dedup_ngram_jaccard" -> fromDocs("ngram_jaccard"),
     "q_dedup_embedding"     -> fromDocs("dedup_embedding"),
+    "q_dedup_embedding_ivf" -> fromDocs("dedup_embedding_ivf"),
     "q_text_stats"          -> fromDocs("text_stats"),
     "q_quality_score"       -> fromDocs("quality_score"),
     "q_lang_id"             -> fromDocs("lang_id"),

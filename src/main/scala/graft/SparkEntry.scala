@@ -73,6 +73,8 @@ object SparkEntry {
     "q_dedup_simhash64_pairs" -> ((s, d) => ops.Dedup.simhash64Pairs(s, d)),
     "q_dedup_ngram_jaccard" -> ((s, d) => ops.Dedup.ngramJaccard(s, d)),
     "q_dedup_embedding"     -> ((s, d) => ops.Vectors.nearDup(s, d)),
+    // IVF-cell-blocked near-dup — the corpus-scale blocking (no label oracle)
+    "q_dedup_embedding_ivf" -> ((s, d) => ops.Vectors.nearDupIvf(s, d)),
     "q_text_stats"          -> ((s, d) => ops.TextOps.textStats(s, d)),
     "q_quality_score"       -> ((s, d) => ops.TextOps.qualityScore(s, d)),
     "q_lang_id"             -> ((s, d) => ops.TextOps.langId(s, d)),

@@ -282,9 +282,44 @@ object Vectors {
       .where(col("rnk") <= k)
       .select("query_id", "cand_id", "score", "rnk")
 
+  /** Embedding near-dup blocked by IVF cell — the corpus-scale shape of
+    * [[nearDup]]: every vector's candidates are the vectors sharing its
+    * nearest-centroid cell (a plain hash equi-join on centroid_id, no
+    * label oracle needed and no all-pairs), nearest neighbor within the
+    * cell, threshold flag. Vectors alone in their cell emit no row (no
+    * candidates — same semantics both engines). Boundary misses are the
+    * standard IVF recall trade; the multi-probe dial ([[ivfTopKProbed]])
+    * applies unchanged if higher recall is needed. */
+  def nearDupIvf(spark: SparkSession, dir: String,
+                 threshold: Double = 0.90): DataFrame = {
+    val assign = ivfAssign(spark, dir).select("vec_id", "centroid_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val emb = quantized(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = assign
+      .select(col("vec_id").as("query_id"), col("centroid_id"))
+      .join(emb.select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+                       col("n2").as("qa2")), Seq("query_id"))
+    val c = assign
+      .select(col("vec_id").as("cand_id"), col("centroid_id"))
+      .join(emb.select(col("vec_id").as("cand_id"), col("qv").as("c_qv"),
+                       col("n2").as("ca2")), Seq("cand_id"))
+    q.join(c, Seq("centroid_id"))
+      .where(col("cand_id") =!= col("query_id"))
+      .withColumn("dot", dotCol)
+      .withColumn("score", expr(scoreExpr))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("cand_id"))))
+      .where(col("rn") === 1)
+      .select(col("query_id").as("vec_id"), col("cand_id").as("nn_vec_id"),
+              col("score"))
+      .withColumn("is_dup", col("score") >= threshold)
+  }
+
   /** Embedding near-dup: nearest same-label neighbor per vector with an
-    * is_dup threshold flag (label join = blocking; at real scale the block
-    * key would be an LSH bucket — see Dedup.minhashBands for the pattern). */
+    * is_dup threshold flag (label join = blocking; [[nearDupIvf]] is the
+    * at-scale variant using IVF cells as the blocking key). */
   def nearDup(spark: SparkSession, dir: String,
               threshold: Double = 0.90): DataFrame = {
     val emb = quantized(spark, dir)
