@@ -5,6 +5,16 @@ import org.apache.spark.sql.functions._
 class IdsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("every driver query has an oracle and vice versa (no silent rows-only)") {
+    // a queries key without an oracleSql entry silently downgrades that
+    // query to the driver's weaker rows-only check; an oracle without a
+    // query is dead SQL — keep the two maps in lockstep
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet,
+      (SparkEntry.queries.keySet diff SparkEntry.oracleSql.keySet).toString +
+      " / " +
+      (SparkEntry.oracleSql.keySet diff SparkEntry.queries.keySet).toString)
+  }
+
   test("dense assigns 1..N in sort order") {
     val df = Seq(("c", 30), ("a", 10), ("b", 20)).toDF("k", "v")
     val got = Ids.dense(df, Seq("k"), "id")
