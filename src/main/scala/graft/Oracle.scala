@@ -293,9 +293,11 @@ f_customer_retention_grain AS (
     "q_dedup_ngram_jaccard" -> fromDocs("ngram_jaccard"),
     "q_dedup_embedding"     -> fromDocs("dedup_embedding"),
     "q_dedup_embedding_ivf" -> fromDocs("dedup_embedding_ivf"),
+    "q_dedup_embedding_lsh" -> fromDocs("dedup_embedding_lsh"),
     "q_text_stats"          -> fromDocs("text_stats"),
     "q_quality_score"       -> fromDocs("quality_score"),
     "q_lang_id"             -> fromDocs("lang_id"),
+    "q_lang_id_ngram"       -> fromDocs("lang_id_ngram"),
     "q_doc_fingerprint"     -> fromDocs("doc_fingerprint"),
     "q_word_freq"           -> fromDocs("word_freq"),
     "q_multimodal_meta"     -> fromDocs("mm_meta"),

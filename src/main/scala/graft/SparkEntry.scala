@@ -75,9 +75,13 @@ object SparkEntry {
     "q_dedup_embedding"     -> ((s, d) => ops.Vectors.nearDup(s, d)),
     // IVF-cell-blocked near-dup — the corpus-scale blocking (no label oracle)
     "q_dedup_embedding_ivf" -> ((s, d) => ops.Vectors.nearDupIvf(s, d)),
+    // random-hyperplane LSH blocking — model-free (no labels, no centroids)
+    "q_dedup_embedding_lsh" -> ((s, d) => ops.Vectors.nearDupLsh(s, d)),
     "q_text_stats"          -> ((s, d) => ops.TextOps.textStats(s, d)),
     "q_quality_score"       -> ((s, d) => ops.TextOps.qualityScore(s, d)),
     "q_lang_id"             -> ((s, d) => ops.TextOps.langId(s, d)),
+    // character-trigram variant of the n-gram language heuristic
+    "q_lang_id_ngram"       -> ((s, d) => ops.TextOps.langIdNgram(s, d)),
     "q_doc_fingerprint"     -> ((s, d) => ops.TextOps.fingerprint(s, d)),
     // vocabulary/Zipf profile: top-100 words, deterministic tiebreak
     "q_word_freq"           -> ((s, d) => ops.TextOps.wordFreq(s, d)),

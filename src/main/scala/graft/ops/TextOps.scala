@@ -100,6 +100,39 @@ object TextOps {
   def langId(spark: SparkSession, dir: String): DataFrame =
     langIdOf(docsWords(spark, dir))
 
+  /** Character-n-gram language ID — the classic n-gram-profile heuristic
+    * at its minimum: per-language counts of characteristic character
+    * trigrams over the normalized text (regexp alternation = one
+    * non-overlapping scan per language), argmax with the same pinned
+    * order as [[langIdOf]]. Map-side only, like every text operator.
+    * Real systems use ranked profile distance over the top-k corpus
+    * n-grams; the shape — per-language feature counts + deterministic
+    * argmax — is identical. */
+  private val triMarkers = Seq(
+    "en" -> "(the|and|ing|ion)",
+    "de" -> "(der|sch|ein|ich)",
+    "fr" -> "(les|ent|des|une)",
+    "es" -> "(los|ado|una|ción)")
+
+  def langIdNgramOf(docsNorm: DataFrame): DataFrame = {
+    val scored = triMarkers.foldLeft(docsNorm.select(col("doc_id"),
+        col("lang"), col("norm"))) { case (acc, (l, pat)) =>
+      acc.withColumn(s"t_$l",
+        expr(s"regexp_count(norm, '$pat')").cast("long"))
+    }
+    scored.select(
+      col("doc_id"), col("t_en"), col("t_de"), col("t_fr"), col("t_es"),
+      expr(
+        """CASE WHEN t_en >= t_de AND t_en >= t_fr AND t_en >= t_es THEN 'en'
+                WHEN t_de >= t_fr AND t_de >= t_es THEN 'de'
+                WHEN t_fr >= t_es THEN 'fr' ELSE 'es' END""").as("pred_lang"),
+      col("lang"))
+      .withColumn("correct", col("pred_lang") === col("lang"))
+  }
+
+  def langIdNgram(spark: SparkSession, dir: String): DataFrame =
+    langIdNgramOf(docs(spark, dir))
+
   /** Word-3-gram shingles (fallback: the whole normalized doc when shorter
     * than 3 words), deduplicated per doc. The base of MinHash / Jaccard. */
   def shinglesOf(docsWords: DataFrame): DataFrame =

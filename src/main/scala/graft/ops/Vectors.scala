@@ -317,9 +317,67 @@ object Vectors {
       .withColumn("is_dup", col("score") >= threshold)
   }
 
+  /** Deterministic random-hyperplane coefficients for cosine LSH: 8
+    * hyperplanes × 64 dims, each coefficient in [-8, 7] from the first
+    * md5 nibble of "b_d" — the oracle derives the identical values with
+    * SQL md5 (`rh_planes` CTE), so bucket assignment is engine-exact.
+    * Embedded as a literal so the per-row expression does no hashing. */
+  private lazy val planesLit: String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def c(b: Int, d: Int): Int = {
+      val hex = md.digest(s"${b}_$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      "0123456789abcdef".indexOf(hex.charAt(0)) - 8 // = strpos(...) - 9
+    }
+    (0 until 8).map(b => (0 until 64).map(d =>
+      s"CAST(${c(b, d)} AS BIGINT)").mkString("array(", ", ", ")"))
+      .mkString("array(", ", ", ")")
+  }
+
+  /** 8-bit random-hyperplane signature (classic cosine LSH / SimHash for
+    * vectors): bit b = sign of the dot product with hyperplane b, folded
+    * MSB-first into one integer bucket. Two vectors collide with
+    * probability (1 - θ/π)^8 — near-identical embeddings almost surely
+    * share the bucket. Map-side only. */
+  private def rhBucketExpr: String =
+    s"""aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, b) ->
+          acc * 2 + CASE WHEN aggregate(
+              zip_with(qv, element_at($planesLit, b + 1), (x, c) -> x * c),
+              CAST(0 AS BIGINT), (s, v) -> s + v) > 0
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""
+
+  /** Embedding near-dup blocked by random-hyperplane LSH bucket — needs
+    * neither labels ([[nearDup]]) nor trained centroids ([[nearDupIvf]]):
+    * the blocking key is a pure function of the vector itself, so it
+    * composes with streaming ingestion (no model state). 8 bits = 256
+    * buckets; at corpus scale widen the signature and band it exactly like
+    * [[Dedup.simhash64PairsOf]] — the bucket join is the only shuffle. */
+  def nearDupLsh(spark: SparkSession, dir: String,
+                 threshold: Double = 0.90): DataFrame = {
+    val emb = quantized(spark, dir)
+      .withColumn("bucket", expr(rhBucketExpr))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = emb.select(col("vec_id").as("query_id"), col("bucket"),
+                       col("qv").as("q_qv"), col("n2").as("qa2"))
+    val c = emb.select(col("vec_id").as("cand_id"), col("bucket"),
+                       col("qv").as("c_qv"), col("n2").as("ca2"))
+    q.join(c, Seq("bucket"))
+      .where(col("cand_id") =!= col("query_id"))
+      .withColumn("dot", dotCol)
+      .withColumn("score", expr(scoreExpr))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("cand_id"))))
+      .where(col("rn") === 1)
+      .select(col("query_id").as("vec_id"), col("cand_id").as("nn_vec_id"),
+              col("score"))
+      .withColumn("is_dup", col("score") >= threshold)
+  }
+
   /** Embedding near-dup: nearest same-label neighbor per vector with an
     * is_dup threshold flag (label join = blocking; [[nearDupIvf]] is the
-    * at-scale variant using IVF cells as the blocking key). */
+    * at-scale variant using IVF cells as the blocking key, [[nearDupLsh]]
+    * the model-free one using random-hyperplane buckets). */
   def nearDup(spark: SparkSession, dir: String,
               threshold: Double = 0.90): DataFrame = {
     val emb = quantized(spark, dir)

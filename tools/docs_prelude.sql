@@ -147,6 +147,21 @@ lang_id AS (
                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
                WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END) = d.lang AS correct
   FROM lang_scores l JOIN docs d ON d.doc_id = l.doc_id),
+lang_id_ngram AS (
+  SELECT doc_id, t_en, t_de, t_fr, t_es,
+         CASE WHEN t_en >= t_de AND t_en >= t_fr AND t_en >= t_es THEN 'en'
+              WHEN t_de >= t_fr AND t_de >= t_es THEN 'de'
+              WHEN t_fr >= t_es THEN 'fr' ELSE 'es' END AS pred_lang,
+         lang,
+         (CASE WHEN t_en >= t_de AND t_en >= t_fr AND t_en >= t_es THEN 'en'
+               WHEN t_de >= t_fr AND t_de >= t_es THEN 'de'
+               WHEN t_fr >= t_es THEN 'fr' ELSE 'es' END) = lang AS correct
+  FROM (SELECT doc_id, lang,
+          CAST(len(regexp_extract_all(norm, '(the|and|ing|ion)')) AS BIGINT) AS t_en,
+          CAST(len(regexp_extract_all(norm, '(der|sch|ein|ich)')) AS BIGINT) AS t_de,
+          CAST(len(regexp_extract_all(norm, '(les|ent|des|une)')) AS BIGINT) AS t_fr,
+          CAST(len(regexp_extract_all(norm, '(los|ado|una|ción)')) AS BIGINT) AS t_es
+        FROM docs) tn),
 word_freq AS (
   SELECT w, n, CAST(row_number() OVER (ORDER BY n DESC, w) AS BIGINT) AS rank
   FROM (SELECT w, CAST(count(*) AS BIGINT) AS n FROM words_flat GROUP BY 1) f
@@ -230,6 +245,36 @@ ivf_topk_probe2 AS (
     JOIN emb_n qe ON qe.vec_id = q.vec_id
     JOIN emb_n ce ON ce.vec_id = c.vec_id
     WHERE q.vec_id % 50 = 0) s WHERE rnk <= 3),
+rh_planes AS (
+  SELECT b, d,
+         CAST(strpos('0123456789abcdef',
+                substr(md5(CAST(b AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1))
+              - 9 AS BIGINT) AS c
+  FROM range(0, 8) tb(b), range(0, 64) td(d)),
+rh_sig AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN s > 0
+                  THEN CAST(1 AS BIGINT) << CAST(7 - b AS INTEGER)
+                  ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+  FROM (SELECT ev.vec_id, p.b, sum(ev.v_el * p.c) AS s
+        FROM (SELECT vec_id, unnest(qv) AS v_el,
+                     unnest(range(0, len(qv))) AS d FROM emb_n) ev
+        JOIN rh_planes p ON p.d = ev.d
+        GROUP BY 1, 2) z
+  GROUP BY 1),
+dedup_embedding_lsh AS (
+  SELECT vec_id, nn_vec_id, score, score >= 0.90 AS is_dup FROM (
+    SELECT q.vec_id, c.vec_id AS nn_vec_id,
+           CAST(list_sum(list_transform(list_zip(qe.qv, ce.qv), x -> x[1] * x[2])) AS DOUBLE)
+             / sqrt(CAST(qe.n2 AS DOUBLE) * CAST(ce.n2 AS DOUBLE)) AS score,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY CAST(list_sum(list_transform(list_zip(qe.qv, ce.qv), x -> x[1] * x[2])) AS DOUBLE)
+                      / sqrt(CAST(qe.n2 AS DOUBLE) * CAST(ce.n2 AS DOUBLE)) DESC,
+                      c.vec_id) AS rn
+    FROM rh_sig q
+    JOIN rh_sig c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+    JOIN emb_n qe ON qe.vec_id = q.vec_id
+    JOIN emb_n ce ON ce.vec_id = c.vec_id) s WHERE rn = 1),
 dedup_embedding_ivf AS (
   SELECT vec_id, nn_vec_id, score, score >= 0.90 AS is_dup FROM (
     SELECT q.vec_id, c.vec_id AS nn_vec_id,
