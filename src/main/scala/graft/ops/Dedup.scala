@@ -58,32 +58,17 @@ object Dedup {
     * at corpus scale that is 8× shingle-count rows of pure shuffle for a
     * value each doc can compute locally). Results are row-identical to the
     * grouped form (equivalence-tested in DedupSpec): a min over duplicated
-    * shingles equals the min over distinct ones, and `array_min` uses the
-    * same binary string ordering as the grouped `min`.
+    * shingles equals the min over distinct ones, and the kernel's string
+    * compare uses the same binary ordering as the grouped `min`.
     *
-    * The md5 let-binding trick from [[simhashExpr]] is NOT needed here —
-    * each (seed, shingle) hash is genuinely distinct work — but the shingle
-    * array is bound once per doc instead of re-deriving per seed. */
-  private val minhashBandExpr: String = {
-    val shingleArr =
-      """CASE WHEN size(words) >= 3
-           THEN transform(sequence(0, size(words) - 3),
-                  i -> concat_ws(' ', words[i], words[i+1], words[i+2]))
-           ELSE array(norm) END"""
-    s"""transform(array($shingleArr), sh ->
-          transform(sequence(0, 3), band ->
-            md5(concat(
-              array_min(transform(sh, s ->
-                md5(concat(CAST(band * 2 AS STRING), '|', s)))),
-              '|',
-              array_min(transform(sh, s ->
-                md5(concat(CAST(band * 2 + 1 AS STRING), '|', s))))))))[0]"""
-  }
-
+    * The per-doc computation is the native codegen expression
+    * [[graft.expr.MinHashBands]] — one static call per row inside
+    * whole-stage codegen, not an interpreted HOF chain. */
   def minhashBandsFastOf(docsWords: DataFrame): DataFrame =
     docsWords
       .select(col("doc_id"),
-        posexplode(expr(minhashBandExpr)).as(Seq("band", "band_hash")))
+        posexplode(graft.expr.MinHashBands(col("words"), col("norm")))
+          .as(Seq("band", "band_hash")))
       .select(col("doc_id"), col("band").cast("bigint").as("band"),
               col("band_hash"))
 
@@ -237,11 +222,18 @@ object Dedup {
           CAST(0 AS BIGINT), (x, y) -> x + y)"""
   }
 
+  /** The HOF form of the simhash computation — kept (unused in the query
+    * path) as the independent cross-check implementation:
+    * DedupSpec asserts native ≡ HOF, the oracle asserts native ≡ SQL. */
+  private[ops] def simhashHofCol(nBits: Int) =
+    expr(simhashExpr(nBits)).cast("long")
+
   /** 32-bit SimHash over the doc's distinct words (bit i from nibble i/4 of
-    * the word's md5; majority vote per bit). Map-side only — no shuffle. */
+    * the word's md5; majority vote per bit). Map-side only — no shuffle;
+    * computed by the native codegen kernel [[graft.expr.SimHashN]]. */
   def simhashOf(docsWords: DataFrame): DataFrame =
     docsWords.select(col("doc_id"),
-      expr(simhashExpr(32)).cast("long").as("simhash"))
+      graft.expr.SimHashN(col("words"), 32).as("simhash"))
 
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhashOf(TextOps.docsWords(spark, dir))
@@ -250,10 +242,11 @@ object Dedup {
     * over the first 16 nibbles of each word's md5. The wider hash is the
     * corpus-scale variant: with 16-bit banding chunks it gives 65 536
     * buckets per band instead of 256, keeping per-bucket candidate volume
-    * (quadratic in bucket size) small as N grows. Map-side only. */
+    * (quadratic in bucket size) small as N grows. Map-side only, native
+    * kernel. */
   def simhash64Of(docsWords: DataFrame): DataFrame =
     docsWords.select(col("doc_id"),
-      expr(simhashExpr(64)).cast("long").as("simhash64"))
+      graft.expr.SimHashN(col("words"), 64).as("simhash64"))
 
   def simhash64(spark: SparkSession, dir: String): DataFrame =
     simhash64Of(TextOps.docsWords(spark, dir))

@@ -37,6 +37,18 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("native simhash kernel equals the HOF expression (32 and 64 bit)") {
+    for (dw <- Seq(TextOps.docsWords(spark, "/root/testdata/sf0.001"), words);
+         nBits <- Seq(32, 64)) {
+      val native = dw.select(col("doc_id"),
+        graft.expr.SimHashN(col("words"), nBits).as("h"))
+        .as[(Long, Long)].collect().toMap
+      val hof = dw.select(col("doc_id"), Dedup.simhashHofCol(nBits).as("h"))
+        .as[(Long, Long)].collect().toMap
+      assert(native == hof && native.nonEmpty, s"nBits=$nBits")
+    }
+  }
+
   test("map-side banding equals the grouped signature pipeline") {
     // fixture docs (incl. the short-doc fallback) …
     val grouped = Dedup.minhashBandsOf(Dedup.minhashOf(shingles))
