@@ -376,6 +376,25 @@ corpus_curated AS (
   JOIN quality_score q ON q.doc_id = c.doc_id
   JOIN dedup_exact e ON e.keeper_doc_id = c.doc_id
   JOIN split_tvt s ON s.doc_id = c.doc_id
-  WHERE c.doc_id = c.cluster AND q.quality >= 0.5)
+  WHERE c.doc_id = c.cluster AND q.quality >= 0.5),
+inc_cut AS (
+  SELECT CAST(max(doc_id) * 9 // 10 AS BIGINT) AS cutoff FROM docs),
+dedup_pairs_inc AS (
+  SELECT doc_a, doc_b FROM minhash_pairs, inc_cut WHERE doc_b > cutoff),
+words_tf AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM words_flat GROUP BY 1, 2),
+words_df AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS df FROM words_dist GROUP BY 1),
+n_docs_t AS (
+  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM docs),
+tfidf_top AS (
+  SELECT doc_id, w, tf, df, score, rank FROM (
+    SELECT t.doc_id, t.w, t.tf, d.df,
+           t.tf * CAST(length(bin(n.n_docs // d.df)) - 1 AS BIGINT) AS score,
+           CAST(row_number() OVER (PARTITION BY t.doc_id
+                  ORDER BY t.tf * CAST(length(bin(n.n_docs // d.df)) - 1 AS BIGINT) DESC,
+                           t.w) AS BIGINT) AS rank
+    FROM words_tf t JOIN words_df d ON d.w = t.w, n_docs_t n) s
+  WHERE rank <= 3)
 """
 }

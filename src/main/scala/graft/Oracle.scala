@@ -232,7 +232,20 @@ f_customer_retention_grain AS (
     ON n.period = r.period AND n.item_new = r.item_ret
   FULL JOIN refunded_cust f
     ON COALESCE(n.period, r.period) = f.period
-   AND COALESCE(n.item_new, r.item_ret) = f.item_ref)
+   AND COALESCE(n.item_new, r.item_ret) = f.item_ref),
+sales_daily AS (
+  SELECT item_id, date_time AS sale_date,
+         sum(payment_amount) AS day_revenue,
+         CAST(sum(quantity) AS BIGINT) AS day_qty
+  FROM uol GROUP BY 1, 2),
+sales_rolling AS (
+  SELECT item_id, sale_date, day_revenue,
+         sum(day_revenue) OVER w7 AS rev_7d,
+         CAST(sum(day_qty) OVER w7 AS BIGINT) AS qty_7d,
+         CAST(count(*) OVER w7 AS BIGINT) AS n_days_7d
+  FROM sales_daily
+  WINDOW w7 AS (PARTITION BY item_id ORDER BY sale_date
+                RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW))
 """
 
   /** Docs/vectors prelude for the training-data-pipeline operators
@@ -319,6 +332,55 @@ f_customer_retention_grain AS (
     "q_sample_stratified"   -> fromDocs("sample_stratified"),
     "q_split_train_val_test" -> fromDocs("split_tvt"),
     "q_corpus_curated"      -> fromDocs("corpus_curated"),
+    "q_tfidf_top"           -> fromDocs("tfidf_top"),
+    // incremental ingest = full pair list restricted to pairs touching the
+    // new decile (new docs hold the max ids, so doc_b > cutoff ⇔ touching)
+    "q_dedup_pairs_inc"     -> fromDocs("dedup_pairs_inc"),
+    "q_sales_rolling_7d"    -> fromD("sales_rolling", "day_revenue", "rev_7d"),
+    // gap sessionization over events (30-min gap, second-truncated ts,
+    // per-user order (ts, event_id) — total because event_id is unique)
+    "q_sessionize" -> """
+      WITH ev AS (
+        SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+               date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts2,
+               CAST(floor(value) AS BIGINT) AS qty
+        FROM events),
+      flags AS (
+        SELECT *, CASE WHEN lag(ts2) OVER w IS NULL
+                         OR ts2 - lag(ts2) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts2, event_id)),
+      sess AS (
+        SELECT user_id, qty, ts2,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts2, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flags)
+      SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+             min(ts2) AS session_start, max(ts2) AS session_end,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(qty) AS BIGINT) AS quantity
+      FROM sess GROUP BY 1, 2""",
+    "q_event_type_stats" -> """
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT CAST(user_id AS BIGINT)) AS BIGINT) AS n_users,
+             CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS quantity
+      FROM events GROUP BY 1""",
+    "q_fk_audit" -> Seq(
+      ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("orders", "o_custkey", "customer", "c_custkey")).map {
+        case (c, k, p, pk) =>
+          s"""SELECT '$c.$k->$p.$pk' AS relation,
+                CAST(sum(cnt) AS BIGINT) AS n_child_rows,
+                CAST(count(*) AS BIGINT) AS n_child_keys,
+                CAST(count(CASE WHEN pk IS NULL THEN 1 END) AS BIGINT) AS n_orphan_keys,
+                CAST(COALESCE(sum(CASE WHEN pk IS NULL THEN cnt END), 0) AS BIGINT) AS n_orphan_rows
+              FROM (SELECT ck.ck, ck.cnt, pp.pk
+                    FROM (SELECT $k AS ck, count(*) AS cnt FROM $c GROUP BY 1) ck
+                    LEFT JOIN (SELECT DISTINCT $pk AS pk FROM $p) pp
+                      ON pp.pk = ck.ck) j"""
+      }.mkString(" UNION ALL "),
     // classic analytics anchors over the raw tables (standalone SQL)
     "q_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,

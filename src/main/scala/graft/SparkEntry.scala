@@ -112,7 +112,22 @@ object SparkEntry {
     // multi-probe IVF: nprobe=2 nearest cells per query
     "q_ann_ivf_topk_probe2" -> ((s, d) => ops.Vectors.ivfTopKProbed(s, d)),
     // IVF centroid training: 2 Lloyd rounds, exact integer centroids
-    "q_ann_kmeans_assign"   -> ((s, d) => ops.Vectors.kmeansAssign(s, d)))
+    "q_ann_kmeans_assign"   -> ((s, d) => ops.Vectors.kmeansAssign(s, d)),
+    // event-stream analytics: gap sessionization (batch twin of the
+    // streaming sessionizer) + per-type stats with exact distinct users
+    "q_sessionize"       -> ((s, d) => ops.Sessions.sessions(s, d)),
+    "q_event_type_stats" -> ((s, d) => ops.Sessions.eventTypeStats(s, d)),
+    // trailing-7-day rolling revenue per item (RANGE window over daily grain)
+    "q_sales_rolling_7d" -> ((s, d) => money(
+      ops.Analytics.rollingSales7dOf(Pipeline.of(s, d).uol),
+      "day_revenue", "rev_7d")),
+    // referential-integrity audit: orphan keys/rows per FK edge
+    "q_fk_audit"         -> ((s, d) => ops.Audit.fkAudit(s, d)),
+    // per-doc top-k TF-IDF terms (integer-log2 idf — bit-stable ranks)
+    "q_tfidf_top"        -> ((s, d) => ops.TextOps.tfidfTop(s, d)),
+    // incremental ingest: new-decile docs near-dup-checked against the
+    // indexed corpus (no full re-dedup)
+    "q_dedup_pairs_inc"  -> ((s, d) => ops.Dedup.minhashPairsIncremental(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -46,17 +46,21 @@ class Warehouse(spark: SparkSession, root: String) {
   }
 
   /** Bucketed overwrite: pre-shuffles the table into `n` buckets on
-    * `bucketCol` at write time so subsequent equi-joins between tables
-    * bucketed the same way are co-located — no Exchange at query time
-    * (asserted in WarehouseSpec). The catalog name is `<db>_<table>`
-    * (bucketing metadata requires a catalog entry, not a bare path). */
+    * `bucketCol` (plus optional `moreCols`) at write time so subsequent
+    * equi-joins between tables bucketed the same way are co-located — no
+    * Exchange at query time (asserted in WarehouseSpec / DedupSpec). The
+    * bucket column set must EQUAL the later join's key set: Spark's
+    * planner disables the bucketed scan when buckets cover only a subset
+    * of the join keys. The catalog name is `<db>_<table>` (bucketing
+    * metadata requires a catalog entry, not a bare path). */
   def bucketedOverwrite(db: String, table: String, df: DataFrame,
-                        bucketCol: String, n: Int): Unit =
+                        bucketCol: String, n: Int,
+                        moreCols: String*): Unit =
     df.write.mode(SaveMode.Overwrite)
       .format("parquet")
       .option("path", path(db, table))
-      .bucketBy(n, bucketCol)
-      .sortBy(bucketCol)
+      .bucketBy(n, bucketCol, moreCols: _*)
+      .sortBy(bucketCol, moreCols: _*)
       .saveAsTable(s"${db}_$table")
 
   def readTable(db: String, table: String): DataFrame =

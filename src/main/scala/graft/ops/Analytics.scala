@@ -54,4 +54,29 @@ object Analytics {
       .select(col("o_custkey").as("custkey"), col("c_name"),
               col("revenue").cast("double").as("revenue"), col("rnk"))
   }
+
+  /** Trailing-7-day rolling revenue per item over the order feed — the
+    * moving-average mart shape. Aggregate to DAILY grain first, then run
+    * the RANGE frame over daily rows: the window state is ≤7 rows per
+    * item-day instead of every raw sale, and the window reuses the daily
+    * groupBy's (item) partitioning — one shuffle end to end. The frame
+    * bounds are day-integers (datediff from epoch), identical to the
+    * oracle's `RANGE BETWEEN INTERVAL 6 DAY PRECEDING` over timestamps.
+    * Revenue stays exact DECIMAL through both sums; DOUBLE only at
+    * output. */
+  def rollingSales7dOf(uol: DataFrame): DataFrame = {
+    val daily = uol
+      .groupBy(col("item_id"), col("date_time").as("sale_date"))
+      .agg(sum(col("payment_amount")).as("day_revenue"),
+           sum(col("quantity")).as("day_qty"))
+    val w7 = Window.partitionBy("item_id").orderBy("day_int")
+      .rangeBetween(-6, 0)
+    daily
+      .withColumn("day_int",
+        datediff(col("sale_date"), to_date(lit("1970-01-01"))))
+      .select(col("item_id"), col("sale_date"), col("day_revenue"),
+              sum(col("day_revenue")).over(w7).as("rev_7d"),
+              sum(col("day_qty")).over(w7).as("qty_7d"),
+              count(lit(1)).over(w7).cast("long").as("n_days_7d"))
+  }
 }

@@ -117,6 +117,65 @@ object Dedup {
     dense.unionAll(star).distinct()
   }
 
+  /** INCREMENTAL near-dup check — the 100 TB ingest shape: a new batch of
+    * docs is checked against the already-indexed corpus WITHOUT re-running
+    * dedup over the corpus. `indexBands` is the persisted band index (in
+    * production a warehouse table bucketed on the join key, so the corpus
+    * side joins co-located with NO shuffle — see
+    * `Warehouse.bucketedOverwrite` and the DedupSpec plan assertion);
+    * `newBands` is the increment's bands, computed map-side on arrival.
+    * Only the increment shuffles.
+    *
+    * Output: every candidate pair touching the increment — new×indexed and
+    * new×new (canonical doc_a < doc_b). Equals the full-corpus pair list
+    * restricted to pairs with a new side (equivalence-tested). */
+  def incrementalPairsOf(indexBands: DataFrame,
+                         newBands: DataFrame): DataFrame =
+    incrementalCandidatesOf(indexBands, newBands).distinct()
+
+  /** The two candidate joins before the final pair distinct — separated so
+    * the plan-shape spec can assert them Exchange-free when BOTH inputs
+    * are bucketed `(band, band_hash)` warehouse tables (the serving shape: the
+    * ingest job lands the increment's bands bucketed — they are needed for
+    * the index append anyway — and both joins then run co-located; the
+    * only shuffle in the whole check is the final pair distinct, whose
+    * input is collision pairs, not corpus). `indexBands` and `newBands`
+    * must be doc-disjoint (caller contract). */
+  def incrementalCandidatesOf(indexBands: DataFrame,
+                              newBands: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{greatest, least}
+    val n = newBands.select(col("doc_id").as("doc_n"),
+                            col("band"), col("band_hash"))
+    val vsIndex = n
+      .join(indexBands.select(col("doc_id").as("doc_o"),
+                              col("band"), col("band_hash")),
+            Seq("band", "band_hash"))
+      .select(least(col("doc_n"), col("doc_o")).as("doc_a"),
+              greatest(col("doc_n"), col("doc_o")).as("doc_b"))
+    val vsNew = n
+      .join(newBands.select(col("doc_id").as("doc_o"),
+                            col("band"), col("band_hash")),
+            Seq("band", "band_hash"))
+      .where(col("doc_n") < col("doc_o"))
+      .select(col("doc_n").as("doc_a"), col("doc_o").as("doc_b"))
+    vsIndex.unionAll(vsNew)
+  }
+
+  /** Query form: the top decile of doc_ids plays the "new batch"
+    * (deterministic cutoff = max(doc_id)*9/10, broadcast as a 1-row
+    * cross join — no driver-side action). */
+  def minhashPairsIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val bands = bandsCached(spark, dir)
+    val cut = bands.agg(expr("CAST(max(doc_id) * 9 DIV 10 AS BIGINT)")
+      .as("cutoff"))
+    val tagged = bands.crossJoin(broadcast(cut))
+    incrementalPairsOf(
+      tagged.where(col("doc_id") <= col("cutoff"))
+        .select("doc_id", "band", "band_hash"),
+      tagged.where(col("doc_id") > col("cutoff"))
+        .select("doc_id", "band", "band_hash"))
+  }
+
   /** Buckets the giant-bucket guard would star-pair at `maxBucket`, with
     * the number of dense pairs each would NOT materialize — the "no silent
     * caps" audit view for guarded runs. */

@@ -178,4 +178,38 @@ object TextOps {
 
   def wordFreq(spark: SparkSession, dir: String): DataFrame =
     wordFreqOf(docsWords(spark, dir))
+
+  /** Per-doc top-k terms by TF-IDF — the term-salience profile feeding
+    * keyword extraction / topic labeling in a curation pipeline.
+    *
+    * Scoring is ALL-INTEGER for bit-stable cross-engine results (same rule
+    * as the quantized cosine scores): idf is the integer log2 of N/df,
+    * computed as `length(bin(N div df)) - 1` — `bin` is exact integer
+    * bit-arithmetic in both engines, with none of libm-`ln`'s last-ulp
+    * ambiguity that could flip a rank at a rounding boundary. score =
+    * tf * ilog2(N/df); ties break by term.
+    *
+    * Scale: tf is a (doc, term) partial-agg groupBy; df a (term) one over
+    * distinct (doc, term); the tf↔df join shuffles on term; N joins as a
+    * 1-row broadcast. The top-k window partitions by doc — bounded by
+    * terms-per-doc, never global. */
+  def tfidfTopOf(docsWords: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wf = docsWords.select(col("doc_id"), explode(col("words")).as("w"))
+    val tf = wf.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfq = wf.distinct().groupBy("w").agg(count(lit(1)).as("df"))
+    val n = docsWords.select(countDistinct("doc_id").as("n_docs"))
+    val scored = tf.join(dfq, "w").crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf") * (length(bin(expr("n_docs div df"))) - 1).cast("long"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("w"))).cast("long"))
+      .where(col("rank") <= k)
+      .select("doc_id", "w", "tf", "df", "score", "rank")
+  }
+
+  def tfidfTop(spark: SparkSession, dir: String): DataFrame =
+    tfidfTopOf(docsWords(spark, dir))
 }

@@ -142,4 +142,47 @@ class DedupSpec extends SparkSpec {
     assert(j(1L) == 1.0)
     assert(j(2L) == 0.0)
   }
+
+  test("incremental pairs equal the full pair list restricted to new docs") {
+    val bands = Dedup.minhashBands(spark, "/root/testdata/sf0.001")
+    val cutoff = bands.agg(expr("CAST(max(doc_id) * 9 DIV 10 AS BIGINT)"))
+      .as[Long].head()
+    val got = Dedup.incrementalPairsOf(
+        bands.where($"doc_id" <= cutoff), bands.where($"doc_id" > cutoff))
+      .as[(Long, Long)].collect().sorted.toSeq
+    // new docs hold the max ids, so doc_b > cutoff ⇔ pair touches the batch
+    val want = Dedup.minhashPairsOf(bands, Int.MaxValue)
+      .as[(Long, Long)].collect().filter(_._2 > cutoff).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("bucketed band index: increment check joins without any Exchange") {
+    val d = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft_incidx").toString
+    val wh = new graft.catalog.Warehouse(spark, root)
+    val bands = Dedup.minhashBands(spark, d)
+    val cutoff = bands.agg(expr("CAST(max(doc_id) * 9 DIV 10 AS BIGINT)"))
+      .as[Long].head()
+    // the ingest job lands both the corpus index and the day's increment
+    // bands bucketed on the collision key
+    wh.bucketedOverwrite("dedup", "band_index",
+      bands.where($"doc_id" <= cutoff), "band", 8, "band_hash")
+    wh.bucketedOverwrite("dedup", "band_inc",
+      bands.where($"doc_id" > cutoff), "band", 8, "band_hash")
+    val idx = wh.readTable("dedup", "band_index")
+    val inc = wh.readTable("dedup", "band_inc")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val cand = Dedup.incrementalCandidatesOf(idx, inc)
+      val plan = cand.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(800))
+      val got = Dedup.incrementalPairsOf(idx, inc)
+        .as[(Long, Long)].collect().sorted.toSeq
+      val want = Dedup.incrementalPairsOf(
+          bands.where($"doc_id" <= cutoff), bands.where($"doc_id" > cutoff))
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(got == want && got.nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

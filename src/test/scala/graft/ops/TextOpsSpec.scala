@@ -38,6 +38,25 @@ class TextOpsSpec extends SparkSpec {
     assert(m(1L) == "de")
   }
 
+  test("tfidf: integer-log2 idf scores and per-doc ranks") {
+    // N=4 docs; "apple" in 1 doc (ilog2(4/1)=2), "banana" in 2 (ilog2 1),
+    // "cherry" in all 4 (ilog2 0)
+    val d = TextOps.withWords(TextOps.normalize(Seq(
+      (0L, "apple apple banana cherry"),
+      (1L, "banana cherry"),
+      (2L, "cherry"),
+      (3L, "cherry"))
+      .toDF("doc_id", "text")))
+    val got = TextOps.tfidfTopOf(d, k = 3)
+      .select("doc_id", "w", "tf", "df", "score", "rank")
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got((0L, "apple")) == ((0L, "apple", 2L, 1L, 4L, 1L)))
+    assert(got((0L, "banana")) == ((0L, "banana", 1L, 2L, 1L, 2L)))
+    assert(got((0L, "cherry"))._5 == 0L) // ubiquitous term scores 0
+    assert(got((1L, "banana"))._6 == 1L) // doc 1's top term
+  }
+
   test("fingerprint: identical normalized docs get identical fingerprints") {
     val two = TextOps.normalize(Seq(
       (0L, "same text here okay"), (1L, "Same   text here okay"))
