@@ -65,7 +65,11 @@ object Analytics {
     * Revenue stays exact DECIMAL through both sums; DOUBLE only at
     * output. */
   def rollingSales7dOf(uol: DataFrame): DataFrame = {
-    val daily = uol
+    // Pre-partition by item_id ALONE: HashPartitioning(item) satisfies the
+    // daily groupBy's (item, date) clustering AND the window's (item)
+    // requirement, so the whole query runs on ONE exchange (the default
+    // plan shuffles twice: full-key hash for the agg, item for the window).
+    val daily = uol.repartition(col("item_id"))
       .groupBy(col("item_id"), col("date_time").as("sale_date"))
       .agg(sum(col("payment_amount")).as("day_revenue"),
            sum(col("quantity")).as("day_qty"))
