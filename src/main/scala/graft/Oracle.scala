@@ -245,7 +245,49 @@ sales_rolling AS (
          CAST(count(*) OVER w7 AS BIGINT) AS n_days_7d
   FROM sales_daily
   WINDOW w7 AS (PARTITION BY item_id ORDER BY sale_date
-                RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW))
+                RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)),
+top_items_city AS (
+  SELECT city_id, item_id, revenue, qty, rnk FROM (
+    SELECT city_id, item_id, revenue, qty,
+           CAST(row_number() OVER (PARTITION BY city_id
+                  ORDER BY revenue DESC, item_id) AS BIGINT) AS rnk
+    FROM (SELECT city_id, item_id, sum(payment_amount) AS revenue,
+                 CAST(sum(quantity) AS BIGINT) AS qty
+          FROM uol GROUP BY 1, 2) r) t
+  WHERE rnk <= 3),
+sales_pivot AS (
+  SELECT date_trunc('month', date_time) AS month,
+         sum(CASE WHEN status = 'shipped' THEN payment_amount END) AS shipped_amount,
+         CAST(sum(CASE WHEN status = 'shipped' THEN quantity END) AS BIGINT) AS shipped_qty,
+         sum(CASE WHEN status = 'refunded' THEN payment_amount END) AS refunded_amount,
+         CAST(sum(CASE WHEN status = 'refunded' THEN quantity END) AS BIGINT) AS refunded_qty
+  FROM uol_v2 GROUP BY 1),
+sales_rollup AS (
+  SELECT y AS year_num, m AS month_num,
+         sum(payment_amount) AS revenue,
+         CAST(sum(quantity) AS BIGINT) AS qty,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(GROUPING(y) AS BIGINT) AS g_year,
+         CAST(GROUPING(m) AS BIGINT) AS g_month
+  FROM (SELECT CAST(extract(year FROM date_time) AS INTEGER) AS y,
+               CAST(extract(month FROM date_time) AS INTEGER) AS m,
+               payment_amount, quantity FROM uol) s
+  GROUP BY ROLLUP(y, m)),
+scd_day AS (
+  SELECT customer_id, date_time AS day, max(city_id) AS city_id
+  FROM uol_v2 GROUP BY 1, 2),
+scd_changes AS (
+  SELECT customer_id, city_id, day AS valid_from
+  FROM (SELECT *, lag(city_id) OVER (PARTITION BY customer_id ORDER BY day)
+                    AS prev_city
+        FROM scd_day) c
+  WHERE prev_city IS NULL OR prev_city <> city_id),
+d_customer_scd AS (
+  SELECT customer_id, city_id, valid_from,
+         lead(valid_from) OVER w - INTERVAL 1 DAY AS valid_to,
+         lead(valid_from) OVER w IS NULL AS is_current
+  FROM scd_changes
+  WINDOW w AS (PARTITION BY customer_id ORDER BY valid_from))
 """
 
   /** Docs/vectors prelude for the training-data-pipeline operators
@@ -337,6 +379,11 @@ sales_rolling AS (
     // new decile (new docs hold the max ids, so doc_b > cutoff ⇔ touching)
     "q_dedup_pairs_inc"     -> fromDocs("dedup_pairs_inc"),
     "q_sales_rolling_7d"    -> fromD("sales_rolling", "day_revenue", "rev_7d"),
+    "q_top_items_per_city"  -> fromD("top_items_city", "revenue"),
+    "q_sales_pivot"         -> fromD("sales_pivot",
+                                     "shipped_amount", "refunded_amount"),
+    "q_sales_rollup"        -> fromD("sales_rollup", "revenue"),
+    "q_d_customer_scd"      -> from("d_customer_scd"),
     // gap sessionization over events (30-min gap, second-truncated ts,
     // per-user order (ts, event_id) — total because event_id is unique)
     "q_sessionize" -> """

@@ -127,7 +127,17 @@ object SparkEntry {
     "q_tfidf_top"        -> ((s, d) => ops.TextOps.tfidfTop(s, d)),
     // incremental ingest: new-decile docs near-dup-checked against the
     // indexed corpus (no full re-dedup)
-    "q_dedup_pairs_inc"  -> ((s, d) => ops.Dedup.minhashPairsIncremental(s, d)))
+    "q_dedup_pairs_inc"  -> ((s, d) => ops.Dedup.minhashPairsIncremental(s, d)),
+    // per-group top-k / pivot / ROLLUP marts + SCD2 dimension history
+    "q_top_items_per_city" -> ((s, d) => money(
+      ops.Analytics.topItemsPerCityOf(Pipeline.of(s, d).uol), "revenue")),
+    "q_sales_pivot" -> ((s, d) => money(
+      ops.Analytics.salesStatusPivotOf(Pipeline.of(s, d).uolV2),
+      "shipped_amount", "refunded_amount")),
+    "q_sales_rollup" -> ((s, d) => money(
+      ops.Analytics.salesRollupOf(Pipeline.of(s, d).uol), "revenue")),
+    "q_d_customer_scd" -> ((s, d) =>
+      etl.Dims.dCustomerScd(Pipeline.of(s, d).uolV2)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -45,4 +45,35 @@ object Dims {
     graft.Ids.dense(winners, Seq("item_id"), "id", offset)
       .select("id", "item_id", "item_name")
   }
+
+  /** SCD Type 2 customer-city history — the slowly-changing-dimension build
+    * the reference's overwrite dimension discards (beyond-reference
+    * warehouse op): one validity interval per (customer, city) run, closed
+    * by the next change.
+    *
+    * Construction: collapse to (customer, day) grain with a pinned
+    * deterministic city (max city_id within the day), keep rows where the
+    * city differs from the previous day's (lag), then close each interval
+    * with the NEXT change's date minus one day (lead); the open interval is
+    * `is_current`. All three steps are windows over the same
+    * (customer_id)-partitioned order — ONE shuffle after the per-day
+    * collapse, no global window. Mirrored lag/lead semantics in the DuckDB
+    * oracle. */
+  def dCustomerScd(uolV2: DataFrame): DataFrame = {
+    val byCust = Window.partitionBy("customer_id").orderBy("day")
+    val perDay = uolV2
+      .groupBy(col("customer_id"), col("date_time").as("day"))
+      .agg(max("city_id").as("city_id"))
+    val changes = perDay
+      .withColumn("prev_city", lag(col("city_id"), 1).over(byCust))
+      .where(col("prev_city").isNull || col("prev_city") =!= col("city_id"))
+    changes
+      .select(col("customer_id"), col("city_id"), col("day").as("valid_from"))
+      .withColumn("next_from",
+        lead(col("valid_from"), 1).over(
+          Window.partitionBy("customer_id").orderBy("valid_from")))
+      .select(col("customer_id"), col("city_id"), col("valid_from"),
+              (col("next_from") - expr("INTERVAL 1 DAY")).as("valid_to"),
+              col("next_from").isNull.as("is_current"))
+  }
 }

@@ -76,5 +76,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("vec_dot_q"),
       new ExpressionInfo(classOf[VecDotQ].getName, "vec_dot_q"),
       (children: Seq[Expression]) => VecDotQ(children(0), children(1))))
+    // text-hash kernels for SQL users: simhash32/64(words),
+    // minhash_bands(words, norm)
+    ext.injectFunction((FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[graft.expr.SimHashN].getName, "simhash32"),
+      (children: Seq[Expression]) => graft.expr.SimHashN(children(0), 32)))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[graft.expr.SimHashN].getName, "simhash64"),
+      (children: Seq[Expression]) => graft.expr.SimHashN(children(0), 64)))
+    ext.injectFunction((FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[graft.expr.MinHashBands].getName,
+        "minhash_bands"),
+      (children: Seq[Expression]) =>
+        graft.expr.MinHashBands(children(0), children(1))))
   }
 }

@@ -83,4 +83,72 @@ object Analytics {
               sum(col("day_qty")).over(w7).as("qty_7d"),
               count(lit(1)).over(w7).cast("long").as("n_days_7d"))
   }
+
+  /** Top-k items per city by revenue — per-group top-k over an aggregate.
+    * The rank-filter shape (`row_number ≤ k` directly above the window)
+    * lets Spark plan a WindowGroupLimit: each partition keeps only k rows
+    * per city BEFORE the window shuffle, so the exchange carries k·|cities|
+    * rows, not the full (city, item) matrix. Ties pin on item_id; DECIMAL
+    * revenue compares exactly in both engines. */
+  def topItemsPerCityOf(uol: DataFrame, k: Int = 3): DataFrame = {
+    val rev = uol.groupBy("city_id", "item_id")
+      .agg(sum(col("payment_amount")).as("revenue"),
+           sum(col("quantity")).as("qty"))
+    val w = Window.partitionBy("city_id")
+      .orderBy(col("revenue").desc, col("item_id"))
+    rev.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
+  /** Month × status pivot — `groupBy(month).pivot(status, explicit values)`
+    * (explicit value list: no extra distinct pass over the data). Sums
+    * only, so an absent (month, status) combo is NULL in both engines. */
+  def salesStatusPivotOf(uolV2: DataFrame): DataFrame =
+    uolV2
+      .select(date_trunc("month", col("date_time")).as("month"),
+              col("status"), col("payment_amount"), col("quantity"))
+      .groupBy("month")
+      .pivot("status", Seq("shipped", "refunded"))
+      .agg(sum(col("payment_amount")).as("amount"),
+           sum(col("quantity")).as("qty"))
+
+  /** (year, month) ROLLUP with grouping flags, built as HIERARCHICAL
+    * re-aggregation: one pass collapses the feed to month grain, then the
+    * year subtotals and the grand total fold from that (tiny) aggregate.
+    * Semantically identical to `GROUP BY ROLLUP` — the DuckDB oracle runs
+    * the genuine ROLLUP as the cross-check — but the better scale shape:
+    * Catalyst's rollup plans an Expand that replicates EVERY input row
+    * once per grouping set (3× a 100 TB feed into the partial agg), while
+    * here the base data is read once and subtotals re-aggregate
+    * already-aggregated rows. (Also sidesteps a Spark analyzer
+    * false-positive: Expand over a plan that scans `orders` twice — the
+    * feed join + the increment cutoff — trips the ambiguous-self-join
+    * check on any rollup/cube downstream of the order feed.) */
+  def salesRollupOf(uol: DataFrame): DataFrame = {
+    val monthly = uol
+      .select(year(col("date_time")).as("year_num"),
+              month(col("date_time")).as("month_num"),
+              col("payment_amount"), col("quantity"))
+      .groupBy("year_num", "month_num")
+      .agg(sum(col("payment_amount")).as("revenue"),
+           sum(col("quantity")).as("qty"),
+           count(lit(1)).as("n_rows"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def lvl(df: DataFrame, gYear: Int, gMonth: Int) =
+      df.select(col("year_num"), col("month_num"),
+                col("revenue"), col("qty"), col("n_rows"),
+                lit(gYear.toLong).as("g_year"),
+                lit(gMonth.toLong).as("g_month"))
+    val byYear = monthly.groupBy("year_num")
+      .agg(sum(col("revenue")).as("revenue"), sum(col("qty")).as("qty"),
+           sum(col("n_rows")).as("n_rows"))
+      .withColumn("month_num", lit(null).cast("int"))
+    val total = monthly
+      .agg(sum(col("revenue")).as("revenue"), sum(col("qty")).as("qty"),
+           sum(col("n_rows")).as("n_rows"))
+      .withColumn("year_num", lit(null).cast("int"))
+      .withColumn("month_num", lit(null).cast("int"))
+    lvl(monthly, 0, 0).unionByName(lvl(byYear, 0, 1))
+      .unionByName(lvl(total, 1, 1))
+  }
 }

@@ -73,4 +73,25 @@ class DimsCalendarSpec extends SparkSpec {
     val rows = ft.select("id", "date_id", "status").as[(Long, Long, String)].collect()
     assert(rows.toSeq == Seq((3L, 3L, "shipped"))) // b-2 dropped, id continues
   }
+
+  test("SCD2 customer history: intervals close on change, last is current") {
+    // customer 1 moves city 5 -> 7 -> 7 -> 9: three intervals; customer 2
+    // never moves: one open interval
+    val v2 = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 5),
+      (1L, ts("2024-01-03 00:00:00"), 7),
+      (1L, ts("2024-01-05 00:00:00"), 7), // no change -> no new interval
+      (1L, ts("2024-01-08 00:00:00"), 9),
+      (2L, ts("2024-01-02 00:00:00"), 4))
+      .toDF("customer_id", "date_time", "city_id")
+    val got = Dims.dCustomerScd(v2)
+      .select("customer_id", "city_id", "valid_from", "valid_to", "is_current")
+      .as[(Long, Int, Timestamp, Option[Timestamp], Boolean)]
+      .collect().sortBy(r => (r._1, r._3.getTime)).toSeq
+    assert(got == Seq(
+      (1L, 5, ts("2024-01-01 00:00:00"), Some(ts("2024-01-02 00:00:00")), false),
+      (1L, 7, ts("2024-01-03 00:00:00"), Some(ts("2024-01-07 00:00:00")), false),
+      (1L, 9, ts("2024-01-08 00:00:00"), None, true),
+      (2L, 4, ts("2024-01-02 00:00:00"), None, true)))
+  }
 }

@@ -73,4 +73,29 @@ class ExtensionsSpec extends SparkSpec {
       .as[(Long, Double)].head()
     assert(d == ((23L, 3.0)))
   }
+
+  test("text-hash kernels register as SQL functions") {
+    val B = org.apache.spark.sql.graftbridge.Bridge
+    B.registerFunction(spark, "simhash32",
+      (cs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHashN(cs(0), 32))
+    B.registerFunction(spark, "simhash64",
+      (cs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHashN(cs(0), 64))
+    B.registerFunction(spark, "minhash_bands",
+      (cs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinHashBands(cs(0), cs(1)))
+    val r = spark.sql(
+      """SELECT simhash32(array('quick', 'fox')) AS h32,
+                simhash64(array('quick', 'fox')) AS h64,
+                size(minhash_bands(array('a'), 'a')) AS nb""")
+      .as[(Long, Long, Int)].head()
+    // SQL results match the Column-API kernels exactly
+    val (c32, c64) = Seq(Seq("quick", "fox")).toDF("w")
+      .select(SimHashN(org.apache.spark.sql.functions.col("w"), 32),
+              SimHashN(org.apache.spark.sql.functions.col("w"), 64))
+      .as[(Long, Long)].head()
+    assert(r._1 == c32 && r._2 == c64 && r._3 == 4)
+    assert((r._2 & 0xFFFFFFFFL) == r._1)
+  }
 }
