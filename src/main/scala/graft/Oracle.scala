@@ -483,5 +483,19 @@ d_customer_scd AS (
       SELECT 'o_totalprice' AS "column",
              unnest([0.25, 0.5, 0.75, 0.95]) AS p,
              unnest(quantile_cont(o_totalprice, [0.25, 0.5, 0.75, 0.95])) AS q_value
-      FROM orders""")
+      FROM orders""",
+    "q_quantiles_by_flag" -> """
+      SELECT l_returnflag, 'l_extendedprice' AS "column",
+             unnest([0.25, 0.5, 0.75, 0.95]) AS p,
+             unnest(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.95])) AS q_value
+      FROM lineitem GROUP BY 1""",
+    // bucket arithmetic mirrored exactly: (x - mn) * n / (mx - mn), floor,
+    // clamp into the last bucket
+    "q_histogram_totalprice" -> """
+      WITH mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+                  FROM orders)
+      SELECT CAST(least(floor(((o_totalprice - mn) * 10) / (mx - mn)), 9)
+                  AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM orders, mm GROUP BY 1""")
 }

@@ -137,7 +137,10 @@ object SparkEntry {
     "q_sales_rollup" -> ((s, d) => money(
       ops.Analytics.salesRollupOf(Pipeline.of(s, d).uol), "revenue")),
     "q_d_customer_scd" -> ((s, d) =>
-      etl.Dims.dCustomerScd(Pipeline.of(s, d).uolV2)))
+      etl.Dims.dCustomerScd(Pipeline.of(s, d).uolV2)),
+    // per-group exact quantiles + equi-width histogram profiling
+    "q_quantiles_by_flag"    -> ((s, d) => ops.Profile.priceQuantilesByFlag(s, d)),
+    "q_histogram_totalprice" -> ((s, d) => ops.Profile.totalpriceHistogram(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -52,4 +52,42 @@ object Profile {
   def ordersQuantiles(spark: SparkSession, dir: String): DataFrame =
     quantileProfile(Feeds.table(spark, dir, "orders"), "o_totalprice",
                     Seq(0.25, 0.5, 0.75, 0.95))
+
+  /** Exact interpolated quantiles PER GROUP — one partial-aggregatable
+    * groupBy (each group's percentile state is its value multiset; fine
+    * for profiling-sized groups, use approx_percentile for corpus-sized
+    * ones), then a posexplode to (group, p, q_value) grain. Spark
+    * `percentile` ≡ DuckDB `quantile_cont` bit-for-bit (same linear
+    * interpolation; established by q_profile_quantiles). */
+  def quantilesByGroup(df: DataFrame, groupCol: String, column: String,
+                       ps: Seq[Double]): DataFrame = {
+    val arr = ps.map(p => s"CAST($p AS DOUBLE)").mkString(", ")
+    df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($column, array($arr))").as("qs"))
+      .select(col(groupCol), posexplode(col("qs")).as(Seq("pos", "q_value")))
+      .select(col(groupCol), lit(column).as("column"),
+              element_at(typedLit(ps), col("pos") + 1).as("p"),
+              col("q_value"))
+  }
+
+  def priceQuantilesByFlag(spark: SparkSession, dir: String): DataFrame =
+    quantilesByGroup(Feeds.table(spark, dir, "lineitem"), "l_returnflag",
+                     "l_extendedprice", Seq(0.25, 0.5, 0.75, 0.95))
+
+  /** Equi-width histogram: min/max via a 1-row broadcast, bucket index by
+    * exact mirrored double arithmetic (`(x - mn) * n / (mx - mn)`, floored,
+    * top edge clamped into the last bucket). Two passes over the column —
+    * the standard distributed histogram; no sort, no collect. */
+  def histogram(df: DataFrame, column: String, n: Int): DataFrame = {
+    val mm = df.agg(min(col(column)).as("mn"), max(col(column)).as("mx"))
+    df.select(col(column)).crossJoin(broadcast(mm))
+      .select(least(
+        floor((col(column) - col("mn")) * lit(n) / (col("mx") - col("mn"))),
+        lit(n - 1L)).cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
+  def totalpriceHistogram(spark: SparkSession, dir: String): DataFrame =
+    histogram(Feeds.table(spark, dir, "orders"), "o_totalprice", 10)
 }
