@@ -395,6 +395,28 @@ tfidf_top AS (
                   ORDER BY t.tf * CAST(length(bin(n.n_docs // d.df)) - 1 AS BIGINT) DESC,
                            t.w) AS BIGINT) AS rank
     FROM words_tf t JOIN words_df d ON d.w = t.w, n_docs_t n) s
-  WHERE rank <= 3)
+  WHERE rank <= 3),
+contam_needles AS (
+  SELECT DISTINCT shingle FROM docs_sh_d WHERE doc_id < 5),
+contamination AS (
+  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM docs_sh_d s JOIN contam_needles n ON n.shingle = s.shingle
+  GROUP BY 1),
+pii_scan AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(norm,
+              '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+')) AS BIGINT) AS n_email,
+         CAST(len(regexp_extract_all(norm,
+              '[0-9][0-9][0-9][- ][0-9][0-9][0-9][- ][0-9][0-9][0-9][0-9]')) AS BIGINT) AS n_phone,
+         (len(regexp_extract_all(norm, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+'))
+          + len(regexp_extract_all(norm, '[0-9][0-9][0-9][- ][0-9][0-9][0-9][- ][0-9][0-9][0-9][0-9]'))) > 0 AS has_pii
+  FROM docs),
+repetition AS (
+  SELECT w.doc_id,
+         CAST(greatest(len(w.words) - 2, 1) AS BIGINT) AS n_total,
+         s.n_sh AS n_distinct,
+         1.0 - CAST(s.n_sh AS DOUBLE)
+             / CAST(greatest(len(w.words) - 2, 1) AS DOUBLE) AS rep_ratio
+  FROM docs_words w JOIN sh_sizes s ON s.doc_id = w.doc_id)
 """
 }

@@ -375,6 +375,9 @@ d_customer_scd AS (
     "q_split_train_val_test" -> fromDocs("split_tvt"),
     "q_corpus_curated"      -> fromDocs("corpus_curated"),
     "q_tfidf_top"           -> fromDocs("tfidf_top"),
+    "q_contamination"       -> fromDocs("contamination"),
+    "q_pii_scan"            -> fromDocs("pii_scan"),
+    "q_repetition"          -> fromDocs("repetition"),
     // incremental ingest = full pair list restricted to pairs touching the
     // new decile (new docs hold the max ids, so doc_b > cutoff ⇔ touching)
     "q_dedup_pairs_inc"     -> fromDocs("dedup_pairs_inc"),

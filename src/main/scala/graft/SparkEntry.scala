@@ -140,7 +140,11 @@ object SparkEntry {
       etl.Dims.dCustomerScd(Pipeline.of(s, d).uolV2)),
     // per-group exact quantiles + equi-width histogram profiling
     "q_quantiles_by_flag"    -> ((s, d) => ops.Profile.priceQuantilesByFlag(s, d)),
-    "q_histogram_totalprice" -> ((s, d) => ops.Profile.totalpriceHistogram(s, d)))
+    "q_histogram_totalprice" -> ((s, d) => ops.Profile.totalpriceHistogram(s, d)),
+    // curation filters: decontamination, PII scan, repetition ratio
+    "q_contamination" -> ((s, d) => ops.TextOps.contamination(s, d)),
+    "q_pii_scan"      -> ((s, d) => ops.TextOps.piiScan(s, d)),
+    "q_repetition"    -> ((s, d) => ops.TextOps.repetition(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -212,4 +212,56 @@ object TextOps {
 
   def tfidfTop(spark: SparkSession, dir: String): DataFrame =
     tfidfTopOf(docsWords(spark, dir))
+
+  /** Benchmark DECONTAMINATION — the curation step that removes training
+    * docs overlapping an eval set: count per doc the distinct 3-gram
+    * shingles it shares with the needle set. The needle set is tiny
+    * relative to the corpus (an eval suite), so the join broadcasts it;
+    * docs shingle map-side; output only matching docs. */
+  def contaminationOf(shingles: DataFrame, needles: DataFrame): DataFrame =
+    shingles
+      .join(broadcast(needles.select(col("shingle")).distinct()), Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+
+  /** Query form: docs 0-4's shingles play the "benchmark" needle set. */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    contaminationOf(sh, sh.where(col("doc_id") < 5))
+  }
+
+  /** PII pattern scan — per-doc counts of email- and phone-shaped spans
+    * over the normalized text plus a has_pii flag. Map-side regex only;
+    * patterns kept to the regex subset with identical semantics in Java
+    * (Spark) and RE2 (DuckDB). A production filter would swap in a
+    * validated PII library — the operator shape (per-doc pattern counts →
+    * flag → drop/redact) is the real one. */
+  def piiScanOf(docsNorm: DataFrame): DataFrame =
+    docsNorm.select(
+      col("doc_id"),
+      expr("regexp_count(norm, '[a-z0-9._%+-]+@[a-z0-9.-]+\\\\.[a-z][a-z]+')")
+        .cast("long").as("n_email"),
+      expr("regexp_count(norm, '[0-9][0-9][0-9][- ][0-9][0-9][0-9][- ][0-9][0-9][0-9][0-9]')")
+        .cast("long").as("n_phone"))
+      .withColumn("has_pii", col("n_email") + col("n_phone") > 0)
+
+  def piiScan(spark: SparkSession, dir: String): DataFrame =
+    piiScanOf(docs(spark, dir))
+
+  /** Repetition ratio — the boilerplate/repetition quality heuristic
+    * (fraction of duplicated 3-gram shingles): 1 - distinct/total. Total
+    * comes map-side from the words array; distinct from the deduplicated
+    * shingle set. High ratio ⇒ templated/repetitive text. */
+  def repetitionOf(docsWords: DataFrame, shinglesDist: DataFrame): DataFrame = {
+    val totals = docsWords.select(col("doc_id"),
+      greatest(size(col("words")) - 2, lit(1)).cast("long").as("n_total"))
+    val dist = shinglesDist.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_distinct"))
+    totals.join(dist, Seq("doc_id"))
+      .withColumn("rep_ratio",
+        lit(1.0) - col("n_distinct").cast("double") / col("n_total").cast("double"))
+  }
+
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionOf(docsWords(spark, dir), shingles(spark, dir))
 }

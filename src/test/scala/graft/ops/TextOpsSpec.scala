@@ -57,6 +57,43 @@ class TextOpsSpec extends SparkSpec {
     assert(got((1L, "banana"))._6 == 1L) // doc 1's top term
   }
 
+  test("contamination: docs sharing needle shingles are counted, others not") {
+    val d = TextOps.withWords(TextOps.normalize(Seq(
+      (0L, "alpha beta gamma delta"),        // needle doc
+      (1L, "x alpha beta gamma y"),          // shares "alpha beta gamma"
+      (2L, "nothing in common here at all"))
+      .toDF("doc_id", "text")))
+    val sh = TextOps.shinglesOf(d)
+    val hits = TextOps.contaminationOf(sh, sh.where($"doc_id" === 0L))
+      .as[(Long, Long)].collect().toMap
+    assert(hits(0L) == 2L) // both of its own shingles
+    assert(hits(1L) == 1L)
+    assert(!hits.contains(2L))
+  }
+
+  test("pii scan: email and phone patterns count; clean docs flag false") {
+    val d = TextOps.normalize(Seq(
+      (0L, "contact me at John.Doe@example.com or 555-123-4567 today"),
+      (1L, "no personal data in this document"))
+      .toDF("doc_id", "text"))
+    val m = TextOps.piiScanOf(d)
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(m(0L) == ((0L, 1L, 1L, true)))
+    assert(m(1L) == ((1L, 0L, 0L, false)))
+  }
+
+  test("repetition ratio: repeated shingles raise it, unique text scores 0") {
+    val d = TextOps.withWords(TextOps.normalize(Seq(
+      (0L, "spam spam spam spam spam spam"), // 4 shingles, 1 distinct
+      (1L, "each word here is fully unique"))
+      .toDF("doc_id", "text")))
+    val m = TextOps.repetitionOf(d, TextOps.shinglesOf(d))
+      .select("doc_id", "n_total", "n_distinct", "rep_ratio")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(m(0L) == ((0L, 4L, 1L, 0.75)))
+    assert(m(1L)._4 == 0.0)
+  }
+
   test("fingerprint: identical normalized docs get identical fingerprints") {
     val two = TextOps.normalize(Seq(
       (0L, "same text here okay"), (1L, "Same   text here okay"))
