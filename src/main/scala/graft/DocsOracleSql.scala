@@ -417,6 +417,17 @@ repetition AS (
          s.n_sh AS n_distinct,
          1.0 - CAST(s.n_sh AS DOUBLE)
              / CAST(greatest(len(w.words) - 2, 1) AS DOUBLE) AS rep_ratio
-  FROM docs_words w JOIN sh_sizes s ON s.doc_id = w.doc_id)
+  FROM docs_words w JOIN sh_sizes s ON s.doc_id = w.doc_id),
+bigrams AS (
+  SELECT bigram FROM docs_words w,
+       unnest(CASE WHEN len(words) >= 2
+         THEN [words[i+1] || ' ' || words[i+2] for i in range(0, len(words)-1)]
+         ELSE CAST([] AS VARCHAR[]) END) b(bigram)),
+bigram_freq AS (
+  SELECT bigram, n,
+         CAST(row_number() OVER (ORDER BY n DESC, bigram) AS BIGINT) AS rank
+  FROM (SELECT bigram, CAST(count(*) AS BIGINT) AS n
+        FROM bigrams GROUP BY 1) f
+  QUALIFY rank <= 50)
 """
 }

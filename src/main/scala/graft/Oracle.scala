@@ -378,6 +378,28 @@ d_customer_scd AS (
     "q_contamination"       -> fromDocs("contamination"),
     "q_pii_scan"            -> fromDocs("pii_scan"),
     "q_repetition"          -> fromDocs("repetition"),
+    "q_bigram_freq"         -> fromDocs("bigram_freq"),
+    // ordered funnel: equal-second ties count as converted (pinned)
+    "q_funnel" -> """
+      WITH f AS (
+        SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+               min(date_trunc('second', CAST(ts AS TIMESTAMP))) AS first_ts
+        FROM events WHERE event_type IN ('signup', 'view', 'purchase')
+        GROUP BY 1, 2),
+      u AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN first_ts END) AS s0,
+               min(CASE WHEN event_type = 'view' THEN first_ts END) AS s1,
+               min(CASE WHEN event_type = 'purchase' THEN first_ts END) AS s2
+        FROM f GROUP BY 1)
+      SELECT CAST(sum(CASE WHEN s0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_stage_0,
+             CAST(sum(CASE WHEN s0 IS NOT NULL AND s1 IS NOT NULL AND s1 >= s0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_stage_1,
+             CAST(sum(CASE WHEN s0 IS NOT NULL AND s1 IS NOT NULL AND s1 >= s0
+                            AND s2 IS NOT NULL AND s2 >= s1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_stage_2
+      FROM u""",
     // incremental ingest = full pair list restricted to pairs touching the
     // new decile (new docs hold the max ids, so doc_b > cutoff ⇔ touching)
     "q_dedup_pairs_inc"     -> fromDocs("dedup_pairs_inc"),

@@ -19,7 +19,10 @@ object ScaleProbe {
     "q_retention_compact", "q_dedup_exact", "q_dedup_minhash_pairs",
     "q_dedup_simhash", "q_dedup_simhash64_pairs", "q_dedup_clusters",
     "q_corpus_curated", "q_text_stats", "q_quality_score",
-    "q_multimodal_meta")
+    "q_multimodal_meta",
+    // round-4 additions
+    "q_sessionize", "q_sales_rolling_7d", "q_tfidf_top",
+    "q_dedup_pairs_inc", "q_contamination", "q_repetition")
 
   def makeBig(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     def shifted(name: String, shift: (DataFrame, Int) => DataFrame): Unit = {

@@ -144,7 +144,10 @@ object SparkEntry {
     // curation filters: decontamination, PII scan, repetition ratio
     "q_contamination" -> ((s, d) => ops.TextOps.contamination(s, d)),
     "q_pii_scan"      -> ((s, d) => ops.TextOps.piiScan(s, d)),
-    "q_repetition"    -> ((s, d) => ops.TextOps.repetition(s, d)))
+    "q_repetition"    -> ((s, d) => ops.TextOps.repetition(s, d)),
+    // ordered funnel conversion + BPE-style bigram statistics
+    "q_funnel"        -> ((s, d) => ops.Sessions.funnel(s, d)),
+    "q_bigram_freq"   -> ((s, d) => ops.TextOps.bigramFreq(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -71,4 +71,32 @@ object Sessions {
       .agg(count(lit(1)).as("n_events"),
            approx_count_distinct(col("user_id").cast("long"), rsd)
              .as("n_users_approx"))
+
+  /** Ordered funnel conversion: stage k counts users whose EARLIEST
+    * stage-k event is at-or-after their earliest stage-(k-1) event,
+    * chained from stage 0. One (user, type) min-aggregation (the only
+    * shuffle — it collapses the event volume to ≤|stages| rows per user),
+    * then a per-user conditional pivot and a global count. Equal-second
+    * ties count as converted (pinned, mirrored in the oracle). */
+  def funnelOf(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, "a funnel needs at least 2 stages")
+    val firsts = events
+      .where(col("event_type").isin(stages: _*))
+      .groupBy(col("user_id").cast("long").as("user_id"), col("event_type"))
+      .agg(min(date_trunc("second", col("ts"))).as("first_ts"))
+    val byUser = firsts.groupBy("user_id")
+      .pivot("event_type", stages)
+      .agg(first(col("first_ts")))
+    val reached = stages.indices.map { i =>
+      val cond = (1 to i).foldLeft(col(stages.head).isNotNull) { (acc, j) =>
+        acc && col(stages(j)).isNotNull && col(stages(j)) >= col(stages(j - 1))
+      }
+      sum(when(cond, 1L).otherwise(0L)).as(s"n_stage_$i")
+    }
+    byUser.agg(reached.head, reached.tail: _*)
+  }
+
+  /** signup → view → purchase over the events feed. */
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    funnelOf(Feeds.events(spark, dir), Seq("signup", "view", "purchase"))
 }

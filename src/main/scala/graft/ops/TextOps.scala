@@ -264,4 +264,24 @@ object TextOps {
 
   def repetition(spark: SparkSession, dir: String): DataFrame =
     repetitionOf(docsWords(spark, dir), shingles(spark, dir))
+
+  /** Corpus word-BIGRAM top-k — the adjacent-pair statistics a BPE-style
+    * tokenizer merge step starts from (here at word granularity: the most
+    * frequent pair is the first merge candidate). Same two-phase
+    * count + TakeOrdered shape as [[wordFreqOf]]. */
+  def bigramFreqOf(docsWords: DataFrame, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bi = docsWords.select(explode(expr(
+      """CASE WHEN size(words) >= 2
+           THEN transform(sequence(0, size(words) - 2),
+                  i -> concat_ws(' ', words[i], words[i+1]))
+           ELSE CAST(array() AS ARRAY<STRING>) END""")).as("bigram"))
+    val top = bi.groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram")).limit(k)
+    top.withColumn("rank", row_number().over(
+      Window.orderBy(col("n").desc, col("bigram"))).cast("long"))
+  }
+
+  def bigramFreq(spark: SparkSession, dir: String): DataFrame =
+    bigramFreqOf(docsWords(spark, dir))
 }

@@ -74,6 +74,25 @@ class SessionsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel: stages gate on order, ties convert, dropouts stop the chain") {
+    val e = Seq(
+      // user 1 full ordered funnel
+      (1L, 1L, ts(0), "signup"), (2L, 1L, ts(5), "view"),
+      (3L, 1L, ts(9), "purchase"),
+      // user 2 purchase BEFORE view: converts to view only
+      (4L, 2L, ts(0), "signup"), (5L, 2L, ts(8), "view"),
+      (6L, 2L, ts(3), "purchase"),
+      // user 3 never signs up: not even stage 0
+      (7L, 3L, ts(1), "view"), (8L, 3L, ts(2), "purchase"),
+      // user 4 signup+view same second: tie counts as converted
+      (9L, 4L, ts(0), "signup"), (10L, 4L, ts(0), "view"))
+      .map { case (id, u, t, ty) => (id, t, u, ty, 1.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Sessions.funnelOf(e, Seq("signup", "view", "purchase"))
+      .as[(Long, Long, Long)].head()
+    assert(r == ((3L, 3L, 1L)))
+  }
+
   test("approx distinct users within rsd tolerance of exact") {
     val ev = graft.etl.Feeds.events(spark, "/root/testdata/sf0.001")
     val exact = Sessions.eventTypeStatsOf(ev)

@@ -57,6 +57,17 @@ class TextOpsSpec extends SparkSpec {
     assert(got((1L, "banana"))._6 == 1L) // doc 1's top term
   }
 
+  test("bigram top-k: counts, rank tiebreak, short docs contribute none") {
+    val d = TextOps.withWords(TextOps.normalize(Seq(
+      (0L, "a b a b c"), (1L, "a b"), (2L, "solo"))
+      .toDF("doc_id", "text")))
+    val got = TextOps.bigramFreqOf(d, k = 10)
+      .select("bigram", "n", "rank").as[(String, Long, Long)]
+      .collect().sortBy(_._3).toSeq
+    // "a b": doc0 twice + doc1 once = 3; "b a", "b c" once each
+    assert(got == Seq(("a b", 3L, 1L), ("b a", 1L, 2L), ("b c", 1L, 3L)))
+  }
+
   test("contamination: docs sharing needle shingles are counted, others not") {
     val d = TextOps.withWords(TextOps.normalize(Seq(
       (0L, "alpha beta gamma delta"),        // needle doc
