@@ -379,6 +379,7 @@ d_customer_scd AS (
     "q_pii_scan"            -> fromDocs("pii_scan"),
     "q_repetition"          -> fromDocs("repetition"),
     "q_bigram_freq"         -> fromDocs("bigram_freq"),
+    "q_corpus_curated_v2"   -> fromDocs("corpus_curated_v2"),
     // ordered funnel: equal-second ties count as converted (pinned)
     "q_funnel" -> """
       WITH f AS (

@@ -147,7 +147,10 @@ object SparkEntry {
     "q_repetition"    -> ((s, d) => ops.TextOps.repetition(s, d)),
     // ordered funnel conversion + BPE-style bigram statistics
     "q_funnel"        -> ((s, d) => ops.Sessions.funnel(s, d)),
-    "q_bigram_freq"   -> ((s, d) => ops.TextOps.bigramFreq(s, d)))
+    "q_bigram_freq"   -> ((s, d) => ops.TextOps.bigramFreq(s, d)),
+    // full admission pipeline: curation + decontamination + PII +
+    // repetition gates
+    "q_corpus_curated_v2" -> ((s, d) => ops.Corpus.curatedV2(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

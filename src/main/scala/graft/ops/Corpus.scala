@@ -53,4 +53,30 @@ object Corpus {
       TextOps.qualityScore(spark, dir),
       Dedup.exact(spark, dir),
       Sampling.trainValTestSplit(spark, dir))
+
+  /** Repetition-ratio ceiling for v2 admission (oracle mirrors the
+    * literal). */
+  val repetitionCeiling = 0.5
+
+  /** The FULL modern admission pipeline — [[curatedOf]] plus the round-4
+    * filter bank: benchmark decontamination (left-anti on contamination
+    * hits), PII gate and repetition ceiling. Filter order is free
+    * (conjunctive predicates over doc_id-keyed frames); the plan stays
+    * doc_id hash equi-joins + one broadcast anti-join over the (tiny)
+    * contaminated-doc set, all reusing the memoized cluster labels. */
+  def curatedV2Of(curated: DataFrame, contamination: DataFrame,
+                  pii: DataFrame, repetition: DataFrame): DataFrame =
+    curated
+      .join(contamination.select("doc_id"), Seq("doc_id"), "left_anti")
+      .join(pii.where(!col("has_pii")).select("doc_id"), "doc_id")
+      .join(repetition.select("doc_id", "rep_ratio"), "doc_id")
+      .where(col("rep_ratio") <= repetitionCeiling)
+      .select("doc_id", "lang", "quality", "rep_ratio", "n_dups", "split")
+
+  def curatedV2(spark: SparkSession, dir: String): DataFrame =
+    curatedV2Of(
+      curated(spark, dir),
+      TextOps.contamination(spark, dir),
+      TextOps.piiScan(spark, dir),
+      TextOps.repetition(spark, dir))
 }

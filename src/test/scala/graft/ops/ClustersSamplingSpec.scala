@@ -93,4 +93,19 @@ class ClustersSamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
   }
+
+  test("curated v2 is the filtered subset of curated v1") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val v1 = Corpus.curated(spark, d).select("doc_id").as[Long].collect().toSet
+    val v2 = Corpus.curatedV2(spark, d)
+    val v2ids = v2.select("doc_id").as[Long].collect().toSet
+    assert(v2ids.subsetOf(v1) && v2ids.nonEmpty && v2ids != v1)
+    // every admitted doc passes all three new gates
+    val bad = v2.join(TextOps.piiScan(spark, d).where($"has_pii"), "doc_id")
+      .count() +
+      v2.where($"rep_ratio" > Corpus.repetitionCeiling).count() +
+      v2.join(TextOps.contamination(spark, d), "doc_id").count()
+    assert(bad == 0L)
+  }
 }

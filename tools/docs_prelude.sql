@@ -423,4 +423,10 @@ bigram_freq AS (
          CAST(row_number() OVER (ORDER BY n DESC, bigram) AS BIGINT) AS rank
   FROM (SELECT bigram, CAST(count(*) AS BIGINT) AS n
         FROM bigrams GROUP BY 1) f
-  QUALIFY rank <= 50)
+  QUALIFY rank <= 50),
+corpus_curated_v2 AS (
+  SELECT c.doc_id, c.lang, c.quality, r.rep_ratio, c.n_dups, c.split
+  FROM corpus_curated c
+  JOIN pii_scan p ON p.doc_id = c.doc_id AND NOT p.has_pii
+  JOIN repetition r ON r.doc_id = c.doc_id AND r.rep_ratio <= 0.5
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM contamination))
