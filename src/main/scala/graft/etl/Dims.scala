@@ -61,7 +61,9 @@ object Dims {
     * oracle. */
   def dCustomerScd(uolV2: DataFrame): DataFrame = {
     val byCust = Window.partitionBy("customer_id").orderBy("day")
-    val perDay = uolV2
+    // partition by customer alone: satisfies the per-day groupBy's
+    // clustering AND both windows' requirement — one exchange end to end
+    val perDay = uolV2.repartition(col("customer_id"))
       .groupBy(col("customer_id"), col("date_time").as("day"))
       .agg(max("city_id").as("city_id"))
     val changes = perDay
