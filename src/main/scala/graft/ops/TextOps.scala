@@ -144,8 +144,23 @@ object TextOps {
              ELSE array(norm) END""")).as("shingle"))
       .distinct()
 
+  // The distinct-shingle set feeds five query families (jaccard,
+  // fingerprint, contamination, repetition, curation v2) — memoize and
+  // persist one instance per (session, dir) so the explode+distinct
+  // shuffle runs once, not per consumer. Same stale-read contract and
+  // `invalidate` hook as the Dedup caches.
+  private val shinglesCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+
   def shingles(spark: SparkSession, dir: String): DataFrame =
-    shinglesOf(docsWords(spark, dir))
+    shinglesCache.computeIfAbsent((spark, dir),
+      { case (s, d) => shinglesOf(docsWords(s, d))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) })
+
+  /** Drop the memoized shingle frame for (session, dir) — REQUIRED before
+    * re-reading a dir whose files changed (see [[graft.ops.Dedup.invalidate]]). */
+  def invalidate(spark: SparkSession, dir: String): Unit =
+    Option(shinglesCache.remove((spark, dir))).foreach(_.unpersist(false))
 
   /** Full-doc md5 + min-shingle-hash fingerprint (rolling-hash-style
     * winnowing reduced to its minimum: the smallest k-gram hash). */
