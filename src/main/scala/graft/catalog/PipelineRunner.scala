@@ -21,7 +21,10 @@ object PipelineRunner {
     "f_sales", "f_sales_temp", "f_sales_v2", "d_calendar_weeks",
     "new_cust", "new_cust_compact", "returned_cust", "returned_cust_compact",
     "refunded_cust", "refunded_cust_compact",
-    "retention_compact", "f_customer_retention")
+    "retention_compact", "f_customer_retention",
+    // beyond-reference marts (round 4)
+    "d_customer_scd", "sales_rolling_7d", "top_items_city",
+    "sales_pivot", "sales_rollup")
 
   def run(spark: SparkSession, sfDir: String, warehouseRoot: String): Warehouse = {
     val wh = new Warehouse(spark, warehouseRoot)
@@ -52,6 +55,18 @@ object PipelineRunner {
     wh.overwrite("mart", "refunded_cust_compact", p.refundedCust(false))
     wh.overwrite("mart", "retention_compact", p.retentionCompact)
     wh.overwrite("mart", "f_customer_retention", p.fCustomerRetention)
+    // beyond-reference marts: SCD2 history, rolling revenue, top-k,
+    // pivot and rollup — the round-4 analytics layer, materialized in
+    // the same overwrite-idempotent style
+    wh.overwrite("mart", "d_customer_scd", graft.etl.Dims.dCustomerScd(p.uolV2))
+    wh.overwrite("mart", "sales_rolling_7d",
+      graft.ops.Analytics.rollingSales7dOf(p.uol))
+    wh.overwrite("mart", "top_items_city",
+      graft.ops.Analytics.topItemsPerCityOf(p.uol))
+    wh.overwrite("mart", "sales_pivot",
+      graft.ops.Analytics.salesStatusPivotOf(p.uolV2))
+    wh.overwrite("mart", "sales_rollup",
+      graft.ops.Analytics.salesRollupOf(p.uol))
     wh
   }
 }
