@@ -287,7 +287,16 @@ d_customer_scd AS (
          lead(valid_from) OVER w - INTERVAL 1 DAY AS valid_to,
          lead(valid_from) OVER w IS NULL AS is_current
   FROM scd_changes
-  WINDOW w AS (PARTITION BY customer_id ORDER BY valid_from))
+  WINDOW w AS (PARTITION BY customer_id ORDER BY valid_from)),
+customer_cumrev AS (
+  SELECT customer_id, day, day_rev,
+         sum(day_rev) OVER (PARTITION BY customer_id ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS cum_rev,
+         CAST(row_number() OVER (PARTITION BY customer_id ORDER BY day)
+              AS BIGINT) AS day_seq
+  FROM (SELECT customer_id, date_time AS day,
+               sum(payment_amount) AS day_rev
+        FROM uol GROUP BY 1, 2) d)
 """
 
   /** Docs/vectors prelude for the training-data-pipeline operators
@@ -410,6 +419,7 @@ d_customer_scd AS (
                                      "shipped_amount", "refunded_amount"),
     "q_sales_rollup"        -> fromD("sales_rollup", "revenue"),
     "q_d_customer_scd"      -> from("d_customer_scd"),
+    "q_customer_cumrev"     -> fromD("customer_cumrev", "day_rev", "cum_rev"),
     // gap sessionization over events (30-min gap, second-truncated ts,
     // per-user order (ts, event_id) — total because event_id is unique)
     "q_sessionize" -> """

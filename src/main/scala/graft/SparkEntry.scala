@@ -150,7 +150,11 @@ object SparkEntry {
     "q_bigram_freq"   -> ((s, d) => ops.TextOps.bigramFreq(s, d)),
     // full admission pipeline: curation + decontamination + PII +
     // repetition gates
-    "q_corpus_curated_v2" -> ((s, d) => ops.Corpus.curatedV2(s, d)))
+    "q_corpus_curated_v2" -> ((s, d) => ops.Corpus.curatedV2(s, d)),
+    // per-customer lifetime running revenue (LTV curve)
+    "q_customer_cumrev" -> ((s, d) => money(
+      ops.Analytics.customerCumRevOf(Pipeline.of(s, d).uol),
+      "day_rev", "cum_rev")))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -112,6 +112,22 @@ object Analytics {
       .agg(sum(col("payment_amount")).as("amount"),
            sum(col("quantity")).as("qty"))
 
+  /** Per-customer lifetime running revenue (the LTV curve): daily grain
+    * first, then an unbounded-preceding running sum + day sequence — both
+    * windows and the aggregation share the customer partitioning (same
+    * single-exchange alignment as [[rollingSales7dOf]]). */
+  def customerCumRevOf(uol: DataFrame): DataFrame = {
+    val byCust = Window.partitionBy("customer_id").orderBy("day")
+    val daily = uol.repartition(col("customer_id"))
+      .groupBy(col("customer_id"), col("date_time").as("day"))
+      .agg(sum(col("payment_amount")).as("day_rev"))
+    daily.select(col("customer_id"), col("day"), col("day_rev"),
+      sum(col("day_rev")).over(
+        byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("cum_rev"),
+      row_number().over(byCust).cast("long").as("day_seq"))
+  }
+
   /** (year, month) ROLLUP with grouping flags, built as HIERARCHICAL
     * re-aggregation: one pass collapses the feed to month grain, then the
     * year subtotals and the grand total fold from that (tiny) aggregate.
