@@ -92,12 +92,26 @@ class Pipeline(spark: SparkSession, dir: String) {
   lazy val uolvPeriod: DataFrame =
     cached(Retention.withPeriod(uolV2, weeks))
 
+  /** Level-1 retention aggregates, shared across the whole family: 8 of the
+    * SparkEntry queries (3 classes × 2 grains + compact mart + 2 full marts)
+    * re-derive these same per-(customer, date, period[, item]) rollups; the
+    * `shipped` one even feeds two classes (HAVING =1 vs >1) inside a single
+    * query. One persisted copy per (status, grain) — each is a small
+    * aggregate, far below the staging frames it derives from. */
+  private val l1cache =
+    scala.collection.mutable.Map.empty[(String, Boolean), DataFrame]
+  private def level1(status: String, includeItem: Boolean): DataFrame =
+    l1cache.synchronized {
+      l1cache.getOrElseUpdate((status, includeItem),
+        cached(Retention.level1(uolvPeriod, status, includeItem)))
+    }
+
   def newCust(includeItem: Boolean): DataFrame =
-    Retention.newCust(uolvPeriod, includeItem)
+    Retention.newCustFromL1(level1("shipped", includeItem), includeItem)
   def returnedCust(includeItem: Boolean): DataFrame =
-    Retention.returnedCust(uolvPeriod, includeItem)
+    Retention.returnedCustFromL1(level1("shipped", includeItem), includeItem)
   def refundedCust(includeItem: Boolean): DataFrame =
-    Retention.refundedCust(uolvPeriod, includeItem)
+    Retention.refundedCustFromL1(level1("refunded", includeItem), includeItem)
 
   lazy val retentionCompact: DataFrame =
     Retention.retentionCompact(newCust(false), returnedCust(false),

@@ -53,9 +53,11 @@ object Retention {
 
   /** Level-1 aggregate: per (customer, date_time, period[, item]) with
     * count + revenue (A4-A6 inner queries). Partial (map-side) aggregation
-    * is automatic via HashAggregateExec. */
-  private def level1(uolvP: DataFrame, status: String,
-                     includeItem: Boolean): DataFrame = {
+    * is automatic via HashAggregateExec. Public so Pipeline can compute it
+    * once and share it between the new/returned classes (same input frame,
+    * same keys — only the HAVING predicate differs). */
+  def level1(uolvP: DataFrame, status: String,
+             includeItem: Boolean): DataFrame = {
     val keys = Seq(col("customer_id"), col("date_time"), col("period")) ++
       (if (includeItem) Seq(col("item_id")) else Nil)
     uolvP.where(col("status") === status)
@@ -69,7 +71,11 @@ object Retention {
 
   /** A4+A7: "new" = exactly one shipped order per (cust, date, period[,item]). */
   def newCust(uolvP: DataFrame, includeItem: Boolean): DataFrame =
-    level1(uolvP, "shipped", includeItem)
+    newCustFromL1(level1(uolvP, "shipped", includeItem), includeItem)
+
+  /** Level-2 of A4 over a (possibly shared/persisted) level-1 frame. */
+  def newCustFromL1(l1Shipped: DataFrame, includeItem: Boolean): DataFrame =
+    l1Shipped
       .where(col("cnt") === 1)
       .groupBy(level2Keys(includeItem, "item_new"): _*)
       .agg(count("customer_id").as("new_cust_count"),
@@ -77,7 +83,12 @@ object Retention {
 
   /** A5+A7: "returning" = more than one shipped order in the group. */
   def returnedCust(uolvP: DataFrame, includeItem: Boolean): DataFrame =
-    level1(uolvP, "shipped", includeItem)
+    returnedCustFromL1(level1(uolvP, "shipped", includeItem), includeItem)
+
+  /** Level-2 of A5 over a (possibly shared/persisted) level-1 frame. */
+  def returnedCustFromL1(l1Shipped: DataFrame,
+                         includeItem: Boolean): DataFrame =
+    l1Shipped
       .where(col("cnt") > 1)
       .groupBy(level2Keys(includeItem, "item_ret"): _*)
       .agg(count("customer_id").as("returned_cust_count"),
@@ -85,7 +96,12 @@ object Retention {
 
   /** A6+A7: refunds per group; note `count(*)` (not count(col)) semantics. */
   def refundedCust(uolvP: DataFrame, includeItem: Boolean): DataFrame =
-    level1(uolvP, "refunded", includeItem)
+    refundedCustFromL1(level1(uolvP, "refunded", includeItem), includeItem)
+
+  /** Level-2 of A6 over a (possibly shared/persisted) level-1 frame. */
+  def refundedCustFromL1(l1Refunded: DataFrame,
+                         includeItem: Boolean): DataFrame =
+    l1Refunded
       .withColumnRenamed("cnt", "refunds")
       .groupBy(level2Keys(includeItem, "item_ref"): _*)
       .agg(count(lit(1)).as("cust_with_refunds"),
