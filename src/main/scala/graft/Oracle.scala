@@ -533,5 +533,60 @@ customer_cumrev AS (
       SELECT CAST(least(floor(((o_totalprice - mn) * 10) / (mx - mn)), 9)
                   AS BIGINT) AS bucket,
              CAST(count(*) AS BIGINT) AS n_rows
-      FROM orders, mm GROUP BY 1""")
+      FROM orders, mm GROUP BY 1""",
+    // sketches only prune on the Spark side; the oracles are sketch-free
+    "q_bloom_join" -> """
+      SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+               AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+      GROUP BY 1""",
+    "q_heavy_hitters" -> """
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY 1 HAVING count(*) >= 50""",
+    "q_sales_cube" -> (prelude + """
+      SELECT city_id, status, CAST(sum(payment_amount) AS DOUBLE) AS revenue,
+             CAST(sum(quantity) AS BIGINT) AS qty,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(GROUPING(city_id) AS BIGINT) AS g_city,
+             CAST(GROUPING(status) AS BIGINT) AS g_status
+      FROM uol_v2 GROUP BY CUBE(city_id, status)"""),
+    "q_customer_deciles" -> (prelude + """
+      SELECT customer_id, CAST(revenue AS DOUBLE) AS revenue, n_orders,
+             CAST(ntile(10) OVER (ORDER BY revenue DESC, customer_id)
+                  AS BIGINT) AS decile
+      FROM (SELECT customer_id, sum(payment_amount) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM uol GROUP BY 1) r"""),
+    "q_ann_recall" -> (docsPrelude + """
+      SELECT q.query_id, CAST(count(h.cand_id) AS BIGINT) AS n_hits,
+             CAST(count(h.cand_id) AS DOUBLE) / 3 AS recall
+      FROM (SELECT DISTINCT query_id FROM ann_cosine_topk) q
+      LEFT JOIN (SELECT e.query_id, e.cand_id FROM ann_cosine_topk e
+                 JOIN ivf_topk a ON a.query_id = e.query_id
+                                AND a.cand_id = e.cand_id
+                 WHERE e.rnk <= 3) h ON h.query_id = q.query_id
+      GROUP BY 1"""),
+    // the same magic-number bit cascade as graft.expr.ZOrder2, in SQL
+    "q_zorder_key" -> """
+      WITH b AS (
+        SELECT o_orderkey, o_custkey % 65536 AS xk,
+               CAST(date_diff('day', DATE '1992-01-01',
+                              CAST(o_orderdate AS DATE)) % 65536 AS BIGINT)
+                 AS yk
+        FROM orders),
+      s1 AS (SELECT *, (xk & 65535) AS x0, (yk & 65535) AS y0 FROM b),
+      s2 AS (SELECT *, ((x0 | (x0 << 8)) & 16711935) AS x1,
+                       ((y0 | (y0 << 8)) & 16711935) AS y1 FROM s1),
+      s3 AS (SELECT *, ((x1 | (x1 << 4)) & 252645135) AS x2,
+                       ((y1 | (y1 << 4)) & 252645135) AS y2 FROM s2),
+      s4 AS (SELECT *, ((x2 | (x2 << 2)) & 858993459) AS x3,
+                       ((y2 | (y2 << 2)) & 858993459) AS y3 FROM s3),
+      s5 AS (SELECT *, ((x3 | (x3 << 1)) & 1431655765) AS x4,
+                       ((y3 | (y3 << 1)) & 1431655765) AS y4 FROM s4)
+      SELECT o_orderkey, xk, yk, CAST(x4 | (y4 << 1) AS BIGINT) AS zval
+      FROM s5""")
 }

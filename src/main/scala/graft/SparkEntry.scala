@@ -154,7 +154,21 @@ object SparkEntry {
     // per-customer lifetime running revenue (LTV curve)
     "q_customer_cumrev" -> ((s, d) => money(
       ops.Analytics.customerCumRevOf(Pipeline.of(s, d).uol),
-      "day_rev", "cum_rev")))
+      "day_rev", "cum_rev")),
+    // sketch-accelerated exact queries: bloom semi-join reduction and
+    // CMS-verified heavy hitters (codegen probe expressions)
+    "q_bloom_join"    -> ((s, d) => ops.RuntimeFilters.bloomUrgentRevenue(s, d)),
+    "q_heavy_hitters" -> ((s, d) => ops.RuntimeFilters.heavyHitterParts(s, d)),
+    // CUBE grouping sets via hierarchical re-agg (oracle runs real CUBE)
+    "q_sales_cube" -> ((s, d) => money(
+      ops.Analytics.salesCubeOf(Pipeline.of(s, d).uolV2), "revenue")),
+    // exact ntile deciles without a single-partition window (two-phase rank)
+    "q_customer_deciles" -> ((s, d) =>
+      ops.Analytics.customerDecilesOf(Pipeline.of(s, d).uol)),
+    // ANN quality: recall@3 of the IVF probe vs exact brute force
+    "q_ann_recall" -> ((s, d) => ops.Vectors.annRecall(s, d)),
+    // Morton (Z-order) layout keys — multi-dim file-skipping primitive
+    "q_zorder_key" -> ((s, d) => ops.Layout.orderZKeys(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -167,4 +167,68 @@ object Analytics {
     lvl(monthly, 0, 0).unionByName(lvl(byYear, 0, 1))
       .unionByName(lvl(total, 1, 1))
   }
+
+  /** (city, status) CUBE with grouping flags — all four grouping sets, by
+    * hierarchical re-aggregation from the base (city, status) grain (same
+    * rationale and Expand-avoidance as [[salesRollupOf]]; the oracle runs
+    * the genuine `GROUP BY CUBE`). Base grain is |cities|×|statuses| rows,
+    * so every subtotal level folds from a dimension-sized frame no matter
+    * how large the feed. */
+  def salesCubeOf(uolV2: DataFrame): DataFrame = {
+    val base = uolV2
+      .select(col("city_id"), col("status"), col("payment_amount"),
+              col("quantity"))
+      .groupBy("city_id", "status")
+      .agg(sum(col("payment_amount")).as("revenue"),
+           sum(col("quantity")).as("qty"),
+           count(lit(1)).as("n_rows"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def lvl(df: DataFrame, gCity: Int, gStatus: Int) =
+      df.select(col("city_id"), col("status"), col("revenue"), col("qty"),
+                col("n_rows"), lit(gCity.toLong).as("g_city"),
+                lit(gStatus.toLong).as("g_status"))
+    def fold(df: DataFrame, keys: Seq[String]) = {
+      val grouped =
+        if (keys.isEmpty) df.agg(sum(col("revenue")).as("revenue"),
+          sum(col("qty")).as("qty"), sum(col("n_rows")).as("n_rows"))
+        else df.groupBy(keys.map(col): _*)
+          .agg(sum(col("revenue")).as("revenue"), sum(col("qty")).as("qty"),
+               sum(col("n_rows")).as("n_rows"))
+      Seq("city_id" -> "int", "status" -> "string")
+        .filterNot { case (c, _) => keys.contains(c) }
+        .foldLeft(grouped) { case (acc, (c, t)) =>
+          acc.withColumn(c, lit(null).cast(t)) }
+    }
+    lvl(base, 0, 0)
+      .unionByName(lvl(fold(base, Seq("city_id")), 0, 1))
+      .unionByName(lvl(fold(base, Seq("status")), 1, 0))
+      .unionByName(lvl(fold(base, Nil), 1, 1))
+  }
+
+  /** Customer revenue deciles — exact SQL `ntile(k)` semantics WITHOUT the
+    * single-partition global window: a two-phase dense rank
+    * ([[graft.Ids.dense]]: range-repartition on the sort key + zipWithIndex)
+    * gives each customer its global position, and the standard ntile bucket
+    * arithmetic (first n%k buckets get one extra row) folds position and
+    * total into the bucket id. Order pins on (revenue DESC, customer_id);
+    * revenue stays exact DECIMAL so the negation sort key is exact too. */
+  def customerDecilesOf(uol: DataFrame, k: Int = 10): DataFrame = {
+    val rev = uol.groupBy("customer_id")
+      .agg(sum(col("payment_amount")).as("revenue"),
+           count(lit(1)).as("n_orders"))
+      // revenue DESC ≡ (-revenue) ASC — Ids.dense ranges ascending
+      .withColumn("neg_rev", negate(col("revenue")))
+    val ranked = graft.Ids.dense(rev, Seq("neg_rev", "customer_id"), "rn")
+    val n = ranked.count()
+    // SQL-standard ntile: first n%k buckets hold ceil(n/k) rows, the rest
+    // floor(n/k). All-integer `div` arithmetic — bit-exact vs the oracle.
+    val q = n / k; val r = n % k; val cut = r * (q + 1)
+    val bucket =
+      if (q == 0) expr(s"(rn + $q) div ${q + 1}") // n < k: one row per bucket
+      else when(col("rn") <= cut, expr(s"(rn + $q) div ${q + 1}"))
+        .otherwise(lit(r) + expr(s"(rn - $cut + ${q - 1}) div $q"))
+    ranked.select(col("customer_id"), col("revenue").cast("double")
+                    .as("revenue"), col("n_orders"),
+                  bucket.cast("long").as("decile"))
+  }
 }

@@ -397,4 +397,26 @@ object Vectors {
               col("label"), col("score"))
       .withColumn("is_dup", col("score") >= threshold)
   }
+
+  /** Recall@k of the IVF index against exact brute force, per query — the
+    * quality dial every ANN deployment monitors next to its latency.
+    * Ground truth is the top-k prefix of the brute-force ranking
+    * ([[annCosineTopK]], same deterministic tiebreak); hits = candidates
+    * the IVF probe also returned. The left join keeps 0-recall queries
+    * (probe landed in the wrong cell) visible instead of silently
+    * dropping them. n_hits/k is one IEEE double division on identical
+    * operands in both engines — bit-stable. */
+  def annRecall(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val exact = annCosineTopK(spark, dir, k)
+      .select(col("query_id"), col("cand_id"))
+    val approx = ivfTopK(spark, dir, k)
+      .select(col("query_id"), col("cand_id"))
+    val hits = exact.join(approx, Seq("query_id", "cand_id"))
+    val queries = exact.select("query_id").distinct()
+    queries.join(hits, Seq("query_id"), "left_outer")
+      .groupBy("query_id")
+      .agg(count(col("cand_id")).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+              (col("n_hits").cast("double") / k).as("recall"))
+  }
 }
