@@ -546,7 +546,7 @@ customer_cumrev AS (
     "q_heavy_hitters" -> """
       SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_orders,
              CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
-      FROM lineitem GROUP BY 1 HAVING count(*) >= 50""",
+      FROM lineitem GROUP BY 1 HAVING count(*) >= 40""",
     "q_sales_cube" -> (prelude + """
       SELECT city_id, status, CAST(sum(payment_amount) AS DOUBLE) AS revenue,
              CAST(sum(quantity) AS BIGINT) AS qty,

@@ -62,7 +62,7 @@ object RuntimeFilters {
     * count, so the candidate set is a superset and the verified output is
     * exactly the plain GROUP BY ... HAVING result. */
   def heavyHitterParts(spark: SparkSession, dir: String,
-                       minCount: Long = 50): DataFrame = {
+                       minCount: Long = 40): DataFrame = {
     val (li, _) = liOrders(spark, dir)
     val part = spark.read.parquet(s"$dir/part.parquet")
     val cms = li.stat.countMinSketch(col("l_partkey"),
