@@ -89,5 +89,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "minhash_bands"),
       (children: Seq[Expression]) =>
         graft.expr.MinHashBands(children(0), children(1))))
+    // Morton layout key for SQL writers: zorder2(x BIGINT, y BIGINT)
+    ext.injectFunction((FunctionIdentifier("zorder2"),
+      new ExpressionInfo(classOf[graft.expr.ZOrder2].getName, "zorder2"),
+      (children: Seq[Expression]) =>
+        graft.expr.ZOrder2(children(0), children(1))))
   }
 }
