@@ -93,8 +93,7 @@ object SparkEntry {
     // near-dup clustering + deterministic sampling/splitting
     "q_dedup_clusters"       -> ((s, d) => ops.Dedup.clusters(s, d)),
     // O(log n)-round star-contraction CC — same contract, same oracle
-    "q_dedup_clusters_fast"  -> ((s, d) => ops.Dedup.clustersFastOf(
-      ops.TextOps.docs(s, d).select("doc_id"), ops.Dedup.minhashPairs(s, d))),
+    "q_dedup_clusters_fast"  -> ((s, d) => ops.Dedup.clustersFast(s, d)),
     "q_sample_stratified"    -> ((s, d) => ops.Sampling.stratifiedDocs(s, d)),
     "q_split_train_val_test" -> ((s, d) => ops.Sampling.trainValTestSplit(s, d)),
     // end-to-end curation: dedup clusters → keepers → quality → split
@@ -134,8 +133,8 @@ object SparkEntry {
     "q_sales_pivot" -> ((s, d) => money(
       ops.Analytics.salesStatusPivotOf(Pipeline.of(s, d).uolV2),
       "shipped_amount", "refunded_amount")),
-    "q_sales_rollup" -> ((s, d) => money(
-      ops.Analytics.salesRollupOf(Pipeline.of(s, d).uol), "revenue")),
+    "q_sales_rollup" -> ((s, d) => { val p = Pipeline.of(s, d)
+      money(ops.Analytics.salesRollupOf(p.uol, p.registerCached), "revenue") }),
     "q_d_customer_scd" -> ((s, d) =>
       etl.Dims.dCustomerScd(Pipeline.of(s, d).uolV2)),
     // per-group exact quantiles + equi-width histogram profiling
@@ -160,8 +159,8 @@ object SparkEntry {
     "q_bloom_join"    -> ((s, d) => ops.RuntimeFilters.bloomUrgentRevenue(s, d)),
     "q_heavy_hitters" -> ((s, d) => ops.RuntimeFilters.heavyHitterParts(s, d)),
     // CUBE grouping sets via hierarchical re-agg (oracle runs real CUBE)
-    "q_sales_cube" -> ((s, d) => money(
-      ops.Analytics.salesCubeOf(Pipeline.of(s, d).uolV2), "revenue")),
+    "q_sales_cube" -> ((s, d) => { val p = Pipeline.of(s, d)
+      money(ops.Analytics.salesCubeOf(p.uolV2, p.registerCached), "revenue") }),
     // exact ntile deciles without a single-partition window (two-phase rank)
     "q_customer_deciles" -> ((s, d) =>
       ops.Analytics.customerDecilesOf(Pipeline.of(s, d).uol)),

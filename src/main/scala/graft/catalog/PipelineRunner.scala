@@ -28,7 +28,13 @@ object PipelineRunner {
 
   def run(spark: SparkSession, sfDir: String, warehouseRoot: String): Warehouse = {
     val wh = new Warehouse(spark, warehouseRoot)
-    val p = new Pipeline(spark, sfDir)
+    // The SHARED memoized instance, not a private `new Pipeline`: the
+    // Ids.dense plans are RDD-backed, so a second instance's id frames never
+    // canonicalize equal to the first's and CacheManager would cache every
+    // staging/dim/fact subplan twice — measurable memory pressure when a
+    // bench run materializes the warehouse after the query series has
+    // already populated the shared instance (the r4 w_* read-back drag).
+    val p = Pipeline.of(spark, sfDir)
 
     wh.overwrite("staging", "user_order_log", p.uol)
     wh.overwrite("staging", "user_order_log_temp", p.uolTemp)
@@ -66,7 +72,7 @@ object PipelineRunner {
     wh.overwrite("mart", "sales_pivot",
       graft.ops.Analytics.salesStatusPivotOf(p.uolV2))
     wh.overwrite("mart", "sales_rollup",
-      graft.ops.Analytics.salesRollupOf(p.uol))
+      graft.ops.Analytics.salesRollupOf(p.uol, p.registerCached))
     wh
   }
 }

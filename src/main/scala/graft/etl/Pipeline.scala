@@ -43,6 +43,14 @@ class Pipeline(spark: SparkSession, dir: String) {
   private def cached(df: DataFrame): DataFrame = persistedFrames.synchronized {
     val p = df.persist(MEMORY_AND_DISK); persistedFrames += p; p
   }
+
+  /** Register an externally-built shared subplan in this pipeline's persist
+    * registry, so [[Pipeline.invalidate]]/unpersistAll cover it (operators
+    * like Analytics.salesCubeOf take this as their `share` hook instead of
+    * persisting unilaterally — an unregistered persist leaks across bench
+    * invocations). CacheManager dedupes by canonicalized plan, so repeated
+    * registration of the same derived frame caches its data only once. */
+  def registerCached(df: DataFrame): DataFrame = cached(df)
   private[etl] def unpersistAll(): Unit = persistedFrames.synchronized {
     persistedFrames.foreach(_.unpersist(false)); persistedFrames.clear()
   }

@@ -140,16 +140,21 @@ object Analytics {
     * false-positive: Expand over a plan that scans `orders` twice — the
     * feed join + the increment cutoff — trips the ambiguous-self-join
     * check on any rollup/cube downstream of the order feed.) */
-  def salesRollupOf(uol: DataFrame): DataFrame = {
-    val monthly = uol
+  def salesRollupOf(uol: DataFrame,
+                    share: DataFrame => DataFrame = identity): DataFrame = {
+    // `share` is the caller's persist registry (Pipeline.registerCached):
+    // the month-grain base is scanned by every subtotal level, so persisting
+    // it matters, but an unregistered persist here leaked across bench
+    // invocations (nothing ever unpersisted it). Direct callers that pass
+    // no registry just recompute the (tiny) base per level.
+    val monthly = share(uol
       .select(year(col("date_time")).as("year_num"),
               month(col("date_time")).as("month_num"),
               col("payment_amount"), col("quantity"))
       .groupBy("year_num", "month_num")
       .agg(sum(col("payment_amount")).as("revenue"),
            sum(col("quantity")).as("qty"),
-           count(lit(1)).as("n_rows"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+           count(lit(1)).as("n_rows")))
     def lvl(df: DataFrame, gYear: Int, gMonth: Int) =
       df.select(col("year_num"), col("month_num"),
                 col("revenue"), col("qty"), col("n_rows"),
@@ -174,15 +179,16 @@ object Analytics {
     * the genuine `GROUP BY CUBE`). Base grain is |cities|×|statuses| rows,
     * so every subtotal level folds from a dimension-sized frame no matter
     * how large the feed. */
-  def salesCubeOf(uolV2: DataFrame): DataFrame = {
-    val base = uolV2
+  def salesCubeOf(uolV2: DataFrame,
+                  share: DataFrame => DataFrame = identity): DataFrame = {
+    // same registry discipline as [[salesRollupOf]]
+    val base = share(uolV2
       .select(col("city_id"), col("status"), col("payment_amount"),
               col("quantity"))
       .groupBy("city_id", "status")
       .agg(sum(col("payment_amount")).as("revenue"),
            sum(col("quantity")).as("qty"),
-           count(lit(1)).as("n_rows"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+           count(lit(1)).as("n_rows")))
     def lvl(df: DataFrame, gCity: Int, gStatus: Int) =
       df.select(col("city_id"), col("status"), col("revenue"), col("qty"),
                 col("n_rows"), lit(gCity.toLong).as("g_city"),
@@ -219,16 +225,25 @@ object Analytics {
       // revenue DESC ≡ (-revenue) ASC — Ids.dense ranges ascending
       .withColumn("neg_rev", negate(col("revenue")))
     val ranked = graft.Ids.dense(rev, Seq("neg_rev", "customer_id"), "rn")
-    val n = ranked.count()
+    // n folds in as a broadcast scalar (max of the dense 1..n rank) instead
+    // of a driver-side count(): building this frame no longer runs an extra
+    // action (Ids.dense's zipWithIndex offset job is still eager — inherent
+    // to the two-phase rank).
+    val withN = ranked.crossJoin(
+      broadcast(ranked.agg(max(col("rn")).as("n_total"))))
     // SQL-standard ntile: first n%k buckets hold ceil(n/k) rows, the rest
     // floor(n/k). All-integer `div` arithmetic — bit-exact vs the oracle.
-    val q = n / k; val r = n % k; val cut = r * (q + 1)
-    val bucket =
-      if (q == 0) expr(s"(rn + $q) div ${q + 1}") // n < k: one row per bucket
-      else when(col("rn") <= cut, expr(s"(rn + $q) div ${q + 1}"))
-        .otherwise(lit(r) + expr(s"(rn - $cut + ${q - 1}) div $q"))
-    ranked.select(col("customer_id"), col("revenue").cast("double")
-                    .as("revenue"), col("n_orders"),
-                  bucket.cast("long").as("decile"))
+    // (q = n div k, r = n % k, cut = r·(q+1); q=0 means n<k: bucket = rn.)
+    val bucket = expr(
+      s"""CASE WHEN n_total div $k = 0 THEN rn
+               WHEN rn <= (n_total % $k) * (n_total div $k + 1)
+                 THEN (rn + n_total div $k) div (n_total div $k + 1)
+               ELSE n_total % $k
+                    + (rn - (n_total % $k) * (n_total div $k + 1)
+                       + n_total div $k - 1) div (n_total div $k)
+          END""")
+    withN.select(col("customer_id"), col("revenue").cast("double")
+                   .as("revenue"), col("n_orders"),
+                 bucket.cast("long").as("decile"))
   }
 }

@@ -232,9 +232,12 @@ object Dedup {
   // driver-side at construction, so without this every consumer
   // (q_dedup_clusters, Corpus.curated's keeper join) re-runs the whole
   // iterative computation. The memoized frame is a join of doc_ids with
-  // the final labels (checkpoint-backed — already materialized).
+  // the final labels (checkpoint-backed — already materialized). Keyed by
+  // algorithm too, so the min-label and star-contraction variants each
+  // memoize once per (session, dir) instead of the star path re-running
+  // per consumer (the r4 q_dedup_clusters_fast 2.5 s recompute).
   private val clustersCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]
+    (SparkSession, String, String), DataFrame]
 
   /** Per-doc SimHash as ONE map-side higher-order expression — ZERO shuffle
     * for the hash computation (the former shape exploded ×nBits bit-rows
@@ -432,9 +435,16 @@ object Dedup {
   }
 
   def clusters(spark: SparkSession, dir: String): DataFrame =
-    clustersCache.computeIfAbsent((spark, dir),
-      { case (s, d) => clustersOf(TextOps.docs(s, d).select("doc_id"),
-                                  minhashPairs(s, d)) })
+    clustersCache.computeIfAbsent((spark, dir, "minlabel"),
+      { case (s, d, _) => clustersOf(TextOps.docs(s, d).select("doc_id"),
+                                     minhashPairs(s, d)) })
+
+  /** Memoized star-contraction variant over the same shared pair list —
+    * same (doc_id, cluster) contract and oracle as [[clusters]]. */
+  def clustersFast(spark: SparkSession, dir: String): DataFrame =
+    clustersCache.computeIfAbsent((spark, dir, "star"),
+      { case (s, d, _) => clustersFastOf(TextOps.docs(s, d).select("doc_id"),
+                                         minhashPairs(s, d)) })
 
   /** Connected components via alternating large-star / small-star rounds
     * (Kiveris et al., "Connected Components in MapReduce and Beyond") —

@@ -10,7 +10,8 @@ class SketchZOrderSpec extends SparkSpec {
 
   test("bloom probe admits every inserted key (no false negatives)") {
     val inserted = keys.where($"k" % 3 === 0)
-    val bloom = inserted.stat.bloomFilter("k", 400, 0.01)
+    val bloom = spark.sparkContext.broadcast(
+      inserted.stat.bloomFilter("k", 400, 0.01))
     val admitted = keys.where(BloomMightContainLong($"k", bloom))
       .as[Long].collect().toSet
     val truth = inserted.as[Long].collect().toSet
@@ -21,11 +22,28 @@ class SketchZOrderSpec extends SparkSpec {
 
   test("CMS estimate upper-bounds the true count") {
     val rows = (1 to 5000).map(i => (i % 100).toLong).toDF("k")
-    val cms = rows.stat.countMinSketch(col("k"), 0.001, 0.999, 7)
+    val cms = spark.sparkContext.broadcast(
+      rows.stat.countMinSketch(col("k"), 0.001, 0.999, 7))
     val est = rows.select($"k", CmsEstimateLong($"k", cms).as("e"))
       .groupBy("k").agg(max("e").as("e"), count(lit(1)).as("c"))
       .as[(Long, Long, Long)].collect()
     est.foreach { case (_, e, c) => assert(e >= c) }
+  }
+
+  test("bloom sizing is capped at an inflated key count") {
+    import graft.ops.RuntimeFilters.{boundedBloomItems, MaxBloomKeys}
+    // 3 billion qualifying keys (the 100 TB shape) must not size the filter:
+    // the builder sees the cap, so bitSize is that of a MaxBloomKeys filter
+    assert(boundedBloomItems(3L * 1000 * 1000 * 1000) == MaxBloomKeys)
+    assert(boundedBloomItems(0L) == 1L)
+    assert(boundedBloomItems(12345L) == 12345L)
+    val capped = org.apache.spark.util.sketch.BloomFilter
+      .create(boundedBloomItems(3L * 1000 * 1000 * 1000), 0.01)
+    val atCap = org.apache.spark.util.sketch.BloomFilter
+      .create(MaxBloomKeys, 0.01)
+    assert(capped.bitSize() == atCap.bitSize())
+    // ~4.6 MB — broadcast-sized, never data-sized
+    assert(capped.bitSize() / 8 < 6L * 1000 * 1000)
   }
 
   /** Reference Morton interleave, written independently of the expression. */
