@@ -1,28 +1,79 @@
 package graft
 
 import graft.catalog.{PipelineRunner, Warehouse}
-import graft.etl.{Retention, Sales}
+import graft.etl.{Pipeline, Retention, Sales}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Driver-run benchmark: prints exactly one JSON line (driver contract).
+/** Driver-run benchmark. Prints TWO JSON lines to stdout:
+  *
+  *  1. the FULL line — canonical query names, 3-decimal seconds, separate
+  *     `cold`/`warm` per-query maps (first-touch vs steady-state) for both
+  *     series, warehouse detail, errors. Also written to `BENCH_full.json`.
+  *  2. the COMPACT driver line, printed LAST — the driver captures only the
+  *     final 2000 characters of stdout (measured from the r3/r4 artifacts:
+  *     `tail` is exactly 2000 chars and ends with sbt's `[success] …` line,
+  *     ~80 chars), so this line must fit entirely inside ~1900 bytes or the
+  *     artifact's `parsed` field is null. With 85 canonical names at
+  *     2-decimal precision the map alone is ~2.2 KB, so the compact line
+  *     applies [[Bench.shortKey]] — a mechanical, collision-checked token
+  *     substitution (q_→'', dedup_→dd_, …) documented in ARCHITECTURE.md;
+  *     canonical names live in line 1 / BENCH_full.json.
   *
   * Two series:
   *  - `queries` (pipeline mode): every SparkEntry query timed end-to-end,
-  *    including feed synthesis — the cold-compute cost. Persisted shared
-  *    subplans are deliberately NOT cleared between queries (CacheManager
-  *    matches canonicalized plans), the in-memory analogue of the
-  *    reference's materialized staging layer.
+  *    twice. Pass 1 (`cold`) starts from an empty JVM: queries that first
+  *    touch a shared memoized subplan (the order feed, shingles, bands,
+  *    cluster labels) pay its build; pass 2 (`warm`) is the steady state.
+  *    The single `queries` map reports min(cold, warm) — comparable to the
+  *    r1-r4 series, which also reported min-of-two-passes.
   *  - `warehouse` mode: PipelineRunner materializes staging+marts to
-  *    parquet ONCE (timed as `materialize_sec`), then the analytic queries
-  *    re-run over the warehouse parquet — the honest repeated-analytics
-  *    cost against a built warehouse, with no cross-query cache flattery.
+  *    parquet ONCE (timed as `materialize_sec`; it reuses the shared
+  *    Pipeline's cached staging frames — the honest cost of materializing
+  *    after the query series, not a cold rebuild), then EVERY in-session
+  *    cache is invalidated (Pipeline/Dedup/TextOps memo maps +
+  *    `catalog.clearCache()`) so the read-back queries run against the
+  *    warehouse parquet with no cross-series cache pressure or flattery —
+  *    r4's w_* read-back drag was exactly this interference.
   *
   * Failures are recorded explicitly: a crashing query reports -1 and its
   * name lands in `errors` — it can neither inflate nor deflate the total.
-  * Each series runs two passes and reports the per-query min (steady
-  * state): single-JVM local wall times vary ±40% (GC, page cache, codegen).
   */
 object Bench {
+
+  /** Mechanical key compression for the compact driver line (stdout tail
+    * window is 2000 chars). Applied left-to-right; collision-freedom over
+    * SparkEntry.queries ∪ warehouse names is asserted in BenchLineSpec. */
+  private[graft] val keyTokens: Seq[(String, String)] = Seq(
+    "q_" -> "", "w_" -> "", "dedup_" -> "dd_", "minhash" -> "mh",
+    "simhash" -> "sh", "customers" -> "custs", "customer" -> "cust",
+    "calendar" -> "cal", "retention" -> "ret", "compact" -> "cmp",
+    "embedding" -> "emb", "corpus_curated" -> "corpus_cur",
+    "user_order_log" -> "uol", "user_activity_log" -> "ual",
+    "multimodal" -> "mm", "split_train_val_test" -> "split",
+    "quantiles" -> "qnt", "fingerprint" -> "fp", "clusters" -> "cls",
+    "heavy_hitters" -> "hh", "histogram" -> "hist",
+    "sessionize" -> "sess", "stratified" -> "strat")
+
+  private[graft] def shortKey(name: String): String =
+    keyTokens.foldLeft(name) { case (s, (from, to)) => s.replace(from, to) }
+
+  /** 2-decimal, trailing-zero-stripped JSON number ("0.08", "1.5", "32"). */
+  private[graft] def r2(v: Double): String = {
+    val s = new java.math.BigDecimal(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP).toPlainString
+    if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse
+      .stripSuffix(".")
+    else s
+  }
+
+  private def r3(v: Double): String =
+    new java.math.BigDecimal(v).setScale(3, java.math.RoundingMode.HALF_UP)
+      .toPlainString
+
+  private def jmap(m: Seq[(String, Double)], f: Double => String,
+                   key: String => String = identity): String =
+    m.map { case (k, v) => "\"" + key(k) + "\":" + f(v) }
+      .mkString("{", ",", "}")
 
   private def warehouseQueries(spark: SparkSession,
                                root: String): Seq[(String, () => DataFrame)] = {
@@ -57,7 +108,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: stderr noise is harmless to the driver's stdout tail
+    // but keeps interactive runs readable
+    spark.sparkContext.setLogLevel("ERROR")
 
     // warmup: scan + shuffle + codegen once, untimed
     spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -74,48 +127,53 @@ object Bench {
       }
     }
 
-    /** min-of-two-passes per query; failures -> -1 + errors entry. */
-    def series(qs: Seq[(String, () => DataFrame)],
-               tag: String): Seq[(String, Double)] = {
-      def pass(): Map[String, Double] = qs.map { case (name, fn) =>
+    /** Two passes, name-sorted: (cold, warm). Failures -> -1 + errors. */
+    def series(qs: Seq[(String, () => DataFrame)], tag: String)
+        : (Seq[(String, Double)], Seq[(String, Double)]) = {
+      def pass(p: Int): Map[String, Double] = qs.map { case (name, fn) =>
         val (t, ok) = time { fn().count(); () }
-        if (!ok) errors += s"$tag:$name"
+        if (!ok) errors += s"$tag:$name:p$p"
         name -> (if (ok) t else -1.0)
       }.toMap
-      val p1 = pass()
-      val p2 = pass()
-      qs.map(_._1).sorted.map { k =>
-        k -> (if (p1(k) < 0 || p2(k) < 0) -1.0 else math.min(p1(k), p2(k)))
+      val cold = pass(1)
+      val warm = pass(2)
+      val keys = qs.map(_._1).sorted
+      (keys.map(k => k -> cold(k)), keys.map(k => k -> warm(k)))
+    }
+
+    def minMerge(cold: Seq[(String, Double)],
+                 warm: Seq[(String, Double)]): Seq[(String, Double)] = {
+      val w = warm.toMap
+      cold.map { case (k, c) =>
+        k -> (if (c < 0 || w(k) < 0) -1.0 else math.min(c, w(k)))
       }
     }
 
-    // 3-decimal rounding everywhere: full double precision made the JSON
-    // line long enough that the driver's tail capture truncated it
-    // mid-object (BENCH_r03 lost its series totals to that).
-    def r3(v: Double): String =
-      new java.math.BigDecimal(v).setScale(3, java.math.RoundingMode.HALF_UP)
-        .toPlainString
-
-    def json(results: Seq[(String, Double)]): (String, Double) = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
-        .mkString("{", ",", "}")
-      (qs, results.map(_._2).filter(_ >= 0).sum)
-    }
+    def okSum(m: Seq[(String, Double)]): Double =
+      m.map(_._2).filter(_ >= 0).sum
 
     val pipelineQs = SparkEntry.queries.toSeq.sortBy(_._1)
       .map { case (n, f) => n -> (() => f(spark, sfDir)) }
-    val (pQs, pTotal) = json(series(pipelineQs, "pipeline"))
+    val (pCold, pWarm) = series(pipelineQs, "pipeline")
+    val pMin = minMerge(pCold, pWarm)
 
     val whRootPath = java.nio.file.Files.createTempDirectory("graft_bench_wh")
     val whRoot = whRootPath.toString
-    val (matSec, wQs, wTotal) =
+    val (matSec, wCold, wWarm) =
       try {
         val (sec, ok) = time { PipelineRunner.run(spark, sfDir, whRoot); () }
         if (!ok) errors += "warehouse:materialize"
-        val (qs, total) =
-          if (ok) json(series(warehouseQueries(spark, whRoot), "warehouse"))
-          else ("{}", -1.0)
-        (sec, qs, total)
+        // Isolation barrier: the read-back series must measure the
+        // warehouse parquet alone, not compete with (or borrow from) the
+        // query series' persisted frames.
+        Pipeline.invalidate(spark, sfDir)
+        ops.Dedup.invalidate(spark, sfDir)
+        ops.TextOps.invalidate(spark, sfDir)
+        spark.catalog.clearCache()
+        if (ok) {
+          val (c, w) = series(warehouseQueries(spark, whRoot), "warehouse")
+          (sec, c, w)
+        } else (sec, Nil, Nil)
       } finally { // don't leak a full warehouse copy per bench run
         import java.nio.file.{Files, Path}
         import java.util.Comparator
@@ -124,18 +182,38 @@ object Bench {
           .forEach(p => Files.deleteIfExists(p))
         finally walk.close()
       }
+    val wMin = minMerge(wCold, wWarm)
 
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${r3(pTotal)},"unit":"sec","queries":$pQs,"sf":"$sfDir","warehouse":{"materialize_sec":${r3(matSec)},"total":${r3(wTotal)},"queries":$wQs},"errors":$errJson}"""
-    println(line)
-    // belt-and-braces against stdout tail truncation: the same JSON lands
-    // in a file the driver (or a human) can always pick up whole
+    val fullLine =
+      s"""{"metric":"total","value":${r3(okSum(pMin))},"unit":"sec",""" +
+      s""""queries":${jmap(pMin, r3)},"sf":"$sfDir",""" +
+      s""""cold":${jmap(pCold, r3)},"warm":${jmap(pWarm, r3)},""" +
+      s""""warehouse":{"materialize_sec":${r3(matSec)},""" +
+      s""""total":${r3(okSum(wMin))},"queries":${jmap(wMin, r3)},""" +
+      s""""cold":${jmap(wCold, r3)},"warm":${jmap(wWarm, r3)}},""" +
+      s""""errors":$errJson}"""
+    // sf tag alone ("sf0.1"), not the full path: compact-line byte budget
+    val sfTag = sfDir.split('/').last
+    // warehouse per-query times live in the full line / BENCH_full.json
+    // only: with them the compact line would overrun the tail window
+    val compact =
+      s"""{"metric":"total","value":${r2(okSum(pMin))},"unit":"sec",""" +
+      s""""queries":${jmap(pMin, r2, shortKey)},"sf":"$sfTag",""" +
+      s""""wh":{"mat":${r2(matSec)},"total":${r2(okSum(wMin))}}""" +
+      (if (errors.isEmpty) "}" else s""","errors":$errJson}""")
+
+    // the full line lands in a file the driver (or a human) can always
+    // pick up whole, then both lines go to stdout — compact LAST so it
+    // sits inside the driver's 2000-char tail window
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")),
-      (line + "\n").getBytes("UTF-8"))
+      (fullLine + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write BENCH_full.json: $e") }
+    println(fullLine)
+    println(compact)
     spark.stop()
   }
 }

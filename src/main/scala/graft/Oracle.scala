@@ -506,6 +506,19 @@ customer_cumrev AS (
         WHERE o.o_custkey = e.user_id
           AND o.o_orderdate <= date_trunc('second', CAST(e.ts AS TIMESTAMP))
         ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o ON true""",
+    // banded interval self-join — the oracle states the RANGE predicate
+    // directly; the engine's 3-band equi-join must reproduce it exactly
+    "q_event_pairs" -> """
+      WITH ev AS (
+        SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+               CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+                    AS BIGINT) // 3600 AS ev_hour
+        FROM events)
+      SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+             b.ev_hour - a.ev_hour AS hour_diff
+      FROM ev a JOIN ev b
+        ON a.user_id = b.user_id AND a.event_id < b.event_id
+      WHERE abs(a.ev_hour - b.ev_hour) <= 6""",
     "q_profile_orders" -> Seq("o_orderkey", "o_custkey", "o_totalprice").map { c =>
       s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
              CAST(count($c) AS BIGINT) AS n_nonnull,

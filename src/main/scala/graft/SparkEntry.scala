@@ -106,6 +106,9 @@ object SparkEntry {
     "q_profile_quantiles" -> ((s, d) => ops.Profile.ordersQuantiles(s, d)),
     // as-of join (union+window composition — single shuffle, no range probe)
     "q_asof_latest_order" -> ((s, d) => ops.AsOf.latestOrderPerEvent(s, d)),
+    // banded interval self-join: event pairs per user within ±6 hours —
+    // 3-banded equi-join, never a nested-loop range probe
+    "q_event_pairs" -> ((s, d) => ops.RangeJoin.eventPairs(s, d)),
     "q_ann_ivf_assign"      -> ((s, d) => ops.Vectors.ivfAssign(s, d)),
     "q_ann_ivf_topk"        -> ((s, d) => ops.Vectors.ivfTopK(s, d)),
     // multi-probe IVF: nprobe=2 nearest cells per query

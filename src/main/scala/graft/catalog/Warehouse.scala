@@ -27,10 +27,33 @@ class Warehouse(spark: SparkSession, root: String) {
   def overwrite(db: String, table: String, df: DataFrame): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path(db, table))
 
+  /** Overwrite laid out as one directory per `partitionCol` value — the
+    * 100 TB fact-table shape: a daily/monthly increment then touches one
+    * partition's files via [[mergePartitioned]] instead of rewriting
+    * history, and time-range scans prune at the directory level. Layout
+    * columns use the reserved `gp_` prefix ([[Warehouse.PartCol]]) so
+    * [[read]] can strip them and hand back the logical schema. */
+  def overwritePartitioned(db: String, table: String, df: DataFrame,
+                           partitionCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
+      .parquet(path(db, table))
+
   def append(db: String, table: String, df: DataFrame): Unit =
     df.write.mode(SaveMode.Append).parquet(path(db, table))
 
-  def read(db: String, table: String): DataFrame =
+  /** Read back the LOGICAL table: physical layout columns (the reserved
+    * `gp_` prefix, e.g. the month partition dirs) are dropped, so callers
+    * see the same schema whether the table was written flat or
+    * partitioned. */
+  def read(db: String, table: String): DataFrame = {
+    val df = spark.read.parquet(path(db, table))
+    val layoutCols = df.columns.filter(_.startsWith(Warehouse.PartPrefix))
+    if (layoutCols.isEmpty) df else df.drop(layoutCols.toIndexedSeq: _*)
+  }
+
+  /** Read including physical layout columns — for merge internals and
+    * partition-aware callers. */
+  def readPhysical(db: String, table: String): DataFrame =
     spark.read.parquet(path(db, table))
 
   private def hPath(s: String) = new org.apache.hadoop.fs.Path(s)
@@ -176,7 +199,7 @@ class Warehouse(spark: SparkSession, root: String) {
       return
     }
     val parts = updates.select(partitionCol).distinct()
-    val affected = read(db, table) // partition filter prunes the scan
+    val affected = readPhysical(db, table) // partition filter prunes the scan
       .join(org.apache.spark.sql.functions.broadcast(parts),
             Seq(partitionCol), "left_semi")
     val kept = affected.join(
@@ -194,4 +217,13 @@ class Warehouse(spark: SparkSession, root: String) {
       .parquet(path(db, table))
     fs.delete(tmp, true)
   }
+}
+
+object Warehouse {
+  /** Reserved prefix for physical layout columns: [[Warehouse.read]] strips
+    * them so partitioning stays invisible to the logical schema. */
+  val PartPrefix = "gp_"
+
+  /** The standard month partition column for time-partitioned facts. */
+  val PartCol: String = PartPrefix + "month"
 }

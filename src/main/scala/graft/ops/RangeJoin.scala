@@ -26,40 +26,50 @@ object RangeJoin {
     * per key, via the 3-banded equi-join. Day columns are integer
     * day-numbers (datediff from epoch) — exact arithmetic, no timezone
     * edge. */
+  /** Floor division as a SQL fragment: Spark's `div` truncates toward zero,
+    * which mis-bands NEGATIVE day numbers (pre-epoch dates) — -1 div 7 = 0
+    * would share a band with day 0..6 instead of -7..-1. Correcting by the
+    * remainder's sign keeps the banding algebra exact over all of BIGINT. */
+  private def fdiv(x: String, w: Long): String =
+    s"(CASE WHEN ($x) % $w < 0 THEN (($x) div $w) - 1 ELSE ($x) div $w END)"
+
   def bandedDayJoin(left: DataFrame, right: DataFrame,
                     leftKey: String, rightKey: String,
                     leftDay: String, rightDay: String,
                     windowDays: Int): DataFrame = {
     val w = windowDays.toLong * 2 + 1
-    // integer `div` (Column./ would promote to DOUBLE); day numbers are
-    // positive so div == floor-division on both sides
+    // integer [[fdiv]] (Column./ would promote to DOUBLE)
     val l = left.withColumn("__band",
       explode(array((-1 to 1).map(d =>
-        expr(s"($leftDay + ${d * w}) div $w")): _*)))
-    val r = right.withColumn("__band", expr(s"$rightDay div $w"))
+        expr(fdiv(s"$leftDay + ${d * w}", w))): _*)))
+    val r = right.withColumn("__band", expr(fdiv(rightDay, w)))
     l.join(r, l(leftKey) === r(rightKey) && l("__band") === r("__band"))
       .where(abs(col(leftDay) - col(rightDay)) <= windowDays)
       .drop(l("__band")).drop(r("__band"))
   }
 
-  /** Events × orders proximity: for each event, every order by the same
-    * customer within ±3 days of the event. Emits the pair plus the signed
-    * day offset (negative = order precedes the event). */
-  def eventOrderPairs(spark: SparkSession, dir: String,
-                      windowDays: Int = 3): DataFrame = {
-    val epoch = to_date(lit("1970-01-01"))
+  /** Event self-proximity: pairs of events by the same user whose HOUR
+    * numbers (epoch-seconds div 3600, second-truncated like the
+    * sessionizer) lie within ±`windowHours` — the feature-window /
+    * co-occurrence shape ("what else did this user do around then").
+    * `event_a < event_b` keeps each unordered pair once; `hour_diff` is
+    * signed relative to the id order. A banded self-join, NOT a window
+    * function: the pairs cross session boundaries and Catalyst would
+    * otherwise plan the time predicate as a nested-loop join. */
+  def eventPairs(spark: SparkSession, dir: String,
+                 windowHours: Int = 6): DataFrame = {
     val ev = Feeds.events(spark, dir).select(
-      col("event_id"),
-      col("user_id").cast("long").as("user_id"),
-      datediff(date_trunc("second", col("ts")).cast("date"), epoch)
-        .cast("long").as("ev_day"))
-    val o = Feeds.table(spark, dir, "orders").select(
-      col("o_orderkey"), col("o_custkey"),
-      datediff(col("o_orderdate").cast("date"), epoch).cast("long")
-        .as("ord_day"))
-    bandedDayJoin(ev, o, "user_id", "o_custkey", "ev_day", "ord_day",
-                  windowDays)
-      .select(col("event_id"), col("user_id"), col("o_orderkey"),
-              (col("ord_day") - col("ev_day")).as("day_diff"))
+        col("event_id"), col("user_id").cast("long").as("user_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("secs"))
+      .withColumn("ev_hour", expr("secs div 3600")).drop("secs")
+    val a = ev.select(col("event_id").as("event_a"), col("user_id"),
+                      col("ev_hour").as("hour_a"))
+    val b = ev.select(col("event_id").as("event_b"),
+                      col("user_id").as("user_b"),
+                      col("ev_hour").as("hour_b"))
+    bandedDayJoin(a, b, "user_id", "user_b", "hour_a", "hour_b", windowHours)
+      .where(col("event_a") < col("event_b"))
+      .select(col("user_id"), col("event_a"), col("event_b"),
+              (col("hour_b") - col("hour_a")).as("hour_diff"))
   }
 }

@@ -94,6 +94,28 @@ class WarehouseSpec extends SparkSpec {
     assert(files("2024-01-01") == day1Before && day1Before.nonEmpty)
   }
 
+  test("DAG month-partitions the big facts; read() hides the layout column") {
+    val root = tmp()
+    val sf = "/root/testdata/sf0.001"
+    PipelineRunner.run(spark, sf, root)
+    val wh = new Warehouse(spark, root)
+    // physical layout: one gp_month=YYYY-MM directory per month
+    for (t <- Seq("staging/user_order_log_v2", "mart/f_sales",
+                  "mart/f_sales_v2")) {
+      val dirs = new java.io.File(s"$root/$t").list()
+      assert(dirs != null && dirs.exists(_.startsWith("gp_month=")), t)
+    }
+    // logical schema: the layout column is invisible on read-back
+    assert(!wh.read("mart", "f_sales_v2").columns.contains(Warehouse.PartCol))
+    // base-overwrite + partitioned increment merge ≡ the monolithic frame
+    val p = graft.etl.Pipeline.of(spark, sf)
+    val cols = p.fSalesV2.columns.toIndexedSeq
+    val want = p.fSalesV2.collect().toSet
+    val got = wh.read("mart", "f_sales_v2")
+      .select(cols.map(col): _*).collect().toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("poll utility: succeeds within budget, gives up after it") {
     val client = new LocalFixtureClient(spark, "/root/testdata/sf0.001",
                                         pendingPolls = 2)
