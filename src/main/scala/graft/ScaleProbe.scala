@@ -20,9 +20,14 @@ object ScaleProbe {
     "q_dedup_simhash", "q_dedup_simhash64_pairs", "q_dedup_clusters",
     "q_corpus_curated", "q_text_stats", "q_quality_score",
     "q_multimodal_meta",
-    // round-4 additions
     "q_sessionize", "q_sales_rolling_7d", "q_tfidf_top",
-    "q_dedup_pairs_inc", "q_contamination", "q_repetition")
+    "q_dedup_pairs_inc", "q_contamination", "q_repetition",
+    // round-4/5 additions: sketches, grouping sets, rank marts, layout,
+    // funnel, SCD2, as-of and the banded interval join
+    "q_bloom_join", "q_heavy_hitters", "q_sales_cube", "q_sales_rollup",
+    "q_sales_pivot", "q_top_items_per_city", "q_customer_deciles",
+    "q_customer_cumrev", "q_zorder_key", "q_funnel", "q_d_customer_scd",
+    "q_asof_latest_order", "q_ann_recall", "q_event_pairs")
 
   def makeBig(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     def shifted(name: String, shift: (DataFrame, Int) => DataFrame): Unit = {
@@ -35,8 +40,15 @@ object ScaleProbe {
       df.withColumn("l_orderkey", col("l_orderkey") + lit(i * K)))
     shifted("orders", (df, i) =>
       df.withColumn("o_orderkey", col("o_orderkey") + lit(i * K)))
+    // events: shift ids AND time (raw nanos + i·40 days) so each copy is a
+    // disjoint collection window — keeps event DENSITY constant, the way a
+    // bigger real corpus grows. Without the time shift every copy lands in
+    // the same month and the proximity/sessionization queries would measure
+    // a quadratic OUTPUT blow-up (8 copies in one hour bucket ⇒ 64× pairs),
+    // not the engine's scaling.
     shifted("events", (df, i) =>
-      df.withColumn("event_id", col("event_id") + lit(i * K)))
+      df.withColumn("event_id", col("event_id") + lit(i * K))
+        .withColumn("ts", col("ts") + lit(i * 40L * 86400L * 1000000000L)))
     shifted("documents", (df, i) =>
       df.withColumn("doc_id", col("doc_id") + lit(i * K)))
     shifted("embeddings", (df, i) =>
@@ -65,10 +77,14 @@ object ScaleProbe {
 
     def runAll(dir: String): Map[String, Double] = {
       // drop BOTH cache layers so every timed pass recomputes from parquet:
-      // CacheManager data (persist frames) and the per-(session, dir) memo
-      // maps (bands/pairs/cluster labels), which clearCache can't see
+      // CacheManager data (persist frames) and ALL per-(session, dir) memo
+      // maps (pipeline staging, bands/pairs/cluster labels, shingles) —
+      // 1× and N× then pay identical first-touch costs and the ratio
+      // measures the plans, not cache luck
       spark.catalog.clearCache()
+      etl.Pipeline.invalidate(spark, dir)
       ops.Dedup.invalidate(spark, dir)
+      ops.TextOps.invalidate(spark, dir)
       probeQueries.map { q =>
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, dir).count()
