@@ -172,6 +172,14 @@ class Warehouse(spark: SparkSession, root: String) {
             keys: Seq[String]): Unit = {
     recoverSwap(db, table)
     if (!exists(db, table)) { overwrite(db, table, updates); return }
+    // A flat merge on a partitioned table would silently rewrite it WITHOUT
+    // its layout (the gp_ column is stripped by read) — refuse loudly.
+    val physical = readPhysical(db, table)
+    if (physical.columns.exists(_.startsWith(Warehouse.PartPrefix)))
+      throw new IllegalArgumentException(
+        s"$db.$table is partitioned (${physical.columns.filter(
+          _.startsWith(Warehouse.PartPrefix)).mkString(",")}); " +
+        "use mergePartitioned so the layout and partition pruning survive")
     val target = read(db, table)
     val kept = target.join(
       updates.select(keys.map(updates.col): _*), keys, "left_anti")

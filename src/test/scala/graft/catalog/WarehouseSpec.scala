@@ -116,6 +116,22 @@ class WarehouseSpec extends SparkSpec {
     assert(got == want && want.nonEmpty)
   }
 
+  test("flat merge refuses a partitioned table (layout would be lost)") {
+    val wh = new Warehouse(spark, tmp())
+    val base = Seq((1L, "a", "2024-01"), (2L, "b", "2024-02"))
+      .toDF("id", "v", Warehouse.PartCol)
+    wh.overwritePartitioned("mart", "t", base, Warehouse.PartCol)
+    val updates = Seq((2L, "b2", "2024-02")).toDF("id", "v", Warehouse.PartCol)
+    val e = intercept[IllegalArgumentException] {
+      wh.merge("mart", "t", updates.drop(Warehouse.PartCol), Seq("id"))
+    }
+    assert(e.getMessage.contains("mergePartitioned"))
+    // the partitioned path handles the same update fine
+    wh.mergePartitioned("mart", "t", updates, Seq("id"), Warehouse.PartCol)
+    assert(wh.read("mart", "t").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b2")))
+  }
+
   test("poll utility: succeeds within budget, gives up after it") {
     val client = new LocalFixtureClient(spark, "/root/testdata/sf0.001",
                                         pendingPolls = 2)

@@ -33,6 +33,17 @@ class RangeJoinSpec extends SparkSpec {
       assert(run(l, r, w) == bruteForce(l, r, w), s"windowDays=$w")
   }
 
+  test("banded join plans as an equi-join, never a nested loop") {
+    // the naive range predicate would plan BroadcastNestedLoopJoin — the
+    // O(|L|·|R|) shape banding exists to avoid; the banded form must hash
+    val df = RangeJoin.eventPairs(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+           !plan.contains("CartesianProduct"), plan.take(600))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+           plan.take(600))
+  }
+
   test("eventPairs equals the exact self-join predicate on sf0.001") {
     val got = RangeJoin.eventPairs(spark, "/root/testdata/sf0.001")
       .as[(Long, Long, Long, Long)].collect()
