@@ -52,7 +52,23 @@ object Bench {
     "multimodal" -> "mm", "split_train_val_test" -> "split",
     "quantiles" -> "qnt", "fingerprint" -> "fp", "clusters" -> "cls",
     "heavy_hitters" -> "hh", "histogram" -> "hist",
-    "sessionize" -> "sess", "stratified" -> "strat")
+    "sessionize" -> "sess", "stratified" -> "strat",
+    // round 5: the query set grew to 92 — tighter tokens keep the
+    // worst-case line (every value "123.45") under ~1850 B
+    "sales" -> "sl", "pairs" -> "prs", "returned" -> "retd",
+    "refunded" -> "refd", "guarded" -> "grd", "contamination" -> "contam",
+    "repetition" -> "rept", "cosine" -> "cos", "kmeans" -> "km",
+    "assign" -> "asn", "totalprice" -> "tp", "profile" -> "prof",
+    "shipping" -> "ship", "priority" -> "prio", "salted" -> "slt",
+    "passages" -> "psgs", "passage" -> "psg", "deciles" -> "dec",
+    "quality" -> "qual", "jaccard" -> "jac", "research" -> "rsch",
+    "rolling" -> "roll", "summary" -> "sum", "stats" -> "st",
+    "weeks" -> "wks", "sample_" -> "smp_", "latest_order" -> "lo",
+    "topk" -> "tk", "probe2" -> "p2", "bigram" -> "bg",
+    "items_per_city" -> "ipc", "pricing" -> "prc", "zorder" -> "zo",
+    "bloom" -> "bl", "recall" -> "rcl", "frames" -> "frm",
+    "exact" -> "ex", "ngram" -> "ng", "audit" -> "aud",
+    "funnel" -> "fnl", "custs_cmp" -> "cc")
 
   private[graft] def shortKey(name: String): String =
     keyTokens.foldLeft(name) { case (s, (from, to)) => s.replace(from, to) }

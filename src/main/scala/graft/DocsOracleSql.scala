@@ -434,6 +434,64 @@ corpus_curated_v2 AS (
   FROM corpus_curated c
   JOIN pii_scan p ON p.doc_id = c.doc_id AND NOT p.has_pii
   JOIN repetition r ON r.doc_id = c.doc_id AND r.rep_ratio <= 0.5
-  WHERE c.doc_id NOT IN (SELECT doc_id FROM contamination))
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM contamination)),
+passages AS (
+  SELECT doc_id, unnest(CASE WHEN len(words) >= 8
+      THEN [array_to_string(words[i*8+1 : i*8+8], ' ')
+            for i in range(0, len(words)//8)]
+      ELSE CAST([] AS VARCHAR[]) END) AS passage
+  FROM docs_words),
+pass_h AS (SELECT doc_id, md5(passage) AS passage_hash FROM passages),
+pass_stats AS (
+  SELECT passage_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_occ, min(doc_id) AS keeper_doc_id
+  FROM pass_h GROUP BY 1),
+dedup_passages AS (
+  SELECT passage_hash, n_docs, n_occ, keeper_doc_id
+  FROM pass_stats WHERE n_docs >= 2),
+passage_dup_ratio AS (
+  SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_passages,
+         CAST(sum(CASE WHEN s.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         CAST(sum(CASE WHEN s.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS dup_ratio
+  FROM pass_h p JOIN pass_stats s ON s.passage_hash = p.passage_hash
+  GROUP BY 1),
+pq_sub AS (
+  SELECT vec_id, m, qv[m*16+1 : m*16+16] AS sub
+  FROM emb_n, range(0, 4) t(m)),
+pq_cb AS (SELECT m, vec_id AS cb_id, sub AS csub FROM pq_sub WHERE vec_id % 32 = 0),
+pq_codes AS (
+  SELECT vec_id, m, cb_id AS code, d2 FROM (
+    SELECT s.vec_id, s.m, c.cb_id,
+      CAST(list_sum(list_transform(list_zip(s.sub, c.csub),
+             x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT) AS d2,
+      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+        CAST(list_sum(list_transform(list_zip(s.sub, c.csub),
+               x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT), c.cb_id) AS rn
+    FROM pq_sub s JOIN pq_cb c ON c.m = s.m) z WHERE rn = 1),
+pq_dtab AS (
+  SELECT q.vec_id AS query_id, c.m, c.cb_id,
+    CAST(list_sum(list_transform(list_zip(q.sub, c.csub),
+           x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT) AS d2
+  FROM pq_sub q JOIN pq_cb c ON c.m = q.m WHERE q.vec_id % 50 = 0),
+pq_adc AS (
+  SELECT d.query_id, p.vec_id AS cand_id, CAST(sum(d.d2) AS BIGINT) AS adc_d2
+  FROM pq_codes p JOIN pq_dtab d ON d.m = p.m AND d.cb_id = p.code
+  WHERE p.vec_id != d.query_id GROUP BY 1, 2),
+pq_adc_topk AS (
+  SELECT query_id, cand_id, adc_d2, CAST(rnk AS BIGINT) AS rnk FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY adc_d2, cand_id) AS rnk
+    FROM pq_adc) z WHERE rnk <= 5),
+ivfpq_topk AS (
+  SELECT query_id, cand_id, adc_d2, CAST(rnk AS BIGINT) AS rnk FROM (
+    SELECT a.query_id, a.cand_id, a.adc_d2,
+           row_number() OVER (PARTITION BY a.query_id
+             ORDER BY a.adc_d2, a.cand_id) AS rnk
+    FROM pq_adc a
+    JOIN ivf_assign q ON q.vec_id = a.query_id
+    JOIN ivf_assign c ON c.vec_id = a.cand_id
+                     AND c.centroid_id = q.centroid_id) z
+  WHERE rnk <= 3)
 """
 }

@@ -601,5 +601,21 @@ customer_cumrev AS (
       s5 AS (SELECT *, ((x3 | (x3 << 1)) & 1431655765) AS x4,
                        ((y3 | (y3 << 1)) & 1431655765) AS y4 FROM s4)
       SELECT o_orderkey, xk, yk, CAST(x4 | (y4 << 1) AS BIGINT) AS zval
-      FROM s5""")
+      FROM s5""",
+    // salted two-phase agg / salted replicated join are pure execution
+    // strategies: the oracles state the PLAIN aggregation / join they
+    // must be indistinguishable from
+    "q_priority_sales_salted" -> """
+      SELECT o_orderpriority,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_rev
+      FROM orders GROUP BY 1""",
+    "q_brand_qty_salted" -> """
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1""",
+    "q_dedup_passages"    -> fromDocs("dedup_passages"),
+    "q_passage_dup_ratio" -> fromDocs("passage_dup_ratio"),
+    "q_pq_codes"          -> fromDocs("pq_codes"),
+    "q_pq_adc_topk"       -> fromDocs("pq_adc_topk"),
+    "q_ivfpq_topk"        -> fromDocs("ivfpq_topk"))
 }

@@ -27,7 +27,11 @@ object ScaleProbe {
     "q_bloom_join", "q_heavy_hitters", "q_sales_cube", "q_sales_rollup",
     "q_sales_pivot", "q_top_items_per_city", "q_customer_deciles",
     "q_customer_cumrev", "q_zorder_key", "q_funnel", "q_d_customer_scd",
-    "q_asof_latest_order", "q_ann_recall", "q_event_pairs")
+    "q_asof_latest_order", "q_ann_recall", "q_event_pairs",
+    // round-5 additions: salted agg/join, passage dedup, PQ encode + ADC,
+    // IVF-PQ composition
+    "q_priority_sales_salted", "q_brand_qty_salted", "q_dedup_passages",
+    "q_passage_dup_ratio", "q_pq_codes", "q_pq_adc_topk", "q_ivfpq_topk")
 
   def makeBig(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     def shifted(name: String, shift: (DataFrame, Int) => DataFrame): Unit = {

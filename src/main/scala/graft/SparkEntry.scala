@@ -170,7 +170,20 @@ object SparkEntry {
     // ANN quality: recall@3 of the IVF probe vs exact brute force
     "q_ann_recall" -> ((s, d) => ops.Vectors.annRecall(s, d)),
     // Morton (Z-order) layout keys — multi-dim file-skipping primitive
-    "q_zorder_key" -> ((s, d) => ops.Layout.orderZKeys(s, d)))
+    "q_zorder_key" -> ((s, d) => ops.Layout.orderZKeys(s, d)),
+    // explicit skew mitigation: salted two-phase agg over a 5-value key,
+    // salted replicated join (≡ plain join/groupBy — the oracle states it)
+    "q_priority_sales_salted" -> ((s, d) => ops.Skew.prioritySalesSalted(s, d)),
+    "q_brand_qty_salted"      -> ((s, d) => ops.Skew.brandQtySalted(s, d)),
+    // passage-level exact dedup: cross-doc duplicated k-word windows and
+    // the per-doc duplicated-passage ratio (sub-document boilerplate signal)
+    "q_dedup_passages"    -> ((s, d) => ops.TextOps.dedupPassages(s, d)),
+    "q_passage_dup_ratio" -> ((s, d) => ops.TextOps.passageDupRatio(s, d)),
+    // product quantization: per-subspace encode + ADC table-lookup top-k,
+    // and the IVF-PQ composition (cell-blocked candidates, ADC scoring)
+    "q_pq_codes"    -> ((s, d) => ops.Vectors.pqCodes(s, d)),
+    "q_pq_adc_topk" -> ((s, d) => ops.Vectors.pqAdcTopK(s, d)),
+    "q_ivfpq_topk"  -> ((s, d) => ops.Vectors.ivfPqTopK(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

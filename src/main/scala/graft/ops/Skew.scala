@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.etl.Feeds
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigation utilities (SURVEY §4 / prompt: "salting for skew").
@@ -35,5 +36,34 @@ object Skew {
     val replicated = small
       .withColumn("__salt", explode(expr(s"sequence(0, ${nSalts - 1})")))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** q_priority_sales_salted: revenue per order priority via [[saltedSum]].
+    * o_orderpriority has FIVE distinct values — on a 100 TB orders table a
+    * plain groupBy funnels ~20% of all rows through each of 5 reducers; the
+    * salt spreads every priority over 16, then re-aggregates 80 partials.
+    * Sums are exact DECIMAL (associative — safe to re-associate across
+    * salts), canonicalized to DOUBLE at output like every money column. */
+  def prioritySalesSalted(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Feeds.table(spark, dir, "orders")
+      .select(col("o_orderpriority"),
+              col("o_totalprice").cast("decimal(14,2)").as("rev"),
+              col("o_orderkey"))
+    saltedSum(orders, "o_orderpriority", "rev", col("o_orderkey"))
+      .select(col("o_orderpriority"), col("sum_rev").cast("double").as("sum_rev"))
+  }
+
+  /** q_brand_qty_salted: lineitem⋈part through [[saltedJoin]] (the explicit
+    * skew-safe form for when the dimension is too big to broadcast and AQE's
+    * skew thresholds don't trigger), then quantity rollup per brand.
+    * Output ≡ the plain equi-join + groupBy (oracle states exactly that). */
+  def brandQtySalted(spark: SparkSession, dir: String): DataFrame = {
+    val li = Feeds.table(spark, dir, "lineitem")
+      .select(col("l_partkey").as("p_partkey"), col("l_orderkey"),
+              expr("CAST(floor(l_quantity) AS BIGINT)").as("qty"))
+    val part = Feeds.table(spark, dir, "part").select("p_partkey", "p_brand")
+    saltedJoin(li, part, "p_partkey", col("l_orderkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
   }
 }

@@ -280,6 +280,58 @@ object TextOps {
   def repetition(spark: SparkSession, dir: String): DataFrame =
     repetitionOf(docsWords(spark, dir), shingles(spark, dir))
 
+  /** Non-overlapping k-word passages per document (multiplicity and 0-based
+    * passage index kept) — the unit of PASSAGE-LEVEL exact dedup, the
+    * standard sub-document dedup granularity in LLM corpus pipelines
+    * (boilerplate headers/footers repeat across pages whose full texts
+    * differ, so document-level dedup never sees them). Docs shorter than k
+    * words emit no passage. Map-side explode; scales like shingling. */
+  def passagesOf(docsWords: DataFrame, k: Int = 8): DataFrame =
+    docsWords.select(col("doc_id"), posexplode(expr(
+      s"""CASE WHEN size(words) >= $k
+            THEN transform(sequence(0, size(words) div $k - 1),
+                   i -> concat_ws(' ', slice(words, i * $k + 1, $k)))
+            ELSE CAST(array() AS ARRAY<STRING>) END"""))
+      .as(Seq("p_idx", "passage")))
+
+  def passages(spark: SparkSession, dir: String): DataFrame =
+    passagesOf(docsWords(spark, dir))
+
+  /** Per-passage occurrence stats keyed on the md5 of the passage text —
+    * the groupBy shuffles 32-byte hashes, never passage strings. */
+  def passageStatsOf(passages: DataFrame): DataFrame =
+    passages.select(col("doc_id"), md5(col("passage")).as("passage_hash"))
+      .groupBy("passage_hash")
+      .agg(countDistinct("doc_id").as("n_docs"),
+           count(lit(1)).as("n_occ"),
+           min("doc_id").as("keeper_doc_id"))
+
+  /** Passages appearing in ≥2 distinct documents — the cross-document
+    * duplicated-passage inventory (hash, spread, multiplicity, keeper). */
+  def dedupPassagesOf(passages: DataFrame): DataFrame =
+    passageStatsOf(passages).where(col("n_docs") >= 2)
+
+  def dedupPassages(spark: SparkSession, dir: String): DataFrame =
+    dedupPassagesOf(passages(spark, dir))
+
+  /** Per-document duplicated-passage ratio — the filter signal: a doc whose
+    * passages mostly exist elsewhere is boilerplate even if its full text
+    * is unique. Occurrences (with multiplicity) join the passage stats on
+    * the hash; docs with zero passages (< k words) emit no row. */
+  def passageDupRatioOf(passages: DataFrame): DataFrame = {
+    val occ = passages.select(col("doc_id"), md5(col("passage")).as("passage_hash"))
+    val stats = passageStatsOf(passages).select("passage_hash", "n_docs")
+    occ.join(stats, Seq("passage_hash"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_passages"),
+           sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_ratio",
+        col("n_dup").cast("double") / col("n_passages").cast("double"))
+  }
+
+  def passageDupRatio(spark: SparkSession, dir: String): DataFrame =
+    passageDupRatioOf(passages(spark, dir))
+
   /** Corpus word-BIGRAM top-k — the adjacent-pair statistics a BPE-style
     * tokenizer merge step starts from (here at word granularity: the most
     * frequent pair is the first merge candidate). Same two-phase

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.etl.Feeds
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -396,6 +396,132 @@ object Vectors {
       .select(col("query_id").as("vec_id"), col("cand_id").as("nn_vec_id"),
               col("label"), col("score"))
       .withColumn("is_dup", col("score") >= threshold)
+  }
+
+  // ---------------------------------------------------------------------
+  // Product quantization (PQ): 64-dim vectors → M=4 subspaces × 16 dims.
+  // The memory-compression half of a production ANN index (IVF-PQ): each
+  // vector is stored as M small codes instead of 64 floats, and queries
+  // scan candidates with an asymmetric-distance (ADC) lookup table instead
+  // of full dot products. Jégou et al., "Product Quantization for Nearest
+  // Neighbor Search", TPAMI 2011 — public method, re-expressed Spark-first.
+  // Determinism: all distances are EXACT int64 arithmetic on the quantized
+  // vectors (d² = |s|² + |c|² − 2·s·c via the codegen VecDotQ kernel — the
+  // oracle computes Σ(sᵢ−cᵢ)² directly; identical integers), ties break by
+  // codebook id, so codes and ADC ranks are bit-stable cross-engine.
+  // ---------------------------------------------------------------------
+  private val pqM = 4
+  private val pqSubDim = 16
+
+  /** Per-subspace view: one row per (vec_id, m) with the m-th subvector and
+    * its squared norm. Map-side only (array slice + codegen dot). */
+  private def pqSubOf(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), posexplode(expr(
+        s"""transform(sequence(0, ${pqM - 1}),
+              j -> slice(qv, j * $pqSubDim + 1, $pqSubDim))"""))
+        .as(Seq("m", "sub")))
+      .withColumn("m", col("m").cast("long"))
+      .withColumn("sn2", graft.expr.VecDotQ(col("sub"), col("sub")))
+
+  /** Sub-codebooks: the subvectors of the deterministic sample
+    * (vec_id % 32 == 0) play the per-subspace centroid set; codes are the
+    * sample's vec_id. Production would Lloyd-train each subspace exactly
+    * like [[kmeansAssign]] — the serving shape is identical. */
+  private def pqCodebookOf(pqSub: DataFrame): DataFrame =
+    pqSub.where(col("vec_id") % 32 === 0)
+      .select(col("m"), col("vec_id").as("cb_id"),
+              col("sub").as("csub"), col("sn2").as("cn2"))
+
+  private def pqD2(sn2: Column, cn2: Column, a: Column, b: Column): Column =
+    sn2 + cn2 - lit(2L) * graft.expr.VecDotQ(a, b)
+
+  /** PQ ENCODE: each (vector, subspace) maps to its nearest sub-centroid.
+    * The codebook (k' entries per subspace) broadcasts; the argmin is a
+    * partial-aggregable min(struct(d², cb_id)) — map-side combine, one
+    * shuffle of (vec_id, m) groups, no window sort. At 100 TB this is the
+    * one-pass encode that turns 256 B/vector into M bytes. */
+  def pqCodesOf(emb: DataFrame): DataFrame = {
+    val sub = pqSubOf(emb)
+    sub.join(broadcast(pqCodebookOf(sub)), Seq("m"))
+      .withColumn("d2", pqD2(col("sn2"), col("cn2"), col("sub"), col("csub")))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d2"), col("cb_id"))).as("best"))
+      .select(col("vec_id"), col("m"),
+              col("best.cb_id").as("code"), col("best.d2").as("d2"))
+  }
+
+  def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    pqCodesOf(quantized(spark, dir))
+
+  /** PQ ADC top-k: the query set (vec_id % 50 == 0) precomputes one
+    * distance-table row per (query, subspace, codebook entry) — |Q|·M·k'
+    * rows, broadcast — and every candidate's approximate distance is the
+    * SUM OF M TABLE LOOKUPS on its codes (the equi-join on (m, code)),
+    * never a vector op. That's the scan shape that makes PQ fast at scale:
+    * the big side touches only its codes; partial aggregation sums the M
+    * lookups map-side before the (query, cand) shuffle. */
+  /** Query→codebook distance table for the deterministic query set
+    * (vec_id % 50 == 0): |Q|·M·k' rows keyed (query_id, cm, code) —
+    * broadcast-sized by construction. */
+  private def pqDtabOf(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("m"),
+              col("sub").as("qsub"), col("sn2").as("qn2"))
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("d2", pqD2(col("qn2"), col("cn2"), col("qsub"), col("csub")))
+      .select(col("query_id"), col("m").as("cm"),
+              col("cb_id").as("code"), col("d2"))
+
+  def pqAdcTopKOf(emb: DataFrame, k: Int = 5): DataFrame = {
+    val sub = pqSubOf(emb)
+    val codes = pqCodesOf(emb)
+      .select(col("vec_id").as("cand_id"), col("m").as("cm"), col("code"))
+    val dtab = pqDtabOf(sub, pqCodebookOf(sub))
+    codes.join(broadcast(dtab), Seq("cm", "code"))
+      .where(col("cand_id") =!= col("query_id"))
+      .groupBy("query_id", "cand_id")
+      .agg(sum("d2").as("adc_d2"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("adc_d2"), col("cand_id"))).cast("long"))
+      .where(col("rnk") <= k)
+      .select("query_id", "cand_id", "adc_d2", "rnk")
+  }
+
+  def pqAdcTopK(spark: SparkSession, dir: String): DataFrame =
+    pqAdcTopKOf(quantized(spark, dir))
+
+  /** IVF-PQ — the two halves composed, i.e. the production ANN serving
+    * shape (FAISS's default index family): IVF cell blocking prunes the
+    * CANDIDATE SET (equi-join on centroid_id, same as [[ivfTopK]]), PQ ADC
+    * prunes the COST PER CANDIDATE (M table lookups on the codes, never a
+    * vector op). At 100 TB the probe touches one cell's codes — M bytes
+    * per candidate — and nothing else; the full vectors exist only to
+    * rerank a final shortlist (not modeled here). Oracle: identical to
+    * restricting the all-pairs ADC ranking to same-cell candidates. */
+  def ivfPqTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val emb = quantized(spark, dir)
+    val assign = ivfAssign(spark, dir).select("vec_id", "centroid_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sub = pqSubOf(emb)
+    val codes = pqCodesOf(emb)
+      .select(col("vec_id").as("cand_id"), col("m").as("cm"), col("code"))
+    val dtab = pqDtabOf(sub, pqCodebookOf(sub))
+    val qCell = assign.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("centroid_id"))
+    val cCell = assign.select(col("vec_id").as("cand_id"), col("centroid_id"))
+    broadcast(qCell).join(cCell, Seq("centroid_id"))
+      .where(col("cand_id") =!= col("query_id"))
+      .select("query_id", "cand_id")
+      .join(codes, Seq("cand_id"))
+      .join(broadcast(dtab), Seq("query_id", "cm", "code"))
+      .groupBy("query_id", "cand_id")
+      .agg(sum("d2").as("adc_d2"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("adc_d2"), col("cand_id"))).cast("long"))
+      .where(col("rnk") <= k)
+      .select("query_id", "cand_id", "adc_d2", "rnk")
   }
 
   /** Recall@k of the IVF index against exact brute force, per query — the

@@ -101,6 +101,34 @@ object IncrementStream {
     rows.withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark(key)
 
+  /** Watermarked STREAM-STREAM interval join — the one streaming join shape
+    * the increment path doesn't cover (its joins are stream-static): each
+    * activity event pairs with the same user's orders whose order date
+    * falls within [event ts − maxLag, event ts] (the "what did this user
+    * order recently" enrichment). Both inputs carry event-time watermarks
+    * and the join predicate has an explicit time range, so each side's
+    * buffered state is BOUNDED: a row is dropped as soon as the other
+    * side's watermark proves no future match can arrive — the state-size
+    * story a 100 TB/day event join lives or dies by. The same function
+    * runs in batch (watermarks are a no-op there); batch ≡ stream is
+    * asserted in StreamingSpec. */
+  def eventOrderJoin(events: DataFrame, orders: DataFrame,
+                     maxLagDays: Int = 7): DataFrame = {
+    val ev = events
+      .select(col("event_id"), col("user_id").cast("long").as("user_id"),
+              col("ts"))
+      .withWatermark("ts", "1 day")
+    val ord = orders
+      .select(col("o_orderkey"),
+              col("o_custkey").cast("long").as("o_custkey"),
+              col("o_orderdate"))
+      .withWatermark("o_orderdate", "1 day")
+    ev.join(ord,
+      col("user_id") === col("o_custkey") &&
+        col("o_orderdate") <= col("ts") &&
+        col("o_orderdate") >= col("ts") - expr(s"INTERVAL $maxLagDays DAYS"))
+  }
+
   /** Event-time windowed aggregation with watermark: daily event counts and
     * value sums per event_type — the streaming analog of the
     * `customer_research` daily rollup (§2.4 A8 re-expressed with event-time

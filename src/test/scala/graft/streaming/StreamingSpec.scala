@@ -233,4 +233,46 @@ class StreamingSpec extends SparkSpec {
       assert(!got.exists(p => p._1 == 11L || p._2 == 11L))
     } finally q.stop()
   }
+
+  test("stream-stream interval join matches the batch join, bounds state") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, 10L, ts("2024-01-10 12:00:00")), // orders 100 (in window), not 101
+      (2L, 10L, ts("2024-01-20 12:00:00")), // order 102 same-day
+      (3L, 20L, ts("2024-01-10 12:00:00")), // other user's orders: no match
+      (4L, 30L, ts("2024-01-10 12:00:00"))) // no orders at all
+      .toDF("event_id", "user_id", "ts")
+    val orders = Seq(
+      (100L, 10L, ts("2024-01-05 00:00:00")), // 5.5 days before event 1
+      (101L, 10L, ts("2024-01-12 00:00:00")), // AFTER event 1, >7d before 2
+      (102L, 10L, ts("2024-01-20 00:00:00")), // same day as event 2
+      (103L, 20L, ts("2023-12-01 00:00:00"))) // >7 days before event 3
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val evDir = java.nio.file.Files.createTempDirectory("graft_ssj_e").toString
+    val ordDir = java.nio.file.Files.createTempDirectory("graft_ssj_o").toString
+    events.write.mode("overwrite").parquet(evDir)
+    orders.write.mode("overwrite").parquet(ordDir)
+    val q = IncrementStream.eventOrderJoin(
+        spark.readStream.schema(events.schema).parquet(evDir),
+        spark.readStream.schema(orders.schema).parquet(ordDir))
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ss_join").select("event_id", "o_orderkey")
+        .as[(Long, Long)].collect().sorted.toSeq
+      // the same function, batch mode (watermarks no-op): must agree
+      val batch = IncrementStream.eventOrderJoin(events, orders)
+        .select("event_id", "o_orderkey")
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(got == Seq((1L, 100L), (2L, 102L)))
+      assert(got == batch)
+      // both inputs carry event-time watermarks (bounded join state)
+      val plan = IncrementStream.eventOrderJoin(
+          spark.readStream.schema(events.schema).parquet(evDir),
+          spark.readStream.schema(orders.schema).parquet(ordDir))
+        .queryExecution.analyzed.toString
+      assert("EventTimeWatermark".r.findAllMatchIn(plan).size == 2, plan)
+    } finally q.stop()
+  }
 }
