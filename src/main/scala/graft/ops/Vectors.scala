@@ -524,6 +524,60 @@ object Vectors {
       .select("query_id", "cand_id", "adc_d2", "rnk")
   }
 
+  /** Persist the IVF-PQ index in the warehouse: codes (one row per
+    * candidate × subspace, carrying the candidate's IVF cell) and the
+    * query probe list, BOTH bucketed on centroid_id via
+    * [[graft.catalog.Warehouse.bucketedOverwrite]] — so the serving-time
+    * probe⋈codes join is co-located with no Exchange (spec-asserted),
+    * exactly like [[ivfIndexTo]] but storing M 1-byte-class codes per
+    * vector instead of the 64-dim vectors. This is what an ANN index
+    * LOOKS LIKE on disk at 100 TB: the code table is ~64× smaller than
+    * the vector table, and a probe reads one bucket of it. */
+  def pqIndexTo(wh: graft.catalog.Warehouse, spark: SparkSession,
+                dir: String, db: String = "ann", nBuckets: Int = 8): Unit = {
+    val assign = ivfAssign(spark, dir).select("vec_id", "centroid_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    wh.bucketedOverwrite(db, "pq_codes",
+      assign.join(pqCodes(spark, dir), "vec_id")
+        .select(col("vec_id").as("cand_id"), col("centroid_id"),
+                col("m").as("cm"), col("code")),
+      "centroid_id", nBuckets)
+    wh.bucketedOverwrite(db, "pq_probes",
+      assign.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("centroid_id")),
+      "centroid_id", nBuckets)
+    assign.unpersist()
+  }
+
+  /** The co-located probe⋈codes join over the persisted PQ index — exposed
+    * separately for plan-shape assertions (no Exchange: both sides are
+    * bucketed on centroid_id). */
+  def pqProbeJoin(wh: graft.catalog.Warehouse,
+                  db: String = "ann"): DataFrame =
+    wh.readTable(db, "pq_probes")
+      .join(wh.readTable(db, "pq_codes"), Seq("centroid_id"))
+      .where(col("cand_id") =!= col("query_id"))
+
+  /** IVF-PQ top-k served from the bucketed warehouse index — same results
+    * as [[ivfPqTopK]], but candidate codes come pre-bucketed off disk (no
+    * shuffle before scoring) and only the query-side distance table is
+    * computed at query time (broadcast-sized). */
+  def ivfPqTopKIndexed(wh: graft.catalog.Warehouse, spark: SparkSession,
+                       dir: String, db: String = "ann",
+                       k: Int = 3): DataFrame = {
+    val sub = pqSubOf(quantized(spark, dir))
+    val dtab = pqDtabOf(sub, pqCodebookOf(sub))
+    pqProbeJoin(wh, db)
+      .join(broadcast(dtab), Seq("query_id", "cm", "code"))
+      .groupBy("query_id", "cand_id")
+      .agg(sum("d2").as("adc_d2"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("adc_d2"), col("cand_id"))).cast("long"))
+      .where(col("rnk") <= k)
+      .select("query_id", "cand_id", "adc_d2", "rnk")
+  }
+
   /** Recall@k of the IVF index against exact brute force, per query — the
     * quality dial every ANN deployment monitors next to its latency.
     * Ground truth is the top-k prefix of the brute-force ranking

@@ -103,4 +103,23 @@ class PassagePqSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().sorted.toSeq
     assert(got == want && got.nonEmpty)
   }
+
+  test("bucketed PQ index: probe join has no Exchange, matches ivfPqTopK") {
+    val d = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft_pqi").toString
+    val wh = new graft.catalog.Warehouse(spark, root)
+    Vectors.pqIndexTo(wh, spark, d)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the co-located sort-merge path (no broadcast fallback)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Vectors.pqProbeJoin(wh).queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(600))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    val got = Vectors.ivfPqTopKIndexed(wh, spark, d)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    val want = Vectors.ivfPqTopK(spark, d)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
 }
