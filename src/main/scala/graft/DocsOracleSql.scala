@@ -492,6 +492,23 @@ ivfpq_topk AS (
     JOIN ivf_assign q ON q.vec_id = a.query_id
     JOIN ivf_assign c ON c.vec_id = a.cand_id
                      AND c.centroid_id = q.centroid_id) z
-  WHERE rnk <= 3)
+  WHERE rnk <= 3),
+ver_inter AS (
+  SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS i
+  FROM minhash_pairs_guarded p
+  JOIN docs_sh_d a ON a.doc_id = p.doc_a
+  JOIN docs_sh_d b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2),
+dedup_pairs_verified AS (
+  SELECT p.doc_a, p.doc_b, COALESCE(i.i, 0) AS n_common,
+         sa.n_sh + sb.n_sh - COALESCE(i.i, 0) AS n_union,
+         CAST(COALESCE(i.i, 0) AS DOUBLE)
+           / CAST(sa.n_sh + sb.n_sh - COALESCE(i.i, 0) AS DOUBLE) AS jaccard
+  FROM minhash_pairs_guarded p
+  LEFT JOIN ver_inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+  JOIN sh_sizes sa ON sa.doc_id = p.doc_a
+  JOIN sh_sizes sb ON sb.doc_id = p.doc_b
+  WHERE CAST(COALESCE(i.i, 0) AS DOUBLE)
+        / CAST(sa.n_sh + sb.n_sh - COALESCE(i.i, 0) AS DOUBLE) >= 0.7)
 """
 }

@@ -617,5 +617,6 @@ customer_cumrev AS (
     "q_passage_dup_ratio" -> fromDocs("passage_dup_ratio"),
     "q_pq_codes"          -> fromDocs("pq_codes"),
     "q_pq_adc_topk"       -> fromDocs("pq_adc_topk"),
-    "q_ivfpq_topk"        -> fromDocs("ivfpq_topk"))
+    "q_ivfpq_topk"        -> fromDocs("ivfpq_topk"),
+    "q_dedup_pairs_verified" -> fromDocs("dedup_pairs_verified"))
 }

@@ -29,9 +29,10 @@ object ScaleProbe {
     "q_customer_cumrev", "q_zorder_key", "q_funnel", "q_d_customer_scd",
     "q_asof_latest_order", "q_ann_recall", "q_event_pairs",
     // round-5 additions: salted agg/join, passage dedup, PQ encode + ADC,
-    // IVF-PQ composition
+    // IVF-PQ composition, verified LSH pairs
     "q_priority_sales_salted", "q_brand_qty_salted", "q_dedup_passages",
-    "q_passage_dup_ratio", "q_pq_codes", "q_pq_adc_topk", "q_ivfpq_topk")
+    "q_passage_dup_ratio", "q_pq_codes", "q_pq_adc_topk", "q_ivfpq_topk",
+    "q_dedup_pairs_verified")
 
   def makeBig(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     def shifted(name: String, shift: (DataFrame, Int) => DataFrame): Unit = {

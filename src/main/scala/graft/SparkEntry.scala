@@ -183,7 +183,11 @@ object SparkEntry {
     // and the IVF-PQ composition (cell-blocked candidates, ADC scoring)
     "q_pq_codes"    -> ((s, d) => ops.Vectors.pqCodes(s, d)),
     "q_pq_adc_topk" -> ((s, d) => ops.Vectors.pqAdcTopK(s, d)),
-    "q_ivfpq_topk"  -> ((s, d) => ops.Vectors.ivfPqTopK(s, d)))
+    "q_ivfpq_topk"  -> ((s, d) => ops.Vectors.ivfPqTopK(s, d)),
+    // LSH candidates verified by exact Jaccard (false-positive removal
+    // before clustering — the step banding trades for)
+    "q_dedup_pairs_verified" -> ((s, d) =>
+      ops.Dedup.minhashPairsVerified(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
