@@ -199,6 +199,37 @@ class Warehouse(spark: SparkSession, root: String) {
     * partition overwrite then reads FROM the temp copy, so the target scan
     * and target write never race, and a failure mid-overwrite leaves the
     * temp copy on disk for recovery. The temp dir is removed on success. */
+  /** Small-file COMPACTION — the maintenance pass every fact table fed by
+    * daily increments eventually needs: appends and per-partition merges
+    * accumulate files far smaller than scan-efficient, and at 100 TB the
+    * FILE COUNT (driver-side listings, task-per-file scheduling) becomes
+    * the bottleneck before data volume does.
+    *
+    * Flat tables rewrite into `nFiles` files; tables with a `gp_` layout
+    * column rewrite into ONE file per partition (hash-repartitioning on
+    * the layout column puts each partition's rows in exactly one task) —
+    * row set identical, partition layout and pruning preserved, only the
+    * file count changes (asserted in WarehouseSpec). Both go through the
+    * durable temp-write + swap, so readers keep a consistent snapshot and
+    * a crash never leaves a half-compacted table. Production would size
+    * by bytes (`maxRecordsPerFile`); the rewrite shape is the same. */
+  def compact(db: String, table: String, nFiles: Int = 1): Unit = {
+    recoverSwap(db, table)
+    val physical = readPhysical(db, table)
+    val partCols = physical.columns.filter(_.startsWith(Warehouse.PartPrefix))
+    if (partCols.isEmpty)
+      writeSwap(db, table, physical.repartition(nFiles)) { (d, p) =>
+        d.write.mode(SaveMode.Overwrite).parquet(p)
+      }
+    else {
+      val pc = partCols.head
+      writeSwap(db, table,
+          physical.repartition(org.apache.spark.sql.functions.col(pc))) {
+        (d, p) => d.write.mode(SaveMode.Overwrite).partitionBy(pc).parquet(p)
+      }
+    }
+  }
+
   def mergePartitioned(db: String, table: String, updates: DataFrame,
                        keys: Seq[String], partitionCol: String): Unit = {
     if (!exists(db, table)) {

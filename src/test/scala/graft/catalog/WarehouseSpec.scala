@@ -116,6 +116,40 @@ class WarehouseSpec extends SparkSpec {
     assert(got == want && want.nonEmpty)
   }
 
+  test("compact collapses small files, keeps rows and partition layout") {
+    val root = tmp()
+    val wh = new Warehouse(spark, root)
+    def files(sub: String): Set[String] =
+      Option(new java.io.File(s"$root/$sub").list())
+        .map(_.toSet.filter(_.startsWith("part-"))).getOrElse(Set())
+    // flat table: 3 appends x 4 files each -> 12 small files
+    val mk = (o: Int) => (1 to 20).map(i => ((o * 100 + i).toLong, s"r$i"))
+      .toDF("id", "v").repartition(4)
+    wh.overwrite("staging", "cf", mk(0))
+    wh.append("staging", "cf", mk(1)); wh.append("staging", "cf", mk(2))
+    val before = wh.read("staging", "cf")
+      .as[(Long, String)].collect().toSet
+    assert(files("staging/cf").size == 12)
+    wh.compact("staging", "cf")
+    assert(files("staging/cf").size == 1)
+    assert(wh.read("staging", "cf")
+      .as[(Long, String)].collect().toSet == before)
+    // partitioned table: many files per month -> exactly one per month,
+    // partition dirs (and so pruning) intact
+    val part = (1 to 40).map(i =>
+      (i.toLong, s"2024-0${i % 2 + 1}", i * 1.0))
+      .toDF("id", Warehouse.PartCol, "amt").repartition(8)
+    wh.overwritePartitioned("mart", "cp", part, Warehouse.PartCol)
+    assert(files(s"mart/cp/${Warehouse.PartCol}=2024-01").size > 1)
+    val beforeP = wh.read("mart", "cp")
+      .as[(Long, Double)].collect().toSet
+    wh.compact("mart", "cp")
+    for (m <- Seq("2024-01", "2024-02"))
+      assert(files(s"mart/cp/${Warehouse.PartCol}=$m").size == 1, m)
+    assert(wh.read("mart", "cp")
+      .as[(Long, Double)].collect().toSet == beforeP)
+  }
+
   test("flat merge refuses a partitioned table (layout would be lost)") {
     val wh = new Warehouse(spark, tmp())
     val base = Seq((1L, "a", "2024-01"), (2L, "b", "2024-02"))
