@@ -81,4 +81,32 @@ object Multimodal {
     }
     (w, h, c, px)
   }
+
+  /** Output schema of [[features]]: an ANN-ready integer vector per doc. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("fv", ArrayType(LongType, containsNull = false),
+                nullable = false)))
+
+  /** FEATURE EXTRACTION over decoded images — the partition-parallel stage
+    * a real vision encoder would occupy (swap the histogram for a model
+    * forward pass; batching, schema and row plumbing stay identical): a
+    * 16-bin byte histogram per image, deterministic, emitted as an
+    * integer vector that drops straight into the ANN stack
+    * ([[graft.ops.Vectors.quantizedOf]]-shaped: any dimensionality works —
+    * the composition is spec-asserted in VectorsMultimodalSpec). Payload
+    * bytes never leave the executor; the output is 16 longs per doc. */
+  def features(decoded: DataFrame): DataFrame = {
+    val spark = decoded.sparkSession
+    val rdd = decoded.select("doc_id", "pixels").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val px = r.getAs[Array[Byte]](1)
+        val hist = new Array[Long](16)
+        px.foreach(b => hist((b & 0xff) / 16) += 1)
+        Row(id, hist.toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, featureSchema)
+  }
 }

@@ -64,6 +64,36 @@ class VectorsMultimodalSpec extends SparkSpec {
     assert(Multimodal.frames(spark, d).count() == totalFrames)
   }
 
+  test("multimodal features: 16-bin histogram, composes into the ANN stack") {
+    // known payload: 64 pixels cycle over "hello world" bytes
+    val blobs = Seq((0L, "hello world"), (1L, "hello world"), (2L, "zzz"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val fv = Multimodal.features(Multimodal.decode(blobs))
+      .as[(Long, Seq[Long])].collect().toMap
+    // every histogram covers exactly the 64 decoded pixels
+    assert(fv.values.forall(h => h.length == 16 && h.sum == 64L))
+    // deterministic: identical payloads -> identical features
+    assert(fv(0L) == fv(1L) && fv(0L) != fv(2L))
+    // 'z' = 0x7a -> all 64 pixels land in bin 7
+    assert(fv(2L)(7) == 64L)
+    // ANN composition: the feature vectors drop into the quantized stack
+    // (any dimensionality) — identical-feature docs score cosine 1.0
+    val emb = Multimodal.features(Multimodal.decode(blobs))
+      .select(col("doc_id").as("vec_id"), lit(0).as("label"),
+              expr("transform(fv, x -> CAST(x AS FLOAT))").as("embedding"))
+    val top = Vectors.quantizedOf(emb)
+    val q = top.where($"vec_id" === 0L)
+      .select(col("qv").as("q_qv"), col("n2").as("qa2"))
+    val c = top.where($"vec_id" === 1L)
+      .select(col("qv").as("c_qv"), col("n2").as("ca2"))
+    val score = q.crossJoin(c)
+      .select((graft.expr.VecDotQ(col("q_qv"), col("c_qv")).cast("double")
+        / sqrt(col("qa2").cast("double") * col("ca2").cast("double")))
+        .as("s")).as[Double].head()
+    assert(score == 1.0)
+  }
+
   test("bucketed IVF index: probe join has no Exchange, matches ivfTopK") {
     val d = "/root/testdata/sf0.001"
     val root = java.nio.file.Files.createTempDirectory("graft_ivf").toString
