@@ -459,7 +459,8 @@ passage_dup_ratio AS (
 pq_sub AS (
   SELECT vec_id, m, qv[m*16+1 : m*16+16] AS sub
   FROM emb_n, range(0, 4) t(m)),
-pq_cb AS (SELECT m, vec_id AS cb_id, sub AS csub FROM pq_sub WHERE vec_id % 32 = 0),
+pq_cb AS (SELECT m, vec_id AS cb_id, sub AS csub
+          FROM pq_sub WHERE vec_id % 32 = 0 AND vec_id < 512),
 pq_codes AS (
   SELECT vec_id, m, cb_id AS code, d2 FROM (
     SELECT s.vec_id, s.m, c.cb_id,

@@ -54,10 +54,28 @@ object ScaleProbe {
     shifted("events", (df, i) =>
       df.withColumn("event_id", col("event_id") + lit(i * K))
         .withColumn("ts", col("ts") + lit(i * 40L * 86400L * 1000000000L)))
+    // documents/embeddings: copies must be DISTINCT CONTENT, same reason as
+    // the event time-shift — a self-union of identical docs makes every doc
+    // an 8-way exact clone, so candidate PAIRS grow 64× (quadratic per dup
+    // group) and identical centroid clones collapse the IVF cells; the
+    // probe would measure a degenerate corpus, not the plans. Suffixing
+    // every word per copy keeps each copy's INTERNAL dup structure exactly
+    // (dup density constant, like a real corpus growing) while no shingle
+    // collides across copies; rotating embedding dimensions keeps norms and
+    // pairwise geometry within a copy while pointing copies in genuinely
+    // different directions.
     shifted("documents", (df, i) =>
-      df.withColumn("doc_id", col("doc_id") + lit(i * K)))
+      df.withColumn("doc_id", col("doc_id") + lit(i * K))
+        .withColumn("text",
+          if (i == 0) col("text")
+          else expr(s"array_join(transform(split(text, ' '), " +
+                    s"x -> concat(x, '_c$i')), ' ')")))
     shifted("embeddings", (df, i) =>
-      df.withColumn("vec_id", col("vec_id") + lit(i * K)))
+      df.withColumn("vec_id", col("vec_id") + lit(i * K))
+        .withColumn("embedding",
+          if (i == 0) col("embedding")
+          else expr(s"concat(slice(embedding, ${i + 1}, ${64 - i}), " +
+                    s"slice(embedding, 1, $i))")))
     for (t <- Seq("customer", "part", "nation", "region", "supplier"))
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")

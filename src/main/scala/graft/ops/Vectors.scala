@@ -424,11 +424,15 @@ object Vectors {
       .withColumn("sn2", graft.expr.VecDotQ(col("sub"), col("sub")))
 
   /** Sub-codebooks: the subvectors of the deterministic sample
-    * (vec_id % 32 == 0) play the per-subspace centroid set; codes are the
-    * sample's vec_id. Production would Lloyd-train each subspace exactly
-    * like [[kmeansAssign]] — the serving shape is identical. */
+    * (vec_id % 32 == 0, capped at id < 512 ⇒ k' = 16 entries max) play the
+    * per-subspace centroid set; codes are the sample's vec_id. k' is a
+    * FIXED hyperparameter (real PQ uses 256): without the cap the codebook
+    * would grow with the corpus and the O(N·k') encode would silently turn
+    * O(N²/32) — the 8× probe caught exactly that. Production would
+    * Lloyd-train each subspace like [[kmeansAssign]]; the serving shape is
+    * identical. */
   private def pqCodebookOf(pqSub: DataFrame): DataFrame =
-    pqSub.where(col("vec_id") % 32 === 0)
+    pqSub.where(col("vec_id") % 32 === 0 && col("vec_id") < 512)
       .select(col("m"), col("vec_id").as("cb_id"),
               col("sub").as("csub"), col("sn2").as("cn2"))
 
