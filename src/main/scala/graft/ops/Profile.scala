@@ -53,6 +53,25 @@ object Profile {
     quantileProfile(Feeds.table(spark, dir, "orders"), "o_totalprice",
                     Seq(0.25, 0.5, 0.75, 0.95))
 
+  /** SKETCH quantiles — the corpus-scale sibling of [[quantileProfile]]:
+    * `approx_percentile` keeps a bounded mergeable summary per partition
+    * (Greenwald-Khanna style, rank error ≤ 1/accuracy) instead of the
+    * exact form's full value multiset, so the same profile runs in one
+    * pass at any scale. Tolerance vs the exact quantiles is pinned in
+    * ProfileSpec (the summary's merge order is partitioning-dependent, so
+    * this is spec-checked against exact, not oracle-hashed — same
+    * contract as the HLL distinct counts). */
+  def approxQuantileProfile(df: DataFrame, column: String, ps: Seq[Double],
+                            accuracy: Int = 10000): DataFrame = {
+    val arr = ps.map(p => s"CAST($p AS DOUBLE)").mkString(", ")
+    df.agg(expr(s"approx_percentile($column, array($arr), $accuracy)")
+        .as("qs"))
+      .select(posexplode(col("qs")).as(Seq("pos", "q_value")))
+      .select(lit(column).as("column"),
+              element_at(typedLit(ps), col("pos") + 1).as("p"),
+              col("q_value").cast("double").as("q_value"))
+  }
+
   /** Exact interpolated quantiles PER GROUP — one partial-aggregatable
     * groupBy (each group's percentile state is its value multiset; fine
     * for profiling-sized groups, use approx_percentile for corpus-sized
