@@ -510,6 +510,23 @@ dedup_pairs_verified AS (
   JOIN sh_sizes sa ON sa.doc_id = p.doc_a
   JOIN sh_sizes sb ON sb.doc_id = p.doc_b
   WHERE CAST(COALESCE(i.i, 0) AS DOUBLE)
-        / CAST(sa.n_sh + sb.n_sh - COALESCE(i.i, 0) AS DOUBLE) >= 0.7)
+        / CAST(sa.n_sh + sb.n_sh - COALESCE(i.i, 0) AS DOUBLE) >= 0.7),
+corpus_stats AS (
+  SELECT d.lang, d.source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(t.n_tokens) AS BIGINT) AS total_tokens,
+         CAST(sum(t.n_chars_norm) AS BIGINT) AS total_chars,
+         CAST(sum(CAST(round(q.quality * 1000000) AS BIGINT)) AS DOUBLE)
+           / CAST(count(*) * 1000000 AS DOUBLE) AS avg_quality,
+         CAST(sum(CASE WHEN p.has_pii THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pii_docs,
+         CAST(sum(CAST(round(r.rep_ratio * 1000000) AS BIGINT)) AS DOUBLE)
+           / CAST(count(*) * 1000000 AS DOUBLE) AS avg_rep_ratio
+  FROM docs d
+  JOIN text_stats t ON t.doc_id = d.doc_id
+  JOIN quality_score q ON q.doc_id = d.doc_id
+  JOIN pii_scan p ON p.doc_id = d.doc_id
+  JOIN repetition r ON r.doc_id = d.doc_id
+  GROUP BY 1, 2)
 """
 }

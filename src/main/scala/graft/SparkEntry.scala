@@ -187,7 +187,10 @@ object SparkEntry {
     // LSH candidates verified by exact Jaccard (false-positive removal
     // before clustering — the step banding trades for)
     "q_dedup_pairs_verified" -> ((s, d) =>
-      ops.Dedup.minhashPairsVerified(s, d)))
+      ops.Dedup.minhashPairsVerified(s, d)),
+    // the corpus card: per-(lang, source) doc/token counts, mean quality,
+    // PII incidence, mean repetition — micro-quantized exact means
+    "q_corpus_stats" -> ((s, d) => ops.Corpus.corpusStats(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

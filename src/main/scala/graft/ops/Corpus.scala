@@ -79,4 +79,46 @@ object Corpus {
       TextOps.contamination(spark, dir),
       TextOps.piiScan(spark, dir),
       TextOps.repetition(spark, dir))
+
+  /** The CORPUS CARD — the per-(lang, source) summary every dataset
+    * release ships (doc/token/char counts, mean quality, PII incidence,
+    * mean repetition): one hash-join chain on doc_id over the per-doc
+    * operator outputs, then a partial-aggregable groupBy on the
+    * (lang, source) grain — dimension-sized output at any corpus size.
+    *
+    * Cross-engine determinism: double sums are order-dependent, so the
+    * quality/repetition means are accumulated as int64 MICRO-UNITS
+    * (round(x·10⁶) — the embeddings' quantization rule) and divided once
+    * at the end: exact integer sums, one IEEE division on identical
+    * operands in both engines. */
+  def corpusStatsOf(docsNorm: DataFrame, stats: DataFrame,
+                    quality: DataFrame, pii: DataFrame,
+                    repetition: DataFrame): DataFrame =
+    docsNorm.select("doc_id", "lang", "source")
+      .join(stats.select("doc_id", "n_tokens", "n_chars_norm"), "doc_id")
+      .join(quality, "doc_id")
+      .join(pii.select("doc_id", "has_pii"), "doc_id")
+      .join(repetition.select("doc_id", "rep_ratio"), "doc_id")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_tokens").as("total_tokens"),
+           sum("n_chars_norm").as("total_chars"),
+           sum(expr("CAST(round(quality * 1000000) AS BIGINT)")).as("qm"),
+           sum(when(col("has_pii"), 1L).otherwise(0L)).as("n_pii_docs"),
+           sum(expr("CAST(round(rep_ratio * 1000000) AS BIGINT)")).as("rm"))
+      .select(col("lang"), col("source"), col("n_docs"),
+              col("total_tokens"), col("total_chars"),
+              (col("qm").cast("double")
+                / (col("n_docs") * 1000000L).cast("double")).as("avg_quality"),
+              col("n_pii_docs"),
+              (col("rm").cast("double")
+                / (col("n_docs") * 1000000L).cast("double")).as("avg_rep_ratio"))
+
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    corpusStatsOf(
+      TextOps.docs(spark, dir),
+      TextOps.textStats(spark, dir),
+      TextOps.qualityScore(spark, dir),
+      TextOps.piiScan(spark, dir),
+      TextOps.repetition(spark, dir))
 }
