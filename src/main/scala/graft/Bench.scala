@@ -53,8 +53,9 @@ object Bench {
     "quantiles" -> "qnt", "fingerprint" -> "fp", "clusters" -> "cls",
     "heavy_hitters" -> "hh", "histogram" -> "hist",
     "sessionize" -> "sess", "stratified" -> "strat",
-    // round 5: the query set grew to 92 — tighter tokens keep the
-    // worst-case line (every value "123.45") under ~1850 B
+    // round 5: the query set grew to 95 — tighter tokens keep the
+    // worst-case line (every value "123.45") under ~1850 B (1841 B
+    // measured; BenchLineSpec pins the <1900 budget)
     "sales" -> "sl", "pairs" -> "prs", "returned" -> "retd",
     "refunded" -> "refd", "guarded" -> "grd", "contamination" -> "contam",
     "repetition" -> "rept", "cosine" -> "cos", "kmeans" -> "km",

@@ -35,6 +35,9 @@ object ScaleProbe {
     "q_dedup_pairs_verified", "q_corpus_stats")
 
   def makeBig(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
+    // the embedding rotation below is the identity at i = 64 (reintroducing
+    // the clone-collapse degeneracy) and slice() underflows past it
+    require(copies <= 64, s"makeBig supports at most 64 copies, got $copies")
     def shifted(name: String, shift: (DataFrame, Int) => DataFrame): Unit = {
       val base = spark.read.parquet(s"$src/$name.parquet")
       val big = (0 until copies).map(i => shift(base, i)).reduce(_ unionAll _)

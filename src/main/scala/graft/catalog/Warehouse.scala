@@ -188,17 +188,6 @@ class Warehouse(spark: SparkSession, root: String) {
     }
   }
 
-  /** Partition-pruned merge for tables partitioned on `partitionCol` — the
-    * 100 TB shape: only partitions PRESENT in `updates` are read, merged and
-    * rewritten (dynamic partition overwrite); untouched partitions' files
-    * are never opened or replaced. An increment touching one day of a
-    * 5-year fact table rewrites 1/1800th of it.
-    *
-    * Durability: the merged affected partitions are first written to a temp
-    * path (a real parquet copy, not executor-local blocks); the dynamic
-    * partition overwrite then reads FROM the temp copy, so the target scan
-    * and target write never race, and a failure mid-overwrite leaves the
-    * temp copy on disk for recovery. The temp dir is removed on success. */
   /** Small-file COMPACTION — the maintenance pass every fact table fed by
     * daily increments eventually needs: appends and per-partition merges
     * accumulate files far smaller than scan-efficient, and at 100 TB the
@@ -212,8 +201,17 @@ class Warehouse(spark: SparkSession, root: String) {
     * file count changes (asserted in WarehouseSpec). Both go through the
     * durable temp-write + swap, so readers keep a consistent snapshot and
     * a crash never leaves a half-compacted table. Production would size
-    * by bytes (`maxRecordsPerFile`); the rewrite shape is the same. */
+    * by bytes (`maxRecordsPerFile`); the rewrite shape is the same.
+    *
+    * BUCKETED tables are refused (same guard class as the flat-merge
+    * refusal on partitioned tables): their bucket ids live in the file
+    * NAMES plus a catalog entry, so a path-level rewrite would silently
+    * break the co-located-join contract. */
   def compact(db: String, table: String, nFiles: Int = 1): Unit = {
+    if (spark.catalog.tableExists(s"${db}_$table"))
+      throw new IllegalArgumentException(
+        s"$db.$table is a bucketed catalog table; compacting it path-level " +
+        "would break its bucket layout — rewrite via bucketedOverwrite")
     recoverSwap(db, table)
     val physical = readPhysical(db, table)
     val partCols = physical.columns.filter(_.startsWith(Warehouse.PartPrefix))
@@ -230,6 +228,17 @@ class Warehouse(spark: SparkSession, root: String) {
     }
   }
 
+  /** Partition-pruned merge for tables partitioned on `partitionCol` — the
+    * 100 TB shape: only partitions PRESENT in `updates` are read, merged and
+    * rewritten (dynamic partition overwrite); untouched partitions' files
+    * are never opened or replaced. An increment touching one day of a
+    * 5-year fact table rewrites 1/1800th of it.
+    *
+    * Durability: the merged affected partitions are first written to a temp
+    * path (a real parquet copy, not executor-local blocks); the dynamic
+    * partition overwrite then reads FROM the temp copy, so the target scan
+    * and target write never race, and a failure mid-overwrite leaves the
+    * temp copy on disk for recovery. The temp dir is removed on success. */
   def mergePartitioned(db: String, table: String, updates: DataFrame,
                        keys: Seq[String], partitionCol: String): Unit = {
     if (!exists(db, table)) {

@@ -444,14 +444,17 @@ object Vectors {
     * partial-aggregable min(struct(d², cb_id)) — map-side combine, one
     * shuffle of (vec_id, m) groups, no window sort. At 100 TB this is the
     * one-pass encode that turns 256 B/vector into M bytes. */
-  def pqCodesOf(emb: DataFrame): DataFrame = {
-    val sub = pqSubOf(emb)
-    sub.join(broadcast(pqCodebookOf(sub)), Seq("m"))
+  private def pqEncode(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.join(broadcast(cb), Seq("m"))
       .withColumn("d2", pqD2(col("sn2"), col("cn2"), col("sub"), col("csub")))
       .groupBy("vec_id", "m")
       .agg(min(struct(col("d2"), col("cb_id"))).as("best"))
       .select(col("vec_id"), col("m"),
               col("best.cb_id").as("code"), col("best.d2").as("d2"))
+
+  def pqCodesOf(emb: DataFrame): DataFrame = {
+    val sub = pqSubOf(emb)
+    pqEncode(sub, pqCodebookOf(sub))
   }
 
   def pqCodes(spark: SparkSession, dir: String): DataFrame =
@@ -477,10 +480,13 @@ object Vectors {
               col("cb_id").as("code"), col("d2"))
 
   def pqAdcTopKOf(emb: DataFrame, k: Int = 5): DataFrame = {
+    // one sub/codebook lineage shared by the encode and the distance table
+    // (the embeddings scan + slice-explode + dot kernel plans once)
     val sub = pqSubOf(emb)
-    val codes = pqCodesOf(emb)
+    val cb = pqCodebookOf(sub)
+    val codes = pqEncode(sub, cb)
       .select(col("vec_id").as("cand_id"), col("m").as("cm"), col("code"))
-    val dtab = pqDtabOf(sub, pqCodebookOf(sub))
+    val dtab = pqDtabOf(sub, cb)
     codes.join(broadcast(dtab), Seq("cm", "code"))
       .where(col("cand_id") =!= col("query_id"))
       .groupBy("query_id", "cand_id")
@@ -508,9 +514,10 @@ object Vectors {
     val assign = ivfAssign(spark, dir).select("vec_id", "centroid_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sub = pqSubOf(emb)
-    val codes = pqCodesOf(emb)
+    val cb = pqCodebookOf(sub)
+    val codes = pqEncode(sub, cb)
       .select(col("vec_id").as("cand_id"), col("m").as("cm"), col("code"))
-    val dtab = pqDtabOf(sub, pqCodebookOf(sub))
+    val dtab = pqDtabOf(sub, cb)
     val qCell = assign.where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("centroid_id"))
     val cCell = assign.select(col("vec_id").as("cand_id"), col("centroid_id"))

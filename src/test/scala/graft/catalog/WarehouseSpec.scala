@@ -148,6 +148,12 @@ class WarehouseSpec extends SparkSpec {
       assert(files(s"mart/cp/${Warehouse.PartCol}=$m").size == 1, m)
     assert(wh.read("mart", "cp")
       .as[(Long, Double)].collect().toSet == beforeP)
+    // bucketed tables are refused: a path-level rewrite would break the
+    // bucket-id-in-filename layout behind the catalog's back
+    wh.bucketedOverwrite("mart", "cb",
+      (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v"), "id", 4)
+    val e = intercept[IllegalArgumentException] { wh.compact("mart", "cb") }
+    assert(e.getMessage.contains("bucket"))
   }
 
   test("flat merge refuses a partitioned table (layout would be lost)") {
