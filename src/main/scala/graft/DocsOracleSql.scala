@@ -511,6 +511,15 @@ dedup_pairs_verified AS (
   JOIN sh_sizes sb ON sb.doc_id = p.doc_b
   WHERE CAST(COALESCE(i.i, 0) AS DOUBLE)
         / CAST(sa.n_sh + sb.n_sh - COALESCE(i.i, 0) AS DOUBLE) >= 0.7),
+ver_sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM dedup_pairs_verified
+  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM dedup_pairs_verified),
+reach_v AS (
+  SELECT doc_id AS node, doc_id AS label FROM docs
+  UNION
+  SELECT e.dst AS node, r.label FROM reach_v r JOIN ver_sym e ON e.src = r.node),
+dedup_clusters_verified AS (
+  SELECT node AS doc_id, min(label) AS cluster FROM reach_v GROUP BY node),
 corpus_stats AS (
   SELECT d.lang, d.source,
          CAST(count(*) AS BIGINT) AS n_docs,

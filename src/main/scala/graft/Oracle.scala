@@ -619,5 +619,6 @@ customer_cumrev AS (
     "q_pq_adc_topk"       -> fromDocs("pq_adc_topk"),
     "q_ivfpq_topk"        -> fromDocs("ivfpq_topk"),
     "q_dedup_pairs_verified" -> fromDocs("dedup_pairs_verified"),
-    "q_corpus_stats"         -> fromDocs("corpus_stats"))
+    "q_corpus_stats"         -> fromDocs("corpus_stats"),
+    "q_dedup_clusters_verified" -> fromDocs("dedup_clusters_verified"))
 }

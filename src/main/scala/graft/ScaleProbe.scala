@@ -32,7 +32,8 @@ object ScaleProbe {
     // IVF-PQ composition, verified LSH pairs
     "q_priority_sales_salted", "q_brand_qty_salted", "q_dedup_passages",
     "q_passage_dup_ratio", "q_pq_codes", "q_pq_adc_topk", "q_ivfpq_topk",
-    "q_dedup_pairs_verified", "q_corpus_stats")
+    "q_dedup_pairs_verified", "q_corpus_stats",
+    "q_dedup_clusters_verified")
 
   def makeBig(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     // the embedding rotation below is the identity at i = 64 (reintroducing

@@ -190,7 +190,11 @@ object SparkEntry {
       ops.Dedup.minhashPairsVerified(s, d)),
     // the corpus card: per-(lang, source) doc/token counts, mean quality,
     // PII incidence, mean repetition — micro-quantized exact means
-    "q_corpus_stats" -> ((s, d) => ops.Corpus.corpusStats(s, d)))
+    "q_corpus_stats" -> ((s, d) => ops.Corpus.corpusStats(s, d)),
+    // the full production dedup composition: candidates → exact-Jaccard
+    // verification → connected components
+    "q_dedup_clusters_verified" -> ((s, d) =>
+      ops.Dedup.clustersVerified(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

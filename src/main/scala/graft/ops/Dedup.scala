@@ -439,6 +439,18 @@ object Dedup {
       { case (s, d, _) => clustersOf(TextOps.docs(s, d).select("doc_id"),
                                      minhashPairs(s, d)) })
 
+  /** Clusters over the VERIFIED pair graph — the full production
+    * composition (candidate generation → exact-Jaccard verification →
+    * connected components): banding's false positives never become cluster
+    * edges, so every merge is a true near-dup at the τ=0.7 threshold and
+    * clusters can only be equal-or-finer than [[clusters]]'. Memoized like
+    * its siblings; reuses the shared pairs and shingle frames. */
+  def clustersVerified(spark: SparkSession, dir: String): DataFrame =
+    clustersCache.computeIfAbsent((spark, dir, "verified"),
+      { case (s, d, _) =>
+          clustersOf(TextOps.docs(s, d).select("doc_id"),
+                     minhashPairsVerified(s, d).select("doc_a", "doc_b")) })
+
   /** Memoized star-contraction variant over the same shared pair list —
     * same (doc_id, cluster) contract and oracle as [[clusters]]. */
   def clustersFast(spark: SparkSession, dir: String): DataFrame =
