@@ -32,10 +32,20 @@ class Warehouse(spark: SparkSession, root: String) {
     * partition's files via [[mergePartitioned]] instead of rewriting
     * history, and time-range scans prune at the directory level. Layout
     * columns use the reserved `gp_` prefix ([[Warehouse.PartCol]]) so
-    * [[read]] can strip them and hand back the logical schema. */
+    * [[read]] can strip them and hand back the logical schema.
+    *
+    * The frame is hash-repartitioned on the layout column before the write,
+    * so each partition directory gets ONE file instead of one per writing
+    * task (32 tasks × 80 months ≈ 2.5k files was the measured r5 read-back
+    * 2× regression at sf0.1 — small-file listing/open cost). At 100 TB a
+    * single month exceeds one task's worth; there the same write adds
+    * `spark.sql.files.maxRecordsPerFile` so the per-partition task splits
+    * its output into scan-sized files — the layout contract (directory per
+    * month, no stragglers of tiny files) is unchanged. */
   def overwritePartitioned(db: String, table: String, df: DataFrame,
                            partitionCol: String): Unit =
-    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
+    df.repartition(org.apache.spark.sql.functions.col(partitionCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
       .parquet(path(db, table))
 
   def append(db: String, table: String, df: DataFrame): Unit =
@@ -208,24 +218,49 @@ class Warehouse(spark: SparkSession, root: String) {
     * NAMES plus a catalog entry, so a path-level rewrite would silently
     * break the co-located-join contract. */
   def compact(db: String, table: String, nFiles: Int = 1): Unit = {
-    if (spark.catalog.tableExists(s"${db}_$table"))
+    // catalog check first (names the right remedy), then the filesystem
+    // check — bucket ids live in the FILE NAMES (`part-…_00003.c000…`), so
+    // a fresh session with an empty in-memory catalog still refuses to
+    // rewrite a table another session bucketed
+    if (spark.catalog.tableExists(s"${db}_$table") ||
+        hasBucketedFiles(db, table))
       throw new IllegalArgumentException(
-        s"$db.$table is a bucketed catalog table; compacting it path-level " +
+        s"$db.$table is a bucketed table; compacting it path-level " +
         "would break its bucket layout — rewrite via bucketedOverwrite")
     recoverSwap(db, table)
     val physical = readPhysical(db, table)
     val partCols = physical.columns.filter(_.startsWith(Warehouse.PartPrefix))
+      .toIndexedSeq
     if (partCols.isEmpty)
       writeSwap(db, table, physical.repartition(nFiles)) { (d, p) =>
         d.write.mode(SaveMode.Overwrite).parquet(p)
       }
-    else {
-      val pc = partCols.head
+    else
+      // ALL layout columns: repartitioning/partitionBy on just the first
+      // would silently flatten the remaining levels of a nested layout
       writeSwap(db, table,
-          physical.repartition(org.apache.spark.sql.functions.col(pc))) {
-        (d, p) => d.write.mode(SaveMode.Overwrite).partitionBy(pc).parquet(p)
+          physical.repartition(
+            partCols.map(org.apache.spark.sql.functions.col): _*)) {
+        (d, p) =>
+          d.write.mode(SaveMode.Overwrite).partitionBy(partCols: _*).parquet(p)
       }
+  }
+
+  /** Spark bucketed outputs carry the bucket id in the file name
+    * (`part-NNNNN-<uuid>_BBBBB.cNNN…`, the `_BBBBB` suffix before the file
+    * counter) — detectable without any catalog state. */
+  private def hasBucketedFiles(db: String, table: String): Boolean = {
+    val p = hPath(path(db, table))
+    val fs = fsOf(p)
+    if (!fs.exists(p)) return false
+    val it = fs.listFiles(p, true)
+    val bucketName = ".*_\\d{5}\\.c\\d+.*".r
+    var found = false
+    while (!found && it.hasNext) {
+      val name = it.next().getPath.getName
+      found = name.startsWith("part-") && bucketName.matches(name)
     }
+    found
   }
 
   /** Partition-pruned merge for tables partitioned on `partitionCol` — the
@@ -241,8 +276,10 @@ class Warehouse(spark: SparkSession, root: String) {
     * temp copy on disk for recovery. The temp dir is removed on success. */
   def mergePartitioned(db: String, table: String, updates: DataFrame,
                        keys: Seq[String], partitionCol: String): Unit = {
+    val pc = org.apache.spark.sql.functions.col(partitionCol)
     if (!exists(db, table)) {
-      updates.write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
+      updates.repartition(pc)
+        .write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
         .parquet(path(db, table))
       return
     }
@@ -258,7 +295,12 @@ class Warehouse(spark: SparkSession, root: String) {
     fs.delete(tmp, true)
     kept.unionByName(updates)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // repartition on the layout column so each rewritten partition lands as
+    // ONE file — without it every merge re-fragments the touched months
+    // into task-count files (same small-file debt overwritePartitioned
+    // avoids; [[compact]] stays the healer for externally-written tables)
     spark.read.parquet(tmp.toString)
+      .repartition(pc)
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol)

@@ -134,12 +134,15 @@ class WarehouseSpec extends SparkSpec {
     assert(files("staging/cf").size == 1)
     assert(wh.read("staging", "cf")
       .as[(Long, String)].collect().toSet == before)
-    // partitioned table: many files per month -> exactly one per month,
-    // partition dirs (and so pruning) intact
+    // partitioned table fragmented by an EXTERNAL writer (raw partitionBy,
+    // one file per task per month — the shape overwritePartitioned no
+    // longer produces itself): compact -> exactly one per month, partition
+    // dirs (and so pruning) intact
     val part = (1 to 40).map(i =>
       (i.toLong, s"2024-0${i % 2 + 1}", i * 1.0))
       .toDF("id", Warehouse.PartCol, "amt").repartition(8)
-    wh.overwritePartitioned("mart", "cp", part, Warehouse.PartCol)
+    part.write.mode("overwrite").partitionBy(Warehouse.PartCol)
+      .parquet(s"$root/mart/cp")
     assert(files(s"mart/cp/${Warehouse.PartCol}=2024-01").size > 1)
     val beforeP = wh.read("mart", "cp")
       .as[(Long, Double)].collect().toSet
@@ -154,6 +157,37 @@ class WarehouseSpec extends SparkSpec {
       (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v"), "id", 4)
     val e = intercept[IllegalArgumentException] { wh.compact("mart", "cb") }
     assert(e.getMessage.contains("bucket"))
+    // ...and still refused when the catalog entry is gone (fresh session):
+    // the bucket ids survive only in the file names, and the guard reads
+    // them from there
+    spark.sql("DROP TABLE mart_cb")
+    val e2 = intercept[IllegalArgumentException] { wh.compact("mart", "cb") }
+    assert(e2.getMessage.contains("bucket"))
+  }
+
+  test("partitioned writes land one file per partition; merges keep it") {
+    val root = tmp()
+    val wh = new Warehouse(spark, root)
+    def files(sub: String): Set[String] =
+      Option(new java.io.File(s"$root/$sub").list())
+        .map(_.toSet.filter(_.startsWith("part-"))).getOrElse(Set())
+    val part = (1 to 40).map(i =>
+      (i.toLong, s"2024-0${i % 2 + 1}", i * 1.0))
+      .toDF("id", Warehouse.PartCol, "amt").repartition(8)
+    wh.overwritePartitioned("mart", "p1", part, Warehouse.PartCol)
+    for (m <- Seq("2024-01", "2024-02"))
+      assert(files(s"mart/p1/${Warehouse.PartCol}=$m").size == 1, m)
+    // three successive increments through the partitioned merge: the
+    // touched month stays at ONE file (no small-file accumulation), rows
+    // equal the rewrite-on-write result
+    for (k <- 1 to 3)
+      wh.mergePartitioned("mart", "p1",
+        Seq((40L + k, "2024-02", 100.0 * k)).toDF(
+          "id", Warehouse.PartCol, "amt").repartition(4),
+        Seq("id"), Warehouse.PartCol)
+    assert(files(s"mart/p1/${Warehouse.PartCol}=2024-02").size == 1)
+    assert(wh.read("mart", "p1").count() == 43)
+    assert(wh.read("mart", "p1").where(col("amt") === 300.0).count() == 1)
   }
 
   test("flat merge refuses a partitioned table (layout would be lost)") {
