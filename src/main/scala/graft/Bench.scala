@@ -186,6 +186,7 @@ object Bench {
         Pipeline.invalidate(spark, sfDir)
         ops.Dedup.invalidate(spark, sfDir)
         ops.TextOps.invalidate(spark, sfDir)
+        ops.Vectors.invalidate(spark, sfDir)
         spark.catalog.clearCache()
         if (ok) {
           val (c, w) = series(warehouseQueries(spark, whRoot), "warehouse")

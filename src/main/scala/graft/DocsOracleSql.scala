@@ -459,8 +459,44 @@ passage_dup_ratio AS (
 pq_sub AS (
   SELECT vec_id, m, qv[m*16+1 : m*16+16] AS sub
   FROM emb_n, range(0, 4) t(m)),
-pq_cb AS (SELECT m, vec_id AS cb_id, sub AS csub
+pq_cb0 AS (SELECT m, vec_id AS cb_id, sub AS csub
           FROM pq_sub WHERE vec_id % 32 = 0 AND vec_id < 512),
+pq_e1 AS (
+  SELECT vec_id, m, cb_id FROM (
+    SELECT s.vec_id, s.m, c.cb_id,
+      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+        CAST(list_sum(list_transform(list_zip(s.sub, c.csub),
+               x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT), c.cb_id) AS rn
+    FROM pq_sub s JOIN pq_cb0 c ON c.m = s.m) z WHERE rn = 1),
+pq_s1 AS (
+  SELECT m, cb_id, dim, sum(val) AS s, count(*) AS n FROM (
+    SELECT e.m, e.cb_id, unnest(s.sub) AS val,
+           unnest(range(0, len(s.sub))) AS dim
+    FROM pq_e1 e JOIN pq_sub s ON s.vec_id = e.vec_id AND s.m = e.m) z
+  GROUP BY 1, 2, 3),
+pq_cb1 AS (
+  SELECT m, cb_id,
+         array_agg(CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+                   ORDER BY dim) AS csub
+  FROM pq_s1 GROUP BY 1, 2),
+pq_e2 AS (
+  SELECT vec_id, m, cb_id FROM (
+    SELECT s.vec_id, s.m, c.cb_id,
+      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+        CAST(list_sum(list_transform(list_zip(s.sub, c.csub),
+               x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT), c.cb_id) AS rn
+    FROM pq_sub s JOIN pq_cb1 c ON c.m = s.m) z WHERE rn = 1),
+pq_s2 AS (
+  SELECT m, cb_id, dim, sum(val) AS s, count(*) AS n FROM (
+    SELECT e.m, e.cb_id, unnest(s.sub) AS val,
+           unnest(range(0, len(s.sub))) AS dim
+    FROM pq_e2 e JOIN pq_sub s ON s.vec_id = e.vec_id AND s.m = e.m) z
+  GROUP BY 1, 2, 3),
+pq_cb AS (
+  SELECT m, cb_id,
+         array_agg(CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+                   ORDER BY dim) AS csub
+  FROM pq_s2 GROUP BY 1, 2),
 pq_codes AS (
   SELECT vec_id, m, cb_id AS code, d2 FROM (
     SELECT s.vec_id, s.m, c.cb_id,
@@ -490,7 +526,8 @@ ivfpq_topk AS (
            row_number() OVER (PARTITION BY a.query_id
              ORDER BY a.adc_d2, a.cand_id) AS rnk
     FROM pq_adc a
-    JOIN ivf_assign q ON q.vec_id = a.query_id
+    JOIN (SELECT vec_id, centroid_id FROM ivf_cells WHERE rn <= 2) q
+      ON q.vec_id = a.query_id
     JOIN ivf_assign c ON c.vec_id = a.cand_id
                      AND c.centroid_id = q.centroid_id) z
   WHERE rnk <= 3),

@@ -618,6 +618,17 @@ customer_cumrev AS (
     "q_pq_codes"          -> fromDocs("pq_codes"),
     "q_pq_adc_topk"       -> fromDocs("pq_adc_topk"),
     "q_ivfpq_topk"        -> fromDocs("ivfpq_topk"),
+    // recall of the IVF-PQ composition: truth = exact top-3 prefix, hits =
+    // ivfpq_topk rows; left join keeps 0-recall queries visible
+    "q_ivfpq_recall" -> (docsPrelude + """
+      SELECT q.query_id, CAST(count(h.cand_id) AS BIGINT) AS n_hits,
+             CAST(count(h.cand_id) AS DOUBLE) / 3 AS recall
+      FROM (SELECT DISTINCT query_id FROM ann_cosine_topk) q
+      LEFT JOIN (SELECT e.query_id, e.cand_id FROM ann_cosine_topk e
+                 JOIN ivfpq_topk a ON a.query_id = e.query_id
+                                  AND a.cand_id = e.cand_id
+                 WHERE e.rnk <= 3) h ON h.query_id = q.query_id
+      GROUP BY 1"""),
     "q_dedup_pairs_verified" -> fromDocs("dedup_pairs_verified"),
     "q_corpus_stats"         -> fromDocs("corpus_stats"),
     "q_dedup_clusters_verified" -> fromDocs("dedup_clusters_verified"))

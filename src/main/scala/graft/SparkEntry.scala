@@ -184,6 +184,9 @@ object SparkEntry {
     "q_pq_codes"    -> ((s, d) => ops.Vectors.pqCodes(s, d)),
     "q_pq_adc_topk" -> ((s, d) => ops.Vectors.pqAdcTopK(s, d)),
     "q_ivfpq_topk"  -> ((s, d) => ops.Vectors.ivfPqTopK(s, d)),
+    // recall@3 of the full IVF-PQ serving path (multi-probe cells + ADC
+    // ranking) vs exact brute force — probe misses AND quantization error
+    "q_ivfpq_recall" -> ((s, d) => ops.Vectors.ivfPqRecall(s, d)),
     // LSH candidates verified by exact Jaccard (false-positive removal
     // before clustering — the step banding trades for)
     "q_dedup_pairs_verified" -> ((s, d) =>

@@ -42,6 +42,40 @@ object Vectors {
   def quantized(spark: SparkSession, dir: String): DataFrame =
     quantizedOf(Feeds.table(spark, dir, "embeddings"))
 
+  // Memoized per (session, dir), like Dedup's band/cluster caches: the
+  // quantized frame, the IVF cell ranking, the LSH-bucketed frame and the
+  // trained PQ codebook are each built (and persisted) ONCE and shared by
+  // every ANN consumer — previously each query call-site carried its own
+  // persist() and none could unpersist it (the frame outlives the call),
+  // so repeated invocations accumulated cached copies for the session
+  // lifetime. Same STALE-READ CONTRACT as Dedup: entries are never
+  // auto-invalidated; call [[invalidate]] after rewriting `dir`.
+  private val quantizedCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+  private val cellsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+  private val lshCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+  private val pqCbCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+
+  private def mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  private def quantizedCached(spark: SparkSession, dir: String): DataFrame =
+    quantizedCache.computeIfAbsent((spark, dir),
+      { case (s, d) => quantized(s, d).persist(mem) })
+
+  private def ivfCellsCached(spark: SparkSession, dir: String): DataFrame =
+    cellsCache.computeIfAbsent((spark, dir),
+      { case (s, d) => ivfCellsOf(quantizedCached(s, d)).persist(mem) })
+
+  /** Drop this (session, dir)'s memoized ANN frames and unpersist them —
+    * REQUIRED before re-reading a dir whose files changed. */
+  def invalidate(spark: SparkSession, dir: String): Unit =
+    Seq(quantizedCache, cellsCache, lshCache, pqCbCache).foreach { c =>
+      Option(c.remove((spark, dir))).foreach(_.unpersist(false))
+    }
+
   private def scored(q: DataFrame, c: DataFrame): DataFrame =
     q.join(c, col("cand_id") =!= col("query_id"))
       .withColumn("dot", dotCol)
@@ -50,7 +84,7 @@ object Vectors {
   /** Brute-force cosine top-5 for the deterministic query subset
     * (vec_id % 50 == 0). */
   def annCosineTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val emb = quantized(spark, dir)
+    val emb = quantizedCached(spark, dir)
     val q = broadcast(emb.where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
               col("n2").as("qa2")))
@@ -67,8 +101,7 @@ object Vectors {
   /** Per-vector centroid ranking (broadcast centroids, deterministic subset
     * vec_id % 40 == 0; ties broken by centroid id). rn = 1 is the IVF cell
     * assignment; rn ≤ nprobe is the probe list. */
-  private def ivfCells(spark: SparkSession, dir: String): DataFrame = {
-    val emb = quantized(spark, dir)
+  private def ivfCellsOf(emb: DataFrame): DataFrame = {
     val cent = broadcast(emb.where(col("vec_id") % 40 === 0)
       .select(col("vec_id").as("centroid_id"), col("qv").as("c_qv"),
               col("n2").as("ca2")))
@@ -84,17 +117,15 @@ object Vectors {
 
   /** IVF cell assignment: each vector's nearest centroid. */
   def ivfAssign(spark: SparkSession, dir: String): DataFrame =
-    ivfCells(spark, dir)
+    ivfCellsCached(spark, dir)
       .where(col("rn") === 1)
       .select(col("query_id").as("vec_id"), col("centroid_id"), col("score"))
 
   /** IVF probe search: top-3 within the query's own cell. */
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    // both consumed twice (query side + candidate side) — persist once
+    // both consumed twice (query side + candidate side) — memoized frames
     val assign = ivfAssign(spark, dir).select("vec_id", "centroid_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val emb = quantized(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val emb = quantizedCached(spark, dir)
     val q = assign.where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("centroid_id"))
       .join(emb.select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
@@ -141,8 +172,7 @@ object Vectors {
     * step. Empty cells drop out, like any k-means. */
   def kmeansAssign(spark: SparkSession, dir: String,
                    iters: Int = 2): DataFrame = {
-    val emb = quantized(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val emb = quantizedCached(spark, dir)
     var cents = emb.where(col("vec_id") % 40 === 0)
       .select(col("vec_id").as("cell"), col("qv").as("c_qv"),
               col("n2").as("ca2"))
@@ -172,11 +202,9 @@ object Vectors {
     * single-probe. */
   def ivfTopKProbed(spark: SparkSession, dir: String, k: Int = 3,
                     nprobe: Int = 2): DataFrame = {
-    val cells = ivfCells(spark, dir)
+    val cells = ivfCellsCached(spark, dir)
       .select(col("query_id").as("vec_id"), col("centroid_id"), col("rn"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val emb = quantized(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val emb = quantizedCached(spark, dir)
     val q = cells.where(col("rn") <= nprobe)
       .where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("centroid_id"))
@@ -241,8 +269,7 @@ object Vectors {
   def ivfIndexTo(wh: graft.catalog.Warehouse, spark: SparkSession,
                  dir: String, db: String = "ann", nBuckets: Int = 8): Unit = {
     val assign = ivfAssign(spark, dir).select("vec_id", "centroid_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val emb = quantized(spark, dir)
+    val emb = quantizedCached(spark, dir)
     wh.bucketedOverwrite(db, "ivf_index",
       assign.join(emb.select(col("vec_id"), col("qv"), col("n2")), "vec_id")
         .select(col("vec_id").as("cand_id"), col("centroid_id"),
@@ -254,7 +281,6 @@ object Vectors {
         .select(col("vec_id").as("query_id"), col("centroid_id"),
                 col("qv").as("q_qv"), col("n2").as("qa2")),
       "centroid_id", nBuckets)
-    assign.unpersist()
   }
 
   /** The co-located probe join over the persisted bucketed index — both
@@ -293,9 +319,7 @@ object Vectors {
   def nearDupIvf(spark: SparkSession, dir: String,
                  threshold: Double = 0.90): DataFrame = {
     val assign = ivfAssign(spark, dir).select("vec_id", "centroid_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val emb = quantized(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val emb = quantizedCached(spark, dir)
     val q = assign
       .select(col("vec_id").as("query_id"), col("centroid_id"))
       .join(emb.select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
@@ -354,9 +378,11 @@ object Vectors {
     * [[Dedup.simhash64PairsOf]] — the bucket join is the only shuffle. */
   def nearDupLsh(spark: SparkSession, dir: String,
                  threshold: Double = 0.90): DataFrame = {
-    val emb = quantized(spark, dir)
-      .withColumn("bucket", expr(rhBucketExpr))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the interpreted HOF bucket expression is the expensive part — built
+    // once per (session, dir) and shared by both join sides
+    val emb = lshCache.computeIfAbsent((spark, dir),
+      { case (s, d) => quantizedCached(s, d)
+          .withColumn("bucket", expr(rhBucketExpr)).persist(mem) })
     val q = emb.select(col("vec_id").as("query_id"), col("bucket"),
                        col("qv").as("q_qv"), col("n2").as("qa2"))
     val c = emb.select(col("vec_id").as("cand_id"), col("bucket"),
@@ -380,7 +406,7 @@ object Vectors {
     * the model-free one using random-hyperplane buckets). */
   def nearDup(spark: SparkSession, dir: String,
               threshold: Double = 0.90): DataFrame = {
-    val emb = quantized(spark, dir)
+    val emb = quantizedCached(spark, dir)
     val a = emb.select(col("vec_id").as("query_id"), col("label"),
                        col("qv").as("q_qv"), col("n2").as("qa2"))
     val b = emb.select(col("vec_id").as("cand_id"), col("label"),
@@ -423,18 +449,50 @@ object Vectors {
       .withColumn("m", col("m").cast("long"))
       .withColumn("sn2", graft.expr.VecDotQ(col("sub"), col("sub")))
 
-  /** Sub-codebooks: the subvectors of the deterministic sample
-    * (vec_id % 32 == 0, capped at id < 512 ⇒ k' = 16 entries max) play the
-    * per-subspace centroid set; codes are the sample's vec_id. k' is a
-    * FIXED hyperparameter (real PQ uses 256): without the cap the codebook
-    * would grow with the corpus and the O(N·k') encode would silently turn
-    * O(N²/32) — the 8× probe caught exactly that. Production would
-    * Lloyd-train each subspace like [[kmeansAssign]]; the serving shape is
-    * identical. */
-  private def pqCodebookOf(pqSub: DataFrame): DataFrame =
+  /** Codebook SEEDS: the subvectors of the deterministic sample
+    * (vec_id % 32 == 0, capped at id < 512 ⇒ k' = 16 entries max) are the
+    * initial per-subspace centroid set; codes are the sample's vec_id. k'
+    * is a FIXED hyperparameter (real PQ uses 256): without the cap the
+    * codebook would grow with the corpus and the O(N·k') encode would
+    * silently turn O(N²/32) — the 8× probe caught exactly that. */
+  private def pqSeedsOf(pqSub: DataFrame): DataFrame =
     pqSub.where(col("vec_id") % 32 === 0 && col("vec_id") < 512)
       .select(col("m"), col("vec_id").as("cb_id"),
               col("sub").as("csub"), col("sn2").as("cn2"))
+
+  /** Lloyd-TRAINED sub-codebooks — [[kmeansAssign]]'s exact-arithmetic
+    * scheme run per subspace: `iters` rounds of (a) argmin assignment of
+    * every subvector to its nearest sub-centroid (squared L2, the same
+    * partial-aggregable min(struct) as [[pqEncode]]) and (b) per-(m, code,
+    * dim) integer-sum means RE-QUANTIZED (round(sum/count) — one
+    * IEEE-exact double division + round on identical operands), so every
+    * round's centroids are identical integer vectors in Spark and DuckDB
+    * and codes stay bit-stable cross-engine. Seeds that lose all members
+    * drop out, like any k-means. Scale shape: assignment broadcasts k'·M
+    * centroids (map-side); the update is one (m, code, dim) partial-agg
+    * shuffle over the TRAINING SAMPLE only at 100 TB (here the full frame
+    * — at this SF the corpus IS sample-sized). */
+  private def pqCodebookTrainedOf(pqSub: DataFrame,
+                                  iters: Int = 2): DataFrame = {
+    var cb = pqSeedsOf(pqSub)
+    for (_ <- 1 to iters) {
+      val codes = pqEncode(pqSub, cb).select("vec_id", "m", "code")
+      cb = codes
+        .join(pqSub.select(col("vec_id"), col("m"), col("sub")),
+              Seq("vec_id", "m"))
+        .select(col("m"), col("code").as("cb_id"),
+                posexplode(col("sub")).as(Seq("dim", "v")))
+        .groupBy("m", "cb_id", "dim")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .withColumn("c",
+          expr("CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)"))
+        .groupBy("m", "cb_id")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, c))), x -> x.c)")
+          .as("csub"))
+        .withColumn("cn2", graft.expr.VecDotQ(col("csub"), col("csub")))
+    }
+    cb
+  }
 
   private def pqD2(sn2: Column, cn2: Column, a: Column, b: Column): Column =
     sn2 + cn2 - lit(2L) * graft.expr.VecDotQ(a, b)
@@ -454,11 +512,21 @@ object Vectors {
 
   def pqCodesOf(emb: DataFrame): DataFrame = {
     val sub = pqSubOf(emb)
-    pqEncode(sub, pqCodebookOf(sub))
+    pqEncode(sub, pqCodebookTrainedOf(sub))
   }
 
+  /** The trained codebook is tiny (M·k' rows) but its training lineage is
+    * 2·iters joins/aggs over the full sub frame — memoized + persisted per
+    * (session, dir) so encode, the ADC distance table and the IVF-PQ
+    * composition all broadcast the SAME materialized codebook instead of
+    * re-running the training chain per use. */
+  private def pqCbCached(spark: SparkSession, dir: String): DataFrame =
+    pqCbCache.computeIfAbsent((spark, dir),
+      { case (s, d) =>
+          pqCodebookTrainedOf(pqSubOf(quantizedCached(s, d))).persist(mem) })
+
   def pqCodes(spark: SparkSession, dir: String): DataFrame =
-    pqCodesOf(quantized(spark, dir))
+    pqEncode(pqSubOf(quantizedCached(spark, dir)), pqCbCached(spark, dir))
 
   /** PQ ADC top-k: the query set (vec_id % 50 == 0) precomputes one
     * distance-table row per (query, subspace, codebook entry) — |Q|·M·k'
@@ -479,14 +547,8 @@ object Vectors {
       .select(col("query_id"), col("m").as("cm"),
               col("cb_id").as("code"), col("d2"))
 
-  def pqAdcTopKOf(emb: DataFrame, k: Int = 5): DataFrame = {
-    // one sub/codebook lineage shared by the encode and the distance table
-    // (the embeddings scan + slice-explode + dot kernel plans once)
-    val sub = pqSubOf(emb)
-    val cb = pqCodebookOf(sub)
-    val codes = pqEncode(sub, cb)
-      .select(col("vec_id").as("cand_id"), col("m").as("cm"), col("code"))
-    val dtab = pqDtabOf(sub, cb)
+  private def adcRank(codes: DataFrame, dtab: DataFrame,
+                      k: Int): DataFrame =
     codes.join(broadcast(dtab), Seq("cm", "code"))
       .where(col("cand_id") =!= col("query_id"))
       .groupBy("query_id", "cand_id")
@@ -496,31 +558,51 @@ object Vectors {
           .orderBy(col("adc_d2"), col("cand_id"))).cast("long"))
       .where(col("rnk") <= k)
       .select("query_id", "cand_id", "adc_d2", "rnk")
+
+  def pqAdcTopKOf(emb: DataFrame, k: Int = 5): DataFrame = {
+    // one sub/codebook lineage shared by the encode and the distance table
+    // (the embeddings scan + slice-explode + dot kernel plans once)
+    val sub = pqSubOf(emb)
+    val cb = pqCodebookTrainedOf(sub)
+    val codes = pqEncode(sub, cb)
+      .select(col("vec_id").as("cand_id"), col("m").as("cm"), col("code"))
+    adcRank(codes, pqDtabOf(sub, cb), k)
   }
 
-  def pqAdcTopK(spark: SparkSession, dir: String): DataFrame =
-    pqAdcTopKOf(quantized(spark, dir))
+  def pqAdcTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val sub = pqSubOf(quantizedCached(spark, dir))
+    val cb = pqCbCached(spark, dir)
+    val codes = pqEncode(sub, cb)
+      .select(col("vec_id").as("cand_id"), col("m").as("cm"), col("code"))
+    adcRank(codes, pqDtabOf(sub, cb), k)
+  }
 
   /** IVF-PQ — the two halves composed, i.e. the production ANN serving
     * shape (FAISS's default index family): IVF cell blocking prunes the
     * CANDIDATE SET (equi-join on centroid_id, same as [[ivfTopK]]), PQ ADC
     * prunes the COST PER CANDIDATE (M table lookups on the codes, never a
-    * vector op). At 100 TB the probe touches one cell's codes — M bytes
-    * per candidate — and nothing else; the full vectors exist only to
-    * rerank a final shortlist (not modeled here). Oracle: identical to
-    * restricting the all-pairs ADC ranking to same-cell candidates. */
-  def ivfPqTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val emb = quantized(spark, dir)
-    val assign = ivfAssign(spark, dir).select("vec_id", "centroid_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sub = pqSubOf(emb)
-    val cb = pqCodebookOf(sub)
-    val codes = pqEncode(sub, cb)
+    * vector op). MULTI-PROBE by default (nprobe = 2, the [[ivfTopKProbed]]
+    * dial applied to the composition): each query's probe list is its
+    * `nprobe` nearest cells, recovering the boundary recall a single-cell
+    * probe loses at ~nprobe× candidate cost — candidates stay uniquely
+    * assigned (rn = 1), so a (query, cand) pair matches at most one probed
+    * cell and no dedup is needed. At 100 TB the probe touches nprobe
+    * cells' codes — M bytes per candidate — and nothing else; the full
+    * vectors exist only to rerank a final shortlist (not modeled here).
+    * Oracle: identical to restricting the all-pairs ADC ranking to
+    * candidates whose cell is in the query's probe list. */
+  def ivfPqTopK(spark: SparkSession, dir: String, k: Int = 3,
+                nprobe: Int = 2): DataFrame = {
+    val cells = ivfCellsCached(spark, dir)
+    val codes = pqCodes(spark, dir)
       .select(col("vec_id").as("cand_id"), col("m").as("cm"), col("code"))
-    val dtab = pqDtabOf(sub, cb)
-    val qCell = assign.where(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("query_id"), col("centroid_id"))
-    val cCell = assign.select(col("vec_id").as("cand_id"), col("centroid_id"))
+    val sub = pqSubOf(quantizedCached(spark, dir))
+    val dtab = pqDtabOf(sub, pqCbCached(spark, dir))
+    val qCell = cells.where(col("rn") <= nprobe)
+      .where(col("query_id") % 50 === 0)
+      .select(col("query_id"), col("centroid_id"))
+    val cCell = cells.where(col("rn") === 1)
+      .select(col("query_id").as("cand_id"), col("centroid_id"))
     broadcast(qCell).join(cCell, Seq("centroid_id"))
       .where(col("cand_id") =!= col("query_id"))
       .select("query_id", "cand_id")
@@ -545,19 +627,23 @@ object Vectors {
     * LOOKS LIKE on disk at 100 TB: the code table is ~64× smaller than
     * the vector table, and a probe reads one bucket of it. */
   def pqIndexTo(wh: graft.catalog.Warehouse, spark: SparkSession,
-                dir: String, db: String = "ann", nBuckets: Int = 8): Unit = {
-    val assign = ivfAssign(spark, dir).select("vec_id", "centroid_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                dir: String, db: String = "ann", nBuckets: Int = 8,
+                nprobe: Int = 2): Unit = {
+    val cells = ivfCellsCached(spark, dir)
     wh.bucketedOverwrite(db, "pq_codes",
-      assign.join(pqCodes(spark, dir), "vec_id")
+      cells.where(col("rn") === 1).select(
+          col("query_id").as("vec_id"), col("centroid_id"))
+        .join(pqCodes(spark, dir), "vec_id")
         .select(col("vec_id").as("cand_id"), col("centroid_id"),
                 col("m").as("cm"), col("code")),
       "centroid_id", nBuckets)
+    // the probe LIST (rn ≤ nprobe), so the served join reproduces the
+    // multi-probe ivfPqTopK exactly
     wh.bucketedOverwrite(db, "pq_probes",
-      assign.where(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("query_id"), col("centroid_id")),
+      cells.where(col("rn") <= nprobe)
+        .where(col("query_id") % 50 === 0)
+        .select(col("query_id"), col("centroid_id")),
       "centroid_id", nBuckets)
-    assign.unpersist()
   }
 
   /** The co-located probe⋈codes join over the persisted PQ index — exposed
@@ -576,8 +662,8 @@ object Vectors {
   def ivfPqTopKIndexed(wh: graft.catalog.Warehouse, spark: SparkSession,
                        dir: String, db: String = "ann",
                        k: Int = 3): DataFrame = {
-    val sub = pqSubOf(quantized(spark, dir))
-    val dtab = pqDtabOf(sub, pqCodebookOf(sub))
+    val sub = pqSubOf(quantizedCached(spark, dir))
+    val dtab = pqDtabOf(sub, pqCbCached(spark, dir))
     pqProbeJoin(wh, db)
       .join(broadcast(dtab), Seq("query_id", "cm", "code"))
       .groupBy("query_id", "cand_id")
@@ -597,11 +683,21 @@ object Vectors {
     * (probe landed in the wrong cell) visible instead of silently
     * dropping them. n_hits/k is one IEEE double division on identical
     * operands in both engines — bit-stable. */
-  def annRecall(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val exact = annCosineTopK(spark, dir, k)
-      .select(col("query_id"), col("cand_id"))
-    val approx = ivfTopK(spark, dir, k)
-      .select(col("query_id"), col("cand_id"))
+  def annRecall(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    recallOf(annCosineTopK(spark, dir, k), ivfTopK(spark, dir, k), k)
+
+  /** Recall@k of the full IVF-PQ serving path ([[ivfPqTopK]]: multi-probe
+    * cell blocking + ADC code ranking) against the same exact ground
+    * truth — the composition loses recall BOTH to probe misses and to PQ
+    * quantization error, so monitoring plain IVF alone ([[annRecall]])
+    * overstates what the production index returns. */
+  def ivfPqRecall(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    recallOf(annCosineTopK(spark, dir, k), ivfPqTopK(spark, dir, k), k)
+
+  private def recallOf(exactTopK: DataFrame, approxTopK: DataFrame,
+                       k: Int): DataFrame = {
+    val exact = exactTopK.select(col("query_id"), col("cand_id"))
+    val approx = approxTopK.select(col("query_id"), col("cand_id"))
     val hits = exact.join(approx, Seq("query_id", "cand_id"))
     val queries = exact.select("query_id").distinct()
     queries.join(hits, Seq("query_id"), "left_outer")

@@ -62,8 +62,31 @@ class PassagePqSpec extends SparkSpec {
   private def sub(i: Long, m: Int): Array[Long] =
     qv(i).slice(m * 16, m * 16 + 16)
   private val cbIds = ids.filter(_ % 32 == 0)
+
+  // 2-round Lloyd training per subspace, independently re-derived: argmin
+  // assignment (ties by codebook id), then per-dim integer re-quantized
+  // means — HALF_UP like Spark's round() / DuckDB's round(), NOT
+  // math.round (which rounds -2.5 toward zero)
+  private def halfUp(x: Double): Long =
+    new java.math.BigDecimal(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact
+  private def trainedCb(m: Int, iters: Int = 2): Map[Long, Array[Long]] = {
+    var cb: Map[Long, Array[Long]] = cbIds.map(c => c -> sub(c, m)).toMap
+    for (_ <- 1 to iters) {
+      val assign: Map[Long, Long] = ids.map { i =>
+        i -> cb.toSeq.map { case (c, cs) => (d2(sub(i, m), cs), c) }.min._2
+      }.toMap
+      cb = assign.groupBy(_._2).map { case (c, members) =>
+        val subs = members.keys.toSeq.map(sub(_, m))
+        c -> Array.tabulate(16)(d =>
+          halfUp(subs.map(_(d)).sum.toDouble / subs.size))
+      }
+    }
+    cb
+  }
   private def expectedCode(i: Long, m: Int): (Long, Long) =
-    cbIds.map(c => (d2(sub(i, m), sub(c, m)), c)).min.swap
+    trainedCb(m).toSeq.map { case (c, cs) => (d2(sub(i, m), cs), c) }
+      .min.swap
 
   test("pqCodesOf assigns every (vector, subspace) its argmin sub-centroid") {
     val got = Vectors.pqCodesOf(Vectors.quantizedOf(embDF))
@@ -82,7 +105,7 @@ class PassagePqSpec extends SparkSpec {
     val expected = queries.map { q =>
       val adc = ids.filter(_ != q).map { c =>
         c -> (0 until 4).map { m =>
-          d2(sub(q, m), sub(expectedCode(c, m)._1, m))
+          d2(sub(q, m), trainedCb(m)(expectedCode(c, m)._1))
         }.sum
       }.sortBy { case (c, d) => (d, c) }.take(5)
       q -> adc.zipWithIndex.map { case ((c, d), r) =>
