@@ -246,6 +246,49 @@ class Warehouse(spark: SparkSession, root: String) {
       }
   }
 
+  /** Partition-scoped compaction — the maintenance shape the DAILY cycle
+    * can afford at 100 TB: [[compact]] rewrites the whole table (fine as a
+    * one-shot), but a nightly pass must touch only the partitions the
+    * day's increments fragmented. Each partition in `values` whose
+    * directory holds ≥ `minFiles` data files is rewritten to one file via
+    * the same temp-copy + dynamic-partition-overwrite as
+    * [[mergePartitioned]]; partitions already compact (the normal case —
+    * [[mergePartitioned]] itself lands one file per partition) are LEFT
+    * UNTOUCHED, so the pass is a cheap no-op unless an external
+    * appender/writer fragmented something. Returns the partitions it
+    * actually rewrote. */
+  def compactPartitions(db: String, table: String, partitionCol: String,
+                        values: Seq[String],
+                        minFiles: Int = 2): Seq[String] = {
+    if (spark.catalog.tableExists(s"${db}_$table") ||
+        hasBucketedFiles(db, table))
+      throw new IllegalArgumentException(
+        s"$db.$table is a bucketed table; compacting it path-level " +
+        "would break its bucket layout — rewrite via bucketedOverwrite")
+    val frag = values.filter { v =>
+      val d = hPath(s"${path(db, table)}/$partitionCol=$v")
+      val fs = fsOf(d)
+      fs.exists(d) &&
+        fs.listStatus(d).count(_.getPath.getName.startsWith("part-")) >= minFiles
+    }
+    if (frag.nonEmpty) {
+      val pc = org.apache.spark.sql.functions.col(partitionCol)
+      val tmp = hPath(s"$root/$db/.${table}__compact_tmp")
+      val fs = fsOf(tmp)
+      fs.delete(tmp, true)
+      readPhysical(db, table).where(pc.isin(frag: _*))
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      spark.read.parquet(tmp.toString)
+        .repartition(pc)
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCol)
+        .parquet(path(db, table))
+      fs.delete(tmp, true)
+    }
+    frag
+  }
+
   /** Spark bucketed outputs carry the bucket id in the file name
     * (`part-NNNNN-<uuid>_BBBBB.cNNN…`, the `_BBBBB` suffix before the file
     * counter) — detectable without any catalog state. */

@@ -89,6 +89,54 @@ object IncrementStream {
     q.awaitTermination()
   }
 
+  /** The FULL daily cycle, composed — what the reference's daily DAG run
+    * becomes on this engine at 100 TB:
+    *
+    *  1. drain the increment files that arrived since the last cycle
+    *     ([[runIncrementAvailableNow]], shared checkpoint + shared sink —
+    *     the file-sink metadata log is keyed by the checkpoint's batch
+    *     ids, so the sink directory must persist across cycles); the
+    *     day's rows are the files THIS drain added (listing diff, read as
+    *     explicit paths so the sink's own metadata log is bypassed);
+    *  2. partition-pruned MERGE of the day's rows into the
+    *     month-partitioned fact (only touched months' files are read and
+    *     rewritten — [[graft.catalog.Warehouse.mergePartitioned]]);
+    *  3. partition-scoped COMPACTION of the touched months
+    *     ([[graft.catalog.Warehouse.compactPartitions]]) — a no-op while
+    *     the merge path keeps one file per partition, the heal when an
+    *     external writer fragmented one; small-file debt cannot
+    *     accumulate across cycles either way.
+    *
+    * Returns the months the day's increment touched (compacted subset
+    * discoverable via file counts; asserted in StreamingSpec). No step
+    * reads more than the day's rows plus the touched partitions. */
+  def runDailyCycle(spark: SparkSession, dir: String, watchDir: String,
+                    sinkDir: String, checkpointDir: String,
+                    wh: graft.catalog.Warehouse, db: String,
+                    table: String): Seq[String] = {
+    import graft.catalog.Warehouse.PartCol
+    val sinkPath = new org.apache.hadoop.fs.Path(sinkDir)
+    val fs = sinkPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles: Set[String] =
+      if (!fs.exists(sinkPath)) Set()
+      else fs.listStatus(sinkPath).map(_.getPath)
+        .filter(p => p.getName.startsWith("part-") &&
+                     p.getName.endsWith(".parquet"))
+        .map(_.toString).toSet
+    val before = dataFiles
+    runIncrementAvailableNow(spark, dir, watchDir, sinkDir, checkpointDir)
+    val fresh = (dataFiles -- before).toSeq.sorted
+    // a cycle with no new deliveries adds no files — nothing to do
+    if (fresh.isEmpty) return Nil
+    val day = spark.read.parquet(fresh: _*)
+      .withColumn(PartCol, date_format(col("date_time"), "yyyy-MM"))
+    wh.mergePartitioned(db, table, day, Seq("uniq_id"), PartCol)
+    val touched = day.select(PartCol).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted // month-count scalar list
+    wh.compactPartitions(db, table, PartCol, touched)
+    touched
+  }
+
   /** Streaming exact dedup: drop re-delivered rows by key within the
     * watermark horizon — the streaming face of `ops.Dedup.exact` and the
     * real-world guard for at-least-once increment delivery (a re-dropped

@@ -109,6 +109,74 @@ class StreamingSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("daily cycle: 3 increments leave <=1 file per touched partition") {
+    val dir = "/root/testdata/sf0.001"
+    val watch = java.nio.file.Files.createTempDirectory("graft_dcw").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dcc").toString
+    val root = java.nio.file.Files.createTempDirectory("graft_dcwh").toString
+    val wh = new graft.catalog.Warehouse(spark, root)
+    import graft.catalog.Warehouse.PartCol
+    def deliver(name: String, rem: Int): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dcd").toString
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .where(pmod(col("l_orderkey"), lit(3)) === rem)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(watch, name))
+    }
+    // three daily cycles over disjoint thirds of the feed: each drains
+    // the new delivery (shared sink + checkpoint, the day's rows = the
+    // drain's file delta), merges into the month-partitioned fact and
+    // compacts the touched months
+    val sink = java.nio.file.Files.createTempDirectory("graft_dcs").toString
+    var allTouched = Set[String]()
+    for (day <- 0 to 2) {
+      deliver(s"inc_day$day.parquet", day)
+      allTouched ++= IncrementStream.runDailyCycle(
+        spark, dir, watch, sink, ckpt, wh, "mart", "uol_part")
+    }
+    // no small-file accumulation: every touched month holds exactly 1 file
+    assert(allTouched.nonEmpty)
+    for (m <- allTouched) {
+      val files = Option(
+        new java.io.File(s"$root/mart/uol_part/$PartCol=$m").list())
+        .map(_.count(_.startsWith("part-"))).getOrElse(0)
+      assert(files == 1, s"month $m has $files files")
+    }
+    // contents: the three cycles reassemble the full batch projection
+    // (rollup is insensitive to the stream path's uniq_id dedup suffix)
+    val merged = wh.read("mart", "uol_part")
+    val batch = Feeds.orderFeed(spark, dir)
+    assert(merged.count() == batch.count())
+    val a = merged.groupBy("date_time", "status")
+      .agg(sum("payment_amount").as("amt"), count(lit(1)).as("n"))
+    val b = batch.groupBy("date_time", "status")
+      .agg(sum("payment_amount").as("amt"), count(lit(1)).as("n"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // an empty 4th cycle (no new deliveries) is a clean no-op
+    assert(IncrementStream.runDailyCycle(
+      spark, dir, watch, sink, ckpt, wh, "mart", "uol_part").isEmpty)
+    assert(wh.read("mart", "uol_part").count() == batch.count())
+    // fragmentation healing: an external appender drops 3 extra files into
+    // one month; compactPartitions rewrites ONLY that month back to 1 file
+    val month = allTouched.head
+    val rows = wh.readPhysical("mart", "uol_part")
+      .where(col(PartCol) === month)
+    val extra = rows.limit(5).drop(PartCol)
+    for (_ <- 1 to 3)
+      extra.coalesce(1).write.mode("append")
+        .parquet(s"$root/mart/uol_part/$PartCol=$month")
+    val before = wh.read("mart", "uol_part").count()
+    val healed = wh.compactPartitions("mart", "uol_part", PartCol,
+      allTouched.toSeq.sorted)
+    assert(healed == Seq(month))
+    assert(Option(new java.io.File(s"$root/mart/uol_part/$PartCol=$month")
+      .list()).map(_.count(_.startsWith("part-"))).getOrElse(0) == 1)
+    assert(wh.read("mart", "uol_part").count() == before)
+  }
+
   test("watermarked daily event aggregation matches batch rollup") {
     val dir = "/root/testdata/sf0.001"
     val ev = Feeds.events(spark, dir)
