@@ -538,6 +538,15 @@ customer_cumrev AS (
              unnest([0.25, 0.5, 0.75, 0.95]) AS p,
              unnest(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.95])) AS q_value
       FROM lineitem GROUP BY 1""",
+    // sketch-quantile tolerance contract: the sketch VALUE is
+    // partitioning-dependent (no cross-engine hash), but its rank error vs
+    // the exact data is bounded by the GK guarantee — the Spark side
+    // MEASURES the bracket (count(<q), count(<=q)) against the table and
+    // reports the verdict; the oracle states the contract it must meet
+    "q_profile_quantiles_sketch" -> """
+      SELECT 'o_totalprice' AS "column", CAST(p AS DOUBLE) AS p,
+             true AS rank_ok
+      FROM (VALUES (0.25), (0.5), (0.75), (0.95)) t(p)""",
     // bucket arithmetic mirrored exactly: (x - mn) * n / (mx - mn), floor,
     // clamp into the last bucket
     "q_histogram_totalprice" -> """

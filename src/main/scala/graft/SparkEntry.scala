@@ -104,6 +104,10 @@ object SparkEntry {
     "q_top_customers"     -> ((s, d) => ops.Analytics.topCustomers(s, d)),
     "q_profile_orders"    -> ((s, d) => ops.Profile.ordersProfile(s, d)),
     "q_profile_quantiles" -> ((s, d) => ops.Profile.ordersQuantiles(s, d)),
+    // sketch-quantile tolerance contract: the GK sketch's answers proved
+    // within rank error n/accuracy against the exact data, per p
+    "q_profile_quantiles_sketch" -> ((s, d) =>
+      ops.Profile.ordersQuantilesSketch(s, d)),
     // as-of join (union+window composition — single shuffle, no range probe)
     "q_asof_latest_order" -> ((s, d) => ops.AsOf.latestOrderPerEvent(s, d)),
     // banded interval self-join: event pairs per user within ±6 hours —

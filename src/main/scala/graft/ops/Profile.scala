@@ -72,6 +72,40 @@ object Profile {
               col("q_value").cast("double").as("q_value"))
   }
 
+  /** The sketch-quantile TOLERANCE CONTRACT as a driver-checkable query:
+    * each approx_percentile answer's exact bracketing ranks
+    * (count(< q), count(≤ q)) are measured against the table in one
+    * broadcast-join scan, and the row reports whether the target rank p·n
+    * falls inside the bracket widened by the GK guarantee n/accuracy
+    * (+2 rows boundary discreteness — the ProfileSpec contract verbatim).
+    * The sketch VALUE is partitioning-dependent and can't cross-engine
+    * hash; the measured tolerance verdict is deterministic (always true
+    * while the sketch honors its guarantee), so the DuckDB oracle states
+    * the contract (`true` per p) and the Spark side proves it against the
+    * exact data. */
+  def quantileSketchCheck(df: DataFrame, column: String, ps: Seq[Double],
+                          accuracy: Int = 10000): DataFrame = {
+    val v = df.select(col(column).cast("double").as("v"))
+    val approx = approxQuantileProfile(v, "v", ps, accuracy)
+      .select(col("p"), col("q_value"))
+    v.crossJoin(broadcast(approx))
+      .groupBy("p", "q_value")
+      .agg(sum(when(col("v") < col("q_value"), 1L).otherwise(0L))
+             .as("rank_lo"),
+           sum(when(col("v") <= col("q_value"), 1L).otherwise(0L))
+             .as("rank_hi"),
+           count(lit(1)).as("n"))
+      .select(lit(column).as("column"), col("p"),
+        ((col("rank_lo") - (col("n") / accuracy + 2) <=
+            col("p") * col("n")) &&
+         (col("p") * col("n") <=
+            col("rank_hi") + (col("n") / accuracy + 2))).as("rank_ok"))
+  }
+
+  def ordersQuantilesSketch(spark: SparkSession, dir: String): DataFrame =
+    quantileSketchCheck(Feeds.table(spark, dir, "orders"), "o_totalprice",
+                        Seq(0.25, 0.5, 0.75, 0.95))
+
   /** Exact interpolated quantiles PER GROUP — one partial-aggregatable
     * groupBy (each group's percentile state is its value multiset; fine
     * for profiling-sized groups, use approx_percentile for corpus-sized
