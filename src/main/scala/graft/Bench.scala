@@ -92,7 +92,8 @@ object Bench {
     m.map { case (k, v) => "\"" + key(k) + "\":" + f(v) }
       .mkString("{", ",", "}")
 
-  private def warehouseQueries(spark: SparkSession,
+  /** Shared with ScaleProbe, which probes the same read-back series. */
+  private[graft] def warehouseQueries(spark: SparkSession,
                                root: String): Seq[(String, () => DataFrame)] = {
     val wh = new Warehouse(spark, root)
     def v2 = wh.read("staging", "user_order_log_v2")

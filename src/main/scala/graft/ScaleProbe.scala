@@ -33,7 +33,9 @@ object ScaleProbe {
     "q_priority_sales_salted", "q_brand_qty_salted", "q_dedup_passages",
     "q_passage_dup_ratio", "q_pq_codes", "q_pq_adc_topk", "q_ivfpq_topk",
     "q_dedup_pairs_verified", "q_corpus_stats",
-    "q_dedup_clusters_verified")
+    "q_dedup_clusters_verified",
+    // round-6 additions: IVF-PQ recall monitor, sketch-quantile contract
+    "q_ivfpq_recall", "q_profile_quantiles_sketch")
 
   def makeBig(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     // the embedding rotation below is the identity at i = 64 (reintroducing
@@ -112,6 +114,7 @@ object ScaleProbe {
       etl.Pipeline.invalidate(spark, dir)
       ops.Dedup.invalidate(spark, dir)
       ops.TextOps.invalidate(spark, dir)
+      ops.Vectors.invalidate(spark, dir)
       probeQueries.map { q =>
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, dir).count()
@@ -127,6 +130,45 @@ object ScaleProbe {
     }
     val s1 = t1.values.sum; val sN = tN.values.sum
     println(f"[scale] TOTAL 1x=$s1%.1fs ${copies}x=$sN%.1fs ratio=${sN / s1}%.1f (ideal ≤ $copies)")
+
+    // ---- warehouse series: materialize + w_* read-backs at 1x and Nx ----
+    // (exactly where the r5 small-file regression hid: the pipeline probes
+    // never touched the partitioned warehouse read path)
+    def runWh(dir: String): (Double, Map[String, Double]) = {
+      def barrier(): Unit = {
+        spark.catalog.clearCache()
+        etl.Pipeline.invalidate(spark, dir)
+        ops.Dedup.invalidate(spark, dir)
+        ops.TextOps.invalidate(spark, dir)
+        ops.Vectors.invalidate(spark, dir)
+      }
+      barrier()
+      val rootPath = java.nio.file.Files.createTempDirectory("graft_swh")
+      val root = rootPath.toString
+      val t0 = System.nanoTime()
+      catalog.PipelineRunner.run(spark, dir, root)
+      val mat = (System.nanoTime() - t0) / 1e9
+      barrier() // read-backs measure the warehouse parquet alone
+      val times = Bench.warehouseQueries(spark, root).map { case (n, fn) =>
+        val s = System.nanoTime()
+        fn().count()
+        n -> (System.nanoTime() - s) / 1e9
+      }.toMap
+      val walk = java.nio.file.Files.walk(rootPath)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+      (mat, times)
+    }
+    val (m1, w1) = runWh(src)
+    val (mN, wN) = runWh(dst)
+    println(f"[scale] ${"warehouse"}%-28s 1x(s)   ${copies}x(s)  ratio")
+    println(f"[scale] ${"materialize"}%-28s $m1%6.2f $mN%7.2f ${mN / m1}%6.1f")
+    w1.keys.toSeq.sorted.foreach { q =>
+      println(f"[scale] $q%-28s ${w1(q)}%6.2f ${wN(q)}%7.2f ${wN(q) / w1(q)}%6.1f")
+    }
+    val ws1 = w1.values.sum; val wsN = wN.values.sum
+    println(f"[scale] WH TOTAL 1x=$ws1%.1fs ${copies}x=$wsN%.1fs ratio=${wsN / ws1}%.1f (ideal ≤ $copies)")
     spark.stop()
   }
 }

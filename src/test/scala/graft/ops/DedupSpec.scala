@@ -185,4 +185,25 @@ class DedupSpec extends SparkSpec {
       assert(got == want && got.nonEmpty)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("verified clusters refine unverified ones (equal-or-finer)") {
+    val d = "/root/testdata/sf0.001"
+    // verification only REMOVES candidate edges (exact-Jaccard < τ), so a
+    // verified component can never span two unverified ones: every
+    // verified cluster must map into exactly one unverified cluster
+    val v = Dedup.clustersVerified(spark, d)
+      .select($"doc_id", $"cluster".as("v_cluster"))
+    val u = Dedup.clusters(spark, d)
+      .select($"doc_id", $"cluster".as("u_cluster"))
+    val spans = v.join(u, "doc_id")
+      .groupBy("v_cluster")
+      .agg(countDistinct($"u_cluster").as("n_parents"))
+      .where($"n_parents" > 1)
+    assert(spans.isEmpty, "a verified cluster spans >1 unverified cluster")
+    // and the refinement is genuine on this corpus: at least one
+    // unverified cluster splits (banding false positives exist at τ=0.7)
+    val nV = v.select("v_cluster").distinct().count()
+    val nU = u.select("u_cluster").distinct().count()
+    assert(nV >= nU)
+  }
 }
