@@ -91,6 +91,7 @@ object Vectors {
     val c = emb.select(col("vec_id").as("cand_id"), col("qv").as("c_qv"),
                        col("n2").as("ca2"))
     scored(q, c)
+      .select("query_id", "cand_id", "score") // shed vectors pre-window
       .withColumn("rnk", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("score").desc, col("cand_id"))).cast("long"))
@@ -100,7 +101,15 @@ object Vectors {
 
   /** Per-vector centroid ranking (broadcast centroids, deterministic subset
     * vec_id % 40 == 0; ties broken by centroid id). rn = 1 is the IVF cell
-    * assignment; rn ≤ nprobe is the probe list. */
+    * assignment; rn ≤ nprobe is the probe list.
+    *
+    * The vectors are PROJECTED AWAY before the ranking window: scoring is
+    * map-side (broadcast centroids), so the window's shuffle moves only
+    * (query_id, centroid_id, score) — 24-byte rows instead of two 64-long
+    * arrays (~1 KB). The 8× probe caught exactly this: with the arrays
+    * carried through, the N·k ranking shuffled ~40 GB at 8× and
+    * q_ivfpq_topk ran 28× instead of ~2× (every rank window in this file
+    * projects first for the same reason). */
   private def ivfCellsOf(emb: DataFrame): DataFrame = {
     val cent = broadcast(emb.where(col("vec_id") % 40 === 0)
       .select(col("vec_id").as("centroid_id"), col("qv").as("c_qv"),
@@ -110,6 +119,7 @@ object Vectors {
       .join(cent)
       .withColumn("dot", dotCol)
       .withColumn("score", expr(scoreExpr))
+      .select("query_id", "centroid_id", "score")
       .withColumn("rn", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("score").desc, col("centroid_id"))))
@@ -138,6 +148,7 @@ object Vectors {
       .where(col("cand_id") =!= col("query_id"))
       .withColumn("dot", dotCol)
       .withColumn("score", expr(scoreExpr))
+      .select("query_id", "cand_id", "score") // shed vectors pre-window
       .withColumn("rnk", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("score").desc, col("cand_id"))).cast("long"))
@@ -152,6 +163,7 @@ object Vectors {
       .join(broadcast(cents))
       .withColumn("dot", dotCol)
       .withColumn("score", expr(scoreExpr))
+      .select("query_id", "cell", "score") // shed vectors pre-window
       .withColumn("rn", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("score").desc, col("cell"))))
@@ -218,6 +230,7 @@ object Vectors {
       .where(col("cand_id") =!= col("query_id"))
       .withColumn("dot", dotCol)
       .withColumn("score", expr(scoreExpr))
+      .select("query_id", "cand_id", "score") // shed vectors pre-window
       .withColumn("rnk", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("score").desc, col("cand_id"))).cast("long"))
@@ -249,6 +262,7 @@ object Vectors {
     q.join(c, col("cand_id") =!= col("query_id"))
       .withColumn("score",
         vec_dot(col("q_emb"), col("c_emb")) / sqrt(col("qa2") * col("ca2")))
+      .select("query_id", "cand_id", "score") // shed vectors pre-window
       .withColumn("rnk", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("score").desc, col("cand_id"))).cast("long"))
@@ -302,6 +316,7 @@ object Vectors {
   def ivfTopKIndexed(wh: graft.catalog.Warehouse, db: String = "ann",
                      k: Int = 3): DataFrame =
     ivfProbeJoin(wh, db)
+      .select("query_id", "cand_id", "score") // shed vectors pre-window
       .withColumn("rnk", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("score").desc, col("cand_id"))).cast("long"))
@@ -332,6 +347,7 @@ object Vectors {
       .where(col("cand_id") =!= col("query_id"))
       .withColumn("dot", dotCol)
       .withColumn("score", expr(scoreExpr))
+      .select("query_id", "cand_id", "score") // shed vectors pre-window
       .withColumn("rn", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("score").desc, col("cand_id"))))
@@ -391,6 +407,7 @@ object Vectors {
       .where(col("cand_id") =!= col("query_id"))
       .withColumn("dot", dotCol)
       .withColumn("score", expr(scoreExpr))
+      .select("query_id", "cand_id", "score") // shed vectors pre-window
       .withColumn("rn", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("score").desc, col("cand_id"))))
@@ -415,6 +432,7 @@ object Vectors {
       .where(col("cand_id") =!= col("query_id"))
       .withColumn("dot", dotCol)
       .withColumn("score", expr(scoreExpr))
+      .select("query_id", "cand_id", "label", "score") // shed vectors
       .withColumn("rn", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("score").desc, col("cand_id"))))
