@@ -96,8 +96,9 @@ object IncrementStream {
     *     ([[runIncrementAvailableNow]], shared checkpoint + shared sink —
     *     the file-sink metadata log is keyed by the checkpoint's batch
     *     ids, so the sink directory must persist across cycles); the
-    *     day's rows are the files THIS drain added (listing diff, read as
-    *     explicit paths so the sink's own metadata log is bypassed);
+    *     day's rows are the files THIS drain COMMITTED (metadata-log set
+    *     diff — a raw listing could include uncommitted files from a
+    *     crashed drain — read back as explicit paths);
     *  2. partition-pruned MERGE of the day's rows into the
     *     month-partitioned fact (only touched months' files are read and
     *     rewritten — [[graft.catalog.Warehouse.mergePartitioned]]);
@@ -117,16 +118,19 @@ object IncrementStream {
     import graft.catalog.Warehouse.PartCol
     val sinkPath = new org.apache.hadoop.fs.Path(sinkDir)
     val fs = sinkPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def dataFiles: Set[String] =
+    // the COMMITTED file set per the sink's own metadata log (that is what
+    // spark.read resolves through for a streaming sink dir) — a raw
+    // directory listing could pick up uncommitted files from a drain that
+    // crashed mid-batch, and those rows would double once the checkpoint
+    // re-delivers them
+    def committed: Set[String] =
       if (!fs.exists(sinkPath)) Set()
-      else fs.listStatus(sinkPath).map(_.getPath)
-        .filter(p => p.getName.startsWith("part-") &&
-                     p.getName.endsWith(".parquet"))
-        .map(_.toString).toSet
-    val before = dataFiles
+      else try spark.read.parquet(sinkDir).inputFiles.toSet
+      catch { case scala.util.control.NonFatal(_) => Set() } // empty sink
+    val before = committed
     runIncrementAvailableNow(spark, dir, watchDir, sinkDir, checkpointDir)
-    val fresh = (dataFiles -- before).toSeq.sorted
-    // a cycle with no new deliveries adds no files — nothing to do
+    val fresh = (committed -- before).toSeq.sorted
+    // a cycle with no new deliveries commits no files — nothing to do
     if (fresh.isEmpty) return Nil
     val day = spark.read.parquet(fresh: _*)
       .withColumn(PartCol, date_format(col("date_time"), "yyyy-MM"))
