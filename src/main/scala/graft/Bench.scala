@@ -59,7 +59,7 @@ object Bench {
     "sales" -> "sl", "pairs" -> "prs", "returned" -> "retd",
     "refunded" -> "refd", "guarded" -> "grd", "contamination" -> "contam",
     "repetition" -> "rept", "cosine" -> "cos", "kmeans" -> "km",
-    "assign" -> "asn", "totalprice" -> "tp", "profile" -> "prof",
+    "assign" -> "asn", "totalprice" -> "tp", "profile" -> "prf",
     "shipping" -> "ship", "priority" -> "prio", "salted" -> "slt",
     "passages" -> "psgs", "passage" -> "psg", "deciles" -> "dec",
     "quality" -> "qual", "jaccard" -> "jac", "research" -> "rsch",
@@ -69,7 +69,11 @@ object Bench {
     "items_per_city" -> "ipc", "pricing" -> "prc", "zorder" -> "zo",
     "bloom" -> "bl", "recall" -> "rcl", "frames" -> "frm",
     "exact" -> "ex", "ngram" -> "ng", "audit" -> "aud",
-    "funnel" -> "fnl", "custs_cmp" -> "cc")
+    "funnel" -> "fnl", "custs_cmp" -> "cc",
+    // round 6: 99 queries — recover headroom for the three new keys
+    "ivfpq" -> "ipq", "sketch" -> "sk", "verified" -> "ver",
+    "grain" -> "gr", "ann_" -> "a_", "rerank" -> "rr",
+    "event_type" -> "evt")
 
   private[graft] def shortKey(name: String): String =
     keyTokens.foldLeft(name) { case (s, (from, to)) => s.replace(from, to) }
@@ -113,7 +117,16 @@ object Bench {
       "w_f_customer_retention_grain" -> (() =>
         Retention.fCustomerRetentionGrain(Retention.newCust(tagged, true),
           Retention.returnedCust(tagged, true),
-          Retention.refundedCust(tagged, true))))
+          Retention.refundedCust(tagged, true))),
+      // the pruned read path — one month of the 80-month fact through
+      // readRange: lists/opens ~1/80th of the files the full-scan w_*
+      // queries pay for, i.e. the payoff side of the month layout
+      "w_uol_v2_month" -> (() =>
+        wh.readRange("staging", "user_order_log_v2", Warehouse.PartCol,
+                     "1997-01", "1997-01")
+          .groupBy("status")
+          .agg(org.apache.spark.sql.functions.sum("payment_amount")
+            .as("amt"))))
   }
 
   def main(args: Array[String]): Unit = {

@@ -520,16 +520,32 @@ pq_adc_topk AS (
     SELECT *, row_number() OVER (PARTITION BY query_id
                 ORDER BY adc_d2, cand_id) AS rnk
     FROM pq_adc) z WHERE rnk <= 5),
+ivfpq_ranked AS (
+  SELECT a.query_id, a.cand_id, a.adc_d2,
+         row_number() OVER (PARTITION BY a.query_id
+           ORDER BY a.adc_d2, a.cand_id) AS rnk
+  FROM pq_adc a
+  JOIN (SELECT vec_id, centroid_id FROM ivf_cells WHERE rn <= 2) q
+    ON q.vec_id = a.query_id
+  JOIN ivf_assign c ON c.vec_id = a.cand_id
+                   AND c.centroid_id = q.centroid_id),
 ivfpq_topk AS (
-  SELECT query_id, cand_id, adc_d2, CAST(rnk AS BIGINT) AS rnk FROM (
-    SELECT a.query_id, a.cand_id, a.adc_d2,
-           row_number() OVER (PARTITION BY a.query_id
-             ORDER BY a.adc_d2, a.cand_id) AS rnk
-    FROM pq_adc a
-    JOIN (SELECT vec_id, centroid_id FROM ivf_cells WHERE rn <= 2) q
-      ON q.vec_id = a.query_id
-    JOIN ivf_assign c ON c.vec_id = a.cand_id
-                     AND c.centroid_id = q.centroid_id) z
+  SELECT query_id, cand_id, adc_d2, CAST(rnk AS BIGINT) AS rnk
+  FROM ivfpq_ranked WHERE rnk <= 3),
+ivfpq_rerank AS (
+  SELECT query_id, cand_id, score, CAST(rnk AS BIGINT) AS rnk FROM (
+    SELECT s.query_id, s.cand_id,
+           CAST(list_sum(list_transform(list_zip(qe.qv, ce.qv),
+                  x -> x[1] * x[2])) AS DOUBLE)
+             / sqrt(CAST(qe.n2 AS DOUBLE) * CAST(ce.n2 AS DOUBLE)) AS score,
+           row_number() OVER (PARTITION BY s.query_id
+             ORDER BY CAST(list_sum(list_transform(list_zip(qe.qv, ce.qv),
+                             x -> x[1] * x[2])) AS DOUBLE)
+                      / sqrt(CAST(qe.n2 AS DOUBLE) * CAST(ce.n2 AS DOUBLE))
+                        DESC, s.cand_id) AS rnk
+    FROM (SELECT query_id, cand_id FROM ivfpq_ranked WHERE rnk <= 10) s
+    JOIN emb_n qe ON qe.vec_id = s.query_id
+    JOIN emb_n ce ON ce.vec_id = s.cand_id) z
   WHERE rnk <= 3),
 ver_inter AS (
   SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS i

@@ -627,6 +627,7 @@ customer_cumrev AS (
     "q_pq_codes"          -> fromDocs("pq_codes"),
     "q_pq_adc_topk"       -> fromDocs("pq_adc_topk"),
     "q_ivfpq_topk"        -> fromDocs("ivfpq_topk"),
+    "q_ivfpq_rerank"      -> fromDocs("ivfpq_rerank"),
     // recall of the IVF-PQ composition: truth = exact top-3 prefix, hits =
     // ivfpq_topk rows; left join keeps 0-recall queries visible
     "q_ivfpq_recall" -> (docsPrelude + """

@@ -34,8 +34,9 @@ object ScaleProbe {
     "q_passage_dup_ratio", "q_pq_codes", "q_pq_adc_topk", "q_ivfpq_topk",
     "q_dedup_pairs_verified", "q_corpus_stats",
     "q_dedup_clusters_verified",
-    // round-6 additions: IVF-PQ recall monitor, sketch-quantile contract
-    "q_ivfpq_recall", "q_profile_quantiles_sketch")
+    // round-6 additions: IVF-PQ recall monitor, sketch-quantile contract,
+    // two-stage shortlist+rerank serving
+    "q_ivfpq_recall", "q_profile_quantiles_sketch", "q_ivfpq_rerank")
 
   def makeBig(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     // the embedding rotation below is the identity at i = 64 (reintroducing

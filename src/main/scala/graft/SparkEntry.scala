@@ -191,6 +191,9 @@ object SparkEntry {
     // recall@3 of the full IVF-PQ serving path (multi-probe cells + ADC
     // ranking) vs exact brute force — probe misses AND quantization error
     "q_ivfpq_recall" -> ((s, d) => ops.Vectors.ivfPqRecall(s, d)),
+    // two-stage serving: ADC shortlist (k=10) -> exact rerank (top-3) —
+    // only the shortlist rows ever touch full vectors
+    "q_ivfpq_rerank" -> ((s, d) => ops.Vectors.ivfPqRerank(s, d)),
     // LSH candidates verified by exact Jaccard (false-positive removal
     // before clustering — the step banding trades for)
     "q_dedup_pairs_verified" -> ((s, d) =>

@@ -66,6 +66,23 @@ class Warehouse(spark: SparkSession, root: String) {
   def readPhysical(db: String, table: String): DataFrame =
     spark.read.parquet(path(db, table))
 
+  /** Partition-PRUNED logical read: filter the layout column to
+    * [lo, hi] BEFORE dropping it, so the scan lists and opens only the
+    * matching partition directories. This is the read path that pays the
+    * month layout back: a predicate on a DATA column (`date_time`) cannot
+    * prune `gp_month` directories — the engine has no mapping between
+    * them — so time-range readers must state the range at the layout
+    * grain (the same contract as Hive/Iceberg-style partition filters).
+    * Asserted file-level in WarehouseSpec. */
+  def readRange(db: String, table: String, partitionCol: String,
+                lo: String, hi: String): DataFrame = {
+    val df = readPhysical(db, table)
+      .where(org.apache.spark.sql.functions.col(partitionCol)
+        .between(lo, hi))
+    val layoutCols = df.columns.filter(_.startsWith(Warehouse.PartPrefix))
+    df.drop(layoutCols.toIndexedSeq: _*)
+  }
+
   private def hPath(s: String) = new org.apache.hadoop.fs.Path(s)
   private def fsOf(p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)

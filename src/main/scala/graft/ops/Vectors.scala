@@ -635,6 +635,36 @@ object Vectors {
       .select("query_id", "cand_id", "adc_d2", "rnk")
   }
 
+  /** Two-stage serving: ADC SHORTLIST → EXACT RERANK — the production
+    * composition every IVF-PQ deployment ends with (the PQ codes rank a
+    * cheap shortlist of `kCand` candidates; only those `kCand` rows touch
+    * the full vectors for exact scoring). At 100 TB the rerank join reads
+    * |Q|·kCand full vectors — thousands of rows — while the scan stage
+    * still never touches a vector; this is why the code table can be 64×
+    * smaller than the vector table and recall still recovers: ADC only
+    * has to get the true neighbors INTO the shortlist, not order them.
+    * Exact int64 scoring (same kernel as [[annCosineTopK]]) keeps the
+    * rerank bit-stable cross-engine. */
+  def ivfPqRerank(spark: SparkSession, dir: String, kCand: Int = 10,
+                  k: Int = 3): DataFrame = {
+    val shortlist = ivfPqTopK(spark, dir, kCand, nprobe = 2)
+      .select("query_id", "cand_id")
+    val emb = quantizedCached(spark, dir)
+    shortlist
+      .join(emb.select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+                       col("n2").as("qa2")), Seq("query_id"))
+      .join(emb.select(col("vec_id").as("cand_id"), col("qv").as("c_qv"),
+                       col("n2").as("ca2")), Seq("cand_id"))
+      .withColumn("dot", dotCol)
+      .withColumn("score", expr(scoreExpr))
+      .select("query_id", "cand_id", "score") // shed vectors pre-window
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("cand_id"))).cast("long"))
+      .where(col("rnk") <= k)
+      .select("query_id", "cand_id", "score", "rnk")
+  }
+
   /** Persist the IVF-PQ index in the warehouse: codes (one row per
     * candidate × subspace, carrying the candidate's IVF cell) and the
     * query probe list, BOTH bucketed on centroid_id via

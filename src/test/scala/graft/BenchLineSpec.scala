@@ -13,7 +13,7 @@ class BenchLineSpec extends AnyFunSuite {
   private val warehouseNames = Seq(
     "w_f_sales", "w_new_customers", "w_returned_customers",
     "w_refunded_customers", "w_retention_compact",
-    "w_f_customer_retention_grain")
+    "w_f_customer_retention_grain", "w_uol_v2_month")
 
   test("shortKey is injective over the pipeline and warehouse query names") {
     for (names <- Seq(pipelineNames, warehouseNames)) {

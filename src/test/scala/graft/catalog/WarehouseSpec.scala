@@ -190,6 +190,28 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.read("mart", "p1").where(col("amt") === 300.0).count() == 1)
   }
 
+  test("readRange prunes to the matching partition directories") {
+    val wh = new Warehouse(spark, tmp())
+    val part = (1 to 30).map(i =>
+      (i.toLong, s"2024-0${i % 3 + 1}", i * 1.0))
+      .toDF("id", Warehouse.PartCol, "amt")
+    wh.overwritePartitioned("mart", "pr", part, Warehouse.PartCol)
+    val pruned = wh.readRange("mart", "pr", Warehouse.PartCol,
+                              "2024-02", "2024-02")
+    // logical schema: layout column stripped, rows = that month only
+    assert(!pruned.columns.contains(Warehouse.PartCol))
+    assert(pruned.count() == 10)
+    // physical: the scan's file listing covers ONE of the three partition
+    // directories (partition filter, not a post-scan row filter)
+    val files = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.listFiles(s.partitionFilters, s.dataFilters)
+          .flatMap(_.files.map(_.getPath.toString))
+    }.flatten
+    assert(files.nonEmpty &&
+           files.forall(_.contains(s"${Warehouse.PartCol}=2024-02")), files)
+  }
+
   test("flat merge refuses a partitioned table (layout would be lost)") {
     val wh = new Warehouse(spark, tmp())
     val base = Seq((1L, "a", "2024-01"), (2L, "b", "2024-02"))

@@ -127,6 +127,19 @@ class PassagePqSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("ivfPqRerank recovers exact top-k when the shortlist covers all") {
+    // single cell (centroid sample = {0}) and kCand >= every candidate:
+    // the ADC shortlist is the whole candidate set, so the exact rerank
+    // must reproduce brute-force cosine top-3 bit-for-bit
+    val evDir = java.nio.file.Files.createTempDirectory("graft_rr").toString
+    embDF.write.mode("overwrite").parquet(s"$evDir/embeddings.parquet")
+    val got = Vectors.ivfPqRerank(spark, evDir, kCand = 10, k = 3)
+      .as[(Long, Long, Double, Long)].collect().sorted.toSeq
+    val want = Vectors.annCosineTopK(spark, evDir, k = 3)
+      .as[(Long, Long, Double, Long)].collect().sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("bucketed PQ index: probe join has no Exchange, matches ivfPqTopK") {
     val d = "/root/testdata/sf0.001"
     val root = java.nio.file.Files.createTempDirectory("graft_pqi").toString
