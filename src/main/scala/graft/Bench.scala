@@ -70,13 +70,25 @@ object Bench {
     "bloom" -> "bl", "recall" -> "rcl", "frames" -> "frm",
     "exact" -> "ex", "ngram" -> "ng", "audit" -> "aud",
     "funnel" -> "fnl", "custs_cmp" -> "cc",
-    // round 6: 99 queries — recover headroom for the three new keys
-    "ivfpq" -> "ipq", "sketch" -> "sk", "verified" -> "ver",
+    // round 6: 99 queries — recover headroom for the three new keys.
+    // (No "ivfpq" token: the leading "q_"->"" replacement already eats the
+    // embedded q_ of every ivfpq_* name — they short to ivfptk/ivfprcl/
+    // ivfprr via the suffix tokens.)
+    "sketch" -> "sk", "verified" -> "ver",
     "grain" -> "gr", "ann_" -> "a_", "rerank" -> "rr",
     "event_type" -> "evt")
 
   private[graft] def shortKey(name: String): String =
     keyTokens.foldLeft(name) { case (s, (from, to)) => s.replace(from, to) }
+
+  /** Recursive local temp-dir cleanup (shared with ScaleProbe's warehouse
+    * probe — both materialize a throwaway warehouse per run). */
+  private[graft] def deleteRecursively(root: java.nio.file.Path): Unit = {
+    val walk = java.nio.file.Files.walk(root)
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally walk.close()
+  }
 
   /** 2-decimal, trailing-zero-stripped JSON number ("0.08", "1.5", "32"). */
   private[graft] def r2(v: Double): String = {
@@ -207,12 +219,7 @@ object Bench {
           (sec, c, w)
         } else (sec, Nil, Nil)
       } finally { // don't leak a full warehouse copy per bench run
-        import java.nio.file.{Files, Path}
-        import java.util.Comparator
-        val walk = Files.walk(whRootPath)
-        try walk.sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => Files.deleteIfExists(p))
-        finally walk.close()
+        deleteRecursively(whRootPath)
       }
     val wMin = minMerge(wCold, wWarm)
 

@@ -155,10 +155,7 @@ object ScaleProbe {
         fn().count()
         n -> (System.nanoTime() - s) / 1e9
       }.toMap
-      val walk = java.nio.file.Files.walk(rootPath)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
+      Bench.deleteRecursively(rootPath)
       (mat, times)
     }
     val (m1, w1) = runWh(src)

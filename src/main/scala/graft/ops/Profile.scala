@@ -85,7 +85,11 @@ object Profile {
     * exact data. */
   def quantileSketchCheck(df: DataFrame, column: String, ps: Seq[Double],
                           accuracy: Int = 10000): DataFrame = {
+    // NULLs out before anything: approx_percentile and the bracketing
+    // rank sums both ignore them, so n must count the same (non-null)
+    // population or the target rank p·n overshoots by p·nullFraction·N
     val v = df.select(col(column).cast("double").as("v"))
+      .where(col("v").isNotNull)
     val approx = approxQuantileProfile(v, "v", ps, accuracy)
       .select(col("p"), col("q_value"))
     v.crossJoin(broadcast(approx))

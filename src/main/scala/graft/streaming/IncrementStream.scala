@@ -122,11 +122,22 @@ object IncrementStream {
     // spark.read resolves through for a streaming sink dir) — a raw
     // directory listing could pick up uncommitted files from a drain that
     // crashed mid-batch, and those rows would double once the checkpoint
-    // re-delivers them
-    def committed: Set[String] =
-      if (!fs.exists(sinkPath)) Set()
+    // re-delivers them. Only the committed-but-EMPTY sink reads as Set()
+    // (no metadata log yet, or schema inference over zero files); any
+    // other read failure must PROPAGATE — swallowing a transient post-
+    // drain error here would classify that day's files as already-seen on
+    // the next cycle and silently drop them from the warehouse forever
+    def committed: Set[String] = {
+      val meta = new org.apache.hadoop.fs.Path(sinkPath, "_spark_metadata")
+      if (!fs.exists(meta)) Set()
       else try spark.read.parquet(sinkDir).inputFiles.toSet
-      catch { case scala.util.control.NonFatal(_) => Set() } // empty sink
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
+               e.getMessage.toLowerCase.contains("infer schema") =>
+          Set() // metadata log exists but holds zero committed files
+      }
+    }
     val before = committed
     runIncrementAvailableNow(spark, dir, watchDir, sinkDir, checkpointDir)
     val fresh = (committed -- before).toSeq.sorted
