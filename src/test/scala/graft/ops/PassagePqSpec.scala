@@ -140,6 +140,28 @@ class PassagePqSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("exact rerank recall dominates ADC-order recall per query") {
+    // any global-top-3 member that made the shortlist has the highest
+    // exact scores there, so exact reranking must keep it in its top-3 —
+    // ADC ordering may misplace it. Hence per-query recall(rerank) >=
+    // recall(ADC top-3) on real data, with the same shortlist.
+    val d = "/root/testdata/sf0.001"
+    def hits(approx: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+      val exact = Vectors.annCosineTopK(spark, d, k = 3)
+        .select($"query_id", $"cand_id")
+      exact.join(approx.select($"query_id", $"cand_id"),
+                 Seq("query_id", "cand_id"))
+        .groupBy("query_id").count()
+        .as[(Long, Long)].collect().toMap.withDefaultValue(0L)
+    }
+    val rr = hits(Vectors.ivfPqRerank(spark, d, kCand = 10, k = 3))
+    val adc = hits(Vectors.ivfPqTopK(spark, d, k = 3))
+    val queries = (rr.keySet ++ adc.keySet)
+    assert(queries.nonEmpty)
+    for (q <- queries)
+      assert(rr(q) >= adc(q), s"query $q: rerank ${rr(q)} < adc ${adc(q)}")
+  }
+
   test("bucketed PQ index: probe join has no Exchange, matches ivfPqTopK") {
     val d = "/root/testdata/sf0.001"
     val root = java.nio.file.Files.createTempDirectory("graft_pqi").toString
