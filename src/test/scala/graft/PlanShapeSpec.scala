@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+/** Pins the plan-shape claims the architecture notes make about scans:
+  * column pruning reaching the parquet reader and predicate pushdown
+  * reaching the scan's PushedFilters — so a refactor that silently widens
+  * a scan (e.g. a select(*) before a join) fails a test, not a bench
+  * reading. Scans are collected from `sparkPlan` (pre-AQE: adaptive
+  * wrapping hides children from executedPlan.collect until execution). */
+class PlanShapeSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def scansOf(df: DataFrame, table: String): Seq[FileSourceScanExec] =
+    df.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec
+          if s.relation.location.rootPaths
+            .exists(_.toString.contains(table)) => s
+    }
+
+  test("order feed prunes the lineitem scan to the used columns") {
+    val scans = scansOf(etl.Feeds.orderFeed(spark, d), "lineitem")
+    assert(scans.nonEmpty)
+    val all = spark.read.parquet(s"$d/lineitem.parquet").columns.toSet
+    for (s <- scans) {
+      val read = s.requiredSchema.fieldNames.toSet
+      // the widest comment/date columns must never reach the reader
+      assert(!read.contains("l_comment") && !read.contains("l_shipdate"),
+        read.mkString(","))
+      assert(read.subsetOf(all) && read.size < all.size, read.mkString(","))
+    }
+  }
+
+  test("multimodal metadata reads only (doc_id, text) from documents") {
+    val scans = scansOf(ops.Multimodal.meta(spark, d), "documents")
+    assert(scans.nonEmpty)
+    for (s <- scans)
+      assert(s.requiredSchema.fieldNames.toSet == Set("doc_id", "text"),
+        s.requiredSchema.fieldNames.mkString(","))
+  }
+
+  test("bloom semi-join pushes the priority predicate into the orders scan") {
+    val scans = scansOf(ops.RuntimeFilters.bloomUrgentRevenue(spark, d),
+                        "orders")
+    assert(scans.nonEmpty)
+    assert(scans.exists(_.metadata.get("PushedFilters")
+      .exists(_.contains("o_orderpriority"))),
+      scans.map(_.metadata.getOrElse("PushedFilters", "-")).mkString(" | "))
+  }
+}
