@@ -429,4 +429,159 @@ corpus_curated_v2 AS (
   FROM corpus_curated c
   JOIN pii_scan p ON p.doc_id = c.doc_id AND NOT p.has_pii
   JOIN repetition r ON r.doc_id = c.doc_id AND r.rep_ratio <= 0.5
-  WHERE c.doc_id NOT IN (SELECT doc_id FROM contamination))
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM contamination)),
+passages AS (
+  SELECT doc_id, unnest(CASE WHEN len(words) >= 8
+      THEN [array_to_string(words[i*8+1 : i*8+8], ' ')
+            for i in range(0, len(words)//8)]
+      ELSE CAST([] AS VARCHAR[]) END) AS passage
+  FROM docs_words),
+pass_h AS (SELECT doc_id, md5(passage) AS passage_hash FROM passages),
+pass_stats AS (
+  SELECT passage_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_occ, min(doc_id) AS keeper_doc_id
+  FROM pass_h GROUP BY 1),
+dedup_passages AS (
+  SELECT passage_hash, n_docs, n_occ, keeper_doc_id
+  FROM pass_stats WHERE n_docs >= 2),
+passage_dup_ratio AS (
+  SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_passages,
+         CAST(sum(CASE WHEN s.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         CAST(sum(CASE WHEN s.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS dup_ratio
+  FROM pass_h p JOIN pass_stats s ON s.passage_hash = p.passage_hash
+  GROUP BY 1),
+pq_sub AS (
+  SELECT vec_id, m, qv[m*16+1 : m*16+16] AS sub
+  FROM emb_n, range(0, 4) t(m)),
+pq_cb0 AS (SELECT m, vec_id AS cb_id, sub AS csub
+          FROM pq_sub WHERE vec_id % 32 = 0 AND vec_id < 512),
+pq_e1 AS (
+  SELECT vec_id, m, cb_id FROM (
+    SELECT s.vec_id, s.m, c.cb_id,
+      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+        CAST(list_sum(list_transform(list_zip(s.sub, c.csub),
+               x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT), c.cb_id) AS rn
+    FROM pq_sub s JOIN pq_cb0 c ON c.m = s.m) z WHERE rn = 1),
+pq_s1 AS (
+  SELECT m, cb_id, dim, sum(val) AS s, count(*) AS n FROM (
+    SELECT e.m, e.cb_id, unnest(s.sub) AS val,
+           unnest(range(0, len(s.sub))) AS dim
+    FROM pq_e1 e JOIN pq_sub s ON s.vec_id = e.vec_id AND s.m = e.m) z
+  GROUP BY 1, 2, 3),
+pq_cb1 AS (
+  SELECT m, cb_id,
+         array_agg(CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+                   ORDER BY dim) AS csub
+  FROM pq_s1 GROUP BY 1, 2),
+pq_e2 AS (
+  SELECT vec_id, m, cb_id FROM (
+    SELECT s.vec_id, s.m, c.cb_id,
+      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+        CAST(list_sum(list_transform(list_zip(s.sub, c.csub),
+               x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT), c.cb_id) AS rn
+    FROM pq_sub s JOIN pq_cb1 c ON c.m = s.m) z WHERE rn = 1),
+pq_s2 AS (
+  SELECT m, cb_id, dim, sum(val) AS s, count(*) AS n FROM (
+    SELECT e.m, e.cb_id, unnest(s.sub) AS val,
+           unnest(range(0, len(s.sub))) AS dim
+    FROM pq_e2 e JOIN pq_sub s ON s.vec_id = e.vec_id AND s.m = e.m) z
+  GROUP BY 1, 2, 3),
+pq_cb AS (
+  SELECT m, cb_id,
+         array_agg(CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+                   ORDER BY dim) AS csub
+  FROM pq_s2 GROUP BY 1, 2),
+pq_codes AS (
+  SELECT vec_id, m, cb_id AS code, d2 FROM (
+    SELECT s.vec_id, s.m, c.cb_id,
+      CAST(list_sum(list_transform(list_zip(s.sub, c.csub),
+             x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT) AS d2,
+      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+        CAST(list_sum(list_transform(list_zip(s.sub, c.csub),
+               x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT), c.cb_id) AS rn
+    FROM pq_sub s JOIN pq_cb c ON c.m = s.m) z WHERE rn = 1),
+pq_dtab AS (
+  SELECT q.vec_id AS query_id, c.m, c.cb_id,
+    CAST(list_sum(list_transform(list_zip(q.sub, c.csub),
+           x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT) AS d2
+  FROM pq_sub q JOIN pq_cb c ON c.m = q.m WHERE q.vec_id % 50 = 0),
+pq_adc AS (
+  SELECT d.query_id, p.vec_id AS cand_id, CAST(sum(d.d2) AS BIGINT) AS adc_d2
+  FROM pq_codes p JOIN pq_dtab d ON d.m = p.m AND d.cb_id = p.code
+  WHERE p.vec_id != d.query_id GROUP BY 1, 2),
+pq_adc_topk AS (
+  SELECT query_id, cand_id, adc_d2, CAST(rnk AS BIGINT) AS rnk FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY adc_d2, cand_id) AS rnk
+    FROM pq_adc) z WHERE rnk <= 5),
+ivfpq_ranked AS (
+  SELECT a.query_id, a.cand_id, a.adc_d2,
+         row_number() OVER (PARTITION BY a.query_id
+           ORDER BY a.adc_d2, a.cand_id) AS rnk
+  FROM pq_adc a
+  JOIN (SELECT vec_id, centroid_id FROM ivf_cells WHERE rn <= 2) q
+    ON q.vec_id = a.query_id
+  JOIN ivf_assign c ON c.vec_id = a.cand_id
+                   AND c.centroid_id = q.centroid_id),
+ivfpq_topk AS (
+  SELECT query_id, cand_id, adc_d2, CAST(rnk AS BIGINT) AS rnk
+  FROM ivfpq_ranked WHERE rnk <= 3),
+ivfpq_rerank AS (
+  SELECT query_id, cand_id, score, CAST(rnk AS BIGINT) AS rnk FROM (
+    SELECT s.query_id, s.cand_id,
+           CAST(list_sum(list_transform(list_zip(qe.qv, ce.qv),
+                  x -> x[1] * x[2])) AS DOUBLE)
+             / sqrt(CAST(qe.n2 AS DOUBLE) * CAST(ce.n2 AS DOUBLE)) AS score,
+           row_number() OVER (PARTITION BY s.query_id
+             ORDER BY CAST(list_sum(list_transform(list_zip(qe.qv, ce.qv),
+                             x -> x[1] * x[2])) AS DOUBLE)
+                      / sqrt(CAST(qe.n2 AS DOUBLE) * CAST(ce.n2 AS DOUBLE))
+                        DESC, s.cand_id) AS rnk
+    FROM (SELECT query_id, cand_id FROM ivfpq_ranked WHERE rnk <= 10) s
+    JOIN emb_n qe ON qe.vec_id = s.query_id
+    JOIN emb_n ce ON ce.vec_id = s.cand_id) z
+  WHERE rnk <= 3),
+ver_inter AS (
+  SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS i
+  FROM minhash_pairs_guarded p
+  JOIN docs_sh_d a ON a.doc_id = p.doc_a
+  JOIN docs_sh_d b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2),
+dedup_pairs_verified AS (
+  SELECT p.doc_a, p.doc_b, COALESCE(i.i, 0) AS n_common,
+         sa.n_sh + sb.n_sh - COALESCE(i.i, 0) AS n_union,
+         CAST(COALESCE(i.i, 0) AS DOUBLE)
+           / CAST(sa.n_sh + sb.n_sh - COALESCE(i.i, 0) AS DOUBLE) AS jaccard
+  FROM minhash_pairs_guarded p
+  LEFT JOIN ver_inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+  JOIN sh_sizes sa ON sa.doc_id = p.doc_a
+  JOIN sh_sizes sb ON sb.doc_id = p.doc_b
+  WHERE CAST(COALESCE(i.i, 0) AS DOUBLE)
+        / CAST(sa.n_sh + sb.n_sh - COALESCE(i.i, 0) AS DOUBLE) >= 0.7),
+ver_sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM dedup_pairs_verified
+  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM dedup_pairs_verified),
+reach_v AS (
+  SELECT doc_id AS node, doc_id AS label FROM docs
+  UNION
+  SELECT e.dst AS node, r.label FROM reach_v r JOIN ver_sym e ON e.src = r.node),
+dedup_clusters_verified AS (
+  SELECT node AS doc_id, min(label) AS cluster FROM reach_v GROUP BY node),
+corpus_stats AS (
+  SELECT d.lang, d.source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(t.n_tokens) AS BIGINT) AS total_tokens,
+         CAST(sum(t.n_chars_norm) AS BIGINT) AS total_chars,
+         CAST(sum(CAST(round(q.quality * 1000000) AS BIGINT)) AS DOUBLE)
+           / CAST(count(*) * 1000000 AS DOUBLE) AS avg_quality,
+         CAST(sum(CASE WHEN p.has_pii THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pii_docs,
+         CAST(sum(CAST(round(r.rep_ratio * 1000000) AS BIGINT)) AS DOUBLE)
+           / CAST(count(*) * 1000000 AS DOUBLE) AS avg_rep_ratio
+  FROM docs d
+  JOIN text_stats t ON t.doc_id = d.doc_id
+  JOIN quality_score q ON q.doc_id = d.doc_id
+  JOIN pii_scan p ON p.doc_id = d.doc_id
+  JOIN repetition r ON r.doc_id = d.doc_id
+  GROUP BY 1, 2)
