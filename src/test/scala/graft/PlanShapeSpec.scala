@@ -13,12 +13,27 @@ class PlanShapeSpec extends SparkSpec {
 
   private val d = "/root/testdata/sf0.001"
 
+  // Look THROUGH the leaf-like wrappers: in a shared session another
+  // suite may have persisted the same subplan (CacheManager substitutes
+  // InMemoryTableScan at physical planning), and an executed cached plan
+  // is further wrapped in AdaptiveSparkPlan/QueryStage nodes — all
+  // LeafExecNodes that collect() cannot descend into. The pruning
+  // evidence lives in the innermost file scans.
+  private def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[FileSourceScanExec] =
+    p.collect {
+      case s: FileSourceScanExec => Seq(s)
+      case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        allScans(im.relation.cachedPlan)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(q.plan)
+    }.flatten
+
   private def scansOf(df: DataFrame, table: String): Seq[FileSourceScanExec] =
-    df.queryExecution.sparkPlan.collect {
-      case s: FileSourceScanExec
-          if s.relation.location.rootPaths
-            .exists(_.toString.contains(table)) => s
-    }
+    allScans(df.queryExecution.sparkPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains(table)))
 
   test("order feed prunes the lineitem scan to the used columns") {
     val scans = scansOf(etl.Feeds.orderFeed(spark, d), "lineitem")
