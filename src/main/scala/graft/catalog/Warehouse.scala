@@ -113,6 +113,21 @@ class Warehouse(spark: SparkSession, root: String) {
       .sortBy(bucketCol, moreCols: _*)
       .saveAsTable(s"${db}_$table")
 
+  /** Bucketed APPEND — incremental ingest into a [[bucketedOverwrite]]
+    * table: Spark validates the bucket spec against the catalog entry, so
+    * appended files carry the same bucket-id layout and co-located joins
+    * stay Exchange-free across the union of original and appended files
+    * (spec-asserted in VectorsMultimodalSpec). */
+  def bucketedAppend(db: String, table: String, df: DataFrame,
+                     bucketCol: String, n: Int,
+                     moreCols: String*): Unit =
+    df.write.mode(SaveMode.Append)
+      .format("parquet")
+      .option("path", path(db, table))
+      .bucketBy(n, bucketCol, moreCols: _*)
+      .sortBy(bucketCol, moreCols: _*)
+      .saveAsTable(s"${db}_$table")
+
   def readTable(db: String, table: String): DataFrame =
     spark.table(s"${db}_$table")
 

@@ -110,20 +110,28 @@ object Vectors {
     * carried through, the N·k ranking shuffled ~40 GB at 8× and
     * q_ivfpq_topk ran 28× instead of ~2× (every rank window in this file
     * projects first for the same reason). */
-  private def ivfCellsOf(emb: DataFrame): DataFrame = {
-    val cent = broadcast(emb.where(col("vec_id") % 40 === 0)
+  /** The deterministic coarse-quantizer set (vec_id % 40 == 0). */
+  private def ivfCentroidsOf(emb: DataFrame): DataFrame =
+    emb.where(col("vec_id") % 40 === 0)
       .select(col("vec_id").as("centroid_id"), col("qv").as("c_qv"),
-              col("n2").as("ca2")))
+              col("n2").as("ca2"))
+
+  private def ivfCellsOf(emb: DataFrame): DataFrame =
+    ivfCellsOf(emb, ivfCentroidsOf(emb))
+
+  /** Cell ranking against an EXPLICIT centroid set — the incremental
+    * ingest path assigns new vectors against the persisted quantizer
+    * rather than re-deriving centroids from the (unavailable) corpus. */
+  private def ivfCellsOf(emb: DataFrame, cents: DataFrame): DataFrame =
     emb.select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
                col("n2").as("qa2"))
-      .join(cent)
+      .join(broadcast(cents))
       .withColumn("dot", dotCol)
       .withColumn("score", expr(scoreExpr))
       .select("query_id", "centroid_id", "score")
       .withColumn("rn", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("score").desc, col("centroid_id"))))
-  }
 
   /** IVF cell assignment: each vector's nearest centroid. */
   def ivfAssign(spark: SparkSession, dir: String): DataFrame =
@@ -281,9 +289,20 @@ object Vectors {
     *  - `<db>.ivf_probes`: (query_id, centroid_id, q_qv, qa2)
     *    (the deterministic query subset, vec_id % 50 == 0) */
   def ivfIndexTo(wh: graft.catalog.Warehouse, spark: SparkSession,
-                 dir: String, db: String = "ann", nBuckets: Int = 8): Unit = {
-    val assign = ivfAssign(spark, dir).select("vec_id", "centroid_id")
-    val emb = quantizedCached(spark, dir)
+                 dir: String, db: String = "ann", nBuckets: Int = 8): Unit =
+    ivfIndexToOf(wh, quantizedCached(spark, dir), db, nBuckets)
+
+  /** Frame-generic index build. Alongside the bucketed index and probe
+    * tables it persists the centroid set as `<db>.ivf_centroids` (the
+    * coarse quantizer — k rows, flat) so INCREMENTAL ingest
+    * ([[ivfIndexAppend]]) can assign new vectors without the original
+    * corpus, exactly like a FAISS index stores its quantizer. */
+  def ivfIndexToOf(wh: graft.catalog.Warehouse, emb: DataFrame,
+                   db: String = "ann", nBuckets: Int = 8): Unit = {
+    val cents = ivfCentroidsOf(emb)
+    val assign = ivfCellsOf(emb, cents).where(col("rn") === 1)
+      .select(col("query_id").as("vec_id"), col("centroid_id"))
+    wh.overwrite(db, "ivf_centroids", cents)
     wh.bucketedOverwrite(db, "ivf_index",
       assign.join(emb.select(col("vec_id"), col("qv"), col("n2")), "vec_id")
         .select(col("vec_id").as("cand_id"), col("centroid_id"),
@@ -294,6 +313,29 @@ object Vectors {
         .join(emb.select(col("vec_id"), col("qv"), col("n2")), "vec_id")
         .select(col("vec_id").as("query_id"), col("centroid_id"),
                 col("qv").as("q_qv"), col("n2").as("qa2")),
+      "centroid_id", nBuckets)
+  }
+
+  /** INCREMENTAL vector ingest — the ANN analog of the dedup band-index
+    * increment check: today's embeddings are assigned against the
+    * PERSISTED coarse quantizer (broadcast-sized; the original corpus is
+    * never read) and appended to the bucketed index with the SAME bucket
+    * spec ([[graft.catalog.Warehouse.bucketedAppend]]), so the serving
+    * probe join stays co-located over original ∪ appended files
+    * (plan-asserted). Centroids are FROZEN by design — the standard IVF
+    * deployment contract; periodic re-training is a full
+    * [[ivfIndexToOf]] rebuild. Result ≡ a full build over base ∪
+    * increment with the base centroid set (spec-asserted). */
+  def ivfIndexAppend(wh: graft.catalog.Warehouse, inc: DataFrame,
+                     db: String = "ann", nBuckets: Int = 8): Unit = {
+    val emb = quantizedOf(inc)
+    val cents = wh.read(db, "ivf_centroids")
+    val assign = ivfCellsOf(emb, cents).where(col("rn") === 1)
+      .select(col("query_id").as("vec_id"), col("centroid_id"))
+    wh.bucketedAppend(db, "ivf_index",
+      assign.join(emb.select(col("vec_id"), col("qv"), col("n2")), "vec_id")
+        .select(col("vec_id").as("cand_id"), col("centroid_id"),
+                col("qv").as("c_qv"), col("n2").as("ca2")),
       "centroid_id", nBuckets)
   }
 

@@ -114,4 +114,50 @@ class VectorsMultimodalSpec extends SparkSpec {
       assert(got == want && got.nonEmpty)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("incremental IVF ingest equals a full build with frozen centroids") {
+    val d = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfi").toString
+    val wh = new graft.catalog.Warehouse(spark, root)
+    val emb = graft.etl.Feeds.table(spark, d, "embeddings")
+    val cutoff = emb.agg(expr("CAST(max(vec_id) * 9 DIV 10 AS BIGINT)"))
+      .as[Long].head()
+    val base = emb.where($"vec_id" <= cutoff)
+    val inc = emb.where($"vec_id" > cutoff)
+    // index over the base corpus (persists the coarse quantizer), then
+    // ingest the increment against the FROZEN centroids
+    Vectors.ivfIndexToOf(wh, Vectors.quantizedOf(base), db = "annic")
+    val nBase = wh.readTable("annic", "ivf_index").count()
+    Vectors.ivfIndexAppend(wh, inc, db = "annic")
+    val idx = wh.readTable("annic", "ivf_index")
+    assert(idx.count() == nBase + inc.count() && inc.count() > 0)
+    // independently recompute every appended row's assignment in plain
+    // Scala: argmax cosine over the persisted quantizer, ties by id
+    val cents = wh.read("annic", "ivf_centroids")
+      .select($"centroid_id", $"c_qv", $"ca2")
+      .as[(Long, Array[Long], Long)].collect()
+    val gotInc = idx.where($"cand_id" > cutoff)
+      .select($"cand_id", $"centroid_id")
+      .as[(Long, Long)].collect().toMap
+    val incQ = Vectors.quantizedOf(inc)
+      .select($"vec_id", $"qv", $"n2")
+      .as[(Long, Array[Long], Long)].collect()
+    assert(incQ.nonEmpty && gotInc.size == incQ.length)
+    for ((vid, qv, n2) <- incQ) {
+      val best = cents.map { case (cid, cqv, ca2) =>
+        val dot = qv.zip(cqv).map { case (x, y) => x * y }.sum
+        (-dot.toDouble / math.sqrt(n2.toDouble * ca2.toDouble), cid)
+      }.min._2
+      assert(gotInc(vid) == best, s"vec $vid")
+    }
+    // the serving probe join stays co-located over original + appended
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = wh.readTable("annic", "ivf_probes")
+        .join(wh.readTable("annic", "ivf_index"), Seq("centroid_id"))
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(600))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
