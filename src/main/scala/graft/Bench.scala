@@ -21,19 +21,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Two series:
   *  - `queries` (pipeline mode): every SparkEntry query timed end-to-end,
-  *    twice. Pass 1 (`cold`) starts from an empty JVM: queries that first
-  *    touch a shared memoized subplan (the order feed, shingles, bands,
-  *    cluster labels) pay its build; pass 2 (`warm`) is the steady state.
-  *    The single `queries` map reports min(cold, warm) — comparable to the
-  *    r1-r4 series, which also reported min-of-two-passes.
+  *    THREE times. Pass 1 (`cold`) starts from an empty JVM: queries that
+  *    first touch a shared memoized subplan (the order feed, shingles,
+  *    bands, cluster labels) pay its build; passes 2-3 are the steady
+  *    state. The single `queries` map reports min-of-passes — comparable
+  *    to the r1-r6 series (min-of-two) — with `median` and the raw
+  *    `passes` arrays beside it so a claim can be stated as a range.
   *  - `warehouse` mode: PipelineRunner materializes staging+marts to
   *    parquet ONCE (timed as `materialize_sec`; it reuses the shared
   *    Pipeline's cached staging frames — the honest cost of materializing
   *    after the query series, not a cold rebuild), then EVERY in-session
-  *    cache is invalidated (Pipeline/Dedup/TextOps memo maps +
+  *    cache is invalidated (Pipeline/Dedup/TextOps/Vectors memo maps +
   *    `catalog.clearCache()`) so the read-back queries run against the
   *    warehouse parquet with no cross-series cache pressure or flattery —
-  *    r4's w_* read-back drag was exactly this interference.
+  *    r4's w_* read-back drag was exactly this interference. One synthetic
+  *    daily cycle (drain → pruned merge → scoped compaction against the
+  *    80-month fact, `w_daily_cycle`) is timed after the read-back series.
+  *
+  * SELF-DEFENSE against a loaded host (the r5/r6 artifact-contamination
+  * root cause): each query's `suspect` flags fire when (a) the warm passes
+  * run >3× slower than the cold pass of the SAME plan in the SAME JVM —
+  * physically impossible as a plan cost, so the run itself is contaminated
+  * — or (b) min-of-passes regressed >3× vs the previous round's COMMITTED
+  * BENCH_full.json (read before this run overwrites it). A contaminated
+  * run therefore flags itself in the artifact instead of shipping
+  * silently; the compact line carries the count as `sus`.
   *
   * Failures are recorded explicitly: a crashing query reports -1 and its
   * name lands in `errors` — it can neither inflate nor deflate the total.
@@ -76,7 +88,13 @@ object Bench {
     // ivfprr via the suffix tokens.)
     "sketch" -> "sk", "verified" -> "ver",
     "grain" -> "gr", "ann_" -> "a_", "rerank" -> "rr",
-    "event_type" -> "evt")
+    "event_type" -> "evt",
+    // round 7: 101 queries plus the new compact fields ("dc" daily-cycle,
+    // "sus" suspect count) — "probe" lands AFTER "probe2"->"p2" so only
+    // the new probe_recall key sees it; the rest compress the long tail
+    // (worst case 1888 B, re-pinned <1900 in BenchLineSpec)
+    "ingest" -> "ing", "probe" -> "pb", "cust" -> "cs", "ivf_" -> "iv",
+    "corpus_" -> "cp_", "_ratio" -> "_rt", "_fast" -> "f", "brand" -> "br")
 
   private[graft] def shortKey(name: String): String =
     keyTokens.foldLeft(name) { case (s, (from, to)) => s.replace(from, to) }
@@ -107,6 +125,50 @@ object Bench {
                    key: String => String = identity): String =
     m.map { case (k, v) => "\"" + key(k) + "\":" + f(v) }
       .mkString("{", ",", "}")
+
+  private def jmapArr(m: Seq[(String, Seq[Double])]): String =
+    m.map { case (k, vs) =>
+        "\"" + k + "\":" + vs.map(r3).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+
+  /** min/median over a query's passes; any failed pass poisons to -1. */
+  private[graft] def minOf(ps: Seq[Double]): Double =
+    if (ps.exists(_ < 0)) -1.0 else ps.min
+  private[graft] def medianOf(ps: Seq[Double]): Double =
+    if (ps.exists(_ < 0)) -1.0 else ps.sorted.apply(ps.size / 2)
+
+  /** Flat `"name":number` map out of `section` of a previous BENCH_full
+    * line — a 20-line scanner, not a JSON library: the maps Bench itself
+    * writes are flat and regular, and a parse miss just disables the
+    * vs-prev suspect check (never fails the run). */
+  private[graft] def parseQueryMap(json: String,
+                                   section: String): Map[String, Double] = {
+    val ix = json.indexOf("\"" + section + "\":{")
+    if (ix < 0) return Map.empty
+    val start = json.indexOf('{', ix)
+    val end = json.indexOf('}', start)
+    if (end < 0) return Map.empty
+    "\"([^\"]+)\":(-?[0-9][0-9.]*)".r
+      .findAllMatchIn(json.substring(start + 1, end))
+      .flatMap(m => scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption)
+      .toMap
+  }
+
+  /** Suspect flags per query (see class doc): `warm_gt_cold` = both warm
+    * passes >3× the cold pass of the same plan (host-load signature);
+    * `vs_prev` = min-of-passes >3× the previous committed round. The
+    * 0.05 s floor keeps sub-noise rows from flagging. */
+  private[graft] def suspectsOf(series: Seq[(String, Seq[Double])],
+                                prev: Map[String, Double]): Seq[String] =
+    series.flatMap { case (n, ps) =>
+      val ok = ps.forall(_ >= 0)
+      val warmGtCold = ok && ps.head >= 0.05 &&
+        ps.tail.nonEmpty && ps.tail.min > 3 * ps.head
+      val vsPrev = ok &&
+        prev.get(n).exists(p => p >= 0.05 && minOf(ps) > 3 * p)
+      (if (warmGtCold) Seq(s"$n:warm_gt_cold") else Nil) ++
+        (if (vsPrev) Seq(s"$n:vs_prev") else Nil)
+    }
 
   /** Shared with ScaleProbe, which probes the same read-back series. */
   private[graft] def warehouseQueries(spark: SparkSession,
@@ -170,39 +232,50 @@ object Bench {
       }
     }
 
-    /** Two passes, name-sorted: (cold, warm). Failures -> -1 + errors. */
+    /** Three passes (p1 cold, p2-p3 warm), name-sorted. Failures -> -1 +
+      * errors. */
     def series(qs: Seq[(String, () => DataFrame)], tag: String)
-        : (Seq[(String, Double)], Seq[(String, Double)]) = {
+        : Seq[(String, Seq[Double])] = {
       def pass(p: Int): Map[String, Double] = qs.map { case (name, fn) =>
         val (t, ok) = time { fn().count(); () }
         if (!ok) errors += s"$tag:$name:p$p"
         name -> (if (ok) t else -1.0)
       }.toMap
-      val cold = pass(1)
-      val warm = pass(2)
+      val ps = (1 to 3).map(pass)
       val keys = qs.map(_._1).sorted
-      (keys.map(k => k -> cold(k)), keys.map(k => k -> warm(k)))
+      keys.map(k => k -> ps.map(_(k)).toSeq)
     }
 
-    def minMerge(cold: Seq[(String, Double)],
-                 warm: Seq[(String, Double)]): Seq[(String, Double)] = {
-      val w = warm.toMap
-      cold.map { case (k, c) =>
-        k -> (if (c < 0 || w(k) < 0) -1.0 else math.min(c, w(k)))
-      }
-    }
-
+    def mins(s: Seq[(String, Seq[Double])]): Seq[(String, Double)] =
+      s.map { case (k, ps) => k -> minOf(ps) }
+    def medians(s: Seq[(String, Seq[Double])]): Seq[(String, Double)] =
+      s.map { case (k, ps) => k -> medianOf(ps) }
     def okSum(m: Seq[(String, Double)]): Double =
       m.map(_._2).filter(_ >= 0).sum
 
+    // previous round's COMMITTED artifact, read BEFORE this run replaces
+    // it — the vs-prev suspect baseline
+    val benchOut =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    val prevJson: String =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(benchOut)), "UTF-8")
+      catch { case _: Exception => "" }
+    val prevPipeline = parseQueryMap(prevJson, "queries")
+    val prevWarehouse = {
+      val ix = prevJson.indexOf("\"warehouse\"")
+      if (ix < 0) Map.empty[String, Double]
+      else parseQueryMap(prevJson.substring(ix), "queries")
+    }
+
     val pipelineQs = SparkEntry.queries.toSeq.sortBy(_._1)
       .map { case (n, f) => n -> (() => f(spark, sfDir)) }
-    val (pCold, pWarm) = series(pipelineQs, "pipeline")
-    val pMin = minMerge(pCold, pWarm)
+    val pSeries = series(pipelineQs, "pipeline")
+    val pMin = mins(pSeries)
 
     val whRootPath = java.nio.file.Files.createTempDirectory("graft_bench_wh")
     val whRoot = whRootPath.toString
-    val (matSec, wCold, wWarm) =
+    val (matSec, wSeries, dailyCycleSec) =
       try {
         val (sec, ok) = time { PipelineRunner.run(spark, sfDir, whRoot); () }
         if (!ok) errors += "warehouse:materialize"
@@ -215,23 +288,56 @@ object Bench {
         ops.Vectors.invalidate(spark, sfDir)
         spark.catalog.clearCache()
         if (ok) {
-          val (c, w) = series(warehouseQueries(spark, whRoot), "warehouse")
-          (sec, c, w)
-        } else (sec, Nil, Nil)
+          val s = series(warehouseQueries(spark, whRoot), "warehouse")
+          // One synthetic day against the full 80-month history: deliver
+          // one week of orders' lineitems as a single increment file, then
+          // drain → partition-pruned merge → scoped compaction. Timed
+          // once (stateful — it mutates the fact table, which the
+          // read-back series is already done with). The 100 TB claim this
+          // measures: the cycle costs ~the day's rows + the touched
+          // months, NOT the table's history (ScaleProbe holds the day
+          // fixed while history grows 8× to pin exactly that).
+          val (dc, dcOk) = time {
+            val day = spark.read.parquet(s"$sfDir/lineitem.parquet")
+              .join(spark.read.parquet(s"$sfDir/orders.parquet")
+                  .where(org.apache.spark.sql.functions.col("o_orderdate")
+                    .between("1997-03-01", "1997-03-07"))
+                  .select("o_orderkey"),
+                org.apache.spark.sql.functions.col("l_orderkey") ===
+                  org.apache.spark.sql.functions.col("o_orderkey"),
+                "left_semi")
+            val watch = s"$whRoot/.dc_watch"
+            day.coalesce(1).write.mode("overwrite").parquet(watch)
+            graft.streaming.IncrementStream.runDailyCycle(
+              spark, sfDir, watch, s"$whRoot/.dc_sink", s"$whRoot/.dc_ckpt",
+              new Warehouse(spark, whRoot), "staging", "user_order_log_v2")
+            ()
+          }
+          if (!dcOk) errors += "warehouse:daily_cycle"
+          (sec, s, if (dcOk) dc else -1.0)
+        } else (sec, Nil, -1.0)
       } finally { // don't leak a full warehouse copy per bench run
         deleteRecursively(whRootPath)
       }
-    val wMin = minMerge(wCold, wWarm)
+    val wMin = mins(wSeries)
 
+    val suspect =
+      suspectsOf(pSeries, prevPipeline) ++
+      suspectsOf(wSeries.map { case (k, ps) => (s"w:$k", ps) },
+                 prevWarehouse.map { case (k, v) => (s"w:$k", v) })
+    val susJson = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
       s"""{"metric":"total","value":${r3(okSum(pMin))},"unit":"sec",""" +
       s""""queries":${jmap(pMin, r3)},"sf":"$sfDir",""" +
-      s""""cold":${jmap(pCold, r3)},"warm":${jmap(pWarm, r3)},""" +
+      s""""median":${jmap(medians(pSeries), r3)},""" +
+      s""""passes":${jmapArr(pSeries)},""" +
       s""""warehouse":{"materialize_sec":${r3(matSec)},""" +
       s""""total":${r3(okSum(wMin))},"queries":${jmap(wMin, r3)},""" +
-      s""""cold":${jmap(wCold, r3)},"warm":${jmap(wWarm, r3)}},""" +
-      s""""errors":$errJson}"""
+      s""""median":${jmap(medians(wSeries), r3)},""" +
+      s""""passes":${jmapArr(wSeries)},""" +
+      s""""daily_cycle_sec":${r3(dailyCycleSec)}},""" +
+      s""""suspect":$susJson,"errors":$errJson}"""
     // sf tag alone ("sf0.1"), not the full path: compact-line byte budget
     val sfTag = sfDir.split('/').last
     // warehouse per-query times live in the full line / BENCH_full.json
@@ -239,15 +345,16 @@ object Bench {
     val compact =
       s"""{"metric":"total","value":${r2(okSum(pMin))},"unit":"sec",""" +
       s""""queries":${jmap(pMin, r2, shortKey)},"sf":"$sfTag",""" +
-      s""""wh":{"mat":${r2(matSec)},"total":${r2(okSum(wMin))}}""" +
+      s""""wh":{"mat":${r2(matSec)},"total":${r2(okSum(wMin))},""" +
+      s""""dc":${r2(dailyCycleSec)}}""" +
+      (if (suspect.isEmpty) "" else s""","sus":${suspect.size}""") +
       (if (errors.isEmpty) "}" else s""","errors":$errJson}""")
 
     // the full line lands in a file the driver (or a human) can always
     // pick up whole, then both lines go to stdout — compact LAST so it
     // sits inside the driver's 2000-char tail window
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")),
+      java.nio.file.Paths.get(benchOut),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write BENCH_full.json: $e") }

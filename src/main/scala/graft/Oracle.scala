@@ -639,6 +639,32 @@ customer_cumrev AS (
                                   AND a.cand_id = e.cand_id
                  WHERE e.rnk <= 3) h ON h.query_id = q.query_id
       GROUP BY 1"""),
+    // ingest-drift monitor: the mixed-version CTE chain lives in the
+    // prelude (ing_inc … ivf_ingest_recall)
+    "q_ivf_ingest_recall" -> fromDocs("ivf_ingest_recall"),
+    // multi-probe payoff: hit totals of the SAME exact truth (top-3 prefix
+    // of ann_cosine_topk) at nprobe=1 (ivf_topk) vs nprobe=2
+    // (ivf_topk_probe2); recall is one double division on exact integers
+    "q_ivf_probe_recall" -> (docsPrelude + """
+      SELECT nprobe, n_queries, total_hits,
+             CAST(total_hits AS DOUBLE) / CAST(n_queries * 3 AS DOUBLE)
+               AS recall
+      FROM (
+        SELECT CAST(1 AS BIGINT) AS nprobe,
+               (SELECT CAST(count(DISTINCT query_id) AS BIGINT)
+                FROM ann_cosine_topk) AS n_queries,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM ann_cosine_topk e JOIN ivf_topk a
+                  ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+                WHERE e.rnk <= 3) AS total_hits
+        UNION ALL
+        SELECT CAST(2 AS BIGINT),
+               (SELECT CAST(count(DISTINCT query_id) AS BIGINT)
+                FROM ann_cosine_topk),
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM ann_cosine_topk e JOIN ivf_topk_probe2 a
+                  ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+                WHERE e.rnk <= 3)) t"""),
     "q_dedup_pairs_verified" -> fromDocs("dedup_pairs_verified"),
     "q_corpus_stats"         -> fromDocs("corpus_stats"),
     "q_dedup_clusters_verified" -> fromDocs("dedup_clusters_verified"))

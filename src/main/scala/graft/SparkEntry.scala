@@ -191,6 +191,12 @@ object SparkEntry {
     // recall@3 of the full IVF-PQ serving path (multi-probe cells + ADC
     // ranking) vs exact brute force — probe misses AND quantization error
     "q_ivfpq_recall" -> ((s, d) => ops.Vectors.ivfPqRecall(s, d)),
+    // the multi-probe payoff, measured: aggregate recall@3 at nprobe=1 vs
+    // nprobe=2 against the same exact truth (one row per setting)
+    "q_ivf_probe_recall" -> ((s, d) => ops.Vectors.ivfProbeRecallCmp(s, d)),
+    // ingest-drift monitor for the frozen-quantizer append path: recall of
+    // the mixed-embedding-version index vs the version-consistent truth
+    "q_ivf_ingest_recall" -> ((s, d) => ops.Vectors.ivfIngestRecall(s, d)),
     // two-stage serving: ADC shortlist (k=10) -> exact rerank (top-3) —
     // only the shortlist rows ever touch full vectors
     "q_ivfpq_rerank" -> ((s, d) => ops.Vectors.ivfPqRerank(s, d)),

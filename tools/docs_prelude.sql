@@ -584,4 +584,54 @@ corpus_stats AS (
   JOIN quality_score q ON q.doc_id = d.doc_id
   JOIN pii_scan p ON p.doc_id = d.doc_id
   JOIN repetition r ON r.doc_id = d.doc_id
-  GROUP BY 1, 2)
+  GROUP BY 1, 2),
+ing_inc AS (
+  SELECT vec_id,
+         list_concat(qv[1:32], list_transform(qv[33:64], v -> -v)) AS qv, n2
+  FROM emb_n WHERE vec_id % 10 = 7),
+ing_idx AS (
+  SELECT vec_id, qv, n2 FROM emb_n WHERE vec_id % 10 != 7
+  UNION ALL SELECT vec_id, qv, n2 FROM ing_inc),
+ing_v2 AS (
+  SELECT vec_id,
+         list_concat(qv[1:32], list_transform(qv[33:64], v -> -v)) AS qv, n2
+  FROM emb_n),
+ing_assign AS (
+  SELECT vec_id, centroid_id, rn FROM (
+    SELECT v.vec_id, c.vec_id AS centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             CAST(list_sum(list_transform(list_zip(v.qv, c.qv), x -> x[1] * x[2])) AS DOUBLE)
+             / sqrt(CAST(v.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE)) DESC,
+             c.vec_id) AS rn
+    FROM ing_idx v JOIN emb_n c ON c.vec_id % 40 = 0) t WHERE rn <= 2),
+ing_served AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             CAST(list_sum(list_transform(list_zip(qe.qv, ce.qv), x -> x[1] * x[2])) AS DOUBLE)
+             / sqrt(CAST(qe.n2 AS DOUBLE) * CAST(ce.n2 AS DOUBLE)) DESC,
+             c.vec_id) AS rnk
+    FROM ing_assign q
+    JOIN (SELECT * FROM ing_assign WHERE rn = 1) c
+      ON c.centroid_id = q.centroid_id AND c.vec_id != q.vec_id
+    JOIN ing_idx qe ON qe.vec_id = q.vec_id
+    JOIN ing_idx ce ON ce.vec_id = c.vec_id
+    WHERE q.vec_id % 20 = 17) s WHERE rnk <= 3),
+ing_truth AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             CAST(list_sum(list_transform(list_zip(q.qv, c.qv), x -> x[1] * x[2])) AS DOUBLE)
+             / sqrt(CAST(q.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE)) DESC,
+             c.vec_id) AS rnk
+    FROM ing_v2 q JOIN ing_v2 c ON c.vec_id != q.vec_id
+    WHERE q.vec_id % 20 = 17) s WHERE rnk <= 3),
+ivf_ingest_recall AS (
+  SELECT q.query_id, CAST(count(h.cand_id) AS BIGINT) AS n_hits,
+         CAST(count(h.cand_id) AS DOUBLE) / 3 AS recall
+  FROM (SELECT DISTINCT query_id FROM ing_truth) q
+  LEFT JOIN (SELECT e.query_id, e.cand_id FROM ing_truth e
+             JOIN ing_served a ON a.query_id = e.query_id
+                              AND a.cand_id = e.cand_id) h
+    ON h.query_id = q.query_id
+  GROUP BY 1)
