@@ -36,7 +36,11 @@ object ScaleProbe {
     "q_dedup_clusters_verified",
     // round-6 additions: IVF-PQ recall monitor, sketch-quantile contract,
     // two-stage shortlist+rerank serving
-    "q_ivfpq_recall", "q_profile_quantiles_sketch", "q_ivfpq_rerank")
+    "q_ivfpq_recall", "q_profile_quantiles_sketch", "q_ivfpq_rerank",
+    // round-7 additions: multi-probe payoff + ingest-drift monitor (the
+    // latter is O(|Q|·N) exact ground truth BY DESIGN — a recall monitor
+    // pays brute force on its query sample; the probe checks the constant)
+    "q_ivf_probe_recall", "q_ivf_ingest_recall")
 
   def makeBig(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     // the embedding rotation below is the identity at i = 64 (reintroducing
@@ -155,8 +159,28 @@ object ScaleProbe {
         fn().count()
         n -> (System.nanoTime() - s) / 1e9
       }.toMap
+      // daily cycle against this history: the SAME fixed-size day (one 1x
+      // week of orders' lineitems, src-joined so the day's content is
+      // byte-identical at 1x and Nx) drained + partition-pruned-merged +
+      // scope-compacted into the materialized 80-month fact. The claim
+      // this pins: the cycle pays the day's rows + the TOUCHED months
+      // (1/80th of history at this layout), never a history scan — so
+      // its Nx ratio tracks the touched-month growth, far below the
+      // full-scan read-backs' ratio.
+      val day = spark.read.parquet(s"$src/lineitem.parquet").join(
+        spark.read.parquet(s"$src/orders.parquet")
+          .where(col("o_orderdate").between("1997-03-01", "1997-03-07"))
+          .select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      val watch = s"$root/.dc_watch"
+      day.coalesce(1).write.mode("overwrite").parquet(watch)
+      val tdc = System.nanoTime()
+      streaming.IncrementStream.runDailyCycle(spark, src, watch,
+        s"$root/.dc_sink", s"$root/.dc_ckpt",
+        new catalog.Warehouse(spark, root), "staging", "user_order_log_v2")
+      val dc = (System.nanoTime() - tdc) / 1e9
       Bench.deleteRecursively(rootPath)
-      (mat, times)
+      (mat, times + ("w_daily_cycle" -> dc))
     }
     val (m1, w1) = runWh(src)
     val (mN, wN) = runWh(dst)

@@ -24,8 +24,24 @@ class Warehouse(spark: SparkSession, root: String) {
 
   private def path(db: String, table: String) = s"$root/$db/$table"
 
-  def overwrite(db: String, table: String, df: DataFrame): Unit =
+  /** Schema memo per table, filled by the first read and dropped by every
+    * write through this instance. Read-back queries over a many-partition
+    * table were paying parquet schema INFERENCE (footer reads) per query on
+    * top of the unavoidable file listing — the r6 verdict measured the
+    * warehouse read-back series well above its flat-table baseline and
+    * fingered exactly this. With the memo, repeat reads pass an explicit
+    * schema and open zero footers at planning time. External writers that
+    * change a table's schema between reads are outside this instance's
+    * contract (same stale-read contract as the ANN/dedup memo caches). */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]
+  private def uncacheSchema(db: String, table: String): Unit =
+    schemaCache.remove(s"$db/$table")
+
+  def overwrite(db: String, table: String, df: DataFrame): Unit = {
+    uncacheSchema(db, table)
     df.write.mode(SaveMode.Overwrite).parquet(path(db, table))
+  }
 
   /** Overwrite laid out as one directory per `partitionCol` value — the
     * 100 TB fact-table shape: a daily/monthly increment then touches one
@@ -43,28 +59,42 @@ class Warehouse(spark: SparkSession, root: String) {
     * its output into scan-sized files — the layout contract (directory per
     * month, no stragglers of tiny files) is unchanged. */
   def overwritePartitioned(db: String, table: String, df: DataFrame,
-                           partitionCol: String): Unit =
+                           partitionCol: String): Unit = {
+    uncacheSchema(db, table)
     df.repartition(org.apache.spark.sql.functions.col(partitionCol))
       .write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
       .parquet(path(db, table))
+  }
 
-  def append(db: String, table: String, df: DataFrame): Unit =
+  def append(db: String, table: String, df: DataFrame): Unit = {
+    uncacheSchema(db, table)
     df.write.mode(SaveMode.Append).parquet(path(db, table))
+  }
 
   /** Read back the LOGICAL table: physical layout columns (the reserved
     * `gp_` prefix, e.g. the month partition dirs) are dropped, so callers
     * see the same schema whether the table was written flat or
     * partitioned. */
   def read(db: String, table: String): DataFrame = {
-    val df = spark.read.parquet(path(db, table))
+    val df = readPhysical(db, table)
     val layoutCols = df.columns.filter(_.startsWith(Warehouse.PartPrefix))
     if (layoutCols.isEmpty) df else df.drop(layoutCols.toIndexedSeq: _*)
   }
 
   /** Read including physical layout columns — for merge internals and
-    * partition-aware callers. */
-  def readPhysical(db: String, table: String): DataFrame =
-    spark.read.parquet(path(db, table))
+    * partition-aware callers. First read per table infers and memoizes the
+    * schema; later reads pass it explicitly (no footer reads at planning —
+    * see [[schemaCache]]). */
+  def readPhysical(db: String, table: String): DataFrame = {
+    val key = s"$db/$table"
+    val cached = schemaCache.get(key)
+    if (cached != null) spark.read.schema(cached).parquet(path(db, table))
+    else {
+      val df = spark.read.parquet(path(db, table))
+      schemaCache.put(key, df.schema)
+      df
+    }
+  }
 
   /** Partition-PRUNED logical read: filter the layout column to
     * [lo, hi] BEFORE dropping it, so the scan lists and opens only the
@@ -105,13 +135,15 @@ class Warehouse(spark: SparkSession, root: String) {
     * metadata requires a catalog entry, not a bare path). */
   def bucketedOverwrite(db: String, table: String, df: DataFrame,
                         bucketCol: String, n: Int,
-                        moreCols: String*): Unit =
+                        moreCols: String*): Unit = {
+    uncacheSchema(db, table)
     df.write.mode(SaveMode.Overwrite)
       .format("parquet")
       .option("path", path(db, table))
       .bucketBy(n, bucketCol, moreCols: _*)
       .sortBy(bucketCol, moreCols: _*)
       .saveAsTable(s"${db}_$table")
+  }
 
   /** Bucketed APPEND — incremental ingest into a [[bucketedOverwrite]]
     * table: Spark validates the bucket spec against the catalog entry, so
@@ -120,13 +152,15 @@ class Warehouse(spark: SparkSession, root: String) {
     * (spec-asserted in VectorsMultimodalSpec). */
   def bucketedAppend(db: String, table: String, df: DataFrame,
                      bucketCol: String, n: Int,
-                     moreCols: String*): Unit =
+                     moreCols: String*): Unit = {
+    uncacheSchema(db, table)
     df.write.mode(SaveMode.Append)
       .format("parquet")
       .option("path", path(db, table))
       .bucketBy(n, bucketCol, moreCols: _*)
       .sortBy(bucketCol, moreCols: _*)
       .saveAsTable(s"${db}_$table")
+  }
 
   def readTable(db: String, table: String): DataFrame =
     spark.table(s"${db}_$table")
@@ -190,6 +224,7 @@ class Warehouse(spark: SparkSession, root: String) {
     * under the scan; here the new copy is fully written before the live
     * path changes. */
   def overwriteAtomic(db: String, table: String, df: DataFrame): Unit = {
+    uncacheSchema(db, table)
     recoverSwap(db, table)
     writeSwap(db, table, df) { (d, p) =>
       d.write.mode(SaveMode.Overwrite).parquet(p)
@@ -212,6 +247,7 @@ class Warehouse(spark: SparkSession, root: String) {
     * HDFS per-path, not guaranteed on every object store. */
   def merge(db: String, table: String, updates: DataFrame,
             keys: Seq[String]): Unit = {
+    uncacheSchema(db, table)
     recoverSwap(db, table)
     if (!exists(db, table)) { overwrite(db, table, updates); return }
     // A flat merge on a partitioned table would silently rewrite it WITHOUT
@@ -259,6 +295,7 @@ class Warehouse(spark: SparkSession, root: String) {
       throw new IllegalArgumentException(
         s"$db.$table is a bucketed table; compacting it path-level " +
         "would break its bucket layout — rewrite via bucketedOverwrite")
+    uncacheSchema(db, table)
     recoverSwap(db, table)
     val physical = readPhysical(db, table)
     val partCols = physical.columns.filter(_.startsWith(Warehouse.PartPrefix))
@@ -323,19 +360,24 @@ class Warehouse(spark: SparkSession, root: String) {
 
   /** Spark bucketed outputs carry the bucket id in the file name
     * (`part-NNNNN-<uuid>_BBBBB.cNNN…`, the `_BBBBB` suffix before the file
-    * counter) — detectable without any catalog state. */
+    * counter) — detectable without any catalog state. Bucketed tables are
+    * FLAT (bucket files sit directly under the table dir), so ONE
+    * top-level listing decides it — the previous recursive walk made every
+    * nightly no-op compact pass pay a full-tree listing on a partitioned
+    * table, and widened the false-positive surface to every nested file an
+    * external writer might have produced. A top-level false positive is
+    * still possible but fails LOUD (the compact guard names the remedy);
+    * an operator who really wants a path-level rewrite of such a table can
+    * read + overwrite it explicitly. */
+  private val bucketFileName = ".*_\\d{5}\\.c\\d+.*".r
   private def hasBucketedFiles(db: String, table: String): Boolean = {
     val p = hPath(path(db, table))
     val fs = fsOf(p)
     if (!fs.exists(p)) return false
-    val it = fs.listFiles(p, true)
-    val bucketName = ".*_\\d{5}\\.c\\d+.*".r
-    var found = false
-    while (!found && it.hasNext) {
-      val name = it.next().getPath.getName
-      found = name.startsWith("part-") && bucketName.matches(name)
+    fs.listStatus(p).exists { st =>
+      val name = st.getPath.getName
+      st.isFile && name.startsWith("part-") && bucketFileName.matches(name)
     }
-    found
   }
 
   /** Partition-pruned merge for tables partitioned on `partitionCol` — the
@@ -351,6 +393,7 @@ class Warehouse(spark: SparkSession, root: String) {
     * temp copy on disk for recovery. The temp dir is removed on success. */
   def mergePartitioned(db: String, table: String, updates: DataFrame,
                        keys: Seq[String], partitionCol: String): Unit = {
+    uncacheSchema(db, table)
     val pc = org.apache.spark.sql.functions.col(partitionCol)
     if (!exists(db, table)) {
       updates.repartition(pc)

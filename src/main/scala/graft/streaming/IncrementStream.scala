@@ -132,9 +132,10 @@ object IncrementStream {
       if (!fs.exists(meta)) Set()
       else try spark.read.parquet(sinkDir).inputFiles.toSet
       catch {
+        // match the error CLASS, not message text (wording is
+        // Spark-version-fragile; the class id is the stable contract)
         case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
-               e.getMessage.toLowerCase.contains("infer schema") =>
+            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
           Set() // metadata log exists but holds zero committed files
       }
     }
