@@ -47,6 +47,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * run therefore flags itself in the artifact instead of shipping
   * silently; the compact line carries the count as `sus`.
   *
+  * RESIDUAL RISK the flags cannot cover: a query ABSENT from the previous
+  * committed artifact (a new query's first round) whose contamination hits
+  * only the cold pass — min-of-passes comes from the clean warm passes, so
+  * the headline is right, but warm_gt_cold (needs warm >> cold) and
+  * vs_prev (needs a prev entry) both stay silent. First-round rows are
+  * therefore headline-robust but flag-unprotected; don't over-trust their
+  * cold numbers.
+  *
+  * Whole-RUN load labeling (r7 driver run: a 42× pass spread with
+  * `suspect:[]` was visible only by reading the raw `passes` arrays):
+  * `pass_spread_gt5` counts rows whose max/min pass ratio exceeds 5×
+  * (min ≥ 0.05 s floor, as for the flags — sub-noise rows don't count),
+  * and `loadavg_start`/`loadavg_end` record /proc/loadavg's 1-minute
+  * figure before the warmup and after the last timed step. A
+  * contaminated-host run now labels itself in one field — ~0 spread and
+  * loadavg ≲ cores on an idle host, dozens of spread rows and a loadavg
+  * well above the core count under contention.
+  *
   * Failures are recorded explicitly: a crashing query reports -1 and its
   * name lands in `errors` — it can neither inflate nor deflate the total.
   */
@@ -131,11 +149,34 @@ object Bench {
         "\"" + k + "\":" + vs.map(r3).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
 
-  /** min/median over a query's passes; any failed pass poisons to -1. */
+  /** min/median over a query's passes; any failed pass poisons to -1.
+    * True median for any pass count (even lengths average the two middle
+    * elements — the current 3-pass series never hits that arm, but the
+    * name must not lie if the pass count ever changes). */
   private[graft] def minOf(ps: Seq[Double]): Double =
     if (ps.exists(_ < 0)) -1.0 else ps.min
   private[graft] def medianOf(ps: Seq[Double]): Double =
-    if (ps.exists(_ < 0)) -1.0 else ps.sorted.apply(ps.size / 2)
+    if (ps.exists(_ < 0)) -1.0
+    else {
+      val s = ps.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+
+  /** Whole-run load label: rows whose max/min pass ratio exceeds 5× (see
+    * class doc). Failed rows and rows under the 0.05 s floor don't count. */
+  private[graft] def passSpreadGt5(series: Seq[(String, Seq[Double])]): Int =
+    series.count { case (_, ps) =>
+      ps.forall(_ >= 0) && ps.nonEmpty && ps.min >= 0.05 &&
+        ps.max > 5 * ps.min
+    }
+
+  /** 1-minute load average (/proc/loadavg field 1); -1 if unreadable. */
+  private[graft] def loadAvg1(): Double =
+    try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      .trim.split("\\s+").head.toDouble
+    catch { case _: Exception => -1.0 }
 
   /** Flat `"name":number` map out of `section` of a previous BENCH_full
     * line — a 20-line scanner, not a JSON library: the maps Bench itself
@@ -216,6 +257,8 @@ object Bench {
     // ERROR, not WARN: stderr noise is harmless to the driver's stdout tail
     // but keeps interactive runs readable
     spark.sparkContext.setLogLevel("ERROR")
+
+    val loadStart = loadAvg1() // host-load label, read before any work
 
     // warmup: scan + shuffle + codegen once, untimed
     spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -321,6 +364,9 @@ object Bench {
       }
     val wMin = mins(wSeries)
 
+    val loadEnd = loadAvg1() // after the last timed step
+    val spread = passSpreadGt5(pSeries) + passSpreadGt5(wSeries)
+
     val suspect =
       suspectsOf(pSeries, prevPipeline) ++
       suspectsOf(wSeries.map { case (k, ps) => (s"w:$k", ps) },
@@ -337,6 +383,8 @@ object Bench {
       s""""median":${jmap(medians(wSeries), r3)},""" +
       s""""passes":${jmapArr(wSeries)},""" +
       s""""daily_cycle_sec":${r3(dailyCycleSec)}},""" +
+      s""""pass_spread_gt5":$spread,""" +
+      s""""loadavg_start":${r2(loadStart)},"loadavg_end":${r2(loadEnd)},""" +
       s""""suspect":$susJson,"errors":$errJson}"""
     // sf tag alone ("sf0.1"), not the full path: compact-line byte budget
     val sfTag = sfDir.split('/').last
@@ -347,6 +395,7 @@ object Bench {
       s""""queries":${jmap(pMin, r2, shortKey)},"sf":"$sfTag",""" +
       s""""wh":{"mat":${r2(matSec)},"total":${r2(okSum(wMin))},""" +
       s""""dc":${r2(dailyCycleSec)}}""" +
+      (if (spread == 0) "" else s""","spr":$spread""") +
       (if (suspect.isEmpty) "" else s""","sus":${suspect.size}""") +
       (if (errors.isEmpty) "}" else s""","errors":$errJson}""")
 
@@ -360,6 +409,7 @@ object Bench {
       System.err.println(s"[bench] could not write BENCH_full.json: $e") }
     println(fullLine)
     println(compact)
+    Caches.invalidateAll(spark) // session teardown: drop every memo entry
     spark.stop()
   }
 }

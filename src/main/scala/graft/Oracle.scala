@@ -642,11 +642,13 @@ customer_cumrev AS (
     // ingest-drift monitor: the mixed-version CTE chain lives in the
     // prelude (ing_inc … ivf_ingest_recall)
     "q_ivf_ingest_recall" -> fromDocs("ivf_ingest_recall"),
-    // multi-probe payoff: hit totals of the SAME exact truth (top-3 prefix
-    // of ann_cosine_topk) at nprobe=1 (ivf_topk) vs nprobe=2
-    // (ivf_topk_probe2); recall is one double division on exact integers
+    // multi-probe payoff WITH its cost: hit totals of the SAME exact truth
+    // (top-3 prefix of ann_cosine_topk) at nprobe=1 (ivf_topk) vs nprobe=2
+    // (ivf_topk_probe2), plus the exact candidate-pair count each setting
+    // scores (probed cells rn<=p joined to rn=1 members, self excluded);
+    // recall is one double division on exact integers
     "q_ivf_probe_recall" -> (docsPrelude + """
-      SELECT nprobe, n_queries, total_hits,
+      SELECT nprobe, n_queries, total_hits, n_candidates,
              CAST(total_hits AS DOUBLE) / CAST(n_queries * 3 AS DOUBLE)
                AS recall
       FROM (
@@ -656,7 +658,14 @@ customer_cumrev AS (
                (SELECT CAST(count(*) AS BIGINT)
                 FROM ann_cosine_topk e JOIN ivf_topk a
                   ON a.query_id = e.query_id AND a.cand_id = e.cand_id
-                WHERE e.rnk <= 3) AS total_hits
+                WHERE e.rnk <= 3) AS total_hits,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM (SELECT vec_id, centroid_id FROM ivf_cells
+                      WHERE rn <= 1 AND vec_id % 50 = 0) q
+                JOIN (SELECT vec_id, centroid_id FROM ivf_cells
+                      WHERE rn = 1) c
+                  ON c.centroid_id = q.centroid_id
+                 AND c.vec_id != q.vec_id) AS n_candidates
         UNION ALL
         SELECT CAST(2 AS BIGINT),
                (SELECT CAST(count(DISTINCT query_id) AS BIGINT)
@@ -664,7 +673,14 @@ customer_cumrev AS (
                (SELECT CAST(count(*) AS BIGINT)
                 FROM ann_cosine_topk e JOIN ivf_topk_probe2 a
                   ON a.query_id = e.query_id AND a.cand_id = e.cand_id
-                WHERE e.rnk <= 3)) t"""),
+                WHERE e.rnk <= 3),
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM (SELECT vec_id, centroid_id FROM ivf_cells
+                      WHERE rn <= 2 AND vec_id % 50 = 0) q
+                JOIN (SELECT vec_id, centroid_id FROM ivf_cells
+                      WHERE rn = 1) c
+                  ON c.centroid_id = q.centroid_id
+                 AND c.vec_id != q.vec_id)) t"""),
     "q_dedup_pairs_verified" -> fromDocs("dedup_pairs_verified"),
     "q_corpus_stats"         -> fromDocs("corpus_stats"),
     "q_dedup_clusters_verified" -> fromDocs("dedup_clusters_verified"))

@@ -24,6 +24,17 @@ class Warehouse(spark: SparkSession, root: String) {
 
   private def path(db: String, table: String) = s"$root/$db/$table"
 
+  /** Catalog identifier of a bucketed table. Bucketing metadata needs a
+    * catalog entry (not a bare path), and the session catalog is shared
+    * across every Warehouse instance of the session — so the identifier
+    * hashes in THIS warehouse's root: two instances with different roots
+    * each get their own entry instead of silently repointing each other's
+    * bucketed tables (the pre-r8 `${db}_$table` name did exactly that). */
+  private val rootTag = Integer.toHexString(
+    scala.util.hashing.MurmurHash3.stringHash(root)) // hex: identifier-safe
+  private[catalog] def catalogName(db: String, table: String) =
+    s"graft_${rootTag}_${db}_$table"
+
   /** Schema memo per table, filled by the first read and dropped by every
     * write through this instance. Read-back queries over a many-partition
     * table were paying parquet schema INFERENCE (footer reads) per query on
@@ -131,8 +142,9 @@ class Warehouse(spark: SparkSession, root: String) {
     * Exchange at query time (asserted in WarehouseSpec / DedupSpec). The
     * bucket column set must EQUAL the later join's key set: Spark's
     * planner disables the bucketed scan when buckets cover only a subset
-    * of the join keys. The catalog name is `<db>_<table>` (bucketing
-    * metadata requires a catalog entry, not a bare path). */
+    * of the join keys. The catalog entry is [[catalogName]] (bucketing
+    * metadata requires a catalog entry, not a bare path; the name carries
+    * this warehouse's root hash so multi-root sessions don't collide). */
   def bucketedOverwrite(db: String, table: String, df: DataFrame,
                         bucketCol: String, n: Int,
                         moreCols: String*): Unit = {
@@ -142,7 +154,7 @@ class Warehouse(spark: SparkSession, root: String) {
       .option("path", path(db, table))
       .bucketBy(n, bucketCol, moreCols: _*)
       .sortBy(bucketCol, moreCols: _*)
-      .saveAsTable(s"${db}_$table")
+      .saveAsTable(catalogName(db, table))
   }
 
   /** Bucketed APPEND — incremental ingest into a [[bucketedOverwrite]]
@@ -159,11 +171,11 @@ class Warehouse(spark: SparkSession, root: String) {
       .option("path", path(db, table))
       .bucketBy(n, bucketCol, moreCols: _*)
       .sortBy(bucketCol, moreCols: _*)
-      .saveAsTable(s"${db}_$table")
+      .saveAsTable(catalogName(db, table))
   }
 
   def readTable(db: String, table: String): DataFrame =
-    spark.table(s"${db}_$table")
+    spark.table(catalogName(db, table))
 
   /** Write `df` to a hidden temp path next to the table, then swap it into
     * place (current → `.bak`, temp → live, drop `.bak`). The merged data is
@@ -289,9 +301,11 @@ class Warehouse(spark: SparkSession, root: String) {
     // catalog check first (names the right remedy), then the filesystem
     // check — bucket ids live in the FILE NAMES (`part-…_00003.c000…`), so
     // a fresh session with an empty in-memory catalog still refuses to
-    // rewrite a table another session bucketed
-    if (spark.catalog.tableExists(s"${db}_$table") ||
-        hasBucketedFiles(db, table))
+    // rewrite a table another session bucketed. Recursive: this is a
+    // deliberate whole-table rewrite, so one full-tree listing is cheap
+    // insurance against nested externally-bucketed files.
+    if (spark.catalog.tableExists(catalogName(db, table)) ||
+        hasBucketedFiles(db, table, recursive = true))
       throw new IllegalArgumentException(
         s"$db.$table is a bucketed table; compacting it path-level " +
         "would break its bucket layout — rewrite via bucketedOverwrite")
@@ -329,7 +343,7 @@ class Warehouse(spark: SparkSession, root: String) {
   def compactPartitions(db: String, table: String, partitionCol: String,
                         values: Seq[String],
                         minFiles: Int = 2): Seq[String] = {
-    if (spark.catalog.tableExists(s"${db}_$table") ||
+    if (spark.catalog.tableExists(catalogName(db, table)) ||
         hasBucketedFiles(db, table))
       throw new IllegalArgumentException(
         s"$db.$table is a bucketed table; compacting it path-level " +
@@ -337,8 +351,12 @@ class Warehouse(spark: SparkSession, root: String) {
     val frag = values.filter { v =>
       val d = hPath(s"${path(db, table)}/$partitionCol=$v")
       val fs = fsOf(d)
-      fs.exists(d) &&
-        fs.listStatus(d).count(_.getPath.getName.startsWith("part-")) >= minFiles
+      fs.exists(d) && {
+        val sts = fs.listStatus(d).toIndexedSeq
+        // nested-bucketed-files guard, free: this listing happens anyway
+        assertNotBucketed(db, table, s"$partitionCol=$v", sts)
+        sts.count(_.getPath.getName.startsWith("part-")) >= minFiles
+      }
     }
     if (frag.nonEmpty) {
       val pc = org.apache.spark.sql.functions.col(partitionCol)
@@ -362,23 +380,53 @@ class Warehouse(spark: SparkSession, root: String) {
     * (`part-NNNNN-<uuid>_BBBBB.cNNN…`, the `_BBBBB` suffix before the file
     * counter) — detectable without any catalog state. Bucketed tables are
     * FLAT (bucket files sit directly under the table dir), so ONE
-    * top-level listing decides it — the previous recursive walk made every
-    * nightly no-op compact pass pay a full-tree listing on a partitioned
-    * table, and widened the false-positive surface to every nested file an
-    * external writer might have produced. A top-level false positive is
-    * still possible but fails LOUD (the compact guard names the remedy);
-    * an operator who really wants a path-level rewrite of such a table can
-    * read + overwrite it explicitly. */
+    * top-level listing decides the common case — the r6 recursive walk
+    * made every nightly no-op compact pass pay a full-tree listing on a
+    * partitioned table. The top-level check has a FALSE-NEGATIVE
+    * direction, though: an external writer that bucketed files under
+    * NESTED (e.g. partition) dirs slips past it, and a path-level rewrite
+    * would silently destroy that bucket layout. Each caller closes it at
+    * its own price point: [[compact]] — a deliberate whole-table rewrite —
+    * pays one `recursive = true` walk (trivial next to the rewrite);
+    * [[compactPartitions]] — the nightly pass — piggybacks
+    * [[assertNotBucketed]] on the per-partition listing it already does,
+    * so the no-op path stays one listing per touched partition. A false
+    * positive in either direction fails LOUD (the guard names the
+    * remedy); an operator who really wants a path-level rewrite of such a
+    * table can read + overwrite it explicitly. */
   private val bucketFileName = ".*_\\d{5}\\.c\\d+.*".r
-  private def hasBucketedFiles(db: String, table: String): Boolean = {
+  private def isBucketFile(st: org.apache.hadoop.fs.FileStatus): Boolean = {
+    val name = st.getPath.getName
+    st.isFile && name.startsWith("part-") && bucketFileName.matches(name)
+  }
+  private def hasBucketedFiles(db: String, table: String,
+                               recursive: Boolean = false): Boolean = {
     val p = hPath(path(db, table))
     val fs = fsOf(p)
     if (!fs.exists(p)) return false
-    fs.listStatus(p).exists { st =>
+    if (fs.listStatus(p).exists(isBucketFile)) return true
+    if (!recursive) return false
+    val it = fs.listFiles(p, true)
+    var found = false
+    while (!found && it.hasNext) {
+      val st = it.next()
       val name = st.getPath.getName
-      st.isFile && name.startsWith("part-") && bucketFileName.matches(name)
+      found = name.startsWith("part-") && bucketFileName.matches(name)
     }
+    found
   }
+
+  /** Refuse a path-level rewrite of `sts` if any listed file carries a
+    * bucket id — the nested-bucketed-files guard of [[compactPartitions]],
+    * at zero extra IO (the statuses were already listed to count files). */
+  private def assertNotBucketed(db: String, table: String, where: String,
+                                sts: Seq[org.apache.hadoop.fs.FileStatus])
+      : Unit =
+    if (sts.exists(isBucketFile))
+      throw new IllegalArgumentException(
+        s"$db.$table holds bucketed files under $where; compacting it " +
+        "path-level would break its bucket layout — rewrite via " +
+        "bucketedOverwrite")
 
   /** Partition-pruned merge for tables partitioned on `partitionCol` — the
     * 100 TB shape: only partitions PRESENT in `updates` are read, merged and

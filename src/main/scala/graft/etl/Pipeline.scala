@@ -32,6 +32,22 @@ object Pipeline {
     * files changed. */
   def invalidate(spark: SparkSession, dir: String): Unit =
     Option(instances.remove((spark, dir))).foreach(_.unpersistAll())
+
+  /** Drop EVERY memoized instance of `spark` (all dirs) and unpersist
+    * their shared subplans — same session-teardown hook as
+    * [[graft.ops.Vectors.invalidateAll]]. */
+  def invalidateAll(spark: SparkSession): Unit =
+    instances.entrySet.removeIf { e =>
+      val hit = e.getKey._1 eq spark
+      if (hit) e.getValue.unpersistAll()
+      hit
+    }
+
+  /** Entry count of this session in the instance map (spec hook). */
+  private[graft] def cacheSize(spark: SparkSession): Int = {
+    import scala.jdk.CollectionConverters._
+    instances.keySet.asScala.count(_._1 eq spark)
+  }
 }
 
 class Pipeline(spark: SparkSession, dir: String) {

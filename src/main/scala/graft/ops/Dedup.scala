@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Deduplication operators over `documents` — exact, MinHash+LSH, SimHash,
   * and exact n-gram Jaccard (BASELINE.json north star).
@@ -227,6 +228,32 @@ object Dedup {
     }
     clustersCache.keySet.removeIf(k => k._1 == spark && k._2 == dir)
   }
+
+  /** Drop and unpersist EVERY memoized frame of `spark`, whatever dir it
+    * was built from — same session-teardown hook as
+    * [[graft.ops.Vectors.invalidateAll]] (a stopped session's entries
+    * would otherwise stay pinned for the JVM lifetime). Cluster-label
+    * entries are dropped without unpersist, as in [[invalidate]]: their
+    * backing data is a checkpoint, not a persisted plan. */
+  def invalidateAll(spark: SparkSession): Unit = {
+    bandsCache.entrySet.removeIf { e =>
+      val hit = e.getKey._1 eq spark
+      if (hit) e.getValue.unpersist(false)
+      hit
+    }
+    pairsCache.entrySet.removeIf { e =>
+      val hit = e.getKey._1 eq spark
+      if (hit) e.getValue.unpersist(false)
+      hit
+    }
+    clustersCache.keySet.removeIf(_._1 eq spark)
+  }
+
+  /** Entry count of this session across the memo maps (spec hook). */
+  private[graft] def cacheSize(spark: SparkSession): Int =
+    bandsCache.keySet.asScala.count(_._1 eq spark) +
+      pairsCache.keySet.asScala.count(_._1 eq spark) +
+      clustersCache.keySet.asScala.count(_._1 eq spark)
 
   // Cluster labels are memoized too: the CC label-propagation loop runs
   // driver-side at construction, so without this every consumer

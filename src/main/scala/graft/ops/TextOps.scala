@@ -162,6 +162,21 @@ object TextOps {
   def invalidate(spark: SparkSession, dir: String): Unit =
     Option(shinglesCache.remove((spark, dir))).foreach(_.unpersist(false))
 
+  /** Drop and unpersist EVERY memoized shingle frame of `spark` — same
+    * session-teardown hook as [[graft.ops.Vectors.invalidateAll]]. */
+  def invalidateAll(spark: SparkSession): Unit =
+    shinglesCache.entrySet.removeIf { e =>
+      val hit = e.getKey._1 eq spark
+      if (hit) e.getValue.unpersist(false)
+      hit
+    }
+
+  /** Entry count of this session in the memo map (spec hook). */
+  private[graft] def cacheSize(spark: SparkSession): Int = {
+    import scala.jdk.CollectionConverters._
+    shinglesCache.keySet.asScala.count(_._1 eq spark)
+  }
+
   /** Full-doc md5 + min-shingle-hash fingerprint (rolling-hash-style
     * winnowing reduced to its minimum: the smallest k-gram hash). */
   def fingerprintOf(docsNorm: DataFrame, shingles: DataFrame): DataFrame =

@@ -113,6 +113,13 @@ object Vectors {
       }
     }
 
+  /** Entry count of this session across the ANN memo maps (spec hook). */
+  private[graft] def cacheSize(spark: SparkSession): Int = {
+    import scala.jdk.CollectionConverters._
+    Seq(quantizedCache, cellsCache, lshCache, pqCbCache)
+      .map(_.keySet.asScala.count(_._1 eq spark)).sum
+  }
+
   private def scored(q: DataFrame, c: DataFrame): DataFrame =
     q.join(c, col("cand_id") =!= col("query_id"))
       .withColumn("dot", dotCol)
@@ -844,24 +851,43 @@ object Vectors {
               (col("n_hits").cast("double") / k).as("recall"))
   }
 
-  /** The multi-probe PAYOFF, measured: aggregate recall@k of the IVF probe
-    * at nprobe = 1 vs nprobe = 2 against the same exact ground truth — one
-    * row per setting, so the ~2× candidate cost of the default
-    * multi-probe ([[DefaultNProbe]]) is justified by a NUMBER, not an
-    * assumption. Aggregation stays bit-stable cross-engine: total_hits and
-    * n_queries are exact integer sums/counts; recall is one IEEE double
-    * division on identical operands. */
+  /** The multi-probe PAYOFF, measured WITH ITS COST: aggregate recall@k of
+    * the IVF probe at nprobe = 1 vs nprobe = 2 against the same exact
+    * ground truth, beside the exact number of candidates each setting
+    * scores — one row per setting, so the default multi-probe
+    * ([[DefaultNProbe]]) reads "recall +X for Y× candidates" in one row
+    * instead of an assumed ~2×. `n_candidates` counts the probe join's
+    * (query, cand) pairs pre-top-k — assignment rows only (no vector
+    * payload touches the count), so the costing join is a few-column
+    * broadcast join even at index scale. Everything but `recall` is an
+    * exact integer sum/count; recall is one IEEE double division on
+    * identical operands — bit-stable cross-engine. */
   def ivfProbeRecallCmp(spark: SparkSession, dir: String,
                         k: Int = DefaultK): DataFrame = {
     val exact = annCosineTopK(spark, dir, k)
-    def row(nprobe: Int): DataFrame =
+    val cells = ivfCellsCached(spark, dir)
+      .select(col("query_id").as("vec_id"), col("centroid_id"), col("rn"))
+    def row(nprobe: Int): DataFrame = {
+      // the candidate set this setting SCORES: each served query's probed
+      // cells (rn <= nprobe) joined to every uniquely-assigned (rn = 1)
+      // member of those cells, self excluded — exactly ivfTopKProbed's
+      // pair set before ranking
+      val q = cells.where(col("rn") <= nprobe && isQuery(col("vec_id")))
+        .select(col("vec_id").as("query_id"), col("centroid_id"))
+      val c = cells.where(col("rn") === 1)
+        .select(col("vec_id").as("cand_id"), col("centroid_id"))
+      val nCand = broadcast(q).join(c, Seq("centroid_id"))
+        .where(col("cand_id") =!= col("query_id"))
+        .agg(count(lit(1)).as("n_candidates"))
       recallOf(exact, ivfTopKProbed(spark, dir, k, nprobe), k)
         .agg(count(lit(1)).as("n_queries"), sum("n_hits").as("total_hits"))
+        .crossJoin(broadcast(nCand)) // 1-row × 1-row
         .select(lit(nprobe.toLong).as("nprobe"), col("n_queries"),
-                col("total_hits"),
+                col("total_hits"), col("n_candidates"),
                 (col("total_hits").cast("double") /
                   (col("n_queries") * lit(k.toLong)).cast("double"))
                   .as("recall"))
+    }
     row(1).unionByName(row(DefaultNProbe))
   }
 

@@ -43,7 +43,7 @@ class BenchLineSpec extends AnyFunSuite {
       s"""{"metric":"total","value":${Bench.r2(1234.56)},"unit":"sec",""" +
       s""""queries":$qmap,"sf":"sf0.1",""" +
       s""""wh":{"mat":${Bench.r2(123.45)},"total":${Bench.r2(123.45)},""" +
-      s""""dc":${Bench.r2(123.45)}},"sus":101}"""
+      s""""dc":${Bench.r2(123.45)}},"spr":109,"sus":101}"""
     assert(line.length < 1900, s"compact line ${line.length}B >= 1900B")
   }
 
@@ -52,6 +52,28 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.medianOf(Seq(2.0, 1.0, 3.0)) == 2.0)
     assert(Bench.minOf(Seq(2.0, -1.0, 3.0)) == -1.0)
     assert(Bench.medianOf(Seq(2.0, -1.0, 3.0)) == -1.0)
+    // even pass counts: true median (mean of the two middle elements),
+    // not the upper-middle element — the name must hold if the series
+    // ever moves off 3 passes
+    assert(Bench.medianOf(Seq(4.0, 1.0, 2.0, 3.0)) == 2.5)
+    assert(Bench.medianOf(Seq(1.0, 2.0)) == 1.5)
+  }
+
+  test("pass_spread_gt5 labels load-contaminated rows; floor excludes noise") {
+    val s = Seq(
+      "q_contaminated" -> Seq(67.97, 1.61, 1.64), // the r7 driver-run shape
+      "q_fine"         -> Seq(0.8, 0.7, 0.75),
+      "q_tiny"         -> Seq(0.01, 0.09, 0.02),  // 9x but under the floor
+      "q_failed"       -> Seq(-1.0, 9.9, 0.5))    // failed rows don't count
+    assert(Bench.passSpreadGt5(s) == 1)
+    assert(Bench.passSpreadGt5(Nil) == 0)
+  }
+
+  test("loadAvg1 reads the host 1-minute load average") {
+    // /proc/loadavg exists on every Linux host this bench runs on; the
+    // -1 fallback is for non-proc filesystems only
+    val l = Bench.loadAvg1()
+    assert(l >= 0.0, s"loadavg unreadable: $l")
   }
 
   test("parseQueryMap reads a previous full line's flat sections") {

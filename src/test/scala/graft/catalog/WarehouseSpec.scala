@@ -160,7 +160,7 @@ class WarehouseSpec extends SparkSpec {
     // ...and still refused when the catalog entry is gone (fresh session):
     // the bucket ids survive only in the file names, and the guard reads
     // them from there
-    spark.sql("DROP TABLE mart_cb")
+    spark.sql(s"DROP TABLE ${wh.catalogName("mart", "cb")}")
     val e2 = intercept[IllegalArgumentException] { wh.compact("mart", "cb") }
     assert(e2.getMessage.contains("bucket"))
   }
@@ -226,6 +226,61 @@ class WarehouseSpec extends SparkSpec {
     wh.mergePartitioned("mart", "t", updates, Seq("id"), Warehouse.PartCol)
     assert(wh.read("mart", "t").as[(Long, String)].collect().toSet ==
       Set((1L, "a"), (2L, "b2")))
+  }
+
+  test("two warehouses with different roots bucket the same name independently") {
+    // the session catalog is shared across Warehouse instances; before r8
+    // the catalog entry was `${db}_$table`, so the SECOND instance's
+    // bucketedOverwrite silently repointed the FIRST's table. The name now
+    // carries the root hash: same (db, table) in two roots must coexist
+    // and read back their own data.
+    val whA = new Warehouse(spark, tmp())
+    val whB = new Warehouse(spark, tmp())
+    assert(whA.catalogName("mart", "sametab") !=
+           whB.catalogName("mart", "sametab"))
+    whA.bucketedOverwrite("mart", "sametab",
+      (1 to 50).map(i => (i.toLong, "rootA")).toDF("id", "src"), "id", 4)
+    whB.bucketedOverwrite("mart", "sametab",
+      (1 to 70).map(i => (i.toLong, "rootB")).toDF("id", "src"), "id", 4)
+    // A's table is untouched by B's write — counts AND contents distinct
+    assert(whA.readTable("mart", "sametab").count() == 50)
+    assert(whB.readTable("mart", "sametab").count() == 70)
+    assert(whA.readTable("mart", "sametab")
+      .select("src").distinct().as[String].collect().toSeq == Seq("rootA"))
+    assert(whB.readTable("mart", "sametab")
+      .select("src").distinct().as[String].collect().toSeq == Seq("rootB"))
+    // appends route to their own instance's table too
+    whA.bucketedAppend("mart", "sametab",
+      Seq((51L, "rootA")).toDF("id", "src"), "id", 4)
+    assert(whA.readTable("mart", "sametab").count() == 51)
+    assert(whB.readTable("mart", "sametab").count() == 70)
+  }
+
+  test("compactPartitions refuses a partition holding bucketed files") {
+    // the nested-bucketed-files false negative (r7 ADVICE): an external
+    // writer bucketed files UNDER a partition dir — the top-level check
+    // can't see them, but the per-partition listing must refuse the
+    // rewrite instead of silently destroying the bucket layout
+    val root = tmp()
+    val wh = new Warehouse(spark, root)
+    val base = (1 to 40).map(i => (i.toLong, s"2024-0${i % 2 + 1}", i * 1.0))
+      .toDF("id", Warehouse.PartCol, "amt")
+    wh.overwritePartitioned("mart", "nb", base, Warehouse.PartCol)
+    // plant a bucket-named file inside one partition dir (the shape a
+    // bucketed writer produces: part-…_00003.c000….parquet)
+    val pdir = java.nio.file.Paths.get(
+      s"$root/mart/nb/${Warehouse.PartCol}=2024-01")
+    val donor = java.nio.file.Files.list(pdir).iterator().next()
+    java.nio.file.Files.copy(donor, pdir.resolve(
+      "part-00000-feedface_00003.c000.snappy.parquet"))
+    val e = intercept[IllegalArgumentException] {
+      wh.compactPartitions("mart", "nb", Warehouse.PartCol,
+        Seq("2024-01", "2024-02"))
+    }
+    assert(e.getMessage.contains("bucketedOverwrite"))
+    // whole-table compact's recursive walk refuses it too
+    val e2 = intercept[IllegalArgumentException] { wh.compact("mart", "nb") }
+    assert(e2.getMessage.contains("bucket"))
   }
 
   test("poll utility: succeeds within budget, gives up after it") {

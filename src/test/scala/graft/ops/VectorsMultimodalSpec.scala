@@ -192,11 +192,12 @@ class VectorsMultimodalSpec extends SparkSpec {
       s"drift not visible: drifted=$drifted control=$control")
   }
 
-  test("multi-probe payoff: recall is monotone in nprobe") {
+  test("multi-probe payoff: recall is monotone in nprobe, cost is stated") {
     val d = "/root/testdata/sf0.01"
     val rows = Vectors.ivfProbeRecallCmp(spark, d)
-      .select("nprobe", "n_queries", "total_hits")
-      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      .select("nprobe", "n_queries", "total_hits", "n_candidates")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
     assert(rows.keySet == Set(1L, 2L))
     assert(rows(1L)._1 == rows(2L)._1)         // same query set
     // widening the probe list can only ADD candidates, and an added
@@ -204,5 +205,11 @@ class VectorsMultimodalSpec extends SparkSpec {
     // itself be a true hit — so recall is monotone
     assert(rows(2L)._2 >= rows(1L)._2,
       s"nprobe=2 hits ${rows(2L)._2} < nprobe=1 hits ${rows(1L)._2}")
+    // the cost side of the payoff row: nprobe=2 scores strictly more
+    // candidates (the probe-1 pair set is a subset of the probe-2 set) —
+    // the "Y× candidates" denominator the docs quote. No fixed upper
+    // bound: the second-nearest cell's size is data-dependent.
+    val (n1, n2) = (rows(1L)._3, rows(2L)._3)
+    assert(n1 > 0 && n2 > n1, s"candidate counts not increasing: $n1 -> $n2")
   }
 }

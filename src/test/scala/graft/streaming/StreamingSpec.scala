@@ -177,6 +177,74 @@ class StreamingSpec extends SparkSpec {
     assert(wh.read("mart", "uol_part").count() == before)
   }
 
+  test("30-day daily-cycle soak: no file debt, flat per-cycle cost") {
+    // the long-horizon form of the 3-increment test above: ~30 synthetic
+    // days through the SAME sink/checkpoint/fact, each day = one calendar
+    // month's orders' lineitems (date_time = o_orderdate, so each cycle
+    // touches ~1 partition — the production shape). Asserts the two
+    // 100 TB-operations claims a 3-cycle spec can't: (a) ≤1 file per
+    // touched partition after EVERY cycle (small-file debt cannot creep in
+    // at any horizon), and (b) per-cycle wall time stays flat as the
+    // table's history grows 30× (the cycle costs the day + its touched
+    // months, not the history).
+    val dir = "/root/testdata/sf0.001"
+    val watch = java.nio.file.Files.createTempDirectory("graft_skw").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_skc").toString
+    val sink = java.nio.file.Files.createTempDirectory("graft_sks").toString
+    val root = java.nio.file.Files.createTempDirectory("graft_skwh").toString
+    val wh = new graft.catalog.Warehouse(spark, root)
+    import graft.catalog.Warehouse.PartCol
+    val months = spark.read.parquet(s"$dir/orders.parquet")
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("m"))
+      .distinct().orderBy("m").as[String].collect().take(30)
+    assert(months.length == 30, s"only ${months.length} months in the feed")
+    def deliver(name: String, month: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_skd").toString
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .join(spark.read.parquet(s"$dir/orders.parquet")
+            .where(date_format(col("o_orderdate"), "yyyy-MM") === month)
+            .select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(watch, name))
+    }
+    def filesIn(m: String): Int = Option(
+      new java.io.File(s"$root/mart/uol_soak/$PartCol=$m").list())
+      .map(_.count(_.startsWith("part-"))).getOrElse(0)
+    var allTouched = Set[String]()
+    val times = new Array[Double](months.length)
+    for ((month, day) <- months.zipWithIndex) {
+      deliver(f"inc_day$day%02d.parquet", month)
+      val t0 = System.nanoTime()
+      val touched = IncrementStream.runDailyCycle(
+        spark, dir, watch, sink, ckpt, wh, "mart", "uol_soak")
+      times(day) = (System.nanoTime() - t0) / 1e9
+      assert(touched.contains(month), s"day $day missed month $month")
+      allTouched ++= touched
+      // (a) after EVERY cycle: no partition ever holds more than 1 file
+      for (m <- allTouched)
+        assert(filesIn(m) <= 1, s"day $day: month $m has ${filesIn(m)} files")
+    }
+    // the 30 days reassemble the 30 months' worth of the batch feed
+    val batchN = Feeds.orderFeed(spark, dir)
+      .where(date_format(col("date_time"), "yyyy-MM").isin(months: _*))
+      .count()
+    assert(wh.read("mart", "uol_soak").count() == batchN)
+    // (b) flat cost: the median of the last 10 cycles must not exceed the
+    // median of cycles 1-10 (day 0 pays stream setup) by more than the
+    // shared-JVM noise allowance — linear-in-history growth would show as
+    // a multiple, not a factor-2.5 wobble
+    def med(a: Seq[Double]): Double = a.sorted.apply(a.length / 2)
+    val early = med(times.slice(1, 11).toSeq)
+    val late = med(times.slice(months.length - 10, months.length).toSeq)
+    assert(late < 2.5 * early,
+      s"cycle cost grew with history: early median $early s, " +
+      s"late median $late s (${times.mkString(", ")})")
+  }
+
   test("watermarked daily event aggregation matches batch rollup") {
     val dir = "/root/testdata/sf0.001"
     val ev = Feeds.events(spark, dir)
