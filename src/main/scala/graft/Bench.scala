@@ -59,11 +59,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `suspect:[]` was visible only by reading the raw `passes` arrays):
   * `pass_spread_gt5` counts rows whose max/min pass ratio exceeds 5×
   * (min ≥ 0.05 s floor, as for the flags — sub-noise rows don't count),
-  * and `loadavg_start`/`loadavg_end` record /proc/loadavg's 1-minute
-  * figure before the warmup and after the last timed step. A
-  * contaminated-host run now labels itself in one field — ~0 spread and
-  * loadavg ≲ cores on an idle host, dozens of spread rows and a loadavg
-  * well above the core count under contention.
+  * `warm_spread_gt5` counts the same ratio over the WARM passes only
+  * (cold pass dropped), and `loadavg_start`/`loadavg_end` record
+  * /proc/loadavg's 1-minute figure before the warmup and after the last
+  * timed step. The two spread fields differ on purpose — measured on
+  * this host: a clean run shows pass_spread ≈ 20 (first-pass codegen +
+  * memo-cache materialization make a >5× cold pass STRUCTURAL for the
+  * cache-backed queries) but warm_spread = 0, while the r7
+  * load-contaminated driver run shows 41 / 24. So `warm_spread_gt5` is
+  * the one-field label with a clean-zero baseline; `pass_spread_gt5`
+  * keeps cold-pass-only contamination (the 67.97 s r7 retention pass)
+  * from hiding, read against its ~20 structural floor.
   *
   * Failures are recorded explicitly: a crashing query reports -1 and its
   * name lands in `errors` — it can neither inflate nor deflate the total.
@@ -170,6 +176,14 @@ object Bench {
       ps.forall(_ >= 0) && ps.nonEmpty && ps.min >= 0.05 &&
         ps.max > 5 * ps.min
     }
+
+  /** Same ratio over warm passes only (cold dropped) — zero on a clean
+    * host (warm passes of one plan are near-identical), nonzero under
+    * contention. Series with <3 passes have no warm pair and don't
+    * count. */
+  private[graft] def warmSpreadGt5(series: Seq[(String, Seq[Double])]): Int =
+    passSpreadGt5(series.collect { case (k, ps) if ps.size >= 3 =>
+      (k, ps.drop(1)) })
 
   /** 1-minute load average (/proc/loadavg field 1); -1 if unreadable. */
   private[graft] def loadAvg1(): Double =
@@ -366,6 +380,7 @@ object Bench {
 
     val loadEnd = loadAvg1() // after the last timed step
     val spread = passSpreadGt5(pSeries) + passSpreadGt5(wSeries)
+    val warmSpread = warmSpreadGt5(pSeries) + warmSpreadGt5(wSeries)
 
     val suspect =
       suspectsOf(pSeries, prevPipeline) ++
@@ -383,7 +398,7 @@ object Bench {
       s""""median":${jmap(medians(wSeries), r3)},""" +
       s""""passes":${jmapArr(wSeries)},""" +
       s""""daily_cycle_sec":${r3(dailyCycleSec)}},""" +
-      s""""pass_spread_gt5":$spread,""" +
+      s""""pass_spread_gt5":$spread,"warm_spread_gt5":$warmSpread,""" +
       s""""loadavg_start":${r2(loadStart)},"loadavg_end":${r2(loadEnd)},""" +
       s""""suspect":$susJson,"errors":$errJson}"""
     // sf tag alone ("sf0.1"), not the full path: compact-line byte budget
@@ -395,7 +410,7 @@ object Bench {
       s""""queries":${jmap(pMin, r2, shortKey)},"sf":"$sfTag",""" +
       s""""wh":{"mat":${r2(matSec)},"total":${r2(okSum(wMin))},""" +
       s""""dc":${r2(dailyCycleSec)}}""" +
-      (if (spread == 0) "" else s""","spr":$spread""") +
+      (if (warmSpread == 0) "" else s""","wspr":$warmSpread""") +
       (if (suspect.isEmpty) "" else s""","sus":${suspect.size}""") +
       (if (errors.isEmpty) "}" else s""","errors":$errJson}""")
 

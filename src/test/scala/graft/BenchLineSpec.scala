@@ -43,7 +43,7 @@ class BenchLineSpec extends AnyFunSuite {
       s"""{"metric":"total","value":${Bench.r2(1234.56)},"unit":"sec",""" +
       s""""queries":$qmap,"sf":"sf0.1",""" +
       s""""wh":{"mat":${Bench.r2(123.45)},"total":${Bench.r2(123.45)},""" +
-      s""""dc":${Bench.r2(123.45)}},"spr":109,"sus":101}"""
+      s""""dc":${Bench.r2(123.45)}},"wspr":109,"sus":101}"""
     assert(line.length < 1900, s"compact line ${line.length}B >= 1900B")
   }
 
@@ -67,6 +67,22 @@ class BenchLineSpec extends AnyFunSuite {
       "q_failed"       -> Seq(-1.0, 9.9, 0.5))    // failed rows don't count
     assert(Bench.passSpreadGt5(s) == 1)
     assert(Bench.passSpreadGt5(Nil) == 0)
+  }
+
+  test("warm_spread_gt5 ignores the structural cold pass") {
+    val s = Seq(
+      // clean-run shape: >5x cold pass (codegen + memo-cache
+      // materialization) with near-identical warm passes — structural,
+      // counted by pass_spread_gt5 but NOT by warm_spread_gt5
+      "q_cold_structural" -> Seq(11.93, 1.02, 1.08),
+      // contaminated-run shape: load hit a warm pass (r7 driver run,
+      // q_ann_kmeans_assign [3.36, 1.41, 16.25])
+      "q_warm_hit"        -> Seq(3.36, 1.41, 16.25),
+      // two-pass series has no warm pair to compare
+      "q_two_pass"        -> Seq(9.0, 0.5))
+    assert(Bench.passSpreadGt5(s) == 3)
+    assert(Bench.warmSpreadGt5(s) == 1)
+    assert(Bench.warmSpreadGt5(Nil) == 0)
   }
 
   test("loadAvg1 reads the host 1-minute load average") {
