@@ -72,7 +72,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * from hiding, read against its ~20 structural floor.
   *
   * Failures are recorded explicitly: a crashing query reports -1 and its
-  * name lands in `errors` — it can neither inflate nor deflate the total.
+  * name lands in `errors`. If ANY pipeline query failed, the headline
+  * `value` is -1 and the surviving queries' sum is reported as
+  * `partial_value` with `covered`/`of` counts (compact: `pval`/`cov`) —
+  * round 8 showed that a silent partial sum (79 of 101 queries) reads as
+  * a faster round, not a broken one. The compact line carries the error
+  * COUNT (`nerr`), never the list: 67 error strings pushed the r8 compact
+  * line past the driver's 2000-char stdout tail window.
   */
 object Bench {
 
@@ -118,7 +124,10 @@ object Bench {
     // the new probe_recall key sees it; the rest compress the long tail
     // (worst case 1888 B, re-pinned <1900 in BenchLineSpec)
     "ingest" -> "ing", "probe" -> "pb", "cust" -> "cs", "ivf_" -> "iv",
-    "corpus_" -> "cp_", "_ratio" -> "_rt", "_fast" -> "f", "brand" -> "br")
+    "corpus_" -> "cp_", "_ratio" -> "_rt", "_fast" -> "f", "brand" -> "br",
+    // round 9: the partial-run fields (pval/cov/nerr) joined the
+    // worst-case line — recover their ~48 B from the densest families
+    "dd_" -> "D", "prf_" -> "pf", "cp_" -> "c")
 
   private[graft] def shortKey(name: String): String =
     keyTokens.foldLeft(name) { case (s, (from, to)) => s.replace(from, to) }
@@ -388,8 +397,21 @@ object Bench {
                  prevWarehouse.map { case (k, v) => (s"w:$k", v) })
     val susJson = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Headline integrity (round 8: 22 crashed queries summed to a 51.8 s
+    // "total" that read as FASTER than the previous clean 58.6 s): when any
+    // pipeline query failed, the headline is -1 and the sum over the
+    // surviving queries moves to `partial_value` with its coverage count —
+    // a partial run can no longer impersonate a faster full run.
+    val nPipeline = pMin.size
+    val nCovered = pMin.count(_._2 >= 0)
+    val pipelineOk = nCovered == nPipeline
+    val headline = if (pipelineOk) r3(okSum(pMin)) else "-1"
+    val partialFull =
+      if (pipelineOk) ""
+      else s""""partial_value":${r3(okSum(pMin))},""" +
+           s""""covered":$nCovered,"of":$nPipeline,"""
     val fullLine =
-      s"""{"metric":"total","value":${r3(okSum(pMin))},"unit":"sec",""" +
+      s"""{"metric":"total","value":$headline,"unit":"sec",$partialFull""" +
       s""""queries":${jmap(pMin, r3)},"sf":"$sfDir",""" +
       s""""median":${jmap(medians(pSeries), r3)},""" +
       s""""passes":${jmapArr(pSeries)},""" +
@@ -405,14 +427,21 @@ object Bench {
     val sfTag = sfDir.split('/').last
     // warehouse per-query times live in the full line / BENCH_full.json
     // only: with them the compact line would overrun the tail window
+    // compact error reporting is a COUNT, not the list — r8's 67-entry
+    // error list pushed the compact line past the driver's 2000-char tail
+    // window, so the one artifact meant to survive truncation was itself
+    // truncated mid-JSON; the full list lives in line 1 / BENCH_full.json
     val compact =
-      s"""{"metric":"total","value":${r2(okSum(pMin))},"unit":"sec",""" +
+      s"""{"metric":"total","value":${if (pipelineOk) r2(okSum(pMin))
+           else "-1"},"unit":"sec",""" +
+      (if (pipelineOk) ""
+       else s""""pval":${r2(okSum(pMin))},"cov":"$nCovered/$nPipeline",""") +
       s""""queries":${jmap(pMin, r2, shortKey)},"sf":"$sfTag",""" +
       s""""wh":{"mat":${r2(matSec)},"total":${r2(okSum(wMin))},""" +
       s""""dc":${r2(dailyCycleSec)}}""" +
       (if (warmSpread == 0) "" else s""","wspr":$warmSpread""") +
       (if (suspect.isEmpty) "" else s""","sus":${suspect.size}""") +
-      (if (errors.isEmpty) "}" else s""","errors":$errJson}""")
+      (if (errors.isEmpty) "}" else s""","nerr":${errors.size}}""")
 
     // the full line lands in a file the driver (or a human) can always
     // pick up whole, then both lines go to stdout — compact LAST so it

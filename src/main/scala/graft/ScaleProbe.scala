@@ -64,7 +64,11 @@ object ScaleProbe {
     // not the engine's scaling.
     shifted("events", (df, i) =>
       df.withColumn("event_id", col("event_id") + lit(i * K))
-        .withColumn("ts", col("ts") + lit(i * 40L * 86400L * 1000000000L)))
+        .withColumn("ts",
+          if (df.schema("ts").dataType ==
+              org.apache.spark.sql.types.LongType)
+            col("ts") + lit(i * 40L * 86400L * 1000000000L) // raw nanos
+          else col("ts") + expr(s"INTERVAL '${i * 40}' DAY")))
     // documents/embeddings: copies must be DISTINCT CONTENT, same reason as
     // the event time-shift — a self-union of identical docs makes every doc
     // an 8-way exact clone, so candidate PAIRS grow 64× (quadratic per dup
@@ -103,8 +107,9 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // events.parquet is TIMESTAMP(NANOS); copy it as raw longs (Feeds.events
-    // converts either representation identically)
+    // events.parquet has shipped as TIMESTAMP(NANOS) and as micros-NTZ;
+    // nanosAsLong lets the NANOS vintage load (as raw longs), and
+    // Feeds.normalizeEventTs converts either representation identically
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     makeBig(spark, src, dst, copies)
     println(s"[scale] built ${copies}x dataset at $dst")

@@ -2,7 +2,7 @@ package graft.etl
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
 
 /** Synthesizes the reference's staging feeds from the driver's TPC-H-ish
   * parquet test tables (/root/repo/FIXTURES.md §B).
@@ -25,16 +25,36 @@ object Feeds {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries parquet TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw
-    * longs and truncate to microsecond timestamps — the same truncation
-    * DuckDB applies when casting TIMESTAMP_NS to TIMESTAMP, keeping the
-    * oracle comparable. */
+  /** The generator has shipped `events.ts` as parquet TIMESTAMP(NANOS)
+    * (rounds 1-7) and as TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * (round 8+), so the reader adapts to whichever physical type the files
+    * carry instead of assuming one. All three arms normalize to a
+    * session-zoned TimestampType `ts` with microsecond precision — the
+    * exact frame every downstream consumer has always seen:
+    *  - NANOS: Spark's parquet reader rejects it outright
+    *    ([PARQUET_TYPE_ILLEGAL]); read nanos as raw longs and truncate to
+    *    micros, the same truncation DuckDB applies casting TIMESTAMP_NS →
+    *    TIMESTAMP, keeping the oracle comparable.
+    *  - MICROS without UTC adjust arrives as TIMESTAMP_NTZ; the session
+    *    zone is pinned UTC everywhere (Bench/Verify/specs), so the cast to
+    *    TimestampType is wall-clock-identity and matches DuckDB reading
+    *    the same column as naive TIMESTAMP.
+    *  - MICROS with UTC adjust arrives as TimestampType already. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    normalizeEventTs(table(spark, dir, "events"))
   }
+
+  /** Normalize an events frame's `ts` to microsecond TimestampType (see
+    * [[events]]); shared with the streaming read in StreamingSpec. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType      => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalArgumentException(
+        s"events.ts: expected nanos-as-long, TIMESTAMP_NTZ or TIMESTAMP, got $other")
+    }
 
   /** Unified order feed (all rows, with derived status) before the
     * history/increment split. One row per lineitem.

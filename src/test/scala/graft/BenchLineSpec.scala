@@ -35,15 +35,19 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("worst-case compact line fits the driver's stdout tail window") {
     // every per-query value at the widest realistic rendering (###.##),
-    // plus the daily-cycle field and a worst-case suspect count
+    // plus the daily-cycle field, worst-case suspect count, AND the
+    // partial-run fields (value -1 + pval/cov + error COUNT — the r8 run
+    // proved the error LIST cannot ride the compact line: 67 entries blew
+    // the 2000-char tail window)
     val qmap = pipelineNames.sorted
       .map(n => "\"" + Bench.shortKey(n) + "\":" + Bench.r2(123.45))
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${Bench.r2(1234.56)},"unit":"sec",""" +
+      s"""{"metric":"total","value":-1,"unit":"sec",""" +
+      s""""pval":${Bench.r2(1234.56)},"cov":"100/101",""" +
       s""""queries":$qmap,"sf":"sf0.1",""" +
       s""""wh":{"mat":${Bench.r2(123.45)},"total":${Bench.r2(123.45)},""" +
-      s""""dc":${Bench.r2(123.45)}},"wspr":109,"sus":101}"""
+      s""""dc":${Bench.r2(123.45)}},"wspr":109,"sus":101,"nerr":328}"""
     assert(line.length < 1900, s"compact line ${line.length}B >= 1900B")
   }
 

@@ -1,0 +1,57 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Pins the events `ts` schema adaptivity: the driver's generator has
+  * shipped `events.ts` as parquet TIMESTAMP(NANOS) (read as raw longs,
+  * rounds 1-7) and as micros TIMESTAMP_NTZ (round 8+) — the round-8
+  * regression was exactly this: 22 pipeline queries crashed in analysis
+  * because the reader assumed the nanos-as-long vintage. All vintages
+  * must normalize to the same microsecond TimestampType frame. */
+class FeedsEventsSpec extends SparkSpec {
+
+  // 2024-05-06 07:08:09.123456789 UTC, as nanos since epoch
+  private val nanos = 1714979289123456789L
+
+  test("nanos-as-long vintage truncates to microsecond TimestampType") {
+    val df = spark.range(1).select(lit(nanos).as("ts"))
+    val out = Feeds.normalizeEventTs(df)
+    assert(out.schema("ts").dataType == TimestampType)
+    val got = out.select(unix_micros(col("ts"))).head().getLong(0)
+    assert(got == nanos / 1000) // truncation, not rounding
+  }
+
+  test("micros TIMESTAMP_NTZ vintage casts to the same wall clock (UTC)") {
+    val df = spark.range(1)
+      .select(lit(nanos / 1000).as("us"))
+      .select(col("us"),
+        timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"))
+    assert(df.schema("ts").dataType == TimestampNTZType) // fixture sanity
+    val out = Feeds.normalizeEventTs(df)
+    assert(out.schema("ts").dataType == TimestampType)
+    val got = out.select(unix_micros(col("ts"))).head().getLong(0)
+    assert(got == nanos / 1000) // session tz is UTC: wall-clock identity
+  }
+
+  test("TimestampType vintage passes through unchanged") {
+    val df = spark.range(1)
+      .select(timestamp_micros(lit(nanos / 1000)).as("ts"))
+    assert(Feeds.normalizeEventTs(df).schema("ts").dataType == TimestampType)
+    assert(Feeds.normalizeEventTs(df).select(unix_micros(col("ts")))
+      .head().getLong(0) == nanos / 1000)
+  }
+
+  test("an unexpected ts type fails loud, not downstream") {
+    val df = spark.range(1).select(lit("2024-05-06").as("ts"))
+    val e = intercept[IllegalArgumentException](Feeds.normalizeEventTs(df))
+    assert(e.getMessage.contains("events.ts"))
+  }
+
+  test("the on-disk testdata vintage loads and normalizes") {
+    val ev = Feeds.events(spark, "/root/testdata/sf0.001")
+    assert(ev.schema("ts").dataType == TimestampType)
+    assert(ev.limit(1).count() == 1)
+  }
+}

@@ -249,11 +249,10 @@ class StreamingSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     val ev = Feeds.events(spark, dir)
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val evStream = spark.readStream
-      .schema(rawSchema).parquet(stage(s"$dir/events.parquet"))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    // events.parquet carries ns-as-long after Feeds.events set the conf;
-    // the stream read does the same conversion
+    // the stream read applies the same ts normalization as the batch path
+    // (nanos-as-long or micros-NTZ, whichever vintage the files carry)
+    val evStream = Feeds.normalizeEventTs(spark.readStream
+      .schema(rawSchema).parquet(stage(s"$dir/events.parquet")))
     val q = IncrementStream.dailyEventAgg(evStream)
       .writeStream.format("memory").queryName("daily_agg")
       .outputMode("complete").start()
