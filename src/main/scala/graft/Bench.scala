@@ -28,15 +28,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    to the r1-r6 series (min-of-two) — with `median` and the raw
   *    `passes` arrays beside it so a claim can be stated as a range.
   *  - `warehouse` mode: PipelineRunner materializes staging+marts to
-  *    parquet ONCE (timed as `materialize_sec`; it reuses the shared
+  *    parquet THREE times (reported as min-of-passes `materialize_sec`
+  *    plus the raw `materialize_passes`; pass 1 reuses the shared
   *    Pipeline's cached staging frames — the honest cost of materializing
   *    after the query series, not a cold rebuild), then EVERY in-session
   *    cache is invalidated (Pipeline/Dedup/TextOps/Vectors memo maps +
   *    `catalog.clearCache()`) so the read-back queries run against the
   *    warehouse parquet with no cross-series cache pressure or flattery —
-  *    r4's w_* read-back drag was exactly this interference. One synthetic
+  *    r4's w_* read-back drag was exactly this interference. The synthetic
   *    daily cycle (drain → pruned merge → scoped compaction against the
-  *    80-month fact, `w_daily_cycle`) is timed after the read-back series.
+  *    80-month fact) runs three times after the read-back series, one
+  *    equivalent week per pass (`daily_cycle_sec` = min,
+  *    `daily_cycle_passes` raw). The min-of-N on both sections is the r9
+  *    fix: as 1-pass numbers they absorbed host load raw (a loaded driver
+  *    run published dc 26.73 s vs the clean 3.88 s).
   *
   * SELF-DEFENSE against a loaded host (the r5/r6 artifact-contamination
   * root cause): each query's `suspect` flags fire when (a) the warm passes
@@ -234,6 +239,17 @@ object Bench {
         (if (vsPrev) Seq(s"$n:vs_prev") else Nil)
     }
 
+  /** r9 ADVICE: any `warehouse:*` error forces the published warehouse
+    * total to -1 in BOTH lines — the pipeline headline rule, mirrored.
+    * Without it a failed materialize/read-back/daily-cycle left wh.total
+    * summing the survivors (or 0.00), signaled only by `nerr`: the same
+    * "partial reads as fast" hazard round 8 fixed for the pipeline side.
+    * The surviving sum still travels in the full line as
+    * `partial_total`. */
+  private[graft] def forcedWhTotal(total: Double,
+                                   errors: Iterable[String]): Double =
+    if (errors.exists(_.startsWith("warehouse:"))) -1.0 else total
+
   /** Shared with ScaleProbe, which probes the same read-back series. */
   private[graft] def warehouseQueries(spark: SparkSession,
                                root: String): Seq[(String, () => DataFrame)] = {
@@ -289,6 +305,17 @@ object Bench {
 
     val errors = scala.collection.mutable.LinkedHashSet[String]()
 
+    // Preflight the reader contract and stamp the dataset identity into
+    // the artifact (r8: contract drift surfaced as 22 downstream crashes
+    // instead of one named message; r9: a cross-round delta was
+    // cross-DATASET and nothing in the artifact said so). Drift is
+    // non-fatal — it rides the errors list as `preflight:table.col`, so
+    // the compact line's `nerr` goes nonzero without poisoning the
+    // headline when the adapted readers still pass.
+    sources.TestdataContract.preflightLoud(spark, sfDir)
+      .foreach { case (t, c, _) => errors += s"preflight:$t.$c" }
+    val datasetJson = sources.TestdataContract.fingerprintJson(spark, sfDir)
+
     def time(fn: => Unit): (Double, Boolean) = {
       val t0 = System.nanoTime()
       try { fn; ((System.nanoTime() - t0) / 1e9, true) }
@@ -341,10 +368,31 @@ object Bench {
 
     val whRootPath = java.nio.file.Files.createTempDirectory("graft_bench_wh")
     val whRoot = whRootPath.toString
-    val (matSec, wSeries, dailyCycleSec) =
+    // Warehouse sections are min-of-3 like the queries (r9 finding: as
+    // 1-pass numbers, a loaded host published daily-cycle 26.73 s vs the
+    // clean 3.88 s — a 7× environmental distortion in the artifact's
+    // headline field). Materialize re-runs are honest repeats: every
+    // table is a deterministic overwrite (atomic swap), pass 1 pays the
+    // memoized staging build, passes 2-3 are the steady state. The daily
+    // cycle is stateful, so each pass delivers a DIFFERENT but equivalent
+    // week (~same rows, each touching one distinct month of the 80) with
+    // its own watch/sink/checkpoint dirs — re-delivering the same week
+    // would let pass 1's compaction flatter pass 2's merge scan.
+    val dcWeeks = Seq(("1997-03-01", "1997-03-07"),
+                      ("1997-04-01", "1997-04-07"),
+                      ("1997-05-01", "1997-05-07"))
+    val (matPasses, wSeries, dcPasses) =
       try {
-        val (sec, ok) = time { PipelineRunner.run(spark, sfDir, whRoot); () }
-        if (!ok) errors += "warehouse:materialize"
+        val mats = scala.collection.mutable.ArrayBuffer[Double]()
+        var p = 1
+        var cont = true
+        while (p <= 3 && cont) {
+          val (sec, ok) = time { PipelineRunner.run(spark, sfDir, whRoot); () }
+          if (!ok) errors += s"warehouse:materialize:p$p"
+          mats += (if (ok) sec else -1.0)
+          cont = ok // a failed pass: stop repeating, state is suspect
+          p += 1
+        }
         // Isolation barrier: the read-back series must measure the
         // warehouse parquet alone, not compete with (or borrow from) the
         // query series' persisted frames.
@@ -353,38 +401,49 @@ object Bench {
         ops.TextOps.invalidate(spark, sfDir)
         ops.Vectors.invalidate(spark, sfDir)
         spark.catalog.clearCache()
-        if (ok) {
+        if (mats.headOption.exists(_ >= 0)) {
+          // pass 1 succeeded → the warehouse is complete and readable
+          // (later passes only re-overwrite the same deterministic
+          // contents via atomic swap), so the read-back series runs even
+          // if a warm materialize pass failed — its failure is already
+          // recorded and forces wh.total to -1 below.
           val s = series(warehouseQueries(spark, whRoot), "warehouse")
-          // One synthetic day against the full 80-month history: deliver
-          // one week of orders' lineitems as a single increment file, then
-          // drain → partition-pruned merge → scoped compaction. Timed
-          // once (stateful — it mutates the fact table, which the
-          // read-back series is already done with). The 100 TB claim this
-          // measures: the cycle costs ~the day's rows + the touched
-          // months, NOT the table's history (ScaleProbe holds the day
-          // fixed while history grows 8× to pin exactly that).
-          val (dc, dcOk) = time {
-            val day = spark.read.parquet(s"$sfDir/lineitem.parquet")
-              .join(spark.read.parquet(s"$sfDir/orders.parquet")
-                  .where(org.apache.spark.sql.functions.col("o_orderdate")
-                    .between("1997-03-01", "1997-03-07"))
-                  .select("o_orderkey"),
-                org.apache.spark.sql.functions.col("l_orderkey") ===
-                  org.apache.spark.sql.functions.col("o_orderkey"),
-                "left_semi")
-            val watch = s"$whRoot/.dc_watch"
-            day.coalesce(1).write.mode("overwrite").parquet(watch)
-            graft.streaming.IncrementStream.runDailyCycle(
-              spark, sfDir, watch, s"$whRoot/.dc_sink", s"$whRoot/.dc_ckpt",
-              new Warehouse(spark, whRoot), "staging", "user_order_log_v2")
-            ()
+          // One synthetic day against the full 80-month history per pass:
+          // deliver one week of orders' lineitems as a single increment
+          // file, then drain → partition-pruned merge → scoped
+          // compaction. The 100 TB claim this measures: the cycle costs
+          // ~the day's rows + the touched months, NOT the table's history
+          // (ScaleProbe holds the day fixed while history grows 8× to pin
+          // exactly that).
+          val dcs = dcWeeks.zipWithIndex.map { case ((lo, hi), i) =>
+            val pn = i + 1
+            val (dc, dcOk) = time {
+              val day = spark.read.parquet(s"$sfDir/lineitem.parquet")
+                .join(spark.read.parquet(s"$sfDir/orders.parquet")
+                    .where(org.apache.spark.sql.functions.col("o_orderdate")
+                      .between(lo, hi))
+                    .select("o_orderkey"),
+                  org.apache.spark.sql.functions.col("l_orderkey") ===
+                    org.apache.spark.sql.functions.col("o_orderkey"),
+                  "left_semi")
+              val watch = s"$whRoot/.dc_watch_p$pn"
+              day.coalesce(1).write.mode("overwrite").parquet(watch)
+              graft.streaming.IncrementStream.runDailyCycle(
+                spark, sfDir, watch, s"$whRoot/.dc_sink_p$pn",
+                s"$whRoot/.dc_ckpt_p$pn",
+                new Warehouse(spark, whRoot), "staging", "user_order_log_v2")
+              ()
+            }
+            if (!dcOk) errors += s"warehouse:daily_cycle:p$pn"
+            if (dcOk) dc else -1.0
           }
-          if (!dcOk) errors += "warehouse:daily_cycle"
-          (sec, s, if (dcOk) dc else -1.0)
-        } else (sec, Nil, -1.0)
+          (mats.toSeq, s, dcs)
+        } else (mats.toSeq, Nil, Seq(-1.0))
       } finally { // don't leak a full warehouse copy per bench run
         deleteRecursively(whRootPath)
       }
+    val matSec = minOf(matPasses)
+    val dailyCycleSec = minOf(dcPasses)
     val wMin = mins(wSeries)
 
     val loadEnd = loadAvg1() // after the last timed step
@@ -410,16 +469,26 @@ object Bench {
       if (pipelineOk) ""
       else s""""partial_value":${r3(okSum(pMin))},""" +
            s""""covered":$nCovered,"of":$nPipeline,"""
+    val whTotalRaw = okSum(wMin)
+    val whTotal = forcedWhTotal(whTotalRaw, errors)
+    val whPartial =
+      if (whTotal >= 0) ""
+      else s""""partial_total":${r3(whTotalRaw)},"""
+    def passesArr(ps: Seq[Double]): String =
+      ps.map(r3).mkString("[", ",", "]")
     val fullLine =
       s"""{"metric":"total","value":$headline,"unit":"sec",$partialFull""" +
       s""""queries":${jmap(pMin, r3)},"sf":"$sfDir",""" +
       s""""median":${jmap(medians(pSeries), r3)},""" +
       s""""passes":${jmapArr(pSeries)},""" +
       s""""warehouse":{"materialize_sec":${r3(matSec)},""" +
-      s""""total":${r3(okSum(wMin))},"queries":${jmap(wMin, r3)},""" +
+      s""""materialize_passes":${passesArr(matPasses)},""" +
+      s"""$whPartial"total":${r3(whTotal)},"queries":${jmap(wMin, r3)},""" +
       s""""median":${jmap(medians(wSeries), r3)},""" +
       s""""passes":${jmapArr(wSeries)},""" +
-      s""""daily_cycle_sec":${r3(dailyCycleSec)}},""" +
+      s""""daily_cycle_sec":${r3(dailyCycleSec)},""" +
+      s""""daily_cycle_passes":${passesArr(dcPasses)}},""" +
+      s""""dataset":$datasetJson,""" +
       s""""pass_spread_gt5":$spread,"warm_spread_gt5":$warmSpread,""" +
       s""""loadavg_start":${r2(loadStart)},"loadavg_end":${r2(loadEnd)},""" +
       s""""suspect":$susJson,"errors":$errJson}"""
@@ -437,7 +506,7 @@ object Bench {
       (if (pipelineOk) ""
        else s""""pval":${r2(okSum(pMin))},"cov":"$nCovered/$nPipeline",""") +
       s""""queries":${jmap(pMin, r2, shortKey)},"sf":"$sfTag",""" +
-      s""""wh":{"mat":${r2(matSec)},"total":${r2(okSum(wMin))},""" +
+      s""""wh":{"mat":${r2(matSec)},"total":${r2(whTotal)},""" +
       s""""dc":${r2(dailyCycleSec)}}""" +
       (if (warmSpread == 0) "" else s""","wspr":$warmSpread""") +
       (if (suspect.isEmpty) "" else s""","sus":${suspect.size}""") +

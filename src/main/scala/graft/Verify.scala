@@ -26,7 +26,10 @@ object Verify {
       fn.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       None
     } catch { case e: Throwable =>
-      val msg = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+      // getMessage can be null (bare NPE/ISE) — fall back to toString so
+      // the sentinel carries a signal, not "SomeException: null"
+      val detail = Option(e.getMessage).getOrElse(e.toString)
+      val msg = s"${e.getClass.getSimpleName}: $detail"
       System.err.println(s"[verify] $name failed: $msg")
       try {
         import spark.implicits._
@@ -63,6 +66,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Preflight BEFORE any query: a regenerated input table surfaces here
+    // as one message naming table+column, ahead of whatever downstream
+    // crashes it causes (non-fatal — adapted drift still runs green).
+    // The dataset identity (schema hash + rows per table) lands beside
+    // the outputs so the driver's artifact is tied to the data it saw.
+    val drift = sources.TestdataContract.preflightLoud(spark, sfDir)
+    val driftJson = drift
+      .map { case (t, c, d) => s"${q(s"$t.$c")}: ${q(d)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/dataset.json"),
+      s"""{"tables":${sources.TestdataContract.fingerprintJson(spark, sfDir)},""" +
+      s""""drift":$driftJson}""")
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       writeResult(spark, outDir, name, fn(spark, sfDir))

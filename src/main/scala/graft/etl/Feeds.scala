@@ -49,7 +49,23 @@ object Feeds {
     * [[events]]); shared with the streaming read in StreamingSpec. */
   def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
-      case LongType      => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // The LongType arm assumes epoch-NANOS. A future vintage shipping
+      // plain INT64 micros (or millis) would also arrive as LongType and
+      // the div-1000 would silently shift every timestamp ~1000× toward
+      // 1970 — TestdataSchemaSpec pins types, not magnitudes. So the
+      // magnitude is checked per-row IN the plan (codegen'd CASE, no
+      // driver-side sample job): plausible epoch-nanos for any date after
+      // mid-1973 exceed 1e17, while the same dates in micros (~1e15) or
+      // millis (~1e12) fall far below it — those fail loud, like the
+      // unknown-type arm.
+      case LongType => df.withColumn("ts", expr(
+        """timestamp_micros(CASE
+          |  WHEN ts IS NULL THEN NULL
+          |  WHEN ts >= 100000000000000000 THEN ts div 1000
+          |  ELSE raise_error(concat('events.ts: long value ', ts,
+          |    ' is too small for epoch-nanos (micros/millis vintage?) — ',
+          |    'adapt Feeds.normalizeEventTs'))
+          |END)""".stripMargin))
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType => df
       case other => throw new IllegalArgumentException(

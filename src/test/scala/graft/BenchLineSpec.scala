@@ -89,6 +89,19 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.warmSpreadGt5(Nil) == 0)
   }
 
+  test("any warehouse:* error forces the warehouse total to -1") {
+    // the r9 ADVICE hole: a failed warehouse section left wh.total
+    // summing survivors — the warehouse-side twin of the r8 partial-run
+    // headline hazard
+    assert(Bench.forcedWhTotal(11.0, Nil) == 11.0)
+    assert(Bench.forcedWhTotal(11.0, Seq("warehouse:materialize:p2")) == -1.0)
+    assert(Bench.forcedWhTotal(11.0, Seq("warehouse:daily_cycle:p1")) == -1.0)
+    assert(Bench.forcedWhTotal(11.0, Seq("warehouse:w_f_sales:p3")) == -1.0)
+    // pipeline and preflight errors do NOT force the warehouse total
+    assert(Bench.forcedWhTotal(11.0,
+      Seq("pipeline:q_x:p1", "preflight:events.ts")) == 11.0)
+  }
+
   test("loadAvg1 reads the host 1-minute load average") {
     // /proc/loadavg exists on every Linux host this bench runs on; the
     // -1 fallback is for non-proc filesystems only

@@ -34,6 +34,20 @@ class VerifySpec extends SparkSpec {
     } finally Bench.deleteRecursively(java.nio.file.Paths.get(out))
   }
 
+  test("a null exception message falls back to toString, not 'null'") {
+    val out = java.nio.file.Files.createTempDirectory("verify_spec").toString
+    try {
+      // bare ISE carries a null message — the sentinel must still say
+      // which exception it was, not "IllegalStateException: null"
+      val err = Verify.writeResult(spark, out, "q_npe",
+        throw new IllegalStateException())
+      assert(err.isDefined)
+      assert(!err.get.endsWith(": null"), err.get)
+      assert(err.get ==
+        "IllegalStateException: java.lang.IllegalStateException")
+    } finally Bench.deleteRecursively(java.nio.file.Paths.get(out))
+  }
+
   test("json escape covers quotes, backslashes, and control chars") {
     assert(Verify.q("a\"b\\c\nd\te") == "\"a\\\"b\\\\c\\nd\\te\"")
     assert(Verify.q("\u0001") == "\"\\u0001\"")

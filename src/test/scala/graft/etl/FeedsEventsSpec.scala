@@ -43,6 +43,22 @@ class FeedsEventsSpec extends SparkSpec {
       .head().getLong(0) == nanos / 1000)
   }
 
+  test("a long ts below nanos magnitude fails loud, not shifted to 1970") {
+    // the same instant in MICROS arriving as a plain INT64 — the nanos
+    // arm must refuse it per-row (raise_error), not divide it by 1000
+    val df = spark.range(1).select(lit(nanos / 1000).as("ts"))
+    val out = Feeds.normalizeEventTs(df) // plan builds fine (lazy)
+    val e = intercept[Exception](out.collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("too small for epoch-nanos")), e)
+    // nulls pass through as nulls, no error
+    val withNull = spark.range(1)
+      .select(lit(null).cast(LongType).as("ts"))
+    assert(Feeds.normalizeEventTs(withNull).head().isNullAt(0))
+  }
+
   test("an unexpected ts type fails loud, not downstream") {
     val df = spark.range(1).select(lit("2024-05-06").as("ts"))
     val e = intercept[IllegalArgumentException](Feeds.normalizeEventTs(df))

@@ -7,80 +7,32 @@ import org.apache.spark.sql.types._
 /** Tripwire for driver-side testdata regeneration (round 8: events.ts
   * silently changed from TIMESTAMP(NANOS) to micros TIMESTAMP_NTZ and 22
   * pipeline queries crashed in analysis — the failure surfaced as holes
-  * in downstream artifacts, not as a named schema drift). This spec pins
-  * the input schemas the engine was built against, so a regenerated
-  * table fails HERE with the table and column named.
+  * in downstream artifacts, not as a named schema drift). The pins
+  * themselves live in [[TestdataContract]] (single source of truth: the
+  * same checks run as a preflight inside `Verify.main`/`Bench.main`);
+  * this spec asserts they hold for the current testdata AND that the
+  * preflight actually names table+column on seeded drift.
   *
-  * If this spec fails after a testdata refresh: the generator changed a
-  * schema. Check every reader of that column (grep the column name),
-  * adapt them the way Feeds.normalizeEventTs adapts `ts`, then update
-  * the pin to the new shape.
+  * If the contract tests fail after a testdata refresh: the generator
+  * changed a schema. Check every reader of that column (grep the column
+  * name), adapt them the way Feeds.normalizeEventTs adapts `ts`, then
+  * update the pin to the new shape.
   */
 class TestdataSchemaSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  // name -> (column -> acceptable Spark types). Timestamp columns accept
-  // both the UTC-adjusted and NTZ parquet flavors — both normalize to
-  // the same wall clock under the pinned UTC session zone.
-  private val tsLike: Set[DataType] = Set(TimestampType, TimestampNTZType)
-
-  private def pinned(name: String): Map[String, Set[DataType]] = name match {
-    case "region" => Map("r_regionkey" -> Set(IntegerType),
-      "r_name" -> Set(StringType))
-    case "nation" => Map("n_nationkey" -> Set(IntegerType),
-      "n_name" -> Set(StringType), "n_regionkey" -> Set(IntegerType))
-    case "customer" => Map("c_custkey" -> Set(LongType),
-      "c_name" -> Set(StringType), "c_nationkey" -> Set(IntegerType),
-      "c_acctbal" -> Set(DoubleType), "c_mktsegment" -> Set(StringType))
-    case "supplier" => Map("s_suppkey" -> Set(LongType),
-      "s_name" -> Set(StringType), "s_nationkey" -> Set(IntegerType),
-      "s_acctbal" -> Set(DoubleType))
-    case "part" => Map("p_partkey" -> Set(LongType),
-      "p_name" -> Set(StringType), "p_brand" -> Set(StringType),
-      "p_type" -> Set(StringType), "p_size" -> Set(IntegerType),
-      "p_retailprice" -> Set(DoubleType))
-    case "orders" => Map("o_orderkey" -> Set(LongType),
-      "o_custkey" -> Set(LongType), "o_orderstatus" -> Set(StringType),
-      "o_totalprice" -> Set(DoubleType), "o_orderdate" -> tsLike,
-      "o_orderpriority" -> Set(StringType))
-    case "lineitem" => Map("l_orderkey" -> Set(LongType),
-      "l_partkey" -> Set(LongType), "l_suppkey" -> Set(LongType),
-      "l_linenumber" -> Set(IntegerType), "l_quantity" -> Set(DoubleType),
-      "l_extendedprice" -> Set(DoubleType), "l_discount" -> Set(DoubleType),
-      "l_tax" -> Set(DoubleType), "l_returnflag" -> Set(StringType),
-      "l_linestatus" -> Set(StringType), "l_shipdate" -> tsLike)
-    case "documents" => Map("doc_id" -> Set(LongType),
-      "text" -> Set(StringType), "lang" -> Set(StringType),
-      "source" -> Set(StringType), "n_chars" -> Set(LongType))
-    case "embeddings" => Map("vec_id" -> Set(LongType),
-      "embedding" -> Set(ArrayType(FloatType, containsNull = true),
-                         ArrayType(FloatType, containsNull = false)),
-      "label" -> Set(IntegerType))
-    case other => fail(s"no pin for table $other")
-  }
-
-  for (t <- Seq("region", "nation", "customer", "supplier", "part",
-                "orders", "lineitem", "documents", "embeddings"))
+  for (t <- TestdataContract.tables)
     test(s"$t.parquet matches the pinned reader contract") {
-      val schema = spark.read.parquet(s"$dir/$t.parquet").schema
-      val pins = pinned(t)
-      val missing = pins.keySet -- schema.fieldNames.toSet
-      assert(missing.isEmpty,
-        s"testdata schema drift: $t lost column(s) ${missing.mkString(",")}")
-      for ((colName, ok) <- pins) {
-        val got = schema(colName).dataType
-        assert(ok.contains(got),
-          s"testdata schema drift: $t.$colName is $got, engine expects " +
-          s"one of ${ok.mkString("/")} — adapt the readers " +
-          s"(cf. Feeds.normalizeEventTs), then update this pin")
-      }
+      val drift = TestdataContract.checkTable(spark, dir, t)
+      assert(drift.isEmpty, "testdata schema drift:\n" +
+        drift.map { case (tb, c, d) => s"  $tb.$c: $d" }.mkString("\n"))
     }
 
   test("events.parquet loads through Feeds.events in any known ts vintage") {
     // events has its own multi-vintage contract (nanos-as-long, NTZ,
     // TimestampType) — normalizeEventTs either adapts or fails loud, and
-    // FeedsEventsSpec covers each arm; here we pin the remaining columns
+    // FeedsEventsSpec covers each arm; here we pin the NORMALIZED frame
     val ev = Feeds.events(spark, dir)
     val pins = Map("event_id" -> LongType, "user_id" -> LongType,
       "event_type" -> StringType, "value" -> DoubleType,
@@ -89,5 +41,52 @@ class TestdataSchemaSpec extends SparkSpec {
       assert(ev.schema(colName).dataType == want,
         s"testdata schema drift: events.$colName is " +
         s"${ev.schema(colName).dataType}, engine expects $want")
+  }
+
+  test("preflight names table and column on seeded drift") {
+    val tmp = java.nio.file.Files.createTempDirectory("contract_spec")
+    try {
+      import org.apache.spark.sql.functions._
+      // orders with o_orderkey as STRING — a type outside the pinned set
+      spark.range(3)
+        .select(col("id").cast("string").as("o_orderkey"),
+          col("id").as("o_custkey"), lit("O").as("o_orderstatus"),
+          lit(1.0).as("o_totalprice"),
+          current_timestamp().as("o_orderdate"),
+          lit("1-URGENT").as("o_orderpriority"))
+        .write.parquet(s"$tmp/orders.parquet")
+      val drift = TestdataContract.checkTable(spark, tmp.toString, "orders")
+      assert(drift.size == 1)
+      val (t, c, detail) = drift.head
+      assert(t == "orders" && c == "o_orderkey")
+      assert(detail.contains("orders.o_orderkey") &&
+        detail.contains("StringType") && detail.contains("expects"))
+      // a missing column is named too
+      val noCol = TestdataContract.checkTable(spark, tmp.toString, "orders")
+      assert(noCol.forall(_._1 == "orders"))
+      // an unreadable table reports (table, "*", why), not an exception
+      val unread = TestdataContract.checkTable(spark, tmp.toString, "nation")
+      assert(unread.size == 1 && unread.head._1 == "nation" &&
+        unread.head._2 == "*")
+    } finally graft.Bench.deleteRecursively(tmp)
+  }
+
+  test("preflight is clean on the current testdata") {
+    assert(TestdataContract.preflight(spark, dir).isEmpty)
+  }
+
+  test("fingerprint is deterministic, covers every table, and tracks schema") {
+    val fp1 = TestdataContract.fingerprintJson(spark, dir)
+    val fp2 = TestdataContract.fingerprintJson(spark, dir)
+    assert(fp1 == fp2)
+    for (t <- TestdataContract.tables)
+      assert(fp1.contains(s""""$t":{"schema":""""), s"missing $t in $fp1")
+    assert(fp1.contains(""""rows":"""))
+    // schema hash moves when a type changes
+    val a = TestdataContract.schemaHash(StructType(Seq(
+      StructField("x", LongType))))
+    val b = TestdataContract.schemaHash(StructType(Seq(
+      StructField("x", StringType))))
+    assert(a != b && a.length == 8)
   }
 }

@@ -1,0 +1,112 @@
+#!/usr/bin/env python3
+"""Tree-hash-stamped leak scan (r9 verdict item 4 / r8 ADVICE #4).
+
+The driver's LEAKCHECK.json artifact carries no run provenance, so a
+"0 hits" round entry is not verifiable evidence of a rerun against the
+tree it claims to describe. This committed mirror scans the TRACKED
+source surface for the classes of content that must never appear in the
+repo (credentials, private keys, bucket URIs, internal hostnames,
+emails, unexpected external URLs) and stamps the result with the exact
+git identity it scanned:
+
+    {"git_head": ..., "git_tree_hash": ..., "dirty": ..., "ts": ...,
+     "files_scanned": N, "categories": {...}, "hits": [...]}
+
+`git_tree_hash` is HEAD's tree object id; `dirty` flags uncommitted
+changes (a dirty scan describes the working tree, not exactly that
+hash). Run from the repo root:
+
+    python3 tools/leakscan.py            # writes LEAKSCAN.json, prints summary
+    python3 tools/leakscan.py --stdout   # prints JSON only
+
+Exit code 1 when hits are found, 0 when clean — usable as a pre-commit
+gate. The scanner skips itself and its own output (the pattern
+definitions below would otherwise self-match).
+"""
+import json
+import re
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+# Allowlisted URL hosts: public project/reference documentation only.
+URL_ALLOW = re.compile(
+    r"https?://(localhost|127\.0\.0\.1|"
+    r"([a-z0-9-]+\.)*(apache\.org|github\.com|scala-lang\.org|"
+    r"scalatest\.org|duckdb\.org|postgresql\.org|python\.org|"
+    r"arxiv\.org|wikipedia\.org|w3\.org|example\.com|json\.org))([/:#?]|$)",
+    re.I)
+
+CATEGORIES = {
+    "bucket_uri": re.compile(r"\b(s3|s3a|s3n|gs|wasbs?|abfss?|oss|cos)://"),
+    "aws_key_id": re.compile(r"\bAKIA[0-9A-Z]{16}\b"),
+    "private_key": re.compile(r"-----BEGIN [A-Z ]*PRIVATE KEY"),
+    "hardcoded_cred": re.compile(
+        r"(?i)\b(api[_-]?key|secret[_-]?key|access[_-]?token|passwd|"
+        r"password)\s*[:=]\s*[\"'][^\"']{6,}"),
+    "internal_host": re.compile(
+        r"(?i)\b[a-z0-9][a-z0-9.-]*\.(corp|internal|intranet|local)\b"),
+    # example.com/org/net are RFC 2606 reserved — the PII-scan specs use
+    # them as deliberate fixtures, which is exactly what they're for
+    "email": re.compile(
+        r"\b[A-Za-z0-9._%+-]+@(?!example\.(com|org|net)\b)"
+        r"[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)*\.[A-Za-z]{2,}\b"),
+    "url": re.compile(r"https?://[^\s\"'`)>\]]+"),
+}
+
+SELF = {"tools/leakscan.py", "LEAKSCAN.json"}
+
+
+def git(*args: str) -> str:
+    return subprocess.run(["git", *args], capture_output=True, text=True,
+                          check=True).stdout.strip()
+
+
+def scan():
+    files = [f for f in git("ls-files").splitlines() if f not in SELF]
+    hits, counts, scanned = [], {k: 0 for k in CATEGORIES}, 0
+    for f in files:
+        p = Path(f)
+        if not p.is_file():
+            continue
+        try:
+            text = p.read_text(encoding="utf-8")
+        except (UnicodeDecodeError, OSError):
+            continue  # binary or unreadable: nothing greppable
+        scanned += 1
+        for lineno, line in enumerate(text.splitlines(), 1):
+            for cat, rx in CATEGORIES.items():
+                for m in rx.finditer(line):
+                    if cat == "url" and URL_ALLOW.match(m.group(0)):
+                        continue
+                    counts[cat] += 1
+                    hits.append({"file": f, "line": lineno, "category": cat,
+                                 "match": m.group(0)[:120]})
+    return scanned, counts, hits
+
+
+def main():
+    scanned, counts, hits = scan()
+    out = {
+        "git_head": git("rev-parse", "HEAD"),
+        "git_tree_hash": git("rev-parse", "HEAD^{tree}"),
+        "dirty": bool(git("status", "--porcelain")),
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "files_scanned": scanned,
+        "categories": counts,
+        "hits": hits,
+    }
+    blob = json.dumps(out, indent=2) + "\n"
+    if "--stdout" in sys.argv:
+        sys.stdout.write(blob)
+    else:
+        Path("LEAKSCAN.json").write_text(blob)
+        total = sum(counts.values())
+        print(f"leakscan: {scanned} files, {total} hit(s) -> LEAKSCAN.json "
+              f"(tree {out['git_tree_hash'][:12]}, dirty={out['dirty']})")
+    return 1 if hits else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
