@@ -122,6 +122,27 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.parseQueryMap("{}", "queries").isEmpty)
   }
 
+  test("parseQueryMap survives the round-10 artifact shape") {
+    // the vs-prev baseline must keep parsing after the full line grew
+    // materialize/daily-cycle pass arrays, partial_total, and the
+    // dataset fingerprint — the pipeline map is still the FIRST
+    // "queries" section and the warehouse map the first after
+    // "warehouse" (the dataset object carries no "queries" key)
+    val json = """{"metric":"total","value":50.1,"unit":"sec",""" +
+      """"queries":{"q_a":1.5,"q_b":0.08},"sf":"/x/sf0.1",""" +
+      """"passes":{"q_a":[2.0,1.5,1.6],"q_b":[0.1,0.08,0.09]},""" +
+      """"warehouse":{"materialize_sec":22.2,""" +
+      """"materialize_passes":[48.5,28.6,22.2],"partial_total":5.1,""" +
+      """"total":-1,"queries":{"w_f_sales":0.62},""" +
+      """"daily_cycle_sec":1.94,"daily_cycle_passes":[3.6,2.2,1.94]},""" +
+      """"dataset":{"orders":{"schema":"063b1b68","rows":15000}},""" +
+      """"errors":["warehouse:daily_cycle:p2"]}"""
+    assert(Bench.parseQueryMap(json, "queries") ==
+      Map("q_a" -> 1.5, "q_b" -> 0.08))
+    val wh = json.substring(json.indexOf("\"warehouse\""))
+    assert(Bench.parseQueryMap(wh, "queries") == Map("w_f_sales" -> 0.62))
+  }
+
   test("suspect flags: warm>>cold and vs-prev regression") {
     val s = Seq(
       "q_loaded"  -> Seq(0.8, 20.5, 18.0),  // warm 25x cold: host load
