@@ -299,22 +299,24 @@ object Bench {
 
     val loadStart = loadAvg1() // host-load label, read before any work
 
-    // warmup: scan + shuffle + codegen once, untimed
-    spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .groupBy("l_returnflag").count().collect()
-
     val errors = scala.collection.mutable.LinkedHashSet[String]()
 
     // Preflight the reader contract and stamp the dataset identity into
     // the artifact (r8: contract drift surfaced as 22 downstream crashes
     // instead of one named message; r9: a cross-round delta was
-    // cross-DATASET and nothing in the artifact said so). Drift is
-    // non-fatal — it rides the errors list as `preflight:table.col`, so
-    // the compact line's `nerr` goes nonzero without poisoning the
+    // cross-DATASET and nothing in the artifact said so). This runs
+    // BEFORE the warmup scan on purpose: an unreadable/retyped table
+    // must be named here first, not crash the warmup anonymously. Drift
+    // is non-fatal — it rides the errors list as `preflight:table.col`,
+    // so the compact line's `nerr` goes nonzero without poisoning the
     // headline when the adapted readers still pass.
     sources.TestdataContract.preflightLoud(spark, sfDir)
       .foreach { case (t, c, _) => errors += s"preflight:$t.$c" }
     val datasetJson = sources.TestdataContract.fingerprintJson(spark, sfDir)
+
+    // warmup: scan + shuffle + codegen once, untimed
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag").count().collect()
 
     def time(fn: => Unit): (Double, Boolean) = {
       val t0 = System.nanoTime()
