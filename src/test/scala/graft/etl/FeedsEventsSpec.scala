@@ -65,9 +65,16 @@ class FeedsEventsSpec extends SparkSpec {
     assert(e.getMessage.contains("events.ts"))
   }
 
-  test("the on-disk testdata vintage loads and normalizes") {
+  test("the on-disk testdata vintage loads and normalizes to sane dates") {
     val ev = Feeds.events(spark, "/root/testdata/sf0.001")
     assert(ev.schema("ts").dataType == TimestampType)
-    assert(ev.limit(1).count() == 1)
+    // magnitude pin, not just type: a unit-shifted vintage (micros read
+    // as nanos, or vice versa) lands decades away from the generator's
+    // date range and must fail HERE, not as silent ~1970 timestamps
+    val Array(lo, hi) = ev.agg(min(year(col("ts"))), max(year(col("ts"))))
+      .head().toSeq.map(_.asInstanceOf[Int]).toArray
+    assert(lo >= 1990 && hi <= 2035,
+      s"events.ts normalized to implausible years [$lo, $hi] — " +
+      "unit-shift drift in the reader or the generator")
   }
 }
