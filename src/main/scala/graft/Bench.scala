@@ -132,7 +132,11 @@ object Bench {
     "corpus_" -> "cp_", "_ratio" -> "_rt", "_fast" -> "f", "brand" -> "br",
     // round 9: the partial-run fields (pval/cov/nerr) joined the
     // worst-case line — recover their ~48 B from the densest families
-    "dd_" -> "D", "prf_" -> "pf", "cp_" -> "c")
+    "dd_" -> "D", "prf_" -> "pf", "cp_" -> "c",
+    // round 11: the vs-prev gate's "vsp":"off" field joined the worst-case
+    // line (12 B) — the two densest post-compression suffixes repay it
+    // with headroom (27 B over the 101 names; worst case 1873 B)
+    "_prs" -> "P", "_inc" -> "I")
 
   private[graft] def shortKey(name: String): String =
     keyTokens.foldLeft(name) { case (s, (from, to)) => s.replace(from, to) }
@@ -223,6 +227,53 @@ object Bench {
       .toMap
   }
 
+  /** Extract the balanced `"dataset":{...}` object out of a previous full
+    * line; None when absent (pre-r10 artifact) or unterminated. The values
+    * inside (table names, 8-hex schema hashes, row counts, exception class
+    * names) never contain braces, so a depth counter is exact. */
+  private[graft] def parseDatasetObj(json: String): Option[String] = {
+    val ix = json.indexOf("\"dataset\":{")
+    if (ix < 0) None
+    else {
+      val start = json.indexOf('{', ix)
+      var depth = 0
+      var i = start
+      while (i < json.length) {
+        json.charAt(i) match {
+          case '{' => depth += 1
+          case '}' =>
+            depth -= 1
+            if (depth == 0) return Some(json.substring(start, i + 1))
+          case _ =>
+        }
+        i += 1
+      }
+      None
+    }
+  }
+
+  /** Gate for the `vs_prev` suspect check (r10 verdict): the check exists
+    * to catch run contamination, but after a driver-side testdata
+    * regeneration (r8 and pre-r10 so far) the previous artifact's times
+    * describe data that no longer exists — a bigger regenerated table
+    * would fire spurious flags, a smaller one would mask real
+    * regressions. Only "checked" enables the comparison:
+    *  - "checked"                  — prev artifact fingerprints the SAME
+    *                                 dataset; like-for-like, compare.
+    *  - "skipped:dataset_changed"  — fingerprints differ; times are
+    *                                 cross-dataset, comparison meaningless.
+    *  - "skipped:prev_unfingerprinted" — prev artifact predates the r10
+    *                                 fingerprint; same-ness is unknowable.
+    *  - "no_prev"                  — no previous artifact at all. */
+  private[graft] def vsPrevStatus(prevJson: String,
+                                  currentDataset: String): String =
+    if (prevJson.isEmpty) "no_prev"
+    else parseDatasetObj(prevJson) match {
+      case Some(d) if d == currentDataset => "checked"
+      case Some(_)                        => "skipped:dataset_changed"
+      case None => "skipped:prev_unfingerprinted"
+    }
+
   /** Suspect flags per query (see class doc): `warm_gt_cold` = both warm
     * passes >3× the cold pass of the same plan (host-load signature);
     * `vs_prev` = min-of-passes >3× the previous committed round. The
@@ -238,6 +289,17 @@ object Bench {
       (if (warmGtCold) Seq(s"$n:warm_gt_cold") else Nil) ++
         (if (vsPrev) Seq(s"$n:vs_prev") else Nil)
     }
+
+  /** Min over the SUCCESSFUL passes of a section whose published value
+    * [[minOf]] poisoned to -1 (r10 ADVICE: a failed WARM materialize pass
+    * hid the valid pass-1 time inside the raw array with no summary
+    * field, unlike the pipeline/wh partial_* companions). Defined only
+    * for a mixed series — all-ok needs no partial, all-failed has no
+    * survivor. */
+  private[graft] def partialMin(ps: Seq[Double]): Option[Double] = {
+    val ok = ps.filter(_ >= 0)
+    if (ok.nonEmpty && ok.size < ps.size) Some(ok.min) else None
+  }
 
   /** r9 ADVICE: any `warehouse:*` error forces the published warehouse
     * total to -1 in BOTH lines — the pipeline headline rule, mirrored.
@@ -452,10 +514,16 @@ object Bench {
     val spread = passSpreadGt5(pSeries) + passSpreadGt5(wSeries)
     val warmSpread = warmSpreadGt5(pSeries) + warmSpreadGt5(wSeries)
 
+    // vs_prev gate: only a like-for-like prev (same dataset fingerprint)
+    // may serve as the regression baseline — the fingerprint was added in
+    // r10 precisely so this comparison could stop being faith-based
+    val vsPrev = vsPrevStatus(prevJson, datasetJson)
+    val vsPrevOn = vsPrev == "checked"
     val suspect =
-      suspectsOf(pSeries, prevPipeline) ++
+      suspectsOf(pSeries, if (vsPrevOn) prevPipeline else Map.empty) ++
       suspectsOf(wSeries.map { case (k, ps) => (s"w:$k", ps) },
-                 prevWarehouse.map { case (k, v) => (s"w:$k", v) })
+                 if (vsPrevOn) prevWarehouse.map { case (k, v) => (s"w:$k", v) }
+                 else Map.empty)
     val susJson = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Headline integrity (round 8: 22 crashed queries summed to a 51.8 s
@@ -476,6 +544,13 @@ object Bench {
     val whPartial =
       if (whTotal >= 0) ""
       else s""""partial_total":${r3(whTotalRaw)},"""
+    // mixed pass series (-1 published, a clean pass survives): surface the
+    // surviving min as a first-class partial_* field, same rule as the
+    // pipeline/warehouse totals
+    val matPartial = partialMin(matPasses)
+      .map(v => s""""materialize_partial_sec":${r3(v)},""").getOrElse("")
+    val dcPartial = partialMin(dcPasses)
+      .map(v => s""""daily_cycle_partial_sec":${r3(v)},""").getOrElse("")
     def passesArr(ps: Seq[Double]): String =
       ps.map(r3).mkString("[", ",", "]")
     val fullLine =
@@ -484,13 +559,14 @@ object Bench {
       s""""median":${jmap(medians(pSeries), r3)},""" +
       s""""passes":${jmapArr(pSeries)},""" +
       s""""warehouse":{"materialize_sec":${r3(matSec)},""" +
-      s""""materialize_passes":${passesArr(matPasses)},""" +
+      s"""$matPartial"materialize_passes":${passesArr(matPasses)},""" +
       s"""$whPartial"total":${r3(whTotal)},"queries":${jmap(wMin, r3)},""" +
       s""""median":${jmap(medians(wSeries), r3)},""" +
       s""""passes":${jmapArr(wSeries)},""" +
       s""""daily_cycle_sec":${r3(dailyCycleSec)},""" +
-      s""""daily_cycle_passes":${passesArr(dcPasses)}},""" +
+      s"""$dcPartial"daily_cycle_passes":${passesArr(dcPasses)}},""" +
       s""""dataset":$datasetJson,""" +
+      s""""vs_prev":"$vsPrev",""" +
       s""""pass_spread_gt5":$spread,"warm_spread_gt5":$warmSpread,""" +
       s""""loadavg_start":${r2(loadStart)},"loadavg_end":${r2(loadEnd)},""" +
       s""""suspect":$susJson,"errors":$errJson}"""
@@ -510,6 +586,10 @@ object Bench {
       s""""queries":${jmap(pMin, r2, shortKey)},"sf":"$sfTag",""" +
       s""""wh":{"mat":${r2(matSec)},"total":${r2(whTotal)},""" +
       s""""dc":${r2(dailyCycleSec)}}""" +
+      // when the vs_prev check did NOT run, the compact line must not let
+      // sus:0 read as "regression-checked, clean" — the full line carries
+      // the reason ("vs_prev" field), the compact line just the fact
+      (if (vsPrevOn) "" else s""","vsp":"off"""") +
       (if (warmSpread == 0) "" else s""","wspr":$warmSpread""") +
       (if (suspect.isEmpty) "" else s""","sus":${suspect.size}""") +
       (if (errors.isEmpty) "}" else s""","nerr":${errors.size}}""")

@@ -47,7 +47,8 @@ class BenchLineSpec extends AnyFunSuite {
       s""""pval":${Bench.r2(1234.56)},"cov":"100/101",""" +
       s""""queries":$qmap,"sf":"sf0.1",""" +
       s""""wh":{"mat":${Bench.r2(123.45)},"total":${Bench.r2(123.45)},""" +
-      s""""dc":${Bench.r2(123.45)}},"wspr":109,"sus":101,"nerr":328}"""
+      s""""dc":${Bench.r2(123.45)}},"vsp":"off","wspr":109,"sus":101,""" +
+      s""""nerr":328}"""
     assert(line.length < 1900, s"compact line ${line.length}B >= 1900B")
   }
 
@@ -141,6 +142,41 @@ class BenchLineSpec extends AnyFunSuite {
       Map("q_a" -> 1.5, "q_b" -> 0.08))
     val wh = json.substring(json.indexOf("\"warehouse\""))
     assert(Bench.parseQueryMap(wh, "queries") == Map("w_f_sales" -> 0.62))
+  }
+
+  test("parseDatasetObj extracts the balanced fingerprint object") {
+    val ds = """{"events":{"schema":"a1b2c3d4","rows":60000},""" +
+      """"orders":{"schema":"063b1b68","rows":15000}}"""
+    val json = s"""{"value":50.1,"dataset":$ds,"errors":[]}"""
+    assert(Bench.parseDatasetObj(json).contains(ds))
+    // absent (pre-r10 artifact) and unterminated shapes
+    assert(Bench.parseDatasetObj("""{"value":50.1,"errors":[]}""").isEmpty)
+    assert(Bench.parseDatasetObj("""{"dataset":{"orders":{"rows":1}""").isEmpty)
+  }
+
+  test("vs_prev gate: only a same-fingerprint prev artifact is a baseline") {
+    val cur = """{"orders":{"schema":"063b1b68","rows":15000}}"""
+    val prevSame = s"""{"value":41.1,"dataset":$cur,"errors":[]}"""
+    val prevOther = """{"value":41.1,"dataset":""" +
+      """{"orders":{"schema":"063b1b68","rows":99999}},"errors":[]}"""
+    val prevOld = """{"value":58.6,"errors":[]}""" // pre-r10: no fingerprint
+    assert(Bench.vsPrevStatus(prevSame, cur) == "checked")
+    // the r8/pre-r10 scenario: a driver-side regeneration — cross-dataset
+    // times must not fire (or mask) regression flags
+    assert(Bench.vsPrevStatus(prevOther, cur) == "skipped:dataset_changed")
+    assert(Bench.vsPrevStatus(prevOld, cur) == "skipped:prev_unfingerprinted")
+    assert(Bench.vsPrevStatus("", cur) == "no_prev")
+  }
+
+  test("partialMin surfaces the surviving pass of a mixed series only") {
+    // the r10 ADVICE shape: materialize pass 1 clean, warm pass failed —
+    // minOf poisons the published value, partialMin keeps the survivor
+    assert(Bench.partialMin(Seq(25.5, -1.0, -1.0)).contains(25.5))
+    assert(Bench.partialMin(Seq(-1.0, 22.2, 28.1)).contains(22.2))
+    // all-ok: no partial needed; all-failed: no survivor
+    assert(Bench.partialMin(Seq(25.5, 22.2, 23.0)).isEmpty)
+    assert(Bench.partialMin(Seq(-1.0, -1.0, -1.0)).isEmpty)
+    assert(Bench.partialMin(Nil).isEmpty)
   }
 
   test("suspect flags: warm>>cold and vs-prev regression") {
