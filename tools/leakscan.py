@@ -21,7 +21,18 @@ hash). Run from the repo root:
 
 Exit code 1 when hits are found, 0 when clean — usable as a pre-commit
 gate. The scanner skips itself and its own output (the pattern
-definitions below would otherwise self-match).
+definitions below would otherwise self-match). `sbt test` shells out to
+it via LeakScanSpec, so a leak introduced mid-round fails the build at
+commit time, not at round end.
+
+PROVENANCE NOTE — the committed stamp lags one commit BY CONSTRUCTION:
+committing LEAKSCAN.json changes the tree, so the artifact's
+`git_tree_hash` can never equal the tree of the commit that contains it.
+A verifier must compare `git_tree_hash` against the PARENT commit's tree
+(`git rev-parse <containing-commit>^^{tree}`) — or just re-run the
+scanner, which is cheap. The lag hides nothing: LEAKSCAN.json itself is
+excluded from the scanned surface, so the parent tree and the containing
+tree have identical scannable content.
 """
 import json
 import re
@@ -48,9 +59,10 @@ CATEGORIES = {
     "internal_host": re.compile(
         r"(?i)\b[a-z0-9][a-z0-9.-]*\.(corp|internal|intranet|local)\b"),
     # example.com/org/net are RFC 2606 reserved — the PII-scan specs use
-    # them as deliberate fixtures, which is exactly what they're for
+    # them as deliberate fixtures, which is exactly what they're for; the
+    # exemption covers subdomains (user@mail.example.com) per RFC intent
     "email": re.compile(
-        r"\b[A-Za-z0-9._%+-]+@(?!example\.(com|org|net)\b)"
+        r"\b[A-Za-z0-9._%+-]+@(?!([A-Za-z0-9-]+\.)*example\.(com|org|net)\b)"
         r"[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)*\.[A-Za-z]{2,}\b"),
     "url": re.compile(r"https?://[^\s\"'`)>\]]+"),
 }
