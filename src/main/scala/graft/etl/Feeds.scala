@@ -54,14 +54,18 @@ object Feeds {
       // the div-1000 would silently shift every timestamp ~1000× toward
       // 1970 — TestdataSchemaSpec pins types, not magnitudes. So the
       // magnitude is checked per-row IN the plan (codegen'd CASE, no
-      // driver-side sample job): plausible epoch-nanos for any date after
-      // mid-1973 exceed 1e17, while the same dates in micros (~1e15) or
-      // millis (~1e12) fall far below it — those fail loud, like the
-      // unknown-type arm.
+      // driver-side sample job) against the shared
+      // TestdataContract.EventsNanosFloor (1e17 ≈ 1973-03-03): plausible
+      // epoch-nanos for the pinned 1990-2035 window exceed it, while the
+      // same dates in micros (~1e15) or millis (~1e12) fall far below —
+      // those fail loud, like the unknown-type arm. Pre-Mar-1973 instants
+      // are rejected too; the floor's validity range is documented next
+      // to the eventsTs pin in TestdataContract.
       case LongType => df.withColumn("ts", expr(
-        """timestamp_micros(CASE
+        s"""timestamp_micros(CASE
           |  WHEN ts IS NULL THEN NULL
-          |  WHEN ts >= 100000000000000000 THEN ts div 1000
+          |  WHEN ts >= ${graft.sources.TestdataContract.EventsNanosFloor}
+          |    THEN ts div 1000
           |  ELSE raise_error(concat('events.ts: long value ', ts,
           |    ' is too small for epoch-nanos (micros/millis vintage?) — ',
           |    'adapt Feeds.normalizeEventTs'))

@@ -6,12 +6,15 @@ import org.apache.spark.sql.types._
 /** The pinned reader contract for the driver-generated testdata, plus the
   * two runtime services built on it:
   *
-  *  - [[preflight]]: a schema-only check every entry point (`Verify.main`,
-  *    `Bench.main`) runs BEFORE any query, so a driver-side testdata
-  *    regeneration surfaces as ONE message naming the table and column —
-  *    not as N downstream query crashes (round 8: `events.ts` changed
-  *    parquet type mid-round and the drift surfaced as 22 analysis
-  *    failures spread over two artifacts).
+  *  - [[preflight]] + [[yearWindowViolations]]: checks every entry point
+  *    (`Verify.main`, `Bench.main`) runs BEFORE any query, so a
+  *    driver-side testdata regeneration surfaces as ONE message naming
+  *    the table and column — not as N downstream query crashes (round 8:
+  *    `events.ts` changed parquet type mid-round and the drift surfaced
+  *    as 22 analysis failures spread over two artifacts). The schema
+  *    check is footer-only; the year-window check adds one min/max
+  *    aggregate per pinned ts column (a type-correct but decade-shifted
+  *    regeneration would silently move every date-derived mart).
   *  - [[fingerprintJson]]: the dataset identity (per-table schema hash +
   *    row count) stamped into `BENCH_full.json` and the Verify out-dir,
   *    so artifact consumers can tell a testdata regeneration from a code
@@ -33,8 +36,38 @@ object TestdataContract {
 
   /** events.ts additionally accepts nanos-as-long (the round 1-7
     * generator vintage, readable only with the nanosAsLong legacy conf
-    * that [[rawTable]] sets). */
+    * that [[rawTable]] sets).
+    *
+    * VALID INSTANT RANGE of the nanos arm: `Feeds.normalizeEventTs`
+    * accepts a long only when it is ≥ [[EventsNanosFloor]] (1e17 ns ≈
+    * 1973-03-03T09:46:40Z) — smaller values are indistinguishable from a
+    * micros/millis vintage and fail loud. Legitimate epoch-nanos for
+    * instants before ~Mar 1973 (and all pre-1970 negatives) are
+    * therefore rejected BY DESIGN; that is safe because the generator's
+    * pinned year window for events.ts ([[yearWindows]]: 1990-2035) sits
+    * entirely above the floor. */
   private val eventsTs: Set[DataType] = tsLike + LongType
+
+  /** Smallest long `Feeds.normalizeEventTs` accepts as epoch-NANOS
+    * (≈ 1973-03-03T09:46:40Z). Epoch-micros for any in-window date are
+    * ~1e15 and epoch-millis ~1e12 — both far below, so a unit-shifted
+    * vintage fails loud instead of silently landing near 1970. Shared by
+    * the in-plan guard (etl.Feeds) and the FeedsEventsSpec band
+    * assertions so the threshold cannot drift between them. */
+  val EventsNanosFloor: Long = 100000000000000000L
+
+  /** Pinned plausible YEAR windows (inclusive) for the generator's
+    * date/timestamp columns, from the observed generator ranges with
+    * margin: o_orderdate 1995..2001 and l_shipdate 1995..2001 (stable
+    * across every vintage so far) pinned at 1990-2010; events.ts
+    * 2024-01 pinned at 1990-2035 (the FeedsEventsSpec band). A
+    * regenerated table that is TYPE-correct but decade-shifted would
+    * silently move every date-derived mart; [[yearWindowViolations]]
+    * names it at preflight instead. */
+  val yearWindows: Seq[(String, String, Int, Int)] = Seq(
+    ("orders", "o_orderdate", 1990, 2010),
+    ("lineitem", "l_shipdate", 1990, 2010),
+    ("events", "ts", 1990, 2035))
 
   val tables: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -112,16 +145,70 @@ object TestdataContract {
         s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}"))
     }
 
-  /** All contract violations for a testdata dir; empty = contract holds. */
+  /** All SCHEMA contract violations for a testdata dir; empty = contract
+    * holds. Schema-only — value windows are [[yearWindowViolations]]. */
   def preflight(spark: SparkSession, dir: String): Seq[(String, String, String)] =
     tables.flatMap(checkTable(spark, dir, _))
+
+  /** Year of a raw min/max value as Spark returns it for the ts column
+    * flavors the contract accepts (java.sql.Timestamp for TimestampType,
+    * LocalDateTime for NTZ, raw epoch-nanos long for the legacy events
+    * vintage; Instant/LocalDate cover the java8 datetime API confs). */
+  private def yearOf(v: Any): Int = v match {
+    case l: java.lang.Long =>
+      java.time.Instant.ofEpochSecond(0, l)
+        .atZone(java.time.ZoneOffset.UTC).getYear
+    case ts: java.sql.Timestamp =>
+      ts.toInstant.atZone(java.time.ZoneOffset.UTC).getYear
+    case d: java.sql.Date => d.toLocalDate.getYear
+    case ldt: java.time.LocalDateTime => ldt.getYear
+    case ld: java.time.LocalDate => ld.getYear
+    case i: java.time.Instant => i.atZone(java.time.ZoneOffset.UTC).getYear
+    case other => throw new IllegalArgumentException(
+      s"unexpected min/max value class ${other.getClass.getName}")
+  }
+
+  /** Value-window violations for the pinned ts columns (r10 verdict item
+    * 4): one min/max aggregate per pinned column — raw column min/max
+    * (no expression wrapper), so parquet MIN/MAX footer-stat pushdown
+    * applies where enabled and at worst it is a single-column scan. The
+    * legacy events nanos-long column is converted driver-side, which
+    * also catches a unit-shifted long vintage here (micros read as nanos
+    * land in ~1970, outside every window) in addition to the per-row
+    * in-plan guard. An unreadable/missing column reports itself rather
+    * than throwing — preflight must never be the thing that crashes. */
+  private[graft] def yearWindowViolations(
+      spark: SparkSession, dir: String): Seq[(String, String, String)] =
+    yearWindows.flatMap { case (t, c, lo, hi) =>
+      try {
+        import org.apache.spark.sql.functions.{col, max, min}
+        val df = rawTable(spark, dir, t)
+        if (!df.schema.fieldNames.contains(c))
+          Seq((t, c, s"column $c missing (year-window check)"))
+        else {
+          val row = df.agg(min(col(c)), max(col(c))).head()
+          if (row.isNullAt(0)) Nil // empty table: nothing to window-check
+          else {
+            val (gotLo, gotHi) = (yearOf(row.get(0)), yearOf(row.get(1)))
+            if (gotLo >= lo && gotHi <= hi) Nil
+            else Seq((t, c,
+              s"$t.$c spans years [$gotLo, $gotHi], outside the pinned " +
+              s"window [$lo, $hi] — decade-shifted or unit-shifted " +
+              "regeneration? (TestdataContract.yearWindows)"))
+          }
+        }
+      } catch { case e: Throwable =>
+        Seq((t, c, s"$t.$c year-window check unreadable: " +
+          s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}"))
+      }
+    }
 
   /** Print violations loudly (one line per drift, table+column named) and
     * return them. Non-fatal by design: readers that adapt (tsLike sets)
     * pass untouched, and a drifted run still produces its per-query
     * artifacts — now with the root cause named FIRST in the log. */
   def preflightLoud(spark: SparkSession, dir: String): Seq[(String, String, String)] = {
-    val drift = preflight(spark, dir)
+    val drift = preflight(spark, dir) ++ yearWindowViolations(spark, dir)
     if (drift.nonEmpty) {
       System.err.println(
         s"[preflight] TESTDATA CONTRACT DRIFT in $dir — " +

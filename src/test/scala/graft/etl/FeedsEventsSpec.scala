@@ -45,7 +45,15 @@ class FeedsEventsSpec extends SparkSpec {
 
   test("a long ts below nanos magnitude fails loud, not shifted to 1970") {
     // the same instant in MICROS arriving as a plain INT64 — the nanos
-    // arm must refuse it per-row (raise_error), not divide it by 1000
+    // arm must refuse it per-row (raise_error), not divide it by 1000.
+    // The threshold is the SHARED constant, so guard and pins cannot
+    // drift apart: micros for the pinned window sit far below it, nanos
+    // far above.
+    val floor = graft.sources.TestdataContract.EventsNanosFloor
+    assert(nanos / 1000 < floor && nanos > floor)
+    // floor ≈ 1973-03-03: every year the window pins is representable
+    assert(java.time.Instant.ofEpochSecond(0, floor)
+      .atZone(java.time.ZoneOffset.UTC).getYear == 1973)
     val df = spark.range(1).select(lit(nanos / 1000).as("ts"))
     val out = Feeds.normalizeEventTs(df) // plan builds fine (lazy)
     val e = intercept[Exception](out.collect())
@@ -73,7 +81,11 @@ class FeedsEventsSpec extends SparkSpec {
     // date range and must fail HERE, not as silent ~1970 timestamps
     val Array(lo, hi) = ev.agg(min(year(col("ts"))), max(year(col("ts"))))
       .head().toSeq.map(_.asInstanceOf[Int]).toArray
-    assert(lo >= 1990 && hi <= 2035,
+    // band = the SAME pin preflight enforces (TestdataContract.yearWindows)
+    val (pinLo, pinHi) = graft.sources.TestdataContract.yearWindows
+      .collectFirst { case ("events", "ts", l, h) => (l, h) }
+      .getOrElse(fail("events.ts missing from TestdataContract.yearWindows"))
+    assert(lo >= pinLo && hi <= pinHi,
       s"events.ts normalized to implausible years [$lo, $hi] — " +
       "unit-shift drift in the reader or the generator")
   }
