@@ -40,7 +40,34 @@ object ScaleProbe {
     // round-7 additions: multi-probe payoff + ingest-drift monitor (the
     // latter is O(|Q|·N) exact ground truth BY DESIGN — a recall monitor
     // pays brute force on its query sample; the probe checks the constant)
-    "q_ivf_probe_recall", "q_ivf_ingest_recall")
+    "q_ivf_probe_recall", "q_ivf_ingest_recall",
+    // round-11: the remaining 49 queries — the probe now covers ALL of
+    // SparkEntry.queries, so the "no query is super-linear" claim is
+    // exhaustive rather than representative. Expected >N ratios are the
+    // documented flat-scan/quadratic-by-construction baselines that
+    // exist as exactness references beside their blocked/grained
+    // production siblings: q_ann_cosine_topk[_fast] (brute force),
+    // q_f_customer_retention (faithful period-only join, N6 quirk;
+    // *_grain is the scale path), q_dedup_embedding (label-blocked
+    // candidates grow quadratically within a label as copies share the
+    // label set; the IVF/LSH siblings are the scale path).
+    "q_ann_cosine_topk", "q_ann_cosine_topk_fast", "q_ann_ivf_assign",
+    "q_ann_ivf_topk", "q_ann_ivf_topk_probe2", "q_ann_kmeans_assign",
+    "q_bigram_freq", "q_corpus_curated_v2", "q_customer_research",
+    "q_d_calendar_inc", "q_d_item", "q_dedup_clusters_fast",
+    "q_dedup_embedding", "q_dedup_embedding_ivf", "q_dedup_embedding_lsh",
+    "q_dedup_minhash_lsh", "q_dedup_minhash_pairs_guarded",
+    "q_dedup_ngram_jaccard", "q_dedup_simhash64", "q_dedup_simhash_pairs",
+    "q_doc_fingerprint", "q_event_type_stats", "q_f_customer_retention",
+    "q_f_customer_retention_grain", "q_f_sales_inc", "q_f_sales_v2",
+    "q_fk_audit", "q_histogram_totalprice", "q_lang_id", "q_lang_id_ngram",
+    "q_multimodal_frames", "q_new_customers", "q_pii_scan", "q_price_log",
+    "q_pricing_summary", "q_profile_orders", "q_profile_quantiles",
+    "q_quantiles_by_flag", "q_refunded_customers_compact",
+    "q_returned_customers", "q_returned_customers_compact",
+    "q_sample_stratified", "q_shipping_priority", "q_split_train_val_test",
+    "q_top_customers", "q_user_activity_log", "q_user_order_log",
+    "q_user_order_log_inc", "q_word_freq")
 
   def makeBig(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     // the embedding rotation below is the identity at i = 64 (reintroducing
