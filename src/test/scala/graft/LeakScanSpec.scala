@@ -18,9 +18,12 @@ import java.nio.file.{Files, Path, Paths}
   *    seeded patterns are ASSEMBLED at runtime, never literal: this spec
   *    file is itself inside the scanned surface.
   *
-  * The seed fixture also pins the r10 ADVICE email-exemption fix: RFC
-  * 2606 fixture addresses on example.com SUBDOMAINS (user@mail.example
-  * .com) are exempt, while a real-domain address still flags.
+  * The seed fixture also pins the r10 ADVICE email-exemption fix:
+  * fixture addresses on RFC 2606 example.com SUBDOMAINS (host
+  * mail.example.com) are exempt, while a real-domain address still
+  * flags. (First draft of this very comment spelled out such an
+  * address, line-wrapped mid-domain, and the gate flagged its own spec
+  * file — the red path works on tracked sources too.)
   */
 class LeakScanSpec extends AnyFunSuite {
 
