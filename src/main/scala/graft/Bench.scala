@@ -136,7 +136,13 @@ object Bench {
     // round 11: the vs-prev gate's "vsp":"off" field joined the worst-case
     // line (12 B) — the two densest post-compression suffixes repay it
     // with headroom (27 B over the 101 names; worst case 1873 B)
-    "_prs" -> "P", "_inc" -> "I")
+    "_prs" -> "P", "_inc" -> "I",
+    // round 11b: three new queries (KMV sketch, Markov transitions, BM25)
+    // joined the line — whole-key tokens for them and for the longest
+    // leftover shorts keep the worst case under budget (1878 B measured)
+    "event_transitions" -> "etrn", "kmv_users" -> "kmv",
+    "qnt_by_flag" -> "qbf", "psg_dup_rt" -> "pdr",
+    "sl_roll_7d" -> "slr7", "prio_sl_slt" -> "psst")
 
   private[graft] def shortKey(name: String): String =
     keyTokens.foldLeft(name) { case (s, (from, to)) => s.replace(from, to) }

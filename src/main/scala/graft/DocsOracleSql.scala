@@ -396,6 +396,28 @@ tfidf_top AS (
                            t.w) AS BIGINT) AS rank
     FROM words_tf t JOIN words_df d ON d.w = t.w, n_docs_t n) s
   WHERE rank <= 3),
+bm25_corpus AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(words)) AS BIGINT) AS tot_tokens
+  FROM docs_words),
+bm25_scored AS (
+  SELECT t.doc_id,
+         CAST(sum(((1000 * s.n_docs) // d.df) * (t.tf * 220) //
+                  (100 * t.tf + (120 * (2500 + 75 *
+                     ((l.dl * 100) // (s.tot_tokens // s.n_docs)))) // 100))
+              AS BIGINT) AS score,
+         CAST(count(*) AS BIGINT) AS n_terms_hit
+  FROM (SELECT doc_id, w, tf FROM words_tf
+        WHERE w IN ('spark', 'hash', 'join')) t
+  JOIN words_df d ON d.w = t.w
+  JOIN (SELECT doc_id, CAST(len(words) AS BIGINT) AS dl FROM docs_words) l
+    ON l.doc_id = t.doc_id, bm25_corpus s
+  GROUP BY 1),
+bm25_top AS (
+  SELECT doc_id, score, n_terms_hit,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+  FROM bm25_scored
+  QUALIFY rank <= 10),
 contam_needles AS (
   SELECT DISTINCT shingle FROM docs_sh_d WHERE doc_id < 5),
 contamination AS (

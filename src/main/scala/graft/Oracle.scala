@@ -384,6 +384,7 @@ customer_cumrev AS (
     "q_split_train_val_test" -> fromDocs("split_tvt"),
     "q_corpus_curated"      -> fromDocs("corpus_curated"),
     "q_tfidf_top"           -> fromDocs("tfidf_top"),
+    "q_bm25_top"            -> fromDocs("bm25_top"),
     "q_contamination"       -> fromDocs("contamination"),
     "q_pii_scan"            -> fromDocs("pii_scan"),
     "q_repetition"          -> fromDocs("repetition"),
@@ -448,6 +449,38 @@ customer_cumrev AS (
              CAST(count(DISTINCT CAST(user_id AS BIGINT)) AS BIGINT) AS n_users,
              CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS quantity
       FROM events GROUP BY 1""",
+    // deterministic KMV sketch: same md5-prefix integers, same distinct-
+    // hash set, same floor division — the estimate is bit-identical
+    "q_kmv_users" -> """
+      WITH dh AS (
+        SELECT DISTINCT event_type,
+               ('0x' || substr(md5(CAST(CAST(user_id AS BIGINT) AS VARCHAR)),
+                               1, 8))::BIGINT AS h
+        FROM events),
+      rk AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rnk,
+               count(*) OVER (PARTITION BY event_type) AS nd
+        FROM dh)
+      SELECT event_type, CAST(max(nd) AS BIGINT) AS n_hashes,
+             CAST(count(*) AS BIGINT) AS k_used,
+             max(h) AS kth_hash,
+             CAST(CASE WHEN max(nd) <= 64 THEN max(nd)
+                  ELSE (63 * 4294967296) // max(h) END AS BIGINT) AS est_users
+      FROM rk WHERE rnk <= 64 GROUP BY 1""",
+    "q_event_transitions" -> """
+      WITH ev AS (
+        SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+               date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts2, event_type
+        FROM events),
+      tr AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts2, event_id) AS from_type
+        FROM ev)
+      SELECT from_type, event_type AS to_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM tr WHERE from_type IS NOT NULL GROUP BY 1, 2""",
     "q_fk_audit" -> Seq(
       ("lineitem", "l_orderkey", "orders", "o_orderkey"),
       ("lineitem", "l_partkey", "part", "p_partkey"),

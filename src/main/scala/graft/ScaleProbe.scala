@@ -67,7 +67,9 @@ object ScaleProbe {
     "q_returned_customers", "q_returned_customers_compact",
     "q_sample_stratified", "q_shipping_priority", "q_split_train_val_test",
     "q_top_customers", "q_user_activity_log", "q_user_order_log",
-    "q_user_order_log_inc", "q_word_freq")
+    "q_user_order_log_inc", "q_word_freq",
+    // round-11b additions: KMV distinct sketch, Markov transitions, BM25
+    "q_kmv_users", "q_event_transitions", "q_bm25_top")
 
   def makeBig(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     // the embedding rotation below is the identity at i = 64 (reintroducing

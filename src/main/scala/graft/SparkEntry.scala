@@ -123,6 +123,12 @@ object SparkEntry {
     // streaming sessionizer) + per-type stats with exact distinct users
     "q_sessionize"       -> ((s, d) => ops.Sessions.sessions(s, d)),
     "q_event_type_stats" -> ((s, d) => ops.Sessions.eventTypeStats(s, d)),
+    // deterministic KMV distinct-user sketch (oracle-checkable, unlike HLL)
+    "q_kmv_users" -> ((s, d) => ops.Sessions.kmvUsers(s, d)),
+    // first-order Markov transition counts over per-user event streams
+    "q_event_transitions" -> ((s, d) => ops.Sessions.eventTransitions(s, d)),
+    // BM25-shaped retrieval: top-k docs for a fixed query (integer-quantized)
+    "q_bm25_top" -> ((s, d) => ops.TextOps.bm25Top(s, d)),
     // trailing-7-day rolling revenue per item (RANGE window over daily grain)
     "q_sales_rolling_7d" -> ((s, d) => money(
       ops.Analytics.rollingSales7dOf(Pipeline.of(s, d).uol),

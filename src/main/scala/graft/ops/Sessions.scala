@@ -72,6 +72,78 @@ object Sessions {
            approx_count_distinct(col("user_id").cast("long"), rsd)
              .as("n_users_approx"))
 
+  /** KMV (k-minimum-values) distinct sketch — the DETERMINISTIC sibling of
+    * the HLL variant above, so the sketch path itself is oracle-checkable:
+    * both engines md5 the same user-id string, keep the k smallest 32-bit
+    * hash prefixes per group, and estimate D ≈ (k-1)·2^32 / h_k with pure
+    * integer arithmetic (bit-identical cross-engine; HLL register layouts
+    * are engine-private, which is why `n_users_approx` can't be checked).
+    *
+    * Mergeability is the point at 100 TB: a KMV synopsis is a k-element
+    * min-set, so partial sketches union by "merge, keep k smallest" —
+    * associative and commutative like any partial agg. Here the plan is
+    * (a) partial-agg dedup of (group, h) — the big shuffle, same cost as
+    * exact countDistinct's first phase; (b) a per-group rank window over
+    * DISTINCT hashes only, bounded by the group's distinct cardinality and
+    * cut to k rows immediately. Estimator edge: when a group has ≤ k
+    * distinct hashes the sketch IS the exact set, so the estimate is the
+    * exact count.
+    *
+    * Determinism notes mirrored in the oracle: the hashed key is the
+    * BIGINT rendered as a decimal string; the 8-hex-char prefix parses via
+    * exact integer bit-arithmetic (`conv` here, `('0x'||…)::BIGINT` in
+    * DuckDB); duplicate prefixes collapse BEFORE ranking (KMV is defined
+    * over the distinct-hash set); `div` floors like DuckDB's `//` for the
+    * non-negative operands here. */
+  def kmvUsersOf(events: DataFrame, k: Int = 64): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2 (estimator divides by h_k at rank k)")
+    val twoPow32 = 4294967296L
+    val dh = events
+      .select(col("event_type"),
+              conv(substring(md5(col("user_id").cast("long").cast("string")),
+                             1, 8), 16, 10).cast("long").as("h"))
+      .distinct()
+    val byType = Window.partitionBy("event_type")
+    val ranked = dh
+      .withColumn("rnk", row_number().over(byType.orderBy("h")))
+      .withColumn("nd", count(lit(1)).over(byType))
+      .where(col("rnk") <= k)
+    ranked.groupBy("event_type")
+      .agg(max(col("nd")).as("n_hashes"),
+           count(lit(1)).as("k_used"),
+           max(col("h")).as("kth_hash"))
+      .select(col("event_type"), col("n_hashes"), col("k_used"),
+        col("kth_hash"),
+        when(col("n_hashes") <= k, col("n_hashes"))
+          .otherwise(expr(s"(${k - 1}L * ${twoPow32}L) div kth_hash"))
+          .as("est_users"))
+  }
+
+  def kmvUsers(spark: SparkSession, dir: String): DataFrame =
+    kmvUsersOf(Feeds.events(spark, dir))
+
+  /** Event-type transition counts (first-order Markov edges): for each
+    * user's totally-ordered event stream, count (from_type → to_type)
+    * adjacencies. The order is (second-truncated ts, event_id) — total
+    * because event_id is unique — the same cross-engine ordering rule the
+    * sessionizer pins. Scale: one shuffle on user_id for the lag window,
+    * then a partial-agg groupBy on the (from, to) pair whose result is
+    * bounded by |event_type|²; no global window anywhere. */
+  def eventTransitionsOf(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts2", "event_id")
+    events
+      .select(col("event_id"), col("user_id").cast("long").as("user_id"),
+              date_trunc("second", col("ts")).as("ts2"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(byUser))
+      .where(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"),
+           countDistinct(col("user_id")).as("n_users"))
+  }
+
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame =
+    eventTransitionsOf(Feeds.events(spark, dir))
+
   /** Ordered funnel conversion: stage k counts users whose EARLIEST
     * stage-k event is at-or-after their earliest stage-(k-1) event,
     * chained from stage 0. One (user, type) min-aggregation (the only

@@ -243,6 +243,70 @@ object TextOps {
   def tfidfTop(spark: SparkSession, dir: String): DataFrame =
     tfidfTopOf(docsWords(spark, dir))
 
+  /** BM25-shaped relevance ranking of the corpus against a fixed query —
+    * the retrieval scorer a data pipeline uses for "find training docs
+    * about X" sweeps. Top-k docs by summed per-term score, ties by doc_id.
+    *
+    * Scoring is ALL-INTEGER (house rule, same reason as tfidf): each term
+    * contributes
+    *   w_t · (tf·220) div (100·tf + (120·(2500 + 75·rel)) div 100)
+    * which is the BM25 saturation term with k1=1.2, b=0.75 quantized to
+    * hundredths, where rel = (dl·100) div avgdl is the doc-length ratio in
+    * percent and avgdl = total_tokens div N. The term weight is the LINEAR
+    * rarity w_t = (1000·N) div df rather than log-idf: on this corpus's
+    * ~30-word vocabulary every df is within 2× of N, so integer log2(N/df)
+    * would be uniformly zero and rank nothing, while the linear weight
+    * keeps the same rarer-counts-more monotonicity at full integer
+    * resolution. (At a real corpus's df spread, swap w_t for the tfidf
+    * operator's `length(bin(N div df))-1` log — one line, same plan.)
+    *
+    * Determinism: every operand is a BIGINT and `div` floors exactly like
+    * DuckDB's `//` on these non-negative values; the per-doc sum is an
+    * integer sum of ≤|terms| values, so accumulation order can't change
+    * it. Scale: tf is a (doc, dl, term) partial agg pre-filtered to the
+    * query terms map-side (the scan keeps only matching tokens, so the
+    * shuffle carries ≤|terms| rows per doc, with the doc length riding
+    * the grouping key — no per-doc-length join); df re-aggregates the
+    * collapsed tf rows; df and the corpus stats join as |terms|-row /
+    * 1-row broadcasts; the final top-k plans as TakeOrdered — no global
+    * sort, no global window. */
+  def bm25TopOf(docsWords: DataFrame, terms: Seq[String],
+                k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    val stats = docsWords.agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum(size(col("words"))).cast("long").as("tot_tokens"))
+    // dl rides the tf grouping key (functionally dependent on doc_id), so
+    // no separate per-doc-length relation or join exists; df is one more
+    // partial agg over the already-collapsed tf rows (≤|terms| per doc)
+    val tf = docsWords
+      .select(col("doc_id"), size(col("words")).cast("long").as("dl"),
+              explode(col("words")).as("w"))
+      .where(col("w").isin(terms: _*))
+      .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfq), "w")
+      .crossJoin(broadcast(stats))
+      .withColumn("rel",
+        expr("(dl * 100L) div (tot_tokens div n_docs)"))
+      .withColumn("term_score", expr(
+        "((1000L * n_docs) div df) * (tf * 220L) div " +
+          "(100L * tf + (120L * (2500L + 75L * rel)) div 100L)"))
+      .groupBy("doc_id")
+      .agg(sum(col("term_score")).as("score"),
+           count(lit(1)).as("n_terms_hit"))
+    val top = scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+    // rank window runs over the k collected rows only — never the corpus
+    top.withColumn("rank", row_number().over(
+      Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+  }
+
+  /** Query form: a fixed 3-term probe present in the synthetic corpus. */
+  def bm25Top(spark: SparkSession, dir: String): DataFrame =
+    bm25TopOf(docsWords(spark, dir), Seq("spark", "hash", "join"))
+
   /** Benchmark DECONTAMINATION — the curation step that removes training
     * docs overlapping an eval set: count per doc the distinct 3-gram
     * shingles it shares with the needle set. The needle set is tiny

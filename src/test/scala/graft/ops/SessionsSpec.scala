@@ -93,6 +93,65 @@ class SessionsSpec extends SparkSpec {
     assert(r == ((3L, 3L, 1L)))
   }
 
+  test("KMV sketch: a group with <= k distinct hashes reports the exact count") {
+    val e = Seq(
+      (1L, 42L, ts(0), "view", 0.0), (2L, 42L, ts(1), "view", 0.0),
+      (3L, 7L, ts(2), "view", 0.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val r = Sessions.kmvUsersOf(e, k = 64)
+      .select("event_type", "n_hashes", "k_used", "est_users")
+      .as[(String, Long, Long, Long)].head()
+    assert(r == (("view", 2L, 2L, 2L)))
+  }
+
+  test("KMV hash prefix parses as the same integer DuckDB's hex cast yields") {
+    // md5("42") = a1d0c6e8... -> 0xa1d0c6e8 = 2714814184 (pinned against
+    // a live DuckDB ('0x'||substr(md5('42'),1,8))::BIGINT probe)
+    val e = Seq((1L, 42L, ts(0), "view", 0.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val kth = Sessions.kmvUsersOf(e).select("kth_hash").as[Long].head()
+    assert(kth == 2714814184L)
+  }
+
+  test("KMV estimator matches an independent (k-1)*2^32/h_k reimplementation") {
+    val users = (1L to 40L)
+    val e = users.zipWithIndex.map { case (u, i) =>
+      (i.toLong, u, ts(i), "view", 0.0) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val k = 8
+    // independent hash path: JDK MessageDigest, not Spark's md5
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hashes = users.map { u =>
+      val hex = md.digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }.distinct.sorted
+    val hk = hashes(k - 1)
+    val expected = (k - 1).toLong * 4294967296L / hk
+    val r = Sessions.kmvUsersOf(e, k = k)
+      .select("n_hashes", "k_used", "kth_hash", "est_users")
+      .as[(Long, Long, Long, Long)].head()
+    assert(r == ((40L, k.toLong, hk, expected)))
+    // sanity: the estimate lands in the right neighborhood of the truth
+    assert(expected > 10L && expected < 160L)
+  }
+
+  test("event transitions count ordered adjacencies; ties order by event_id") {
+    val e = Seq(
+      // user 1: a -> b -> c (b,c share a second: event_id breaks the tie)
+      (1L, 1L, ts(0), "a", 0.0), (2L, 1L, ts(5), "b", 0.0),
+      (3L, 1L, ts(5), "c", 0.0),
+      // user 2: b -> c
+      (4L, 2L, ts(0), "b", 0.0), (5L, 2L, ts(9), "c", 0.0),
+      // user 3: single event -> no transition
+      (6L, 3L, ts(0), "a", 0.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = Sessions.eventTransitionsOf(e)
+      .select("from_type", "to_type", "n", "n_users")
+      .as[(String, String, Long, Long)].collect().sorted.toSeq
+    assert(got == Seq(("a", "b", 1L, 1L), ("b", "c", 2L, 2L)))
+  }
+
   test("approx distinct users within rsd tolerance of exact") {
     val ev = graft.etl.Feeds.events(spark, "/root/testdata/sf0.001")
     val exact = Sessions.eventTypeStatsOf(ev)

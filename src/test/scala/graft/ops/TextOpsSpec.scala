@@ -105,6 +105,34 @@ class TextOpsSpec extends SparkSpec {
     assert(m(1L)._4 == 0.0)
   }
 
+  test("bm25: hand-computed integer scores, rank order, absent docs dropped") {
+    // N=3, tot=11, avgdl=11 div 3=3; every term df=1 -> w_t=3000
+    // d0 rel=400 div 3=133:
+    //   spark tf=2: (3000*440) div (200+(120*(2500+75*133)) div 100) = 87
+    //   hash  tf=1: (3000*220) div (100+14970)                       = 43
+    // d1 rel=500 div 3=166:
+    //   join  tf=3: (3000*660) div (300+(120*(2500+75*166)) div 100) = 108
+    val dw = TextOps.withWords(TextOps.normalize(Seq(
+      (0L, "spark spark hash x"),
+      (1L, "join join join y z"),
+      (2L, "alpha beta"))
+      .toDF("doc_id", "text")))
+    val got = TextOps.bm25TopOf(dw, Seq("spark", "hash", "join"))
+      .select("doc_id", "score", "n_terms_hit", "rank")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._4).toSeq
+    assert(got == Seq((0L, 130L, 2L, 1L), (1L, 108L, 1L, 2L)))
+  }
+
+  test("bm25: longer docs score below shorter ones at equal tf (length norm)") {
+    val dw = TextOps.withWords(TextOps.normalize(Seq(
+      (0L, "needle a b"),
+      (1L, "needle a b c d e f g h i j k l m n o p q r s t u v w x y z"))
+      .toDF("doc_id", "text")))
+    val m = TextOps.bm25TopOf(dw, Seq("needle"))
+      .select("doc_id", "score").as[(Long, Long)].collect().toMap
+    assert(m(0L) > m(1L))
+  }
+
   test("fingerprint: identical normalized docs get identical fingerprints") {
     val two = TextOps.normalize(Seq(
       (0L, "same text here okay"), (1L, "Same   text here okay"))
