@@ -142,7 +142,20 @@ object Bench {
     // leftover shorts keep the worst case under budget (1878 B measured)
     "event_transitions" -> "etrn", "kmv_users" -> "kmv",
     "qnt_by_flag" -> "qbf", "psg_dup_rt" -> "pdr",
-    "sl_roll_7d" -> "slr7", "prio_sl_slt" -> "psst")
+    "sl_roll_7d" -> "slr7", "prio_sl_slt" -> "psst",
+    // round 11c: six new queries (basket, rolling actives, fuzzy, packing,
+    // anomaly, PIT) pushed the worst case to 2021 B — whole-key tokens for
+    // them plus the longest leftover shorts buy the line back (the tokens
+    // match POST-substitution forms; injectivity spec-checked)
+    "roll_active_users" -> "rau", "revenue_anomaly" -> "ranom",
+    "pack_sequences" -> "pack", "fuzzy_partP" -> "fzp",
+    "basketP" -> "bkp", "scd_pit" -> "sdp",
+    "f_cs_ret" -> "fcr", "br_qty_slt" -> "bqs", "lang_id" -> "lid",
+    "qual_score" -> "qsc", "a_cos_tk" -> "act", "cs_cumrev" -> "ccr",
+    "d_cal_wks" -> "dcw", "iving_rcl" -> "ivgr", "ivpb_rcl" -> "ivpr",
+    "price_log" -> "plog", "sl_rollup" -> "slru", "smp_strat" -> "smps",
+    "ship_prio" -> "shpr", "tfidf_top" -> "tft", "word_freq" -> "wfq",
+    "bm25_top" -> "bm25", "d_cs_scd" -> "dscd", "a_km_asn" -> "akm")
 
   private[graft] def shortKey(name: String): String =
     keyTokens.foldLeft(name) { case (s, (from, to)) => s.replace(from, to) }

@@ -716,5 +716,116 @@ customer_cumrev AS (
                  AND c.vec_id != q.vec_id)) t"""),
     "q_dedup_pairs_verified" -> fromDocs("dedup_pairs_verified"),
     "q_corpus_stats"         -> fromDocs("corpus_stats"),
-    "q_dedup_clusters_verified" -> fromDocs("dedup_clusters_verified"))
+    "q_dedup_clusters_verified" -> fromDocs("dedup_clusters_verified"),
+    // market-basket pair mining: set-based baskets (DISTINCT order×part),
+    // support ≥ 2; lift = exact integer counts, ONE double division
+    "q_basket_pairs" -> """
+      WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      n_ord AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+                FROM items),
+      freq AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+               FROM items GROUP BY 1),
+      pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(count(*) AS BIGINT) AS n_both
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2)
+      SELECT part_a, part_b, n_both, fa.n AS n_a, fb.n AS n_b,
+             CAST(n_both * n_orders AS DOUBLE)
+               / CAST(fa.n * fb.n AS DOUBLE) AS lift
+      FROM pairs
+      JOIN freq fa ON part_a = fa.l_partkey
+      JOIN freq fb ON part_b = fb.l_partkey, n_ord""",
+    // DAU + trailing-7d WAU per activity day via the bounded ×7 window
+    // expansion (range(0,7) here ≡ sequence(day, day+6) on the Spark side)
+    "q_rolling_active_users" -> """
+      WITH ud AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                         CAST(user_id AS BIGINT) AS user_id FROM events),
+      wau AS (SELECT day + CAST(x AS INTEGER) AS day,
+                     CAST(count(DISTINCT user_id) AS BIGINT) AS wau_users
+              FROM ud, range(0, 7) t(x) GROUP BY 1),
+      dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau_users
+              FROM ud GROUP BY 1)
+      SELECT CAST(dau.day AS TIMESTAMP) AS day, dau_users, wau_users,
+             CAST(dau_users AS DOUBLE) / CAST(wau_users AS DOUBLE)
+               AS stickiness
+      FROM dau JOIN wau ON dau.day = wau.day""",
+    // blocked fuzzy match over distinct part names: block = head noun
+    // (last whitespace token), verify by Levenshtein ≤ 3
+    "q_fuzzy_part_pairs" -> """
+      WITH names AS (
+        SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_parts,
+               string_split(p_name, ' ')[-1] AS block
+        FROM part GROUP BY 1)
+      SELECT a.name AS name_a, b.name AS name_b,
+             CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist,
+             a.n_parts AS n_a, b.n_parts AS n_b
+      FROM names a JOIN names b ON a.block = b.block AND a.name < b.name
+      WHERE levenshtein(a.name, b.name) <= 3""",
+    // concat-then-chunk sequence packing: shard = doc_id % 8, chunk = the
+    // 512-token window the doc STARTS in (integer // ≡ Spark div)
+    "q_pack_sequences" -> (docsPrelude + """
+      SELECT shard, chunk, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM (
+        SELECT doc_id, shard, n_tokens,
+               (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                 - n_tokens) // 512 AS chunk
+        FROM (SELECT doc_id, doc_id % 8 AS shard,
+                     CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens
+              FROM docs) t) p
+      GROUP BY 1, 2"""),
+    // rolling z-score anomaly over daily revenue: exact integer cents
+    // through the window sums; the double expression tree is
+    // parenthesis-identical to Analytics.revenueAnomalyOf
+    "q_revenue_anomaly" -> """
+      WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS day,
+               sum(CAST(o_totalprice AS DECIMAL(14,2))) AS rev,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1),
+      d2 AS (
+        SELECT day, rev, n_orders, CAST(rev * 100 AS BIGINT) AS rev_c,
+               CAST(date_diff('day', DATE '1992-01-01', day) AS BIGINT)
+                 AS day_num
+        FROM daily),
+      win AS (
+        SELECT day, rev, n_orders, rev_c,
+               CAST(sum(rev_c) OVER w AS BIGINT) AS w_sum,
+               CAST(sum(rev_c * rev_c) OVER w AS BIGINT) AS w_sumsq,
+               CAST(count(*) OVER w AS BIGINT) AS w_n
+        FROM d2
+        WINDOW w AS (ORDER BY day_num
+                     RANGE BETWEEN 27 PRECEDING AND CURRENT ROW)),
+      sc AS (
+        SELECT *, CAST(w_sum AS DOUBLE) / CAST(w_n AS DOUBLE) AS mu,
+               greatest((CAST(w_sumsq AS DOUBLE)
+                         - CAST(w_sum AS DOUBLE) * CAST(w_sum AS DOUBLE)
+                           / CAST(w_n AS DOUBLE))
+                        / CAST(w_n - 1 AS DOUBLE), 0.0) AS variance
+        FROM win WHERE w_n >= 8),
+      z AS (
+        SELECT day, rev, n_orders,
+               CASE WHEN sqrt(variance) > 0
+                    THEN (CAST(rev_c AS DOUBLE) - mu) / sqrt(variance)
+               END AS z
+        FROM sc)
+      SELECT CAST(day AS TIMESTAMP) AS day, CAST(rev AS DOUBLE) AS rev,
+             n_orders, z, (z IS NOT NULL AND abs(z) > 2.5) AS is_anomaly
+      FROM z""",
+    // SCD2 point-in-time attribution: revenue by the city each customer
+    // was in 30 days before the sale; pre-history sales keep NULL city
+    "q_scd_pit" -> (prelude + """
+      SELECT asof_city_id, CAST(count(*) AS BIGINT) AS n_sales,
+             CAST(sum(payment_amount) AS DOUBLE) AS revenue
+      FROM (
+        SELECT h.city_id AS asof_city_id, s.payment_amount
+        FROM uol_v2 s LEFT JOIN d_customer_scd h
+          ON s.customer_id = h.customer_id
+         AND s.date_time - INTERVAL 30 DAY >= h.valid_from
+         AND (h.valid_to IS NULL
+              OR s.date_time - INTERVAL 30 DAY <= h.valid_to)) t
+      GROUP BY 1"""))
 }

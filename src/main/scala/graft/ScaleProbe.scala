@@ -69,7 +69,11 @@ object ScaleProbe {
     "q_top_customers", "q_user_activity_log", "q_user_order_log",
     "q_user_order_log_inc", "q_word_freq",
     // round-11b additions: KMV distinct sketch, Markov transitions, BM25
-    "q_kmv_users", "q_event_transitions", "q_bm25_top")
+    "q_kmv_users", "q_event_transitions", "q_bm25_top",
+    // round-11c: basket mining, rolling actives, blocked fuzzy match,
+    // sequence packing, rolling anomaly, SCD2 point-in-time
+    "q_basket_pairs", "q_rolling_active_users", "q_fuzzy_part_pairs",
+    "q_pack_sequences", "q_revenue_anomaly", "q_scd_pit")
 
   def makeBig(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     // the embedding rotation below is the identity at i = 64 (reintroducing

@@ -216,7 +216,20 @@ object SparkEntry {
     // the full production dedup composition: candidates → exact-Jaccard
     // verification → connected components
     "q_dedup_clusters_verified" -> ((s, d) =>
-      ops.Dedup.clustersVerified(s, d)))
+      ops.Dedup.clustersVerified(s, d)),
+    // market-basket co-occurrence: bounded per-order pair fanout + lift
+    "q_basket_pairs" -> ((s, d) => ops.Basket.partPairs(s, d)),
+    // DAU / trailing-7d WAU / stickiness via bounded window expansion
+    "q_rolling_active_users" -> ((s, d) => ops.Sessions.rollingActiveUsers(s, d)),
+    // blocked fuzzy match: block on head noun, verify by edit distance
+    "q_fuzzy_part_pairs" -> ((s, d) => ops.Fuzzy.fuzzyPartPairs(s, d)),
+    // concat-then-chunk sequence packing, sharded for parallelism
+    "q_pack_sequences" -> ((s, d) => ops.Pack.packSequences(s, d)),
+    // rolling z-score anomaly flags over daily revenue (exact-cents window)
+    "q_revenue_anomaly" -> ((s, d) => ops.Analytics.revenueAnomaly(s, d)),
+    // SCD2 point-in-time attribution: city as of 30 days before each sale
+    "q_scd_pit" -> ((s, d) => { val p = Pipeline.of(s, d)
+      ops.Analytics.scdPointInTimeOf(p.uolV2, etl.Dims.dCustomerScd(p.uolV2)) }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

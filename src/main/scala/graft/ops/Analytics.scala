@@ -246,4 +246,91 @@ object Analytics {
                    .as("revenue"), col("n_orders"),
                  bucket.cast("long").as("decile"))
   }
+
+  /** Rolling z-score anomaly detection over daily order revenue: each day's
+    * revenue is scored against the trailing-`windowDays` mean/stddev and
+    * flagged when |z| > `zThresh`.
+    *
+    * Cross-engine float determinism (check.py compares strings exactly):
+    * revenue is held as exact integer CENTS through the daily aggregation
+    * AND the rolling window sums (sum and sum-of-squares are BIGINT — exact
+    * regardless of accumulation order; sumsq stays < 2^63 up to ~1e5
+    * orders/day, far beyond the tested SFs — at true warehouse scale this
+    * column would move to DECIMAL with a documented tolerance compare).
+    * Doubles appear only in the final mean/variance/z expressions, built
+    * from those exact integers with the SAME operation tree as the oracle —
+    * int64→double conversion and each IEEE op are correctly rounded in both
+    * engines, so results are bit-identical.
+    *
+    * Scale shape: the daily rollup collapses the fact table to a
+    * dimension-sized frame (one row per day — thousands of rows at any SF),
+    * so the global RANGE window after it is bounded-domain by construction,
+    * same stance as the rolling-7d mart. The range frame is over an integer
+    * day number, immune to calendar gaps. Warm-up days (< `minDays` of
+    * trailing history) are not scored. */
+  def revenueAnomalyOf(orders: DataFrame, windowDays: Int = 28,
+                       zThresh: Double = 2.5, minDays: Int = 8): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(14, 2))).as("rev"),
+           count(lit(1)).as("n_orders"))
+      .select(col("day"), col("rev"), col("n_orders"),
+        (col("rev") * lit(100)).cast("long").as("rev_c"),
+        datediff(col("day"), lit("1992-01-01").cast("date")).cast("long")
+          .as("day_num"))
+    val w = Window.orderBy("day_num").rangeBetween(-(windowDays - 1), 0)
+    val scored = daily
+      .withColumn("w_sum", sum("rev_c").over(w))
+      .withColumn("w_sumsq", sum(col("rev_c") * col("rev_c")).over(w))
+      .withColumn("w_n", count(lit(1)).over(w))
+      .where(col("w_n") >= minDays)
+      // identical parenthesization on the oracle side — see scaladoc
+      .withColumn("mu", col("w_sum").cast("double") / col("w_n").cast("double"))
+      .withColumn("variance",
+        greatest(
+          (col("w_sumsq").cast("double") -
+            col("w_sum").cast("double") * col("w_sum").cast("double") /
+              col("w_n").cast("double")) /
+            (col("w_n") - lit(1)).cast("double"),
+          lit(0.0)))
+      .withColumn("sigma", sqrt(col("variance")))
+      .withColumn("z",
+        when(col("sigma") > 0,
+          (col("rev_c").cast("double") - col("mu")) / col("sigma")))
+    scored.select(col("day").cast("timestamp").as("day"),
+      col("rev").cast("double").as("rev"), col("n_orders"), col("z"),
+      (col("z").isNotNull && abs(col("z")) > zThresh).as("is_anomaly"))
+  }
+
+  def revenueAnomaly(spark: SparkSession, dir: String): DataFrame =
+    revenueAnomalyOf(Feeds.table(spark, dir, "orders"))
+
+  /** Point-in-time (time-travel) lookup against the SCD2 customer-city
+    * history: each sale is attributed to the city the customer was in
+    * `lagDays` BEFORE the sale — the as-of join every SCD2 dimension
+    * exists to serve. Sales predating the customer's first recorded city
+    * fall in the NULL-city bucket (kept visible via left join).
+    *
+    * Scale shape: equi-join on customer_id (sort-merge co-partition) with
+    * the validity-range predicate as a residual filter; SCD2 intervals are
+    * disjoint per customer so the join multiplicity is ≤1 — no fanout. The
+    * per-customer history is dimension-sized; the output rollup is one
+    * partial-agg groupBy on city. */
+  def scdPointInTimeOf(uolV2: DataFrame, scd: DataFrame,
+                       lagDays: Int = 30): DataFrame = {
+    val sales = uolV2
+      .select(col("customer_id"), col("payment_amount"),
+        (col("date_time") - expr(s"INTERVAL $lagDays DAY")).as("pit"))
+    val hist = scd.select(col("customer_id").as("h_customer_id"),
+      col("city_id").as("asof_city_id"), col("valid_from"), col("valid_to"))
+    sales
+      .join(hist,
+        col("customer_id") === col("h_customer_id") &&
+          col("pit") >= col("valid_from") &&
+          (col("valid_to").isNull || col("pit") <= col("valid_to")),
+        "left")
+      .groupBy("asof_city_id")
+      .agg(count(lit(1)).as("n_sales"),
+           sum(col("payment_amount")).cast("double").as("revenue"))
+  }
 }

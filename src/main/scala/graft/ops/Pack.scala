@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training-batch construction: concatenate
+  * documents in a deterministic order and chunk the token stream at a fixed
+  * context-window capacity — the "concat-then-chunk" packing used by
+  * pretraining data loaders (each chunk becomes one training sequence).
+  *
+  * Scale shape: packing is inherently sequential (a running token total),
+  * so the stream is SHARDED first (`doc_id % nShards`) and the cumulative
+  * sum runs per shard — a single hash shuffle, then independent per-shard
+  * windows. At 100 TB, nShards is sized to cluster parallelism (2^12-2^16);
+  * each shard's window is a sort within its partition, never a global sort.
+  * The assignment rule (a doc belongs to the chunk its FIRST token lands
+  * in) is pinned and mirrored in the DuckDB oracle; all arithmetic is
+  * integer (exact cross-engine).
+  */
+object Pack {
+
+  /** Per-(shard, chunk) packing summary: document count, token total, and
+    * the id range packed into the chunk. `chunk_tokens` may exceed
+    * `capacity` by at most one document's overhang (the doc that straddles
+    * the boundary contributes all its tokens to the chunk it starts in —
+    * loaders either split it or pad; the summary keeps it whole so the
+    * numbers are auditable). */
+  def packSequencesOf(docsWords: DataFrame, nShards: Int = 8,
+                      capacity: Int = 512): DataFrame = {
+    val toks = docsWords.select(
+      col("doc_id"),
+      (col("doc_id") % nShards).as("shard"),
+      size(col("words")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    toks
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("chunk", expr(s"(cum - n_tokens) div ${capacity.toLong}"))
+      .groupBy("shard", "chunk")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_tokens").as("chunk_tokens"),
+           min("doc_id").as("first_doc"),
+           max("doc_id").as("last_doc"))
+  }
+
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    packSequencesOf(TextOps.docsWords(spark, dir))
+}

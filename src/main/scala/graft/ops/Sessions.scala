@@ -171,4 +171,41 @@ object Sessions {
   /** signup → view → purchase over the events feed. */
   def funnel(spark: SparkSession, dir: String): DataFrame =
     funnelOf(Feeds.events(spark, dir), Seq("signup", "view", "purchase"))
+
+  /** Rolling active users — DAU and trailing-`windowDays` distinct users
+    * (WAU at the default 7) per activity day, plus the DAU/WAU stickiness
+    * ratio.
+    *
+    * The naive formulation is a per-day range self-join over the whole
+    * event log (quadratic in days × events). Instead: dedup to (user, day)
+    * once, then EXPAND each active day to the `windowDays` window-ending
+    * days it contributes to (a bounded ×7 map-side fanout via
+    * `sequence`+`explode` — no join at all), and count distinct users per
+    * window-ending day with Spark's two-phase partial aggregation. At
+    * 100 TB the expansion is the standard trick: shuffle volume is
+    * 7 × |user-days| (already deduped, ≪ |events|), and the final groupBy
+    * key (day) is low-cardinality but the partial dedup on (day, user)
+    * spreads the work before the merge. Anchor days are days with their
+    * own activity (inner join DAU∧WAU) — mirrored in the oracle. */
+  def rollingActiveUsersOf(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val userDays = events
+      .select(to_date(col("ts")).as("day"), col("user_id").cast("long").as("user_id"))
+      .distinct()
+    val wau = userDays
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), windowDays - 1))).as("day"))
+      .groupBy("day")
+      .agg(countDistinct("user_id").as("wau_users"))
+    val dau = userDays.groupBy("day").agg(count(lit(1)).as("dau_users"))
+    // day-grain outputs ship as midnight TIMESTAMP (house rule: DATE
+    // stringification differs across engines; see sale_date in rolling-7d)
+    dau.join(wau, Seq("day"))
+      .select(col("day").cast("timestamp").as("day"),
+        col("dau_users"), col("wau_users"),
+        (col("dau_users").cast("double") / col("wau_users").cast("double"))
+          .as("stickiness"))
+  }
+
+  def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame =
+    rollingActiveUsersOf(Feeds.events(spark, dir))
 }
