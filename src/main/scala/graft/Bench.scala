@@ -155,7 +155,16 @@ object Bench {
     "d_cal_wks" -> "dcw", "iving_rcl" -> "ivgr", "ivpb_rcl" -> "ivpr",
     "price_log" -> "plog", "sl_rollup" -> "slru", "smp_strat" -> "smps",
     "ship_prio" -> "shpr", "tfidf_top" -> "tft", "word_freq" -> "wfq",
-    "bm25_top" -> "bm25", "d_cs_scd" -> "dscd", "a_km_asn" -> "akm")
+    "bm25_top" -> "bm25", "d_cs_scd" -> "dscd", "a_km_asn" -> "akm",
+    // round 11d: four more queries (triangles, vocab coverage, quality
+    // percentile, order gaps) — whole-key tokens for them and the densest
+    // leftover mid-length keys
+    "triangle_st" -> "tri", "vocab_coverage" -> "vcov",
+    "quality_pct_rank" -> "qpr", "order_gaps" -> "ogap",
+    "evt_st" -> "evs", "fk_aud" -> "fka", "hist_tp" -> "htp",
+    "mm_meta" -> "mmm", "mm_frm" -> "mmf", "top_css" -> "tcs",
+    "Dngjac" -> "dnj", "Dsh64P" -> "ds6P", "sl_cube" -> "slcb",
+    "sl_pivot" -> "slpv", "prc_sum" -> "prsm", "d_cal" -> "dcl")
 
   private[graft] def shortKey(name: String): String =
     keyTokens.foldLeft(name) { case (s, (from, to)) => s.replace(from, to) }

@@ -777,9 +777,11 @@ customer_cumrev AS (
                      CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens
               FROM docs) t) p
       GROUP BY 1, 2"""),
-    // rolling z-score anomaly over daily revenue: exact integer cents
-    // through the window sums; the double expression tree is
-    // parenthesis-identical to Analytics.revenueAnomalyOf
+    // rolling z-score anomaly over daily revenue: exact whole-dollar
+    // integers through the window sums (floor, not cast — DuckDB's
+    // decimal→int cast rounds; cents overflowed int64 sumsq at sf0.1);
+    // the double expression tree is parenthesis-identical to
+    // Analytics.revenueAnomalyOf
     "q_revenue_anomaly" -> """
       WITH daily AS (
         SELECT CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS day,
@@ -787,14 +789,14 @@ customer_cumrev AS (
                CAST(count(*) AS BIGINT) AS n_orders
         FROM orders GROUP BY 1),
       d2 AS (
-        SELECT day, rev, n_orders, CAST(rev * 100 AS BIGINT) AS rev_c,
+        SELECT day, rev, n_orders, CAST(floor(rev) AS BIGINT) AS rev_i,
                CAST(date_diff('day', DATE '1992-01-01', day) AS BIGINT)
                  AS day_num
         FROM daily),
       win AS (
-        SELECT day, rev, n_orders, rev_c,
-               CAST(sum(rev_c) OVER w AS BIGINT) AS w_sum,
-               CAST(sum(rev_c * rev_c) OVER w AS BIGINT) AS w_sumsq,
+        SELECT day, rev, n_orders, rev_i,
+               CAST(sum(rev_i) OVER w AS BIGINT) AS w_sum,
+               CAST(sum(rev_i * rev_i) OVER w AS BIGINT) AS w_sumsq,
                CAST(count(*) OVER w AS BIGINT) AS w_n
         FROM d2
         WINDOW w AS (ORDER BY day_num
@@ -809,7 +811,7 @@ customer_cumrev AS (
       z AS (
         SELECT day, rev, n_orders,
                CASE WHEN sqrt(variance) > 0
-                    THEN (CAST(rev_c AS DOUBLE) - mu) / sqrt(variance)
+                    THEN (CAST(rev_i AS DOUBLE) - mu) / sqrt(variance)
                END AS z
         FROM sc)
       SELECT CAST(day AS TIMESTAMP) AS day, CAST(rev AS DOUBLE) AS rev,
@@ -827,5 +829,71 @@ customer_cumrev AS (
          AND s.date_time - INTERVAL 30 DAY >= h.valid_from
          AND (h.valid_to IS NULL
               OR s.date_time - INTERVAL 30 DAY <= h.valid_to)) t
-      GROUP BY 1"""))
+      GROUP BY 1"""),
+    // triangle census of the co-purchase graph. INDEPENDENT formulation:
+    // the engine uses degree-ordered orientation; the oracle counts
+    // triangles directly as ordered edge triples (u<v<w over u<v edges) —
+    // a stronger check than re-implementing the same algorithm
+    "q_triangle_stats" -> """
+      WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      edges AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v FROM edges) n
+        GROUP BY 1),
+      tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+              FROM edges e1 JOIN edges e2 ON e2.u = e1.v
+                   JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+      da AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                    CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges
+             FROM deg),
+      ea AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges)
+      SELECT n_nodes, n_edges, n_triangles, n_wedges,
+             CASE WHEN n_wedges > 0
+                  THEN CAST(n_triangles * 3 AS DOUBLE)
+                       / CAST(n_wedges AS DOUBLE) END AS global_cc
+      FROM da, ea, tri""",
+    // Zipf head-mass curve over the word_freq top-100 CTE
+    "q_vocab_coverage" -> (docsPrelude + """
+      SELECT rank, w, n,
+             CAST(sum(n) OVER (ORDER BY rank
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+             CAST(sum(n) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING)
+                  AS DOUBLE) / CAST(n_total AS DOUBLE) AS coverage
+      FROM word_freq,
+           (SELECT CAST(count(*) AS BIGINT) AS n_total FROM words_flat) t"""),
+    // per-language percentile rank of the quality score, ties on doc_id
+    "q_quality_pct_rank" -> (docsPrelude + """
+      SELECT q.doc_id, d.lang, q.quality,
+             CAST(row_number() OVER (PARTITION BY d.lang
+                    ORDER BY q.quality, q.doc_id) AS BIGINT) AS rank,
+             CAST(row_number() OVER (PARTITION BY d.lang
+                    ORDER BY q.quality, q.doc_id) - 1 AS DOUBLE)
+               / CAST(greatest(count(*) OVER (PARTITION BY d.lang) - 1, 1)
+                      AS DOUBLE) AS pct_rank
+      FROM quality_score q JOIN docs d ON d.doc_id = q.doc_id"""),
+    // per-customer inter-order gap histogram (order pinned on date, key)
+    "q_order_gaps" -> """
+      WITH g AS (
+        SELECT CAST(date_diff('day', prev_date, o_orderdate) AS BIGINT)
+                 AS gap_days
+        FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                     lag(o_orderdate) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS prev_date
+              FROM orders) t
+        WHERE prev_date IS NOT NULL),
+      b AS (SELECT gap_days,
+                   CASE WHEN gap_days <= 7 THEN '01_week'
+                        WHEN gap_days <= 30 THEN '02_month'
+                        WHEN gap_days <= 90 THEN '03_quarter'
+                        ELSE '04_long' END AS bucket
+            FROM g)
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(sum(gap_days) AS BIGINT) AS sum_days,
+             CAST(CAST(sum(gap_days) AS BIGINT) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS mean_gap
+      FROM b GROUP BY 1""")
 }

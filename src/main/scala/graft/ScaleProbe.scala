@@ -73,7 +73,9 @@ object ScaleProbe {
     // round-11c: basket mining, rolling actives, blocked fuzzy match,
     // sequence packing, rolling anomaly, SCD2 point-in-time
     "q_basket_pairs", "q_rolling_active_users", "q_fuzzy_part_pairs",
-    "q_pack_sequences", "q_revenue_anomaly", "q_scd_pit")
+    "q_pack_sequences", "q_revenue_anomaly", "q_scd_pit",
+    "q_triangle_stats", "q_vocab_coverage", "q_quality_pct_rank",
+    "q_order_gaps")
 
   def makeBig(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     // the embedding rotation below is the identity at i = 64 (reintroducing

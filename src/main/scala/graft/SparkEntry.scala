@@ -229,7 +229,15 @@ object SparkEntry {
     "q_revenue_anomaly" -> ((s, d) => ops.Analytics.revenueAnomaly(s, d)),
     // SCD2 point-in-time attribution: city as of 30 days before each sale
     "q_scd_pit" -> ((s, d) => { val p = Pipeline.of(s, d)
-      ops.Analytics.scdPointInTimeOf(p.uolV2, etl.Dims.dCustomerScd(p.uolV2)) }))
+      ops.Analytics.scdPointInTimeOf(p.uolV2, etl.Dims.dCustomerScd(p.uolV2)) }),
+    // degree-ordered triangle census of the co-purchase graph
+    "q_triangle_stats" -> ((s, d) => ops.Basket.triangleStats(s, d)),
+    // Zipf head-mass curve: cumulative token coverage of the top-100 vocab
+    "q_vocab_coverage" -> ((s, d) => ops.TextOps.vocabCoverage(s, d)),
+    // per-language percentile-rank quality normalization (curation filter)
+    "q_quality_pct_rank" -> ((s, d) => ops.TextOps.qualityPctRank(s, d)),
+    // per-customer inter-order gap histogram (churn latency bands)
+    "q_order_gaps" -> ((s, d) => ops.Analytics.orderGaps(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

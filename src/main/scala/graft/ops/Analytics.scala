@@ -252,15 +252,20 @@ object Analytics {
     * flagged when |z| > `zThresh`.
     *
     * Cross-engine float determinism (check.py compares strings exactly):
-    * revenue is held as exact integer CENTS through the daily aggregation
-    * AND the rolling window sums (sum and sum-of-squares are BIGINT — exact
-    * regardless of accumulation order; sumsq stays < 2^63 up to ~1e5
-    * orders/day, far beyond the tested SFs — at true warehouse scale this
-    * column would move to DECIMAL with a documented tolerance compare).
-    * Doubles appear only in the final mean/variance/z expressions, built
-    * from those exact integers with the SAME operation tree as the oracle —
-    * int64→double conversion and each IEEE op are correctly rounded in both
-    * engines, so results are bit-identical.
+    * the z computation runs on exact WHOLE-DOLLAR integers (floor of the
+    * exact DECIMAL daily revenue — floor, not cast, because DuckDB's
+    * decimal→int cast rounds while Spark's truncates) through the rolling
+    * window sums — BIGINT sums are exact regardless of accumulation order.
+    * Cents were the first cut and overflowed int64 in the 28-day sumsq at
+    * sf0.1 (DuckDB errored loud, Spark wrapped SILENTLY — the fixture spec
+    * now pins the dollar semantics); dollars keep sumsq < 2^63 up to a
+    * sustained ~5.7e8 $/day window — past that this moves to DECIMAL
+    * sums with a documented tolerance compare. Doubles appear only in the
+    * final mean/variance/z expressions, built from those exact integers
+    * with the SAME operation tree as the oracle — int64→double conversion
+    * and each IEEE op are correctly rounded in both engines, so results
+    * are bit-identical. The reported `rev` column stays exact cents
+    * (DECIMAL → DOUBLE).
     *
     * Scale shape: the daily rollup collapses the fact table to a
     * dimension-sized frame (one row per day — thousands of rows at any SF),
@@ -275,13 +280,13 @@ object Analytics {
       .agg(sum(col("o_totalprice").cast(DecimalType(14, 2))).as("rev"),
            count(lit(1)).as("n_orders"))
       .select(col("day"), col("rev"), col("n_orders"),
-        (col("rev") * lit(100)).cast("long").as("rev_c"),
+        floor(col("rev")).cast("long").as("rev_i"),
         datediff(col("day"), lit("1992-01-01").cast("date")).cast("long")
           .as("day_num"))
     val w = Window.orderBy("day_num").rangeBetween(-(windowDays - 1), 0)
     val scored = daily
-      .withColumn("w_sum", sum("rev_c").over(w))
-      .withColumn("w_sumsq", sum(col("rev_c") * col("rev_c")).over(w))
+      .withColumn("w_sum", sum("rev_i").over(w))
+      .withColumn("w_sumsq", sum(col("rev_i") * col("rev_i")).over(w))
       .withColumn("w_n", count(lit(1)).over(w))
       .where(col("w_n") >= minDays)
       // identical parenthesization on the oracle side — see scaladoc
@@ -296,7 +301,7 @@ object Analytics {
       .withColumn("sigma", sqrt(col("variance")))
       .withColumn("z",
         when(col("sigma") > 0,
-          (col("rev_c").cast("double") - col("mu")) / col("sigma")))
+          (col("rev_i").cast("double") - col("mu")) / col("sigma")))
     scored.select(col("day").cast("timestamp").as("day"),
       col("rev").cast("double").as("rev"), col("n_orders"), col("z"),
       (col("z").isNotNull && abs(col("z")) > zThresh).as("is_anomaly"))
@@ -316,6 +321,40 @@ object Analytics {
     * disjoint per customer so the join multiplicity is ≤1 — no fanout. The
     * per-customer history is dimension-sized; the output rollup is one
     * partial-agg groupBy on city. */
+  /** Inter-order gap histogram: per-customer consecutive-order gaps in
+    * days, bucketed into reorder-latency bands — the churn-analysis rollup
+    * behind "days since last order" alerting.
+    *
+    * Scale shape: one shuffle on o_custkey for the lag window (per-customer
+    * partitions, orders-per-customer bounded), then a partial-agg groupBy
+    * on the 4-value bucket key. Mean gap = exact integer day sums, one
+    * double division. Order within customer pins on (date, orderkey) —
+    * total, mirrored in the oracle. */
+  def orderGapsOf(orders: DataFrame): DataFrame = {
+    val byCust = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+    orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(byCust))
+      .where(col("prev_date").isNotNull)
+      .select(datediff(col("o_orderdate"), col("prev_date")).cast("long")
+        .as("gap_days"))
+      .select(col("gap_days"),
+        when(col("gap_days") <= 7, "01_week")
+          .when(col("gap_days") <= 30, "02_month")
+          .when(col("gap_days") <= 90, "03_quarter")
+          .otherwise("04_long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_gaps"),
+           sum("gap_days").as("sum_days"))
+      .select(col("bucket"), col("n_gaps"), col("sum_days"),
+        (col("sum_days").cast("double") / col("n_gaps").cast("double"))
+          .as("mean_gap"))
+  }
+
+  def orderGaps(spark: SparkSession, dir: String): DataFrame =
+    orderGapsOf(Feeds.table(spark, dir, "orders"))
+
   def scdPointInTimeOf(uolV2: DataFrame, scd: DataFrame,
                        lagDays: Int = 30): DataFrame = {
     val sales = uolV2

@@ -60,4 +60,60 @@ object Basket {
 
   def partPairs(spark: SparkSession, dir: String): DataFrame =
     partPairsOf(Feeds.table(spark, dir, "lineitem"))
+
+  /** Undirected co-purchase edges (support ≥ `minSupport` basket pairs). */
+  def coPurchaseEdgesOf(lineitem: DataFrame, minSupport: Int = 2): DataFrame =
+    partPairsOf(lineitem, minSupport)
+      .select(col("part_a").as("u"), col("part_b").as("v"))
+
+  /** Triangle census of an undirected graph — node/edge/wedge/triangle
+    * counts and the global clustering coefficient (3·triangles / wedges).
+    *
+    * Uses DEGREE ORDERING, the standard distributed-triangle-counting
+    * trick: orient every edge toward its (degree, id)-larger endpoint.
+    * The result is a DAG in which each triangle has exactly ONE node with
+    * out-edges to the other two, so joining out-edge pairs against the
+    * oriented edge set counts each triangle exactly once — and, the scale
+    * point, out-degrees are bounded by O(√m), so the wedge join generates
+    * Σ C(outdeg, 2) = O(m^1.5) candidate paths instead of the Σ C(deg, 2)
+    * blowup a hub node causes under arbitrary orientation. All joins are
+    * key-equi shuffles; counts are exact integers, the coefficient is one
+    * double division.
+    */
+  def triangleStatsOf(edges0: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = edges0.persist(MEMORY_AND_DISK) // feeds degrees + orient + close
+    val deg = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .persist(MEMORY_AND_DISK) // feeds both orient sides + wedge/node aggs
+    val higher = col("deg_u") < col("deg_v") ||
+      (col("deg_u") === col("deg_v") && col("u") < col("v"))
+    val oriented = edges
+      .join(deg.select(col("node").as("u"), col("deg").as("deg_u")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("deg_v")), Seq("v"))
+      .select(when(higher, col("u")).otherwise(col("v")).as("src"),
+              when(higher, col("v")).otherwise(col("u")).as("dst"))
+      .persist(MEMORY_AND_DISK) // feeds both path sides + the closing join
+    val paths = oriented.select(col("src"), col("dst").as("v1"))
+      .join(oriented.select(col("src"), col("dst").as("v2")), Seq("src"))
+      .where(col("v1") =!= col("v2")) // both (v1,v2) orders; only one closes
+    val tri = paths
+      .join(oriented.select(col("src").as("v1"), col("dst").as("v2")),
+            Seq("v1", "v2"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val degAgg = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      expr("CAST(sum((deg * (deg - 1)) div 2) AS BIGINT)").as("n_wedges"))
+    val edgeAgg = edges.agg(count(lit(1)).as("n_edges"))
+    broadcast(degAgg).crossJoin(broadcast(edgeAgg)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        col("n_wedges"),
+        when(col("n_wedges") > 0,
+          (col("n_triangles") * lit(3)).cast("double") /
+            col("n_wedges").cast("double")).as("global_cc"))
+  }
+
+  def triangleStats(spark: SparkSession, dir: String): DataFrame =
+    triangleStatsOf(coPurchaseEdgesOf(Feeds.table(spark, dir, "lineitem")))
 }

@@ -430,4 +430,64 @@ object TextOps {
 
   def bigramFreq(spark: SparkSession, dir: String): DataFrame =
     bigramFreqOf(docsWords(spark, dir))
+
+  /** Vocabulary coverage curve — for the top-`k` words by corpus frequency,
+    * the cumulative fraction of ALL tokens they cover. The Zipf head-mass
+    * curve a tokenizer/vocab designer reads to size a vocabulary.
+    *
+    * Scale shape: the vocab rollup is one partial-agg groupBy; the top-k
+    * head is TakeOrdered (never a full vocab sort); the cumulative window
+    * runs over k rows only; the token total folds in as a 1-row broadcast.
+    * Coverage = exact integer counts, one double division per row. */
+  def vocabCoverageOf(docsWords: DataFrame, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docsWords.select(explode(col("words")).as("w"))
+    val top = words.groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(k)
+    val byRank = Window.orderBy(col("n").desc, col("w"))
+    val total = words.agg(count(lit(1)).as("n_total"))
+    top
+      .withColumn("rank", row_number().over(byRank).cast("long"))
+      .withColumn("cum_n", sum("n").over(
+        byRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("w"), col("n"), col("cum_n"),
+        (col("cum_n").cast("double") / col("n_total").cast("double"))
+          .as("coverage"))
+  }
+
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    vocabCoverageOf(docsWords(spark, dir))
+
+  /** Per-language percentile-rank normalization of the quality score — the
+    * curation-side prerequisite for "keep the top X% per language" filters
+    * (absolute quality thresholds are incomparable across languages).
+    * pct_rank = (rank-1)/(n-1) within the language, ties pinned on doc_id.
+    *
+    * Scale shape: one shuffle on lang, per-language window sorts. A
+    * dominant language makes its partition the straggler — the documented
+    * fix at 100 TB is the two-phase rank ([[graft.Ids.dense]], as
+    * customer_deciles does globally) applied per heavy group; at any
+    * realistic language skew the per-group sort is fine. All-integer
+    * window arithmetic, one double division. */
+  def qualityPctRankOf(stats: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLang = Window.partitionBy("lang")
+    val q = qualityScoreOf(stats)
+      .join(stats.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    q.withColumn("rank",
+        row_number().over(byLang.orderBy(col("quality"), col("doc_id")))
+          .cast("long"))
+      .withColumn("n_lang", count(lit(1)).over(byLang))
+      .select(col("doc_id"), col("lang"), col("quality"), col("rank"),
+        ((col("rank") - lit(1)).cast("double") /
+          greatest(col("n_lang") - lit(1), lit(1)).cast("double"))
+          .as("pct_rank"))
+  }
+
+  def qualityPctRank(spark: SparkSession, dir: String): DataFrame = {
+    val stats = textStats(spark, dir)
+      .join(docs(spark, dir).select("doc_id", "lang"), Seq("doc_id"))
+    qualityPctRankOf(stats)
+  }
 }

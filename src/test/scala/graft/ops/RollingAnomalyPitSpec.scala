@@ -26,20 +26,22 @@ class RollingAnomalyPitSpec extends SparkSpec {
     // days 3-8 have no own activity → not anchor days
   }
 
-  test("revenue anomaly: rolling mean/std from exact cents, strict threshold") {
+  test("revenue anomaly: rolling mean/std from whole-dollar ints, strict threshold") {
+    // .70 cents prove the dollar-floor pin: z sees 1,2,3,10 while the
+    // reported rev keeps the exact cents
     val orders = Seq(
-      (ts(1), 1.00), (ts(2), 2.00), (ts(3), 3.00), (ts(4), 10.00))
+      (ts(1), 1.70), (ts(2), 2.70), (ts(3), 3.70), (ts(4), 10.70))
       .toDF("o_orderdate", "o_totalprice")
     val got = Analytics.revenueAnomalyOf(orders,
         windowDays = 3, zThresh = 1.0, minDays = 2)
       .as[(Timestamp, Double, Long, Option[Double], Boolean)]
       .collect().sortBy(_._1).toSeq
     assert(got.map(_._1) == Seq(ts(2, 0), ts(3, 0), ts(4, 0))) // day 1: warm-up
-    assert(got.map(_._2) == Seq(2.0, 3.0, 10.0))
+    assert(got.map(_._2) == Seq(2.70, 3.70, 10.70))
     val zs = got.map(_._4.get)
-    assert(math.abs(zs(0) - 50.0 / math.sqrt(5000.0)) < 1e-12) // {1,2}
-    assert(zs(1) == 1.0)                                       // {1,2,3}
-    assert(math.abs(zs(2) - 500.0 / math.sqrt(190000.0)) < 1e-12) // {2,3,10}
+    assert(math.abs(zs(0) - 0.5 / math.sqrt(0.5)) < 1e-12)  // {1,2}
+    assert(zs(1) == 1.0)                                    // {1,2,3}
+    assert(math.abs(zs(2) - 5.0 / math.sqrt(19.0)) < 1e-12) // {2,3,10}
     // z == threshold is NOT an anomaly (strict >): day 3 stays false
     assert(got.map(_._5) == Seq(false, false, true))
   }
