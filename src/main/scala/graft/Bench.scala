@@ -160,7 +160,15 @@ object Bench {
     // percentile, order gaps) — whole-key tokens for them and the densest
     // leftover mid-length keys
     "triangle_st" -> "tri", "vocab_coverage" -> "vcov",
-    "quality_pct_rank" -> "qpr", "order_gaps" -> "ogap",
+    // ("quality" already shortened to "qual" by the round-5 token, so the
+    // pct-rank token matches the post-substitution form)
+    "qual_pct_rank" -> "qpr", "order_gaps" -> "ogap",
+    // round 11e: RRF fusion, SCD2 merge, basket components — plus the
+    // densest leftover 8-9 char keys to repay the three new entries
+    "rrf_fusion" -> "rrf", "basket_components" -> "bktc",
+    "a_ivtk_p2" -> "avp2", "Dcls_ver" -> "Dcv", "Demb_ivf" -> "Dei",
+    "Demb_lsh" -> "Del", "DmhP_grd" -> "Dmg", "Dprs_ver" -> "Dpv",
+    "pii_scan" -> "pii", "pforders" -> "pfo",
     "evt_st" -> "evs", "fk_aud" -> "fka", "hist_tp" -> "htp",
     "mm_meta" -> "mmm", "mm_frm" -> "mmf", "top_css" -> "tcs",
     "Dngjac" -> "dnj", "Dsh64P" -> "ds6P", "sl_cube" -> "slcb",

@@ -895,5 +895,53 @@ customer_cumrev AS (
              CAST(sum(gap_days) AS BIGINT) AS sum_days,
              CAST(CAST(sum(gap_days) AS BIGINT) AS DOUBLE)
                / CAST(count(*) AS DOUBLE) AS mean_gap
-      FROM b GROUP BY 1""")
+      FROM b GROUP BY 1""",
+    // RRF hybrid fusion of the bm25_top CTE and a coverage-first ranking;
+    // each RRF term is one division of exact integers, fixed two-term sum
+    "q_rrf_fusion" -> (docsPrelude + """
+      SELECT doc_id, rank_bm25, rank_cov, rrf_score,
+             CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+                  AS BIGINT) AS rank
+      FROM (
+        SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+               b.rank AS rank_bm25, c.rank_cov,
+               coalesce(CAST(1 AS DOUBLE) / CAST(b.rank + 60 AS DOUBLE), 0.0)
+               + coalesce(CAST(1 AS DOUBLE) / CAST(c.rank_cov + 60 AS DOUBLE),
+                          0.0) AS rrf_score
+        FROM bm25_top b
+        FULL OUTER JOIN (
+          SELECT doc_id, n_hit, tot_tf,
+                 CAST(row_number() OVER (ORDER BY n_hit DESC, tot_tf DESC,
+                                         doc_id) AS BIGINT) AS rank_cov
+          FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+                       CAST(sum(tf) AS BIGINT) AS tot_tf
+                FROM words_tf WHERE w IN ('spark', 'hash', 'join')
+                GROUP BY 1) s
+          QUALIFY rank_cov <= 10) c
+          ON c.doc_id = b.doc_id) f"""),
+    // incremental SCD2 merge must equal the FULL REBUILD — the oracle IS
+    // the rebuild SQL (the strongest possible check for a merge)
+    "q_d_customer_scd_inc" -> (prelude + "SELECT * FROM d_customer_scd"),
+    // components of the co-purchase graph: recursive min-label reachability
+    // (independent of the engine's star-contraction algorithm)
+    "q_basket_components" -> """
+      WITH RECURSIVE items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      edges AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      nodes AS (SELECT u AS node FROM edges
+                UNION SELECT v FROM edges),
+      sym AS (SELECT u AS src, v AS dst FROM edges
+              UNION ALL SELECT v, u FROM edges),
+      reach AS (
+        SELECT node, node AS label FROM nodes
+        UNION
+        SELECT e.dst AS node, r.label FROM reach r
+        JOIN sym e ON e.src = r.node),
+      comp AS (SELECT node, min(label) AS component FROM reach GROUP BY 1)
+      SELECT component, CAST(count(*) AS BIGINT) AS n_parts
+      FROM comp GROUP BY 1""")
 }

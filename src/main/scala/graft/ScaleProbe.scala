@@ -75,7 +75,8 @@ object ScaleProbe {
     "q_basket_pairs", "q_rolling_active_users", "q_fuzzy_part_pairs",
     "q_pack_sequences", "q_revenue_anomaly", "q_scd_pit",
     "q_triangle_stats", "q_vocab_coverage", "q_quality_pct_rank",
-    "q_order_gaps")
+    "q_order_gaps", "q_rrf_fusion", "q_d_customer_scd_inc",
+    "q_basket_components")
 
   def makeBig(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     // the embedding rotation below is the identity at i = 64 (reintroducing

@@ -237,7 +237,19 @@ object SparkEntry {
     // per-language percentile-rank quality normalization (curation filter)
     "q_quality_pct_rank" -> ((s, d) => ops.TextOps.qualityPctRank(s, d)),
     // per-customer inter-order gap histogram (churn latency bands)
-    "q_order_gaps" -> ((s, d) => ops.Analytics.orderGaps(s, d)))
+    "q_order_gaps" -> ((s, d) => ops.Analytics.orderGaps(s, d)),
+    // reciprocal-rank fusion of BM25 + coverage rankings (hybrid retrieval)
+    "q_rrf_fusion" -> ((s, d) => ops.TextOps.rrfFusion(s, d)),
+    // INCREMENTAL SCD2 maintenance — merge the increment into the history
+    // SCD; the oracle is the FULL-REBUILD SQL (merge ≡ rebuild)
+    "q_d_customer_scd_inc" -> ((s, d) => { val p = Pipeline.of(s, d)
+      etl.Dims.dCustomerScdMerge(
+        etl.Dims.dCustomerScd(p.uol),
+        p.uolTemp.groupBy(col("customer_id"),
+            col("date_time").as("day"))
+          .agg(org.apache.spark.sql.functions.max("city_id").as("city_id"))) }),
+    // connected components of the co-purchase graph (star contraction)
+    "q_basket_components" -> ((s, d) => ops.Basket.coPurchaseComponents(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

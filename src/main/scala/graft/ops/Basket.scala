@@ -116,4 +116,23 @@ object Basket {
 
   def triangleStats(spark: SparkSession, dir: String): DataFrame =
     triangleStatsOf(coPurchaseEdgesOf(Feeds.table(spark, dir, "lineitem")))
+
+  /** Connected components of the co-purchase graph (component id = min
+    * part id), rolled up to (component, size) — the category-discovery
+    * readout. REUSES the dedup stack's star-contraction CC
+    * ([[Dedup.clustersFastOf]], O(log n) rounds): co-purchase components
+    * can be long chains, where min-label propagation's O(diameter) rounds
+    * would be the scale risk. Only nodes with edges enter the loop. */
+  def coPurchaseComponentsOf(edges: DataFrame): DataFrame = {
+    val nodes = edges.select(col("u").as("doc_id"))
+      .unionAll(edges.select(col("v").as("doc_id"))).distinct()
+    val pairs = edges.select(col("u").as("doc_a"), col("v").as("doc_b"))
+    Dedup.clustersFastOf(nodes, pairs)
+      .groupBy(col("cluster").as("component"))
+      .agg(count(lit(1)).as("n_parts"))
+  }
+
+  def coPurchaseComponents(spark: SparkSession, dir: String): DataFrame =
+    coPurchaseComponentsOf(
+      coPurchaseEdgesOf(Feeds.table(spark, dir, "lineitem")))
 }

@@ -490,4 +490,55 @@ object TextOps {
       .join(docs(spark, dir).select("doc_id", "lang"), Seq("doc_id"))
     qualityPctRankOf(stats)
   }
+
+  /** Coordination-level (coverage-first) retrieval ranking: docs ordered by
+    * how many DISTINCT query terms they contain, then total term frequency,
+    * then doc_id — the boolean-ish second signal a hybrid retrieval stack
+    * fuses with a weighted scorer. Same tf pipeline shape as BM25 (map-side
+    * term filter, partial-agg rollup, TakeOrdered top-k). */
+  def coverageTopOf(docsWords: DataFrame, terms: Seq[String],
+                    k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(terms.nonEmpty, "coverage ranking needs at least one query term")
+    val perDoc = docsWords
+      .select(col("doc_id"), explode(col("words")).as("w"))
+      .where(col("w").isin(terms: _*))
+      .groupBy("doc_id")
+      .agg(countDistinct("w").as("n_hit"), count(lit(1)).as("tot_tf"))
+    val top = perDoc.orderBy(col("n_hit").desc, col("tot_tf").desc,
+                             col("doc_id")).limit(k)
+    top.withColumn("rank_cov", row_number().over(
+      Window.orderBy(col("n_hit").desc, col("tot_tf").desc, col("doc_id")))
+      .cast("long"))
+  }
+
+  /** Reciprocal-rank fusion of the BM25 and coverage rankings — the
+    * standard hybrid-retrieval merge (score = Σ 1/(c + rank) over the
+    * systems that ranked the doc; c=60 per Cormack et al.). Docs ranked by
+    * only one system keep a NULL rank there and contribute one term.
+    *
+    * Scale: both inputs are top-k (TakeOrdered) frames, so the fusion —
+    * full-outer join + window — runs over ≤2k rows regardless of corpus
+    * size; all the heavy lifting stays in the per-system scorers. Float
+    * determinism: each RRF term is ONE division of exact integers,
+    * summed in a fixed two-term tree — bit-identical cross-engine. */
+  def rrfFusionOf(docsWords: DataFrame, terms: Seq[String], k: Int = 10,
+                  c: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bm = bm25TopOf(docsWords, terms, k)
+      .select(col("doc_id"), col("rank").as("rank_bm25"))
+    val cov = coverageTopOf(docsWords, terms, k)
+      .select(col("doc_id"), col("rank_cov"))
+    val term = (r: org.apache.spark.sql.Column) =>
+      coalesce(lit(1).cast("double") / (r + lit(c)).cast("double"), lit(0.0))
+    val fused = bm.join(cov, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        term(col("rank_bm25")) + term(col("rank_cov")))
+    fused.withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf_score").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "rank_bm25", "rank_cov", "rrf_score", "rank")
+  }
+
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame =
+    rrfFusionOf(docsWords(spark, dir), Seq("spark", "hash", "join"))
 }
