@@ -171,8 +171,38 @@ object Bench {
     "pii_scan" -> "pii", "pforders" -> "pfo",
     "evt_st" -> "evs", "fk_aud" -> "fka", "hist_tp" -> "htp",
     "mm_meta" -> "mmm", "mm_frm" -> "mmf", "top_css" -> "tcs",
-    "Dngjac" -> "dnj", "Dsh64P" -> "ds6P", "sl_cube" -> "slcb",
-    "sl_pivot" -> "slpv", "prc_sum" -> "prsm", "d_cal" -> "dcl")
+    "Dsh64P" -> "ds6P", "sl_cube" -> "slcb",
+    "sl_pivot" -> "slpv", "prc_sum" -> "prsm", "d_cal" -> "dcl",
+    // round 11f: seven new queries (JSON props, cohort matrix, domain
+    // quota, keep-best canonical, doc-length histogram, snapshot diff,
+    // PageRank) — whole-key tokens matching POST-substitution forms
+    // ("retention"->"ret" and "dedup_"->"dd_"->"D" have already fired)
+    "props_json" -> "pjsn", "cohort_ret" -> "coh", "domain_quota" -> "dmq",
+    "Dkeep_best" -> "Dkb", "doclen_hist" -> "dlh",
+    "snapshot_diff" -> "snpd", "pagerank" -> "pgr",
+    // ...and the 19 longest leftover shorts repay the seven new entries
+    // (the old "Dngjac" token was dead — the post-substitution form is
+    // "Dng_jac" with the underscore; replaced below with one that fires)
+    "pfqnt_sk" -> "pqs", "refd_css" -> "rfc", "retd_css" -> "rtc",
+    "a_ivasn" -> "aia", "asof_lo" -> "alo", "bg_freq" -> "bgf",
+    "bl_join" -> "blj", "ccur_v2" -> "cc2", "cs_rsch" -> "crs",
+    "Dmh_lsh" -> "Dml", "Dng_jac" -> "dnj", "f_sl_v2" -> "fs2",
+    "ivfprcl" -> "ivr", "padc_tk" -> "pat", "refd_cc" -> "rfcc",
+    "ret_cmp" -> "rcm", "retd_cc" -> "rtcc", "text_st" -> "tst",
+    "top_ipc" -> "tip", "contam" -> "ctm", "doc_fp" -> "dfp",
+    "eventP" -> "evP", "cs_dec" -> "cdc",
+    // round 11g: four more queries (sketch calibration, degree dist,
+    // revenue HHI, DQ profile) — their tokens plus the densest leftover
+    // 5-6 char shorts keep the worst case under the <1900 B pin
+    "mh_est_err" -> "mee", "degree_dist" -> "degd",
+    "revenue_hhi" -> "rhhi", "dq_prf" -> "dqp",
+    "a_ivtk" -> "ait", "d_item" -> "dit", "fcr_gr" -> "fcg",
+    "ivfprr" -> "ivq", "ivfptk" -> "ivt", "lid_ng" -> "lng",
+    "pcodes" -> "pqc", "uol_v2" -> "uo2", "zo_key" -> "zok",
+    "a_rcl" -> "arc", "dscdI" -> "dsi", "Dclsf" -> "Dcf",
+    "Dpsgs" -> "Dps", "f_slI" -> "fsi", "necss" -> "ncs",
+    "pfqnt" -> "pfq", "ranom" -> "rnm", "split" -> "spl",
+    "Dsh64" -> "ds6", "DprsI" -> "Dpi")
 
   private[graft] def shortKey(name: String): String =
     keyTokens.foldLeft(name) { case (s, (from, to)) => s.replace(from, to) }

@@ -661,6 +661,54 @@ ivf_ingest_recall AS (
              JOIN ing_served a ON a.query_id = e.query_id
                               AND a.cand_id = e.cand_id) h
     ON h.query_id = q.query_id
-  GROUP BY 1)
+  GROUP BY 1),
+domain_quota AS (
+  SELECT doc_id, source, rk FROM (
+    SELECT doc_id, source,
+           CAST(row_number() OVER (PARTITION BY source
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+             AS rk
+    FROM docs) t WHERE rk <= 15),
+dedup_keep_best AS (
+  SELECT cluster, doc_id, quality, n_members FROM (
+    SELECT c.cluster, c.doc_id, q.quality,
+           CAST(count(*) OVER (PARTITION BY c.cluster) AS BIGINT)
+             AS n_members,
+           row_number() OVER (PARTITION BY c.cluster
+                              ORDER BY q.quality DESC, c.doc_id) AS rn
+    FROM dedup_clusters c JOIN quality_score q ON q.doc_id = c.doc_id) t
+  WHERE rn = 1),
+doclen_hist AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+         CAST(max(n_tokens) AS BIGINT) AS max_tokens
+  FROM (SELECT CAST(length(bin(greatest(n_tokens, 1))) - 1 AS BIGINT)
+                 AS bucket,
+               n_tokens FROM text_stats) t
+  GROUP BY 1),
+cand_jacc AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(COALESCE(i.i, 0) AS DOUBLE)
+           / CAST(sa.n_sh + sb.n_sh - COALESCE(i.i, 0) AS DOUBLE) AS jaccard
+  FROM minhash_pairs_guarded p
+  LEFT JOIN ver_inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+  JOIN sh_sizes sa ON sa.doc_id = p.doc_a
+  JOIN sh_sizes sb ON sb.doc_id = p.doc_b),
+mh_sig_match AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(sum(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_sig_match
+  FROM minhash_pairs_guarded p
+  JOIN minhash a ON a.doc_id = p.doc_a
+  JOIN minhash b ON b.doc_id = p.doc_b AND b.seed = a.seed
+  GROUP BY 1, 2),
+minhash_est_err AS (
+  SELECT c.doc_a, c.doc_b, m.n_sig_match,
+         CAST(m.n_sig_match AS DOUBLE) / 8 AS est_jaccard,
+         c.jaccard,
+         CAST(m.n_sig_match AS DOUBLE) / 8 - c.jaccard AS est_err
+  FROM cand_jacc c
+  JOIN mh_sig_match m ON m.doc_a = c.doc_a AND m.doc_b = c.doc_b)
 """
 }

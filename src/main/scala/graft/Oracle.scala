@@ -296,7 +296,59 @@ customer_cumrev AS (
               AS BIGINT) AS day_seq
   FROM (SELECT customer_id, date_time AS day,
                sum(payment_amount) AS day_rev
-        FROM uol GROUP BY 1, 2) d)
+        FROM uol GROUP BY 1, 2) d),
+cohort_weeks AS (
+  SELECT DISTINCT customer_id,
+         CAST(date_trunc('week', date_time) AS TIMESTAMP) AS week
+  FROM uol),
+cohort_first AS (
+  SELECT customer_id, min(week) AS cohort_week FROM cohort_weeks GROUP BY 1),
+cohort_retention AS (
+  SELECT a.cohort_week, a.weeks_since, a.n_active, s.cohort_size,
+         CAST(a.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+           AS retention
+  FROM (SELECT f.cohort_week,
+               CAST(datediff('day', f.cohort_week, w.week) // 7 AS BIGINT)
+                 AS weeks_since,
+               CAST(count(*) AS BIGINT) AS n_active
+        FROM cohort_weeks w
+        JOIN cohort_first f ON f.customer_id = w.customer_id
+        GROUP BY 1, 2) a
+  JOIN (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+        FROM cohort_first GROUP BY 1) s
+    ON s.cohort_week = a.cohort_week),
+d_customer_new AS (
+  SELECT customer_id, first_name, last_name, city_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY customer_id
+                                 ORDER BY first_name, last_name) AS rn
+    FROM (SELECT CAST(customer_id AS INTEGER) AS customer_id, first_name,
+                 last_name, max(city_id) AS city_id
+          FROM uol_v2 GROUP BY 1, 2, 3) g0) g WHERE rn = 1),
+snapshot_diff AS (
+  SELECT COALESCE(o.customer_id, n.customer_id) AS customer_id,
+         CASE WHEN o.customer_id IS NULL THEN 'added'
+              WHEN n.customer_id IS NULL THEN 'removed'
+              ELSE 'changed' END AS change_type,
+         o.first_name AS old_first_name, n.first_name AS new_first_name,
+         o.last_name AS old_last_name, n.last_name AS new_last_name,
+         o.city_id AS old_city_id, n.city_id AS new_city_id
+  FROM (SELECT customer_id, first_name, last_name, city_id
+        FROM d_customer) o
+  FULL JOIN d_customer_new n ON o.customer_id = n.customer_id
+  WHERE o.customer_id IS NULL OR n.customer_id IS NULL
+     OR o.first_name <> n.first_name OR o.last_name <> n.last_name
+     OR o.city_id <> n.city_id),
+revenue_hhi AS (
+  SELECT week, CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(rev_i) AS BIGINT) AS total_rev,
+         CAST(sum(rev_i * rev_i) AS DOUBLE)
+           / (CAST(sum(rev_i) AS DOUBLE) * CAST(sum(rev_i) AS DOUBLE))
+           AS hhi
+  FROM (SELECT CAST(date_trunc('week', date_time) AS TIMESTAMP) AS week,
+               item_id,
+               CAST(floor(sum(payment_amount)) AS BIGINT) AS rev_i
+        FROM uol GROUP BY 1, 2) iw
+  GROUP BY 1)
 """
 
   /** Docs/vectors prelude for the training-data-pipeline operators
@@ -943,5 +995,80 @@ customer_cumrev AS (
         JOIN sym e ON e.src = r.node),
       comp AS (SELECT node, min(label) AS component FROM reach GROUP BY 1)
       SELECT component, CAST(count(*) AS BIGINT) AS n_parts
-      FROM comp GROUP BY 1""")
+      FROM comp GROUP BY 1""",
+    // typed JSON extraction from the event property bag; NULL-on-parse-
+    // failure surfaced via the n_events/n_parsed pair (exact integer sums)
+    "q_props_json" -> """
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(k) AS BIGINT) AS n_parsed,
+             CAST(sum(k) AS BIGINT) AS sum_k,
+             CAST(min(k) AS BIGINT) AS min_k,
+             CAST(max(k) AS BIGINT) AS max_k
+      FROM (SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events) t
+      GROUP BY 1""",
+    "q_cohort_retention" -> from("cohort_retention"),
+    "q_snapshot_diff"    -> from("snapshot_diff"),
+    "q_domain_quota"     -> fromDocs("domain_quota"),
+    "q_dedup_keep_best"  -> fromDocs("dedup_keep_best"),
+    "q_doclen_hist"      -> fromDocs("doclen_hist"),
+    // integer fixed-point PageRank, 3 unrolled power iterations — the
+    // ppm/17-div-20 arithmetic is bit-identical to the engine's (double
+    // sums would be addition-order-dependent and could never hash-match)
+    "q_pagerank" -> """
+      WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      edges AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      sym AS (SELECT u AS src, v AS dst FROM edges
+              UNION ALL SELECT v, u FROM edges),
+      deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+              FROM sym GROUP BY 1),
+      r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank_ppm
+             FROM deg),
+      r1 AS (SELECT s.dst AS node,
+                    CAST(150000 + (CAST(sum(r.rank_ppm // d.deg) AS BIGINT)
+                                   * 17) // 20 AS BIGINT) AS rank_ppm
+             FROM r0 r JOIN deg d ON d.src = r.node
+             JOIN sym s ON s.src = r.node GROUP BY 1),
+      r2 AS (SELECT s.dst AS node,
+                    CAST(150000 + (CAST(sum(r.rank_ppm // d.deg) AS BIGINT)
+                                   * 17) // 20 AS BIGINT) AS rank_ppm
+             FROM r1 r JOIN deg d ON d.src = r.node
+             JOIN sym s ON s.src = r.node GROUP BY 1),
+      r3 AS (SELECT s.dst AS node,
+                    CAST(150000 + (CAST(sum(r.rank_ppm // d.deg) AS BIGINT)
+                                   * 17) // 20 AS BIGINT) AS rank_ppm
+             FROM r2 r JOIN deg d ON d.src = r.node
+             JOIN sym s ON s.src = r.node GROUP BY 1)
+      SELECT node AS part, rank_ppm FROM r3""",
+    "q_minhash_est_err" -> fromDocs("minhash_est_err"),
+    "q_revenue_hhi"     -> from("revenue_hhi"),
+    // degree distribution of the co-purchase graph
+    "q_degree_dist" -> """
+      WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      edges AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v FROM edges) n
+        GROUP BY 1)
+      SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
+      FROM deg GROUP BY 1""",
+    // per-column row/null/distinct profile of orders (count(DISTINCT c)
+    // ignores NULLs on both engines — the countDistinct contract)
+    "q_dq_profile" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      .map(c =>
+        s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_null,
+            CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct FROM orders""")
+      .mkString("", " UNION ALL ", ""))
 }

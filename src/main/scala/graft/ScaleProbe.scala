@@ -76,7 +76,14 @@ object ScaleProbe {
     "q_pack_sequences", "q_revenue_anomaly", "q_scd_pit",
     "q_triangle_stats", "q_vocab_coverage", "q_quality_pct_rank",
     "q_order_gaps", "q_rrf_fusion", "q_d_customer_scd_inc",
-    "q_basket_components")
+    "q_basket_components",
+    // round-11f: JSON props extraction, cohort matrix, domain quota,
+    // keep-best canonical, doc-length histogram, snapshot diff, PageRank
+    "q_props_json", "q_cohort_retention", "q_domain_quota",
+    "q_dedup_keep_best", "q_doclen_hist", "q_snapshot_diff", "q_pagerank",
+    // round-11g: sketch calibration, degree distribution, revenue HHI,
+    // one-scan DQ profile
+    "q_minhash_est_err", "q_degree_dist", "q_revenue_hhi", "q_dq_profile")
 
   def makeBig(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     // the embedding rotation below is the identity at i = 64 (reintroducing

@@ -249,7 +249,31 @@ object SparkEntry {
             col("date_time").as("day"))
           .agg(org.apache.spark.sql.functions.max("city_id").as("city_id"))) }),
     // connected components of the co-purchase graph (star contraction)
-    "q_basket_components" -> ((s, d) => ops.Basket.coPurchaseComponents(s, d)))
+    "q_basket_components" -> ((s, d) => ops.Basket.coPurchaseComponents(s, d)),
+    // typed extraction from the JSON event-property bag + per-type rollup
+    "q_props_json" -> ((s, d) => ops.Analytics.propsJsonStats(s, d)),
+    // weekly cohort-retention matrix (first-purchase week × weeks-since)
+    "q_cohort_retention" -> ((s, d) =>
+      ops.Analytics.cohortRetentionOf(Pipeline.of(s, d).uol)),
+    // per-source admission cap by deterministic md5 lottery (domain mix)
+    "q_domain_quota" -> ((s, d) => ops.Corpus.domainQuota(s, d)),
+    // per-cluster canonical doc: highest quality wins, not min doc_id
+    "q_dedup_keep_best" -> ((s, d) => ops.Corpus.keepBest(s, d)),
+    // power-of-2 token-length histogram (dataset-card length readout)
+    "q_doclen_hist" -> ((s, d) => ops.TextOps.docLenHist(s, d)),
+    // dimension snapshot diff: history-built vs full-feed d_customer (CDC)
+    "q_snapshot_diff" -> ((s, d) => ops.Audit.customerSnapshotDiff(s, d)),
+    // integer fixed-point PageRank (3 power iterations, damping 17/20)
+    "q_pagerank" -> ((s, d) => ops.Basket.pageRank(s, d)),
+    // MinHash-estimate vs exact Jaccard per candidate (sketch calibration)
+    "q_minhash_est_err" -> ((s, d) => ops.Dedup.minhashEstError(s, d)),
+    // co-purchase degree distribution (power-law readout)
+    "q_degree_dist" -> ((s, d) => ops.Basket.degreeDist(s, d)),
+    // weekly revenue concentration (HHI from exact integer sums)
+    "q_revenue_hhi" -> ((s, d) =>
+      ops.Analytics.revenueHhiOf(Pipeline.of(s, d).uol)),
+    // per-column row/null/distinct data-quality profile (one-scan Expand)
+    "q_dq_profile" -> ((s, d) => ops.Audit.dqProfile(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

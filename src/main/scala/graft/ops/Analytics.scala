@@ -355,6 +355,92 @@ object Analytics {
   def orderGaps(spark: SparkSession, dir: String): DataFrame =
     orderGapsOf(Feeds.table(spark, dir, "orders"))
 
+  /** Semi-structured ingestion: typed extraction from the JSON event
+    * property bag + per-type rollup — the "parse the payload column"
+    * operator every event pipeline starts with. `get_json_object` is a
+    * codegen'd Catalyst expression (no UDF); a malformed or missing key
+    * yields NULL, surfaced via the n_events/n_parsed pair rather than a
+    * crash — at 100 TB some payloads ARE garbage and the parse-failure
+    * rate is a monitored signal, not an exception.
+    *
+    * Scale shape: map-side extraction fused into the scan stage, then one
+    * partial-agg groupBy on the low-cardinality event_type. Exact integer
+    * sums (the payload's `k` is integral). */
+  def propsJsonStatsOf(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+           count(col("k")).as("n_parsed"),
+           sum("k").as("sum_k"),
+           min("k").as("min_k"),
+           max("k").as("max_k"))
+
+  def propsJsonStats(spark: SparkSession, dir: String): DataFrame =
+    propsJsonStatsOf(Feeds.table(spark, dir, "events"))
+
+  /** Weekly cohort-retention matrix over the order feed: customers are
+    * grouped by first-purchase week (the cohort), then counted in every
+    * later week they purchase again — the triangular retention readout
+    * behind "week-N retention" dashboards.
+    *
+    * Scale shape: collapse to DISTINCT (customer, week) first (partial-agg
+    * shuffle on the pair — the only fact-sized exchange), derive each
+    * customer's cohort with a min-aggregate on the collapsed frame, and
+    * join it back on customer_id (both sides already customer-keyed and
+    * week-collapsed, so the join input is |customers|·|active weeks|, not
+    * |rows|). Cohort sizes are week-cardinality — broadcast. Counts are
+    * exact integers; the retention rate is ONE double division mirrored in
+    * the oracle. */
+  def cohortRetentionOf(uol: DataFrame): DataFrame = {
+    val custWeeks = uol
+      .select(col("customer_id"),
+        date_trunc("week", col("date_time")).as("week"))
+      .distinct()
+    val cohorts = custWeeks.groupBy("customer_id")
+      .agg(min("week").as("cohort_week"))
+    val sizes = cohorts.groupBy("cohort_week")
+      .agg(count(lit(1)).as("cohort_size"))
+    custWeeks.join(cohorts, "customer_id")
+      .groupBy(col("cohort_week"),
+        expr("datediff(week, cohort_week) div 7").cast("long")
+          .as("weeks_since"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("weeks_since"), col("n_active"),
+        col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size").cast("double"))
+          .as("retention"))
+  }
+
+  /** Weekly revenue concentration (Herfindahl–Hirschman index) across
+    * items: HHI = Σᵢ sᵢ² with sᵢ = item i's share of the week's revenue.
+    * Computed as Σrevᵢ² / (Σrevᵢ)² so both sums are EXACT integers and the
+    * only floating-point work is one division of bit-identical operands —
+    * a share-then-sum formulation would be addition-order-dependent.
+    * Integer headroom follows the revenue-anomaly precedent: per-(week,
+    * item) revenue floored to whole dollars keeps Σrev² < 2⁶³ up to ~10⁵
+    * items of ~10⁷ $/week each; past that this moves to DECIMAL sums.
+    *
+    * Scale shape: one partial-agg shuffle to (week, item) grain — the only
+    * fact-sized exchange — then a week-grain rollup over the
+    * dimension-sized result. */
+  def revenueHhiOf(uol: DataFrame): DataFrame = {
+    val itemWeek = uol
+      .groupBy(date_trunc("week", col("date_time")).as("week"),
+               col("item_id"))
+      .agg(floor(sum(col("payment_amount"))).cast("long").as("rev_i"))
+    itemWeek.groupBy("week")
+      .agg(count(lit(1)).as("n_items"),
+           sum("rev_i").as("total_rev"),
+           sum(col("rev_i") * col("rev_i")).as("sumsq"))
+      .select(col("week"), col("n_items"), col("total_rev"),
+        (col("sumsq").cast("double") /
+          (col("total_rev").cast("double") * col("total_rev").cast("double")))
+          .as("hhi"))
+  }
+
   def scdPointInTimeOf(uolV2: DataFrame, scd: DataFrame,
                        lagDays: Int = 30): DataFrame = {
     val sales = uolV2

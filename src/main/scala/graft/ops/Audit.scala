@@ -32,6 +32,78 @@ object Audit {
               col("n_child_keys"), col("n_orphan_keys"), col("n_orphan_rows"))
   }
 
+  /** Snapshot diff — the CDC readout between two versions of a dimension
+    * (the "what changed since the last load" audit every warehouse refresh
+    * wants before it overwrites): full-outer join on the business key,
+    * classify each key as added / removed / changed, drop the unchanged
+    * majority. Compared columns must be non-nullable (dimension attributes
+    * here are) — `=!=` is null-poisoning by design, so a nullable column
+    * would need an explicit null-safe compare.
+    *
+    * Scale shape: ONE co-partitioned full-outer join on the key — both
+    * sides are dimension-sized snapshots, already collapsed upstream; the
+    * unchanged-row drop happens in the join's output filter, so nothing
+    * fact-sized ever materializes. */
+  def snapshotDiffOf(oldSnap: DataFrame, newSnap: DataFrame,
+                     key: String, cols: Seq[String]): DataFrame = {
+    val o = cols.foldLeft(oldSnap.select((key +: cols).map(col): _*)) {
+      (df, c) => df.withColumnRenamed(c, s"old_$c")
+    }.withColumnRenamed(key, "k_old")
+    val n = cols.foldLeft(newSnap.select((key +: cols).map(col): _*)) {
+      (df, c) => df.withColumnRenamed(c, s"new_$c")
+    }.withColumnRenamed(key, "k_new")
+    val changed = cols.map(c => col(s"old_$c") =!= col(s"new_$c"))
+      .reduce(_ || _)
+    o.join(n, col("k_old") === col("k_new"), "full_outer")
+      .withColumn("change_type",
+        when(col("k_old").isNull, "added")
+          .when(col("k_new").isNull, "removed")
+          .when(changed, "changed"))
+      .where(col("change_type").isNotNull)
+      .select(coalesce(col("k_old"), col("k_new")).as(key) +:
+        col("change_type") +:
+        cols.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
+  }
+
+  /** Data-quality profile — per-column row/null/distinct counts, the
+    * first thing a load validation (or a dataset card) reports.
+    *
+    * Scale shape: ONE scan. The multi-column distinct counts plan as a
+    * single Expand-based aggregate (Spark rewrites n countDistincts into
+    * an n-way expand + two-phase agg) rather than n separate scans; the
+    * per-column rollup rows come from a `stack` unpivot of the 1-row
+    * aggregate — driver-sized output. countDistinct ignores NULLs (the
+    * oracle's count(DISTINCT c) semantics). */
+  def dqProfileOf(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+      countDistinct(col(c)).as(s"dist_$c")))
+    val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackArgs = cols.map(c => s"'$c', null_$c, dist_$c").mkString(", ")
+    one.select(
+        expr(s"stack(${cols.size}, $stackArgs)" +
+          " AS (column_name, n_null, n_distinct)"),
+        col("n_rows"))
+      .select("column_name", "n_rows", "n_null", "n_distinct")
+  }
+
+  /** Query form: the orders table, every column. */
+  def dqProfile(spark: SparkSession, dir: String): DataFrame =
+    dqProfileOf(Feeds.table(spark, dir, "orders"),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"))
+
+  /** Query form: the d_customer snapshot built from order HISTORY vs the
+    * one the full feed (history ∪ increment) would build — surrogate ids
+    * excluded (they are load-order artifacts, not business attributes). */
+  def customerSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val p = graft.etl.Pipeline.of(spark, dir)
+    snapshotDiffOf(
+      graft.etl.Dims.dCustomer(p.uol).drop("id"),
+      graft.etl.Dims.dCustomer(p.uolV2).drop("id"),
+      "customer_id", Seq("first_name", "last_name", "city_id"))
+  }
+
   /** The schema's FK edges (lineitem→orders/part/supplier, orders→customer)
     * as one audit table. A clean load shows zero orphans everywhere — the
     * oracle checks the counts, not just emptiness. */

@@ -135,4 +135,58 @@ object Basket {
   def coPurchaseComponents(spark: SparkSession, dir: String): DataFrame =
     coPurchaseComponentsOf(
       coPurchaseEdgesOf(Feeds.table(spark, dir, "lineitem")))
+
+  /** PageRank over the co-purchase graph — `iters` power iterations in
+    * EXACT INTEGER fixed-point (ranks in parts-per-million; damping
+    * 0.85 ≡ ·17 div 20): distributed double sums are addition-order-
+    * dependent, so a float PageRank can never hash-match an oracle — the
+    * integer formulation makes every iteration bit-identical on both
+    * engines at the cost of ≤1 ppm truncation per term. Symmetrized edges
+    * mean out-degree = degree and no dangling nodes (every node in the
+    * edge set both emits and receives), so no teleport-mass correction
+    * term is needed.
+    *
+    * Scale shape per iteration: one equi-join shuffle on src (rank ×
+    * degree, both node-sized) and one partial-agg groupBy on dst — the
+    * classic message-passing pair, same partitioning reused across
+    * iterations. The edge frame is persisted once; iteration count is
+    * FIXED (a convergence loop would put a driver-side count() in every
+    * round — the fixed-round form is what production topic-rank jobs
+    * run). */
+  def pageRankOf(edges0: DataFrame, iters: Int = 3): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sym = edges0.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges0.select(col("v").as("src"), col("u").as("dst")))
+      .persist(MEMORY_AND_DISK)
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+      .persist(MEMORY_AND_DISK)
+    var rank = deg.select(col("src").as("node"),
+      lit(1000000L).as("rank_ppm"))
+    for (_ <- 1 to iters) {
+      val contrib = rank
+        .join(deg, rank("node") === deg("src"))
+        .select(col("src"), expr("rank_ppm div deg").as("contrib"))
+      rank = sym.join(contrib, "src")
+        .groupBy("dst").agg(sum("contrib").as("s"))
+        .select(col("dst").as("node"),
+          (lit(150000L) + expr("(s * 17) div 20")).as("rank_ppm"))
+    }
+    rank.select(col("node").as("part"), col("rank_ppm"))
+  }
+
+  def pageRank(spark: SparkSession, dir: String): DataFrame =
+    pageRankOf(coPurchaseEdgesOf(Feeds.table(spark, dir, "lineitem")))
+
+  /** Degree distribution of the co-purchase graph — the power-law readout
+    * that sizes every downstream graph decision (is a hub guard needed?
+    * how big can a wedge join get?). Two partial-agg groupBys (node →
+    * degree, degree → count); output is max-degree-sized. */
+  def degreeDistOf(edges: DataFrame): DataFrame =
+    edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+
+  def degreeDist(spark: SparkSession, dir: String): DataFrame =
+    degreeDistOf(coPurchaseEdgesOf(Feeds.table(spark, dir, "lineitem")))
 }

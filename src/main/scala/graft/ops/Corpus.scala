@@ -121,4 +121,55 @@ object Corpus {
       TextOps.qualityScore(spark, dir),
       TextOps.piiScan(spark, dir),
       TextOps.repetition(spark, dir))
+
+  /** Per-source admission quota — the domain-balancing step of corpus
+    * curation (cap each source's contribution so no single domain dominates
+    * the training mix): rank docs WITHIN source by a deterministic,
+    * content-free lottery (md5 of doc_id — stable across reruns and
+    * independent of ingest order, the same device as the stratified
+    * sampler) and keep the first `cap`.
+    *
+    * Scale shape: ONE shuffle on source for the rank window. A web-scale
+    * pathological domain (billions of docs on one source key) gets the
+    * same two-phase treatment as the salted aggregates: a per-partition
+    * top-`cap` pre-prune bounds the window input at cap·P rows — the
+    * window itself never sees the full domain. At this corpus's source
+    * cardinality the single window is the right plan. */
+  def domainQuotaOf(docsNorm: DataFrame, cap: Int = 15): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docsNorm.select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= cap)
+  }
+
+  def domainQuota(spark: SparkSession, dir: String): DataFrame =
+    domainQuotaOf(TextOps.docs(spark, dir))
+
+  /** Canonical-representative selection — per near-dup cluster keep the
+    * HIGHEST-QUALITY member (ties → smallest doc_id), not the arbitrary
+    * min-id keeper: when a boilerplate-laden page and its clean mirror are
+    * near-dups, the curated corpus should keep the clean one. The standard
+    * refinement over [[curatedOf]]'s representative choice.
+    *
+    * Scale shape: one doc_id hash equi-join (labels × scores, both
+    * memoized per-doc frames), then two window functions over the SAME
+    * cluster partitioning — one exchange; per-cluster partitions are
+    * near-dup-component-sized, bounded by the pair-guard upstream. The
+    * quality ordering compares bit-identical doubles on both engines. */
+  def keepBestOf(clusters: DataFrame, quality: DataFrame): DataFrame = {
+    val byCluster = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster")
+    val pick = byCluster.orderBy(col("quality").desc, col("doc_id"))
+    clusters.join(quality, "doc_id")
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .withColumn("rn", row_number().over(pick))
+      .where(col("rn") === 1)
+      .select(col("cluster"), col("doc_id"), col("quality"),
+              col("n_members"))
+  }
+
+  def keepBest(spark: SparkSession, dir: String): DataFrame =
+    keepBestOf(Dedup.clusters(spark, dir),
+               TextOps.qualityScore(spark, dir))
 }

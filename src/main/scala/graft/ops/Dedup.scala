@@ -597,6 +597,44 @@ object Dedup {
                     TextOps.shingles(spark, dir))
       .where(col("jaccard") >= threshold)
 
+  /** Sketch-calibration monitor: per LSH candidate pair, the MinHash
+    * ESTIMATE of Jaccard (matching-signature fraction, k=8) against the
+    * exact n-gram Jaccard the verifier computes — the readout that
+    * justifies (or re-tunes) the banding threshold: if |est_err| drifts,
+    * the band/row split no longer captures the similarity the pipeline
+    * thinks it does.
+    *
+    * Scale shape: the pair set is the LSH-guarded candidate list (small by
+    * construction), and the signature frame is 8 rows per doc — both joins
+    * are doc_id equi-joins whose output is 8·|pairs|; the match count is a
+    * partial-agg groupBy on the pair key. est_jaccard is one division of
+    * exact integers and est_err subtracts two bit-identical doubles —
+    * deterministic cross-engine. */
+  def minhashEstErrorOf(pairsJacc: DataFrame, minhash: DataFrame): DataFrame = {
+    val a = minhash.select(col("doc_id").as("doc_a"), col("seed"),
+      col("sig").as("sig_a"))
+    val b = minhash.select(col("doc_id").as("doc_b"), col("seed"),
+      col("sig").as("sig_b"))
+    val m = pairsJacc.select("doc_a", "doc_b")
+      .join(a, "doc_a")
+      .join(b, Seq("doc_b", "seed"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(when(col("sig_a") === col("sig_b"), 1L).otherwise(0L))
+        .as("n_sig_match"))
+    pairsJacc.join(m, Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_sig_match"),
+        (col("n_sig_match").cast("double") / 8).as("est_jaccard"),
+        col("jaccard"),
+        (col("n_sig_match").cast("double") / 8 - col("jaccard"))
+          .as("est_err"))
+  }
+
+  def minhashEstError(spark: SparkSession, dir: String): DataFrame =
+    minhashEstErrorOf(
+      ngramJaccardFor(minhashPairs(spark, dir),
+                      TextOps.shingles(spark, dir)),
+      minhashOf(TextOps.shingles(spark, dir)))
+
   /** Deterministic pair sample (consecutive even/odd doc_id pairs —
     * exercises the full set-intersection machinery regardless of whether
     * real near-dups exist). */

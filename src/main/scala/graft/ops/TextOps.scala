@@ -73,6 +73,29 @@ object TextOps {
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
     qualityScoreOf(textStats(spark, dir))
 
+  /** Corpus length distribution in power-of-2 token buckets (bucket =
+    * ⌊log₂ n_tokens⌋ via the bin-string-length trick the tf-idf scorer
+    * uses — exact integers, no floating-point log) — the length histogram
+    * every dataset card ships and every packing/truncation decision reads.
+    *
+    * Scale shape: map-side bucket assignment fused into the stats scan,
+    * then one partial-agg groupBy on the ~30-value bucket key — output is
+    * constant-sized at any corpus scale. */
+  def docLenHistOf(stats: DataFrame): DataFrame =
+    stats
+      .select(
+        expr("CAST(length(bin(greatest(n_tokens, 1))) - 1 AS BIGINT)")
+          .as("bucket"),
+        col("n_tokens"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_tokens").as("sum_tokens"),
+           min("n_tokens").as("min_tokens"),
+           max("n_tokens").as("max_tokens"))
+
+  def docLenHist(spark: SparkSession, dir: String): DataFrame =
+    docLenHistOf(textStats(spark, dir))
+
   /** Marker-word (1-gram) language scoring with a pinned argmax order
     * (en ≥ de ≥ fr ≥ es). Real-world accuracy needs real marker lists; the
     * operator shape — per-language counts + deterministic argmax — is what
