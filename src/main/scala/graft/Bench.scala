@@ -202,7 +202,20 @@ object Bench {
     "a_rcl" -> "arc", "dscdI" -> "dsi", "Dclsf" -> "Dcf",
     "Dpsgs" -> "Dps", "f_slI" -> "fsi", "necss" -> "ncs",
     "pfqnt" -> "pfq", "ranom" -> "rnm", "split" -> "spl",
-    "Dsh64" -> "ds6", "DprsI" -> "Dpi")
+    "Dsh64" -> "ds6", "DprsI" -> "Dpi",
+    // round 11h: three more queries (lang confusion, skew report,
+    // attribution; "skew_report" arrives as "skereport" — the w_ strip
+    // ate its "w_") — repaid by 2-char tokens for the densest leftover
+    // 4-char shorts (2-char space is otherwise unused; injectivity is
+    // spec-checked per name set)
+    "lang_confusion" -> "lcf", "attribution" -> "att",
+    "skereport" -> "skw",
+    "actf" -> "af", "avp2" -> "a2", "bktc" -> "bc", "bm25" -> "bm",
+    "ccur" -> "cu", "dclI" -> "dI", "dscd" -> "dd", "Dcls" -> "Dc",
+    "Demb" -> "De", "DmhP" -> "Dm", "ds6P" -> "d6", "DshP" -> "Ds",
+    "etrn" -> "et", "f_sl" -> "fl", "ivgr" -> "ig", "ivpr" -> "ip",
+    "necc" -> "nc", "ogap" -> "og", "pack" -> "pk", "plog" -> "pl",
+    "smps" -> "sm", "shpr" -> "sp")
 
   private[graft] def shortKey(name: String): String =
     keyTokens.foldLeft(name) { case (s, (from, to)) => s.replace(from, to) }

@@ -3,10 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** One teardown hook over every (session, dir)-keyed memo map in the
-  * library. Four objects memoize persisted frames per session —
+  * library. Five objects memoize persisted frames per session —
   * [[graft.etl.Pipeline]] (staging subplans), [[graft.ops.Dedup]]
   * (bands/pairs/cluster labels), [[graft.ops.TextOps]] (shingles),
-  * [[graft.ops.Vectors]] (quantized/IVF/LSH/PQ frames) — and none can
+  * [[graft.ops.Vectors]] (quantized/IVF/LSH/PQ frames), [[graft.Ids]]
+  * (dense-sort frames) — and none can
   * know when a session is done with ALL of them, so a long-lived
   * multi-session JVM (a shared driver serving per-tenant sessions) must
   * call this when it retires a session, or the retired session's frames
@@ -27,6 +28,7 @@ object Caches {
     ops.Dedup.invalidateAll(spark)
     ops.TextOps.invalidateAll(spark)
     ops.Vectors.invalidateAll(spark)
+    Ids.invalidateAll(spark)
   }
 
   /** Total memo entries held for `spark` (spec hook). */

@@ -709,6 +709,9 @@ minhash_est_err AS (
          c.jaccard,
          CAST(m.n_sig_match AS DOUBLE) / 8 - c.jaccard AS est_err
   FROM cand_jacc c
-  JOIN mh_sig_match m ON m.doc_a = c.doc_a AND m.doc_b = c.doc_b)
+  JOIN mh_sig_match m ON m.doc_a = c.doc_a AND m.doc_b = c.doc_b),
+lang_confusion AS (
+  SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+  FROM lang_id GROUP BY 1, 2)
 """
 }

@@ -1070,5 +1070,40 @@ revenue_hhi AS (
             CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
               AS n_null,
             CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct FROM orders""")
-      .mkString("", " UNION ALL ", ""))
+      .mkString("", " UNION ALL ", ""),
+    "q_lang_confusion" -> fromDocs("lang_confusion"),
+    // per-join-key skew: n_keys, n_rows, heaviest key, max/avg ratio
+    "q_skew_report" -> Seq(
+        ("lineitem", "l_partkey"), ("lineitem", "l_suppkey"),
+        ("lineitem", "l_orderkey"), ("orders", "o_custkey"))
+      .map { case (t, c) =>
+        s"""SELECT '$t.$c' AS relation,
+            CAST(count(*) AS BIGINT) AS n_keys,
+            CAST(sum(n) AS BIGINT) AS n_rows,
+            CAST(max(n) AS BIGINT) AS max_rows,
+            CAST(max(n) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+              / CAST(sum(n) AS DOUBLE) AS skew_ratio
+            FROM (SELECT count(*) AS n FROM $t GROUP BY $c) g"""
+      }.mkString("", " UNION ALL ", ""),
+    // last-touch attribution: latest prior non-purchase event per
+    // purchase, credited only within the 7-day window ('none' otherwise).
+    // Picking the latest touch EVER then age-gating equals "latest within
+    // window" — mirrored from the engine's one-pass as-of formulation.
+    "q_attribution" -> """
+      WITH ev AS (SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+                         date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts,
+                         event_type FROM events),
+      att AS (
+        SELECT p.event_id,
+               CASE WHEN t.ts >= p.ts - INTERVAL 7 DAY THEN t.event_type
+                    ELSE 'none' END AS touch_type
+        FROM ev p LEFT JOIN LATERAL (
+          SELECT event_type, ts FROM ev t
+          WHERE t.user_id = p.user_id AND t.event_type <> 'purchase'
+            AND t.ts <= p.ts
+          ORDER BY t.ts DESC, t.event_id DESC LIMIT 1) t ON true
+        WHERE p.event_type = 'purchase')
+      SELECT COALESCE(touch_type, 'none') AS touch_type,
+             CAST(count(*) AS BIGINT) AS n_purchases
+      FROM att GROUP BY 1""")
 }

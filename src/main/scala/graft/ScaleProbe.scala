@@ -83,7 +83,10 @@ object ScaleProbe {
     "q_dedup_keep_best", "q_doclen_hist", "q_snapshot_diff", "q_pagerank",
     // round-11g: sketch calibration, degree distribution, revenue HHI,
     // one-scan DQ profile
-    "q_minhash_est_err", "q_degree_dist", "q_revenue_hhi", "q_dq_profile")
+    "q_minhash_est_err", "q_degree_dist", "q_revenue_hhi", "q_dq_profile",
+    // round-11h: language confusion matrix, join-key skew report,
+    // last-touch attribution
+    "q_lang_confusion", "q_skew_report", "q_attribution")
 
   def makeBig(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     // the embedding rotation below is the identity at i = 64 (reintroducing
@@ -159,15 +162,13 @@ object ScaleProbe {
 
     def runAll(dir: String): Map[String, Double] = {
       // drop BOTH cache layers so every timed pass recomputes from parquet:
-      // CacheManager data (persist frames) and ALL per-(session, dir) memo
-      // maps (pipeline staging, bands/pairs/cluster labels, shingles) —
-      // 1× and N× then pay identical first-touch costs and the ratio
-      // measures the plans, not cache luck
+      // CacheManager data (persist frames) and ALL memo maps of the WHOLE
+      // session — not just this dir's (the other dir's leftover frames
+      // would otherwise sit in the block manager and evict this pass's
+      // staging cache mid-run) — 1× and N× then pay identical first-touch
+      // costs and the ratio measures the plans, not cache luck
       spark.catalog.clearCache()
-      etl.Pipeline.invalidate(spark, dir)
-      ops.Dedup.invalidate(spark, dir)
-      ops.TextOps.invalidate(spark, dir)
-      ops.Vectors.invalidate(spark, dir)
+      Caches.invalidateAll(spark)
       probeQueries.map { q =>
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, dir).count()
@@ -190,10 +191,7 @@ object ScaleProbe {
     def runWh(dir: String): (Double, Map[String, Double]) = {
       def barrier(): Unit = {
         spark.catalog.clearCache()
-        etl.Pipeline.invalidate(spark, dir)
-        ops.Dedup.invalidate(spark, dir)
-        ops.TextOps.invalidate(spark, dir)
-        ops.Vectors.invalidate(spark, dir)
+        Caches.invalidateAll(spark)
       }
       barrier()
       val rootPath = java.nio.file.Files.createTempDirectory("graft_swh")

@@ -273,7 +273,14 @@ object SparkEntry {
     "q_revenue_hhi" -> ((s, d) =>
       ops.Analytics.revenueHhiOf(Pipeline.of(s, d).uol)),
     // per-column row/null/distinct data-quality profile (one-scan Expand)
-    "q_dq_profile" -> ((s, d) => ops.Audit.dqProfile(s, d)))
+    "q_dq_profile" -> ((s, d) => ops.Audit.dqProfile(s, d)),
+    // language-ID confusion matrix (predicted vs labeled language)
+    "q_lang_confusion" -> ((s, d) => ops.TextOps.langConfusion(s, d)),
+    // per-join-key skew ratios (the pre-flight readout behind salting)
+    "q_skew_report" -> ((s, d) => ops.Audit.skewReport(s, d)),
+    // last-touch attribution: purchases credited to the latest prior
+    // non-purchase event within 7 days (as-of machinery reuse)
+    "q_attribution" -> ((s, d) => ops.AsOf.lastTouchAttribution(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -20,12 +20,16 @@ object TimeOne {
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
     val n = args.drop(1).headOption.map(_.toInt).getOrElse(2)
-    val name = args(0)
-    val fn = SparkEntry.queries(name)
+    // comma-separated names run IN SEQUENCE within one JVM/session each
+    // pass — reproduces bench/probe cache-sharing order effects
+    val names = args(0).split(',').toSeq
     (1 to n).foreach { i =>
-      val t0 = System.nanoTime()
-      val c = fn(spark, sfDir).count()
-      println(f"[timeone] $name pass$i: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$c")
+      names.foreach { name =>
+        val t0 = System.nanoTime()
+        val c = SparkEntry.queries(name)(spark, sfDir).count()
+        println(f"[timeone] $name pass$i: " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s rows=$c")
+      }
     }
     spark.stop()
   }

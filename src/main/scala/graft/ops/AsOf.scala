@@ -68,6 +68,41 @@ object AsOf {
         payload.map(c => col("__asof").getField(c).as(s"asof_$c"))): _*)
   }
 
+  /** LAST-TOUCH ATTRIBUTION — for each purchase event, the user's most
+    * recent preceding non-purchase event ("touch"), credited only if it
+    * falls within `windowDays`; purchases with no in-window touch land in
+    * the 'none' bucket. The marketing-attribution staple, and a second
+    * consumer of the as-of machinery: picking the latest touch EVER and
+    * then age-gating it is equivalent to "latest touch within the window"
+    * (if the latest is too old, nothing newer exists either) — one as-of
+    * pass, no range join. Rolled up to per-touch-type purchase counts;
+    * output is touch-type-cardinality-sized. */
+  def lastTouchAttributionOf(events: DataFrame,
+                             windowDays: Int = 7): DataFrame = {
+    val ev = events.select(
+      col("event_id"),
+      col("user_id").cast("long").as("user_id"),
+      date_trunc("second", col("ts")).as("ts"),
+      col("event_type"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val touches = ev.where(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("touch"))
+    joinLatest(purchases, touches, "user_id", "user_id", "ts", "ts",
+               "event_id", Seq("touch", "ts"))
+      .select(
+        when(col("asof_ts") >=
+               col("ts") - expr(s"INTERVAL $windowDays DAY"),
+             col("asof_touch"))
+          .otherwise(lit("none")).as("touch_type"))
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_purchases"))
+  }
+
+  def lastTouchAttribution(spark: SparkSession, dir: String): DataFrame =
+    lastTouchAttributionOf(Feeds.events(spark, dir))
+
   /** For each event: the customer's most recent order at or before the
     * event time (ts second-truncated for cross-engine stability). */
   def latestOrderPerEvent(spark: SparkSession, dir: String): DataFrame = {

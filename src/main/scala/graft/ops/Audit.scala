@@ -104,6 +104,35 @@ object Audit {
       "customer_id", Seq("first_name", "last_name", "city_id"))
   }
 
+  /** Join-key skew report — per declared join key: key count, row count,
+    * the heaviest key's row count and the max/avg skew ratio. This is the
+    * number that decides whether a join needs salting BEFORE the job runs
+    * (the salted-agg queries exist because of exactly this readout); a
+    * skew_ratio near 1 means uniform keys, 100× means one hot key owns the
+    * stage. One partial-agg groupBy per key column collapses the table to
+    * its key histogram; the rollup over it is a driver-sized aggregate.
+    * skew_ratio = max·n_keys/n_rows — exact integers into one double
+    * expression, tree mirrored in the oracle. */
+  def skewReportOf(df: DataFrame, key: String, name: String): DataFrame =
+    df.groupBy(col(key).as("k")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_keys"), sum("n").as("n_rows"),
+           max("n").as("max_rows"))
+      .select(lit(name).as("relation"), col("n_keys"), col("n_rows"),
+        col("max_rows"),
+        (col("max_rows").cast("double") * col("n_keys").cast("double") /
+          col("n_rows").cast("double")).as("skew_ratio"))
+
+  /** The schema's join keys as one skew table. */
+  def skewReport(spark: SparkSession, dir: String): DataFrame = {
+    def t(n: String) = Feeds.table(spark, dir, n)
+    skewReportOf(t("lineitem"), "l_partkey", "lineitem.l_partkey")
+      .unionAll(skewReportOf(t("lineitem"), "l_suppkey",
+        "lineitem.l_suppkey"))
+      .unionAll(skewReportOf(t("lineitem"), "l_orderkey",
+        "lineitem.l_orderkey"))
+      .unionAll(skewReportOf(t("orders"), "o_custkey", "orders.o_custkey"))
+  }
+
   /** The schema's FK edges (lineitem→orders/part/supplier, orders→customer)
     * as one audit table. A clean load shows zero orphans everywhere — the
     * oracle checks the counts, not just emptiness. */

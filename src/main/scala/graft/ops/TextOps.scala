@@ -123,6 +123,18 @@ object TextOps {
   def langId(spark: SparkSession, dir: String): DataFrame =
     langIdOf(docsWords(spark, dir))
 
+  /** Language-ID confusion matrix — predicted vs labeled language counts,
+    * the accuracy readout every classifier-in-the-pipeline ships with
+    * (which languages leak into which). One partial-agg groupBy on the
+    * 16-cell (lang, pred_lang) key over the per-doc predictions —
+    * constant-sized output at any corpus scale. */
+  def langConfusionOf(langId: DataFrame): DataFrame =
+    langId.groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+
+  def langConfusion(spark: SparkSession, dir: String): DataFrame =
+    langConfusionOf(langId(spark, dir))
+
   /** Character-n-gram language ID — the classic n-gram-profile heuristic
     * at its minimum: per-language counts of characteristic character
     * trigrams over the normalized text (regexp alternation = one

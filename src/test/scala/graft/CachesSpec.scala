@@ -39,4 +39,17 @@ class CachesSpec extends SparkSpec {
     assert(etl.Pipeline.cacheSize(s2) == 1)
     Caches.invalidateAll(s2)
   }
+
+  test("Ids.dense registers its sorted persist; invalidateAll drops it") {
+    import spark.implicits._
+    val before = Ids.persistedCount(spark)
+    val ids = Ids.dense(Seq(3L, 1L, 2L).toDF("k"), Seq("k"), "id")
+    assert(Ids.persistedCount(spark) == before + 1,
+      "dense did not register its persisted sort frame")
+    assert(ids.as[(Long, Long)].collect().toSeq.sorted ==
+      Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+    Caches.invalidateAll(spark)
+    assert(Ids.persistedCount(spark) == 0,
+      "teardown left dense-sort frames registered")
+  }
 }

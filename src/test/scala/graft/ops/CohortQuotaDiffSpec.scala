@@ -160,4 +160,40 @@ class CohortQuotaDiffSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().toSeq.sortBy(_._1)
     assert(r == Seq(("a", 3L, 1L, 1L), ("b", 3L, 0L, 3L)))
   }
+
+  test("langConfusion rolls per-doc predictions into a (lang, pred) matrix") {
+    val preds = Seq((1L, "en", "en"), (2L, "en", "de"), (3L, "en", "en"),
+      (4L, "fr", "fr")).toDF("doc_id", "lang", "pred_lang")
+    val r = TextOps.langConfusionOf(preds)
+      .as[(String, String, Long)].collect().toSeq.sorted
+    assert(r == Seq(("en", "de", 1L), ("en", "en", 2L), ("fr", "fr", 1L)))
+  }
+
+  test("skewReport computes max/avg key skew from exact counts") {
+    val df = Seq(1, 1, 1, 2).toDF("k")
+    val r = Audit.skewReportOf(df, "k", "t.k")
+      .as[(String, Long, Long, Long, Double)].collect().head
+    assert(r == (("t.k", 2L, 4L, 3L, 1.5)))
+  }
+
+  test("attribution credits the latest in-window touch, else 'none'") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: view then a later click (same ts as view -> id breaks tie),
+      // purchase 1 day after -> click (higher event_id at equal ts) wins
+      (1L, 1L, "2024-01-01 10:00:00", "view"),
+      (2L, 1L, "2024-01-01 10:00:00", "click"),
+      (3L, 1L, "2024-01-02 10:00:00", "purchase"),
+      // user 2: touch 10 days before the purchase -> outside window
+      (4L, 2L, "2024-01-01 00:00:00", "click"),
+      (5L, 2L, "2024-01-11 00:00:00", "purchase"),
+      // user 3: purchase with no touches at all
+      (6L, 3L, "2024-01-05 00:00:00", "purchase")
+    ).toDF("event_id", "user_id", "t", "event_type")
+      .select(col("event_id"), col("user_id"),
+        to_timestamp(col("t")).as("ts"), col("event_type"))
+    val r = AsOf.lastTouchAttributionOf(ev)
+      .as[(String, Long)].collect().toSeq.sorted
+    assert(r == Seq(("click", 1L), ("none", 2L)))
+  }
 }
