@@ -215,7 +215,10 @@ object Bench {
     "Demb" -> "De", "DmhP" -> "Dm", "ds6P" -> "d6", "DshP" -> "Ds",
     "etrn" -> "et", "f_sl" -> "fl", "ivgr" -> "ig", "ivpr" -> "ip",
     "necc" -> "nc", "ogap" -> "og", "pack" -> "pk", "plog" -> "pl",
-    "smps" -> "sm", "shpr" -> "sp")
+    "smps" -> "sm", "shpr" -> "sp",
+    // round 11i: q_dedup_clusters_inc shorts to DcI for free (the Dcls
+    // and _inc tokens compose); two sales-mart tokens repay its 13 B
+    "slcb" -> "sb", "slpv" -> "sv")
 
   private[graft] def shortKey(name: String): String =
     keyTokens.foldLeft(name) { case (s, (from, to)) => s.replace(from, to) }

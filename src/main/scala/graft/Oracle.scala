@@ -1072,6 +1072,9 @@ revenue_hhi AS (
             CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct FROM orders""")
       .mkString("", " UNION ALL ", ""),
     "q_lang_confusion" -> fromDocs("lang_confusion"),
+    // incremental CC merge must equal the FULL REBUILD — the oracle IS
+    // the rebuild clustering (same stance as q_d_customer_scd_inc)
+    "q_dedup_clusters_inc" -> fromDocs("dedup_clusters"),
     // per-join-key skew: n_keys, n_rows, heaviest key, max/avg ratio
     "q_skew_report" -> Seq(
         ("lineitem", "l_partkey"), ("lineitem", "l_suppkey"),

@@ -85,8 +85,9 @@ object ScaleProbe {
     // one-scan DQ profile
     "q_minhash_est_err", "q_degree_dist", "q_revenue_hhi", "q_dq_profile",
     // round-11h: language confusion matrix, join-key skew report,
-    // last-touch attribution
-    "q_lang_confusion", "q_skew_report", "q_attribution")
+    // last-touch attribution, incremental cluster maintenance
+    "q_lang_confusion", "q_skew_report", "q_attribution",
+    "q_dedup_clusters_inc")
 
   def makeBig(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     // the embedding rotation below is the identity at i = 64 (reintroducing

@@ -280,7 +280,10 @@ object SparkEntry {
     "q_skew_report" -> ((s, d) => ops.Audit.skewReport(s, d)),
     // last-touch attribution: purchases credited to the latest prior
     // non-purchase event within 7 days (as-of machinery reuse)
-    "q_attribution" -> ((s, d) => ops.AsOf.lastTouchAttribution(s, d)))
+    "q_attribution" -> ((s, d) => ops.AsOf.lastTouchAttribution(s, d)),
+    // INCREMENTAL near-dup cluster maintenance — affected clusters only;
+    // the oracle is the FULL-REBUILD clustering (merge ≡ rebuild)
+    "q_dedup_clusters_inc" -> ((s, d) => ops.Dedup.clustersIncremental(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -64,4 +64,35 @@ class PlanShapeSpec extends SparkSpec {
       .exists(_.contains("o_orderpriority"))),
       scans.map(_.metadata.getOrElse("PushedFilters", "-")).mkString(" | "))
   }
+
+  test("JSON props extraction reads only (event_type, props) from events") {
+    val scans = scansOf(ops.Analytics.propsJsonStats(spark, d), "events")
+    assert(scans.nonEmpty)
+    for (s <- scans)
+      assert(s.requiredSchema.fieldNames.toSet == Set("event_type", "props"),
+        s.requiredSchema.fieldNames.mkString(","))
+  }
+
+  test("domain quota reads only (doc_id, source) from documents") {
+    val scans = scansOf(ops.Corpus.domainQuota(spark, d), "documents")
+    assert(scans.nonEmpty)
+    for (s <- scans)
+      assert(s.requiredSchema.fieldNames.toSet == Set("doc_id", "source"),
+        s.requiredSchema.fieldNames.mkString(","))
+  }
+
+  test("doc-length histogram reads only text from documents") {
+    val scans = scansOf(ops.TextOps.docLenHist(spark, d), "documents")
+    assert(scans.nonEmpty)
+    for (s <- scans)
+      assert(s.requiredSchema.fieldNames.toSet == Set("text"),
+        s.requiredSchema.fieldNames.mkString(","))
+  }
+
+  test("DQ profile plans exactly ONE orders scan (Expand multi-distinct)") {
+    // the whole point of the Expand rewrite: n countDistincts must not
+    // become n table scans
+    val scans = scansOf(ops.Audit.dqProfile(spark, d), "orders")
+    assert(scans.size == 1, s"${scans.size} scans of orders")
+  }
 }

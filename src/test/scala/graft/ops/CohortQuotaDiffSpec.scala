@@ -176,6 +176,29 @@ class CohortQuotaDiffSpec extends SparkSpec {
     assert(r == (("t.k", 2L, 4L, 3L, 1.5)))
   }
 
+  test("clustersIncremental: pass-through untouched, merge affected") {
+    // old world: {1,2} together, {3} alone, {4,5} together
+    val oldLabels = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "cluster")
+    // increment: docs 6,7; pairs bridge 5-6 and 6-7 -> {4,5,6,7} merges;
+    // {1,2} and {3} must pass through untouched
+    val newDocs = Seq(6L, 7L).toDF("doc_id")
+    val incPairs = Seq((5L, 6L), (6L, 7L)).toDF("doc_a", "doc_b")
+    val r = Dedup.clustersIncrementalOf(oldLabels, newDocs, incPairs)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(r == Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L), (5L, 4L),
+                    (6L, 4L), (7L, 4L)))
+  }
+
+  test("clustersIncremental equals the full rebuild on the docs corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val merged = Dedup.clustersIncremental(spark, dir)
+      .as[(Long, Long)].collect().toSeq.sorted
+    val rebuilt = Dedup.clusters(spark, dir)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(merged == rebuilt)
+  }
+
   test("attribution credits the latest in-window touch, else 'none'") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(
