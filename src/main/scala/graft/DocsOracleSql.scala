@@ -712,6 +712,40 @@ minhash_est_err AS (
   JOIN mh_sig_match m ON m.doc_a = c.doc_a AND m.doc_b = c.doc_b),
 lang_confusion AS (
   SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
-  FROM lang_id GROUP BY 1, 2)
+  FROM lang_id GROUP BY 1, 2),
+dedup_consensus AS (
+  SELECT m.doc_a, m.doc_b, s.hamming
+  FROM minhash_pairs m
+  JOIN simhash_pairs s ON s.doc_a = m.doc_a AND s.doc_b = m.doc_b),
+colloc_bi AS (
+  SELECT split_part(bigram, ' ', 1) AS w1, split_part(bigram, ' ', 2) AS w2,
+         CAST(count(*) AS BIGINT) AS n_pair
+  FROM bigrams GROUP BY 1, 2 HAVING count(*) >= 5),
+colloc_tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM bigrams),
+colloc_uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM words_flat GROUP BY 1),
+colloc_pmi AS (
+  SELECT CAST(row_number() OVER (ORDER BY pmi DESC, n_pair DESC, w1, w2)
+              AS BIGINT) AS rank, w1, w2, n_pair, pmi
+  FROM (
+    SELECT b.w1, b.w2, b.n_pair,
+           CAST(length(bin(b.n_pair)) + length(bin(t.n_total))
+              - length(bin(u1.n_w)) - length(bin(u2.n_w)) AS BIGINT) AS pmi
+    FROM colloc_bi b
+    JOIN colloc_uni u1 ON u1.w = b.w1
+    JOIN colloc_uni u2 ON u2.w = b.w2
+    CROSS JOIN colloc_tot t) s
+  QUALIFY rank <= 50),
+mix_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w_num
+  FROM docs GROUP BY 1),
+mix_weights AS (
+  SELECT source, n_docs,
+         CAST((n_docs * 1000000) // t.tot_docs AS BIGINT) AS share_ppm,
+         CAST((w_num * 1000000) // t.tot_w AS BIGINT) AS w_ppm
+  FROM mix_src,
+       (SELECT CAST(sum(n_docs) AS BIGINT) AS tot_docs,
+               CAST(sum(w_num) AS BIGINT) AS tot_w FROM mix_src) t)
 """
 }

@@ -406,6 +406,7 @@ revenue_hhi AS (
     "q_dedup_simhash_pairs" -> fromDocs("simhash_pairs"),
     "q_dedup_simhash64"       -> fromDocs("simhash64"),
     "q_dedup_simhash64_pairs" -> fromDocs("simhash64_pairs"),
+    "q_dedup_consensus"     -> fromDocs("dedup_consensus"),
     "q_dedup_ngram_jaccard" -> fromDocs("ngram_jaccard"),
     "q_dedup_embedding"     -> fromDocs("dedup_embedding"),
     "q_dedup_embedding_ivf" -> fromDocs("dedup_embedding_ivf"),
@@ -441,6 +442,7 @@ revenue_hhi AS (
     "q_pii_scan"            -> fromDocs("pii_scan"),
     "q_repetition"          -> fromDocs("repetition"),
     "q_bigram_freq"         -> fromDocs("bigram_freq"),
+    "q_colloc_pmi"          -> fromDocs("colloc_pmi"),
     "q_corpus_curated_v2"   -> fromDocs("corpus_curated_v2"),
     // ordered funnel: equal-second ties count as converted (pinned)
     "q_funnel" -> """
@@ -1012,6 +1014,7 @@ revenue_hhi AS (
     "q_cohort_retention" -> from("cohort_retention"),
     "q_snapshot_diff"    -> from("snapshot_diff"),
     "q_domain_quota"     -> fromDocs("domain_quota"),
+    "q_mix_weights"      -> fromDocs("mix_weights"),
     "q_dedup_keep_best"  -> fromDocs("dedup_keep_best"),
     "q_doclen_hist"      -> fromDocs("doclen_hist"),
     // integer fixed-point PageRank, 3 unrolled power iterations — the

@@ -71,6 +71,8 @@ object SparkEntry {
     // 64-bit hash + 16-bit chunks: the corpus-scale banding shape
     "q_dedup_simhash64"       -> ((s, d) => ops.Dedup.simhash64(s, d)),
     "q_dedup_simhash64_pairs" -> ((s, d) => ops.Dedup.simhash64Pairs(s, d)),
+    // ensemble tier: pairs BOTH hash families agree on (high precision)
+    "q_dedup_consensus"     -> ((s, d) => ops.Dedup.consensusPairs(s, d)),
     "q_dedup_ngram_jaccard" -> ((s, d) => ops.Dedup.ngramJaccard(s, d)),
     "q_dedup_embedding"     -> ((s, d) => ops.Vectors.nearDup(s, d)),
     // IVF-cell-blocked near-dup — the corpus-scale blocking (no label oracle)
@@ -160,6 +162,8 @@ object SparkEntry {
     // ordered funnel conversion + BPE-style bigram statistics
     "q_funnel"        -> ((s, d) => ops.Sessions.funnel(s, d)),
     "q_bigram_freq"   -> ((s, d) => ops.TextOps.bigramFreq(s, d)),
+    // PMI-surrogate collocations (multi-word expression mining)
+    "q_colloc_pmi"    -> ((s, d) => ops.TextOps.collocPmi(s, d)),
     // full admission pipeline: curation + decontamination + PII +
     // repetition gates
     "q_corpus_curated_v2" -> ((s, d) => ops.Corpus.curatedV2(s, d)),
@@ -257,6 +261,8 @@ object SparkEntry {
       ops.Analytics.cohortRetentionOf(Pipeline.of(s, d).uol)),
     // per-source admission cap by deterministic md5 lottery (domain mix)
     "q_domain_quota" -> ((s, d) => ops.Corpus.domainQuota(s, d)),
+    // α=1/2 temperature mixture weights (data mixing, ppm-exact)
+    "q_mix_weights"  -> ((s, d) => ops.Corpus.mixWeights(s, d)),
     // per-cluster canonical doc: highest quality wins, not min doc_id
     "q_dedup_keep_best" -> ((s, d) => ops.Corpus.keepBest(s, d)),
     // power-of-2 token-length histogram (dataset-card length readout)

@@ -146,6 +146,42 @@ object Corpus {
   def domainQuota(spark: SparkSession, dir: String): DataFrame =
     domainQuotaOf(TextOps.docs(spark, dir))
 
+  /** Temperature-based mixture weights per source — the data-MIXING side of
+    * domain balancing (the quota above drops docs; this REWEIGHTS sampling
+    * probabilities instead, the α-temperature scheme multilingual/multi-
+    * domain training mixes use): weight ∝ count^α with α = 1/2, which
+    * up-samples small domains and flattens head domains without discarding
+    * anything.
+    *
+    * Everything stays in exact integer arithmetic so both engines agree
+    * bit-for-bit: the α=1/2 power is the FLOOR integer square root of the
+    * doc count (floor of an IEEE-correctly-rounded sqrt — exact for counts
+    * < 2^52, far beyond any per-source doc count), and weights are
+    * published in parts-per-million via bigint div. `share_ppm` (raw
+    * count share) sits beside `w_ppm` so the flattening is visible.
+    *
+    * Scale shape: one partial-agg groupBy on source (map-side combine
+    * collapses to |sources| rows before the exchange), then the two grand
+    * totals fold in as a single 1-row broadcast — no second shuffle, no
+    * window. Source cardinality is web-domain-sized (millions at worst),
+    * never row-sized. */
+  def mixWeightsOf(docsNorm: DataFrame): DataFrame = {
+    val perSrc = docsNorm.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_num",
+        expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)"))
+    val totals = perSrc.agg(sum("n_docs").as("tot_docs"),
+                            sum("w_num").as("tot_w"))
+    perSrc.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"),
+        expr("(n_docs * CAST(1000000 AS BIGINT)) div tot_docs")
+          .as("share_ppm"),
+        expr("(w_num * CAST(1000000 AS BIGINT)) div tot_w").as("w_ppm"))
+  }
+
+  def mixWeights(spark: SparkSession, dir: String): DataFrame =
+    mixWeightsOf(TextOps.docs(spark, dir))
+
   /** Canonical-representative selection — per near-dup cluster keep the
     * HIGHEST-QUALITY member (ties → smallest doc_id), not the arbitrary
     * min-id keeper: when a boilerplate-laden page and its clean mirror are

@@ -409,6 +409,30 @@ object Dedup {
   def simhash64Pairs(spark: SparkSession, dir: String): DataFrame =
     simhash64PairsOf(simhash64(spark, dir))
 
+  /** ENSEMBLE consensus candidates — pairs flagged by BOTH the MinHash-LSH
+    * banding (set-overlap signal over shingles) and the 32-bit SimHash
+    * hamming banding (bit-vector signal over distinct words). The two
+    * hash families fail independently — MinHash band collisions produce
+    * low-Jaccard false positives, SimHash's short width collides unrelated
+    * docs — so their INTERSECTION is the high-precision candidate tier a
+    * pipeline can auto-delete from, reserving the exact-Jaccard verify
+    * pass ([[verifiedPairs]]-style) for the symmetric difference.
+    *
+    * Scale shape: both inputs are bucket-collision candidate lists (never
+    * all-pairs), both memoized/persisted and shared with their own queries;
+    * the consensus itself is ONE equi-join on (doc_a, doc_b) — candidate
+    * lists are corpus-linear under the guards, so the join is cheap and
+    * AQE-broadcastable when one side is small. */
+  def consensusPairsOf(minhashPairs: DataFrame,
+                       simhashPairs: DataFrame): DataFrame =
+    minhashPairs.select("doc_a", "doc_b")
+      .join(simhashPairs, Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+
+  def consensusPairs(spark: SparkSession, dir: String): DataFrame =
+    consensusPairsOf(minhashPairs(spark, dir, Int.MaxValue),
+                     simhashPairs(spark, dir))
+
   /** Near-dup clusters: connected components over the LSH candidate-pair
     * graph via min-label propagation (iterate: every node takes the min
     * label among itself and its neighbors, until fixpoint). Output:

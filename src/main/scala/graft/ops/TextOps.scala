@@ -466,6 +466,62 @@ object TextOps {
   def bigramFreq(spark: SparkSession, dir: String): DataFrame =
     bigramFreqOf(docsWords(spark, dir))
 
+  /** Collocation mining — adjacent word pairs ranked by a pointwise-mutual-
+    * information surrogate. Raw bigram frequency (above) surfaces "of the";
+    * PMI surfaces the pairs that co-occur far MORE than their unigram
+    * frequencies predict — the multi-word expressions a tokenizer or phrase
+    * vocabulary wants as single units.
+    *
+    * True PMI is log2(n_pair·N / (n_w1·n_w2)). The product n_pair·N
+    * overflows int64 at corpus scale and float log2 is not bit-stable
+    * across engines, so the score is the SUM-OF-INTEGER-LOG2 surrogate
+    *   pmi = ⌊log2 n_pair⌋ + ⌊log2 N⌋ − ⌊log2 n_w1⌋ − ⌊log2 n_w2⌋
+    * (⌊log2 x⌋ = length(bin(x))−1, the same codegen'd bin-length trick as
+    * the tf-idf scorer) — within ±2 bits of the true value, exact integer
+    * arithmetic at ANY corpus size, negative for under-associated pairs.
+    * A min-support floor (`minCount`) drops the noise pairs whose PMI is
+    * inflated by tiny denominators, the standard collocation guard.
+    *
+    * Scale shape: bigram and unigram rollups are partial-agg groupBys
+    * (map-side combine before each exchange); the support filter prunes
+    * the pair table BEFORE the two vocabulary equi-joins; the grand total
+    * folds in as a 1-row broadcast; the top-k head is TakeOrdered, never a
+    * full sort; the rank window runs over k rows only. */
+  def collocPmiOf(docsWords: DataFrame, k: Int = 50,
+                  minCount: Long = 5L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def ilog2(c: String) = s"CAST(length(bin($c)) - 1 AS BIGINT)"
+    val pairs = docsWords.select(explode(expr(
+      """CASE WHEN size(words) >= 2
+           THEN transform(sequence(0, size(words) - 2),
+                  i -> struct(words[i] AS w1, words[i+1] AS w2))
+           ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)
+         END""")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val biCnt = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= minCount)
+    val uni = docsWords.select(explode(col("words")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    val total = pairs.agg(count(lit(1)).as("n_total"))
+    val scored = biCnt
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n_w1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_w2")), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        expr(s"${ilog2("n_pair")} + ${ilog2("n_total")}" +
+             s" - ${ilog2("n_w1")} - ${ilog2("n_w2")}").as("pmi"))
+    val top = scored
+      .orderBy(col("pmi").desc, col("n_pair").desc, col("w1"), col("w2"))
+      .limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("pmi").desc, col("n_pair").desc,
+                       col("w1"), col("w2"))).cast("long"))
+      .select(col("rank"), col("w1"), col("w2"), col("n_pair"), col("pmi"))
+  }
+
+  def collocPmi(spark: SparkSession, dir: String): DataFrame =
+    collocPmiOf(docsWords(spark, dir))
+
   /** Vocabulary coverage curve — for the top-`k` words by corpus frequency,
     * the cumulative fraction of ALL tokens they cover. The Zipf head-mass
     * curve a tokenizer/vocab designer reads to size a vocabulary.

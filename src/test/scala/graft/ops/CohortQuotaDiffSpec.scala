@@ -57,6 +57,17 @@ class CohortQuotaDiffSpec extends SparkSpec {
            again.orderBy("source", "rk").collect().toSeq)
   }
 
+  test("mixWeights: α=1/2 flattens the head, ppm arithmetic is exact") {
+    // A: 9 docs (isqrt 3), B: 1 doc (isqrt 1) -> tot_docs 10, tot_w 4
+    val docs = ((0L until 9L).map(i => (i, "A")) :+ (9L, "B"))
+      .toDF("doc_id", "source")
+    val r = Corpus.mixWeightsOf(docs)
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(r("A") == ((9L, 900000L, 750000L)))
+    assert(r("B") == ((1L, 100000L, 250000L)))
+  }
+
   test("keepBest keeps the highest-quality member, ties to min doc_id") {
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
       (6L, 6L)).toDF("doc_id", "cluster")

@@ -112,6 +112,15 @@ class DedupSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)).toSet == expect.toSet)
   }
 
+  test("consensusPairs keeps only pairs both hash families flagged") {
+    val mh = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val sh = Seq((1L, 2L, 1L), (2L, 4L, 2L))
+      .toDF("doc_a", "doc_b", "hamming")
+    val r = Dedup.consensusPairsOf(mh, sh)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 2L, 1L)))
+  }
+
   test("simhash64: identical docs equal, low 32 bits agree with 32-bit hash") {
     val sh64 = Dedup.simhash64Of(words).as[(Long, Long)].collect().toMap
     assert(sh64(0L) == sh64(1L))

@@ -57,6 +57,28 @@ class TextOpsSpec extends SparkSpec {
     assert(got((1L, "banana"))._6 == 1L) // doc 1's top term
   }
 
+  test("collocPmi: ilog2 surrogate, support floor, deterministic ranks") {
+    val d = TextOps.withWords(TextOps.normalize(Seq(
+      (0L, "new york is big"),
+      (1L, "new york is old"),
+      (2L, "the the the the"))
+      .toDF("doc_id", "text")))
+    // N=9 bigrams; unigrams: new 2, york 2, is 2, big 1, old 1, the 4
+    // pmi = L(n_pair)+L(9)-L(n_w1)-L(n_w2), L = floor(log2):
+    //   (new,york) 1+3-1-1=2 n=2; (york,is) 2 n=2; (is,big)/(is,old)
+    //   0+3-1-0=2 n=1; (the,the) 1+3-2-2=0 n=3
+    val r = TextOps.collocPmiOf(d, k = 10, minCount = 1L)
+      .as[(Long, String, String, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (1L, "new", "york", 2L, 2L),
+      (2L, "york", "is", 2L, 2L),
+      (3L, "is", "big", 1L, 2L),
+      (4L, "is", "old", 1L, 2L),
+      (5L, "the", "the", 3L, 0L)))
+    // the default support floor drops everything in this tiny fixture
+    assert(TextOps.collocPmiOf(d, k = 10).count() == 0L)
+  }
+
   test("bigram top-k: counts, rank tiebreak, short docs contribute none") {
     val d = TextOps.withWords(TextOps.normalize(Seq(
       (0L, "a b a b c"), (1L, "a b"), (2L, "solo"))

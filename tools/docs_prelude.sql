@@ -635,3 +635,13 @@ ivf_ingest_recall AS (
                               AND a.cand_id = e.cand_id) h
     ON h.query_id = q.query_id
   GROUP BY 1)
+
+-- round-11 additions (prototyped here, embedded in DocsOracleSql.scala):
+-- ensemble consensus pairs, PMI-surrogate collocations, mixture weights.
+-- dedup_consensus AS (
+--   SELECT m.doc_a, m.doc_b, s.hamming
+--   FROM minhash_pairs m
+--   JOIN simhash_pairs s ON s.doc_a = m.doc_a AND s.doc_b = m.doc_b)
+-- colloc_bi / colloc_tot / colloc_uni / colloc_pmi, mix_src / mix_weights:
+-- see DocsOracleSql.scala (canonical embedded text) — this prototype file
+-- predates the later CTEs and is kept as the original scratchpad.
