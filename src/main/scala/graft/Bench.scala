@@ -250,6 +250,45 @@ object Bench {
     m.map { case (k, v) => "\"" + key(k) + "\":" + f(v) }
       .mkString("{", ",", "}")
 
+  /** Compact per-query map bounded to `budget` bytes — the query count
+    * outgrew the driver's 2000-char stdout tail (at ~15 B/entry realistic
+    * rendering, 135+ queries cannot fit whole under ANY sane encoding), so
+    * when the full map would overflow, the compact line keeps the SLOWEST
+    * queries that fit and aggregates the dropped fast tail into a `qrest`
+    * companion (`{"n":dropped,"sum":their_seconds}`) — the kept entries
+    * plus qrest still reconstruct the headline sum, and nothing reads as
+    * "covered" that wasn't. FAILED queries (value -1) sort ahead of every
+    * timed one: a failure can never be silently truncated away. Full
+    * per-query fidelity always lives in line 1 / BENCH_full.json.
+    * Returns (mapJson, keptCount, Some(qrestField) when truncated). */
+  private[graft] def compactQueryMap(
+      pMin: Seq[(String, Double)],
+      budget: Int = 1500): (String, Int, Option[String]) = {
+    def render(entries: Seq[(String, Double)]): String =
+      jmap(entries.sortBy(_._1), r2, shortKey)
+    val all = render(pMin)
+    if (all.length <= budget) (all, pMin.size, None)
+    else {
+      // failed first (they must survive), then slowest, name tiebreak;
+      // keep the longest prefix whose rendered map fits the budget
+      val ranked = pMin.sortBy { case (k, v) => (v >= 0, -v, k) }
+      var kept = Vector.empty[(String, Double)]
+      var len = 2 // braces
+      var stop = false
+      for (e <- ranked if !stop) {
+        val piece = "\"" + shortKey(e._1) + "\":" + r2(e._2)
+        val add = piece.length + (if (kept.isEmpty) 0 else 1)
+        if (len + add <= budget) { kept = kept :+ e; len += add }
+        else stop = true
+      }
+      val rest = ranked.drop(kept.size)
+      val restField =
+        s""""qrest":{"n":${rest.size},""" +
+        s""""sum":${r2(rest.map(_._2).filter(_ >= 0).sum)}}"""
+      (render(kept), kept.size, Some(restField))
+    }
+  }
+
   private def jmapArr(m: Seq[(String, Seq[Double])]): String =
     m.map { case (k, vs) =>
         "\"" + k + "\":" + vs.map(r3).mkString("[", ",", "]") }
@@ -660,12 +699,15 @@ object Bench {
     // error list pushed the compact line past the driver's 2000-char tail
     // window, so the one artifact meant to survive truncation was itself
     // truncated mid-JSON; the full list lives in line 1 / BENCH_full.json
+    val (qJson, _, qRest) = compactQueryMap(pMin)
     val compact =
       s"""{"metric":"total","value":${if (pipelineOk) r2(okSum(pMin))
            else "-1"},"unit":"sec",""" +
       (if (pipelineOk) ""
        else s""""pval":${r2(okSum(pMin))},"cov":"$nCovered/$nPipeline",""") +
-      s""""queries":${jmap(pMin, r2, shortKey)},"sf":"$sfTag",""" +
+      s""""queries":$qJson,""" +
+      qRest.map(_ + ",").getOrElse("") +
+      s""""sf":"$sfTag",""" +
       s""""wh":{"mat":${r2(matSec)},"total":${r2(whTotal)},""" +
       s""""dc":${r2(dailyCycleSec)}}""" +
       // when the vs_prev check did NOT run, the compact line must not let

@@ -87,7 +87,9 @@ object ScaleProbe {
     // round-11h: language confusion matrix, join-key skew report,
     // last-touch attribution, incremental cluster maintenance
     "q_lang_confusion", "q_skew_report", "q_attribution",
-    "q_dedup_clusters_inc")
+    "q_dedup_clusters_inc",
+    // round-11i: consensus dedup tier, PMI collocations, mixture weights
+    "q_dedup_consensus", "q_colloc_pmi", "q_mix_weights")
 
   def makeBig(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     // the embedding rotation below is the identity at i = 64 (reintroducing

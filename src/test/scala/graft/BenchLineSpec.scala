@@ -38,18 +38,46 @@ class BenchLineSpec extends AnyFunSuite {
     // plus the daily-cycle field, worst-case suspect count, AND the
     // partial-run fields (value -1 + pval/cov + error COUNT — the r8 run
     // proved the error LIST cannot ride the compact line: 67 entries blew
-    // the 2000-char tail window)
-    val qmap = pipelineNames.sorted
-      .map(n => "\"" + Bench.shortKey(n) + "\":" + Bench.r2(123.45))
-      .mkString("{", ",", "}")
+    // the 2000-char tail window). Since round 11 the query count itself
+    // cannot fit whole (~15 B/entry × 135+), so the renderer under test is
+    // the adaptive compactQueryMap — the invariant is that for ANY input
+    // (every query at the widest rendering) the assembled line fits.
+    val pMin = pipelineNames.map(n => (n, 123.45))
+    val (qmap, kept, qrest) = Bench.compactQueryMap(pMin)
+    assert(qmap.length <= 1500, s"qmap ${qmap.length}B > 1500B budget")
     val line =
       s"""{"metric":"total","value":-1,"unit":"sec",""" +
-      s""""pval":${Bench.r2(1234.56)},"cov":"100/101",""" +
-      s""""queries":$qmap,"sf":"sf0.1",""" +
+      s""""pval":${Bench.r2(12345.67)},"cov":"100/${pipelineNames.size}",""" +
+      s""""queries":$qmap,""" + qrest.map(_ + ",").getOrElse("") +
+      s""""sf":"sf0.1",""" +
       s""""wh":{"mat":${Bench.r2(123.45)},"total":${Bench.r2(123.45)},""" +
       s""""dc":${Bench.r2(123.45)}},"vsp":"off","wspr":109,"sus":101,""" +
       s""""nerr":328}"""
     assert(line.length < 1900, s"compact line ${line.length}B >= 1900B")
+    // at the widest rendering the map MUST have truncated — and the
+    // truncation must be self-labeling and sum-preserving
+    assert(kept < pipelineNames.size && qrest.isDefined)
+    assert(qrest.get.startsWith("\"qrest\":{\"n\":" +
+      (pipelineNames.size - kept)))
+  }
+
+  test("compactQueryMap: small inputs render whole, no qrest") {
+    val pMin = Seq("q_a" -> 0.5, "q_b" -> 1.25)
+    val (qmap, kept, qrest) = Bench.compactQueryMap(pMin)
+    assert(kept == 2 && qrest.isEmpty)
+    assert(qmap == s"""{"a":0.5,"b":1.25}""") // shortKey strips q_
+  }
+
+  test("compactQueryMap: truncation keeps failed + slowest, sums the rest") {
+    // budget fits ~3 entries; the failed query must survive even though
+    // -1 is the smallest value, and the dropped tail must sum exactly
+    val pMin = Seq("q_fast1" -> 0.1, "q_slow" -> 9.0, "q_failed" -> -1.0,
+                   "q_fast2" -> 0.2, "q_mid" -> 3.0)
+    val (qmap, kept, qrest) = Bench.compactQueryMap(pMin, budget = 40)
+    assert(kept == 3, s"$qmap")
+    assert(qmap.contains("\"failed\":-1") && qmap.contains("\"slow\":9")
+      && qmap.contains("\"mid\":3"))
+    assert(qrest.contains(""""qrest":{"n":2,"sum":0.3}"""))
   }
 
   test("min/median of passes; failed pass poisons both to -1") {
