@@ -746,6 +746,59 @@ mix_weights AS (
          CAST((w_num * 1000000) // t.tot_w AS BIGINT) AS w_ppm
   FROM mix_src,
        (SELECT CAST(sum(n_docs) AS BIGINT) AS tot_docs,
-               CAST(sum(w_num) AS BIGINT) AS tot_w FROM mix_src) t)
+               CAST(sum(w_num) AS BIGINT) AS tot_w FROM mix_src) t),
+dedup_bag AS (
+  SELECT md5(array_to_string(list_sort(words), ' ')) AS fp,
+         min(doc_id) AS keeper_doc_id,
+         CAST(count(*) AS BIGINT) AS n_dups
+  FROM docs_words GROUP BY 1),
+shuffle_h AS (
+  SELECT doc_id, md5('shuf|' || CAST(doc_id AS VARCHAR)) AS h FROM docs),
+shuffle_shards AS (
+  SELECT doc_id,
+         ('0x' || substr(h, 1, 2))::BIGINT % 8 AS shard,
+         CAST(row_number() OVER (
+           PARTITION BY ('0x' || substr(h, 1, 2))::BIGINT % 8
+           ORDER BY h, doc_id) AS BIGINT) AS rank
+  FROM shuffle_h),
+token_fertility AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(length(norm)) AS BIGINT) AS sum_chars,
+         CAST(sum(len(words)) AS BIGINT) AS sum_tokens,
+         CAST((CAST(sum(length(norm)) AS BIGINT)
+               // CAST(sum(len(words)) AS BIGINT)) * 1000000
+              + ((CAST(sum(length(norm)) AS BIGINT)
+                  % CAST(sum(len(words)) AS BIGINT)) * 1000000)
+                // CAST(sum(len(words)) AS BIGINT) AS BIGINT) AS fert_ppm
+  FROM docs_words GROUP BY 1),
+uni_tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM words_flat),
+unigram_surprisal AS (
+  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(length(bin(t.n_total)) - length(bin(u.n_w)))
+              AS BIGINT) AS surprisal,
+         CAST((CAST(sum(length(bin(t.n_total)) - length(bin(u.n_w)))
+                    AS BIGINT) * 1000000) // count(*) AS BIGINT) AS mean_ppm
+  FROM words_flat f
+  JOIN colloc_uni u ON u.w = f.w
+  CROSS JOIN uni_tot t
+  GROUP BY 1),
+src_words AS (
+  SELECT DISTINCT source, w
+  FROM (SELECT source, unnest(words) AS w FROM docs_words)),
+src_vocab AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_vocab
+  FROM src_words GROUP BY 1),
+source_vocab_overlap AS (
+  SELECT i.src_a, i.src_b, va.n_vocab AS n_a, vb.n_vocab AS n_b, i.n_inter,
+         CAST(i.n_inter * 1000000
+              // (va.n_vocab + vb.n_vocab - i.n_inter) AS BIGINT)
+           AS jaccard_ppm
+  FROM (SELECT a.source AS src_a, b.source AS src_b,
+               CAST(count(*) AS BIGINT) AS n_inter
+        FROM src_words a JOIN src_words b
+          ON a.w = b.w AND a.source < b.source
+        GROUP BY 1, 2) i
+  JOIN src_vocab va ON va.source = i.src_a
+  JOIN src_vocab vb ON vb.source = i.src_b)
 """
 }

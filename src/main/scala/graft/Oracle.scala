@@ -1017,6 +1017,25 @@ revenue_hhi AS (
     "q_mix_weights"      -> fromDocs("mix_weights"),
     "q_dedup_keep_best"  -> fromDocs("dedup_keep_best"),
     "q_doclen_hist"      -> fromDocs("doclen_hist"),
+    "q_dedup_bag"            -> fromDocs("dedup_bag"),
+    "q_shuffle_shards"       -> fromDocs("shuffle_shards"),
+    "q_token_fertility"      -> fromDocs("token_fertility"),
+    "q_unigram_logprob"      -> fromDocs("unigram_surprisal"),
+    "q_source_vocab_overlap" -> fromDocs("source_vocab_overlap"),
+    // same-(user,type) debounce: each event vs its immediate same-key
+    // predecessor; strict >300 s keeps, else drops (lag-based — identical
+    // window expression in the engine)
+    "q_event_debounce" -> """
+      WITH ev AS (
+        SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+               date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts2, event_type
+        FROM events),
+      deb AS (
+        SELECT *, lag(ts2) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts2, event_id) AS prev
+        FROM ev)
+      SELECT event_id, user_id, ts2, event_type
+      FROM deb WHERE prev IS NULL OR ts2 - prev > INTERVAL 300 SECOND""",
     // integer fixed-point PageRank, 3 unrolled power iterations — the
     // ppm/17-div-20 arithmetic is bit-identical to the engine's (double
     // sums would be addition-order-dependent and could never hash-match)

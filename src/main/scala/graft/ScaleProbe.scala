@@ -89,7 +89,11 @@ object ScaleProbe {
     "q_lang_confusion", "q_skew_report", "q_attribution",
     "q_dedup_clusters_inc",
     // round-11i: consensus dedup tier, PMI collocations, mixture weights
-    "q_dedup_consensus", "q_colloc_pmi", "q_mix_weights")
+    "q_dedup_consensus", "q_colloc_pmi", "q_mix_weights",
+    // round-11j: bag dedup, deterministic shuffle, fertility, surprisal,
+    // cross-source vocab overlap, telemetry debounce
+    "q_dedup_bag", "q_shuffle_shards", "q_token_fertility",
+    "q_unigram_logprob", "q_source_vocab_overlap", "q_event_debounce")
 
   def makeBig(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     // the embedding rotation below is the identity at i = 64 (reintroducing

@@ -289,7 +289,19 @@ object SparkEntry {
     "q_attribution" -> ((s, d) => ops.AsOf.lastTouchAttribution(s, d)),
     // INCREMENTAL near-dup cluster maintenance — affected clusters only;
     // the oracle is the FULL-REBUILD clustering (merge ≡ rebuild)
-    "q_dedup_clusters_inc" -> ((s, d) => ops.Dedup.clustersIncremental(s, d)))
+    "q_dedup_clusters_inc" -> ((s, d) => ops.Dedup.clustersIncremental(s, d)),
+    // bag-of-words fingerprint dedup (catches reordered duplicates)
+    "q_dedup_bag" -> ((s, d) => ops.Dedup.bagExact(s, d)),
+    // deterministic global training shuffle: (shard, rank) per doc
+    "q_shuffle_shards" -> ((s, d) => ops.Sampling.shuffleShards(s, d)),
+    // per-language chars-per-token fertility (ppm-exact)
+    "q_token_fertility" -> ((s, d) => ops.TextOps.tokenFertility(s, d)),
+    // per-doc unigram-LM surprisal (integer-log2 perplexity proxy)
+    "q_unigram_logprob" -> ((s, d) => ops.TextOps.unigramSurprisal(s, d)),
+    // pairwise vocabulary Jaccard between sources (mixing redundancy)
+    "q_source_vocab_overlap" -> ((s, d) => ops.Corpus.sourceVocabOverlap(s, d)),
+    // same-(user,type) 300s telemetry debounce (kept events)
+    "q_event_debounce" -> ((s, d) => ops.Sessions.debounce(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

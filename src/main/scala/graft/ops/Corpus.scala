@@ -208,4 +208,38 @@ object Corpus {
   def keepBest(spark: SparkSession, dir: String): DataFrame =
     keepBestOf(Dedup.clusters(spark, dir),
                TextOps.qualityScore(spark, dir))
+
+  /** Pairwise vocabulary Jaccard between sources — the cross-source
+    * redundancy readout behind mixing decisions (two crawls with
+    * near-identical vocabularies add diversity on paper only). One row per
+    * unordered source pair with both vocab sizes, the intersection, and
+    * ppm-exact Jaccard.
+    *
+    * Scale shape: the (source, word) dedup is one partial-agg exchange;
+    * the intersection self-join is on the word key with per-word fanout
+    * bounded by nSources² (a word in every source yields C(n,2) pairs —
+    * independent of corpus size); the final rollup is on the ≤n² pair key.
+    * All-integer until the ppm division. */
+  def sourceVocabOverlapOf(docsWords: DataFrame): DataFrame = {
+    val sv = docsWords
+      .select(col("source"), explode(col("words")).as("w"))
+      .distinct()
+    val sizes = sv.groupBy("source").agg(count(lit(1)).as("n_vocab"))
+    sv.as("a")
+      .join(sv.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("source").as("src_a"),
+                         col("n_vocab").as("n_a")), Seq("src_a"))
+      .join(sizes.select(col("source").as("src_b"),
+                         col("n_vocab").as("n_b")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("n_inter"),
+        expr("""CAST(n_inter * 1000000 DIV (n_a + n_b - n_inter)
+                AS BIGINT)""").as("jaccard_ppm"))
+  }
+
+  def sourceVocabOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceVocabOverlapOf(TextOps.docsWords(spark, dir))
 }

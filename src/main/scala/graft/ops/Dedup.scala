@@ -33,6 +33,24 @@ object Dedup {
   def exact(spark: SparkSession, dir: String): DataFrame =
     exactOf(TextOps.docs(spark, dir))
 
+  /** Bag-of-words dedup: fingerprint = md5 of the SORTED token multiset —
+    * catches reordered/shuffled duplicates that byte-exact dedup misses
+    * (list-scrape and template permutations are the classic web-corpus
+    * case) while staying exact, unlike MinHash. Same keeper contract as
+    * [[exactOf]].
+    *
+    * Scale shape: the sort is per-document (array_sort inside the scan,
+    * no explode, no extra shuffle) and the groupBy on the 128-bit
+    * fingerprint is the same single partial-agg exchange as exact dedup. */
+  def bagExactOf(docsWords: DataFrame): DataFrame =
+    docsWords
+      .groupBy(md5(concat_ws(" ", array_sort(col("words")))).as("fp"))
+      .agg(min("doc_id").as("keeper_doc_id"),
+           count(lit(1)).as("n_dups"))
+
+  def bagExact(spark: SparkSession, dir: String): DataFrame =
+    bagExactOf(TextOps.docsWords(spark, dir))
+
   /** MinHash signatures: k=8 seeded min-hashes per doc
     * (min over shingles of md5(seed || '|' || shingle) — lexicographic min
     * of a uniform hash is a valid min-hash). */

@@ -36,4 +36,31 @@ object Sampling {
       expr("""CASE WHEN substring(md5(CAST(doc_id AS STRING)), 1, 1) < 'c' THEN 'train'
                    WHEN substring(md5(CAST(doc_id AS STRING)), 1, 1) < 'e' THEN 'val'
                    ELSE 'test' END""").as("split"))
+
+  /** Deterministic global training shuffle: every doc gets a (shard, rank)
+    * address from a salted content hash — the reproducible epoch-order a
+    * data loader consumes, with no RNG state and no single global sort.
+    * shard = first md5 byte mod `nShards`; rank = position within the
+    * shard ordered by (hash, doc_id) (total: doc_id is unique).
+    *
+    * Scale shape: hashing is map-side; the ranking is ONE shuffle on the
+    * shard key plus a per-shard sort — at 100 TB that's the honest,
+    * bounded cost of a deterministic permutation (each shard is corpus/
+    * nShards; raise nShards to cap per-task sort size). Never a global
+    * 1-partition window. */
+  def shuffleShardsOf(docs: DataFrame, nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .select(col("doc_id"),
+        md5(concat(lit("shuf|"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("shard",
+        expr(s"CAST(conv(substring(h, 1, 2), 16, 10) AS BIGINT) % $nShards"))
+      .withColumn("rank",
+        row_number().over(
+          Window.partitionBy("shard").orderBy("h", "doc_id")).cast("long"))
+      .select("doc_id", "shard", "rank")
+  }
+
+  def shuffleShards(spark: SparkSession, dir: String): DataFrame =
+    shuffleShardsOf(TextOps.docs(spark, dir))
 }

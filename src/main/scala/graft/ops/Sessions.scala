@@ -208,4 +208,30 @@ object Sessions {
 
   def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame =
     rollingActiveUsersOf(Feeds.events(spark, dir))
+
+  /** Telemetry debounce: drop an event when the SAME (user, event_type)
+    * fired within `windowSec` before it — the standard double-fire /
+    * client-retry cleaner that runs ahead of sessionization and counters.
+    * Lag-based (each event compares to its immediate same-key
+    * predecessor), so the rule is a pure window expression — identical in
+    * the oracle — and the batch output is the exact twin of the
+    * dropDuplicates-within-watermark streaming stance.
+    *
+    * Scale shape: ONE shuffle on (user_id, event_type), a per-key lag,
+    * a filter — state bounded by events-per-key-partition, no second
+    * exchange. Timestamps second-truncated, order (ts2, event_id) total. */
+  def debounceOf(events: DataFrame, windowSec: Long = 300): DataFrame = {
+    val byKey = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts2", "event_id")
+    events
+      .select(col("event_id"), col("user_id").cast("long").as("user_id"),
+              date_trunc("second", col("ts")).as("ts2"), col("event_type"))
+      .withColumn("prev", lag(col("ts2"), 1).over(byKey))
+      .where(col("prev").isNull ||
+        unix_timestamp(col("ts2")) - unix_timestamp(col("prev")) > windowSec)
+      .select("event_id", "user_id", "ts2", "event_type")
+  }
+
+  def debounce(spark: SparkSession, dir: String): DataFrame =
+    debounceOf(Feeds.events(spark, dir))
 }

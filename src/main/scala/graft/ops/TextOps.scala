@@ -632,4 +632,66 @@ object TextOps {
 
   def rrfFusion(spark: SparkSession, dir: String): DataFrame =
     rrfFusionOf(docsWords(spark, dir), Seq("spark", "hash", "join"))
+
+  /** Tokenizer fertility per language: chars-per-token (ppm-exact) from
+    * whole-corpus sums — the readout that tells you which languages your
+    * tokenizer fragments (high fertility → more tokens per char of text →
+    * higher serving cost; the first table any multilingual tokenizer
+    * evaluation prints).
+    *
+    * Scale shape: per-doc char/token counts fuse into the normalize scan
+    * (map-side, no explode), then ONE partial-agg groupBy on the ~100-value
+    * lang key — constant-size output at any corpus scale. The ppm ratio is
+    * exact-integer: split into whole + remainder parts so the widest
+    * intermediate is `remainder * 1e6 < sum_tokens * 1e6` — overflows only
+    * past ~9e12 tokens PER LANGUAGE (≈40 TB of text in one language;
+    * widen to DECIMAL(38,0) at that point). */
+  def tokenFertilityOf(docsWords: DataFrame): DataFrame =
+    docsWords
+      .select(col("lang"),
+        length(col("norm")).cast("long").as("nc"),
+        size(col("words")).cast("long").as("nt"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("nc").as("sum_chars"),
+           sum("nt").as("sum_tokens"))
+      .withColumn("fert_ppm",
+        expr("""CAST((sum_chars DIV sum_tokens) * 1000000
+                + ((sum_chars % sum_tokens) * 1000000) DIV sum_tokens
+                AS BIGINT)"""))
+
+  def tokenFertility(spark: SparkSession, dir: String): DataFrame =
+    tokenFertilityOf(docsWords(spark, dir))
+
+  /** Per-doc unigram surprisal under the corpus's own unigram LM — the
+    * cheap perplexity proxy quality filters use before any neural scorer
+    * (a doc of globally-rare tokens scores high; boilerplate scores low).
+    * surprisal(w) = ilog2(N) − ilog2(count(w)) with the same bin-length
+    * integer log2 as the PMI/tf-idf scorers (bit-stable cross-engine; the
+    * −1s of true ⌊log2⌋ cancel in the difference).
+    *
+    * Scale shape: one vocab rollup (partial-agg groupBy on word), an
+    * equi-join of the exploded tokens against it (AQE broadcasts it while
+    * the vocab is small; at web scale it's a shuffle join on a
+    * Zipf-skewed key — the head words are exactly the ones AQE's skew
+    * split handles), the grand total as a 1-row broadcast, then a
+    * partial-agg fold back to doc grain. Sum bound: surprisal < 64 per
+    * token, so the per-doc sum and its ppm mean never overflow. */
+  def unigramSurprisalOf(docsWords: DataFrame): DataFrame = {
+    val flat = docsWords.select(col("doc_id"), explode(col("words")).as("w"))
+    val vocab = flat.groupBy("w").agg(count(lit(1)).as("n_w"))
+    val total = flat.agg(count(lit(1)).as("n_total"))
+    flat.join(vocab, "w")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        expr("CAST(length(bin(n_total)) - length(bin(n_w)) AS BIGINT)")
+          .as("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("s").as("surprisal"))
+      .withColumn("mean_ppm",
+        expr("CAST(surprisal * 1000000 DIV n_tokens AS BIGINT)"))
+  }
+
+  def unigramSurprisal(spark: SparkSession, dir: String): DataFrame =
+    unigramSurprisalOf(docsWords(spark, dir))
 }

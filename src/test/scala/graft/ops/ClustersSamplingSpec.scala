@@ -108,4 +108,25 @@ class ClustersSamplingSpec extends SparkSpec {
       v2.join(TextOps.contamination(spark, d), "doc_id").count()
     assert(bad == 0L)
   }
+
+  test("shuffle shards: dense per-shard ranks, deterministic, full cover") {
+    import org.apache.spark.sql.functions.{col, desc}
+    val docs = (0L until 200L).map(i => Tuple1(i)).toDF("doc_id")
+    val r = Sampling.shuffleShardsOf(docs)
+    val rows = r.as[(Long, Long, Long)].collect().toSeq
+    assert(rows.size == 200 && rows.map(_._1).distinct.size == 200)
+    assert(rows.forall(t => t._2 >= 0 && t._2 < 8))
+    // ranks are 1..n dense within each shard (a true permutation address)
+    for ((_, members) <- rows.groupBy(_._2))
+      assert(members.map(_._3).sorted == (1L to members.size).toSeq)
+    // input order / partitioning does not change the assignment
+    val again = Sampling
+      .shuffleShardsOf(docs.repartition(7).orderBy(desc("doc_id")))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows.sortBy(_._1) == again.sortBy(_._1))
+    // ...and the order is not the input order (it did shuffle): the
+    // doc_ids in rank order within shard 0 are not monotone
+    val s0 = rows.filter(_._2 == 0L).sortBy(_._3).map(_._1)
+    assert(s0 != s0.sorted)
+  }
 }

@@ -230,4 +230,16 @@ class CohortQuotaDiffSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq.sorted
     assert(r == Seq(("click", 1L), ("none", 2L)))
   }
+
+  test("source vocab overlap: exact intersection sizes and ppm Jaccard") {
+    // A vocab {x,y,z}, B vocab {y,z,w}, C vocab {q}
+    // A∩B = {y,z} -> J = 2/4 = 500000 ppm; A∩C = B∩C = ∅ (no row: inner)
+    val dw = TextOps.withWords(TextOps.normalize(Seq(
+      (0L, "A", "x y z y"), (1L, "B", "y z w"), (2L, "C", "q q q"))
+      .toDF("doc_id", "source", "text")))
+    val r = Corpus.sourceVocabOverlapOf(dw)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(("B", "A", 3L, 3L, 2L, 500000L)) ||
+           r == Seq(("A", "B", 3L, 3L, 2L, 500000L)), r.toString)
+  }
 }

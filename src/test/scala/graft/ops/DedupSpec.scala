@@ -215,4 +215,21 @@ class DedupSpec extends SparkSpec {
     val nU = u.select("u_cluster").distinct().count()
     assert(nV >= nU)
   }
+
+  test("bag dedup groups reordered token multisets; multiset still counts") {
+    val dw = TextOps.withWords(TextOps.normalize(Seq(
+      (0L, "alpha beta gamma"),
+      (1L, "gamma beta alpha"),   // same multiset, reordered -> dup of 0
+      (2L, "alpha beta beta"),    // different MULTISET (beta twice) -> own
+      (3L, "alpha beta gamma delta")) // superset -> own
+      .toDF("doc_id", "text")))
+    val g = Dedup.bagExactOf(dw).orderBy("keeper_doc_id")
+      .select("keeper_doc_id", "n_dups").as[(Long, Long)].collect().toSeq
+    assert(g == Seq((0L, 2L), (2L, 1L), (3L, 1L)))
+    // ...and byte-exact dedup does NOT see the reordered pair
+    val e = Dedup.exactOf(TextOps.normalize(Seq(
+      (0L, "alpha beta gamma"), (1L, "gamma beta alpha"))
+      .toDF("doc_id", "text")))
+    assert(e.count() == 2)
+  }
 }

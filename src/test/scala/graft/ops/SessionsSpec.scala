@@ -165,4 +165,25 @@ class SessionsSpec extends SparkSpec {
       assert(math.abs(a - n).toDouble / n <= 0.10, s"$t: exact=$n approx=$a")
     }
   }
+
+  test("debounce drops same-(user,type) re-fires within 300s, keeps others") {
+    def t(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
+    val ev = Seq(
+      (1L, 1L, t(0),   "click"),
+      (2L, 1L, t(200), "click"), // 200s after #1 -> dropped
+      (3L, 1L, t(350), "click"), // 150s after #2: the lag rule compares to
+                                 // the immediate predecessor (kept or not),
+                                 // so a sustained burst stays suppressed
+      (4L, 1L, t(100), "view"),  // different type: own stream -> kept
+      (5L, 2L, t(250), "click"), // different user -> kept
+      (6L, 1L, t(700), "click")) // 350s after #3 -> kept
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val kept = Sessions.debounceOf(ev)
+      .select("event_id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(1L, 4L, 5L, 6L))
+    // boundary: exactly 300s is still a duplicate (strict >)
+    val ev2 = Seq((1L, 1L, t(0), "click"), (2L, 1L, t(300), "click"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    assert(Sessions.debounceOf(ev2).count() == 1)
+  }
 }

@@ -164,4 +164,41 @@ class TextOpsSpec extends SparkSpec {
       .select("md5_norm", "min_shingle_hash").as[(String, String)].collect()
     assert(fp.distinct.length == 1)
   }
+
+  test("token fertility: ppm-exact chars-per-token per language") {
+    // en: "ab cd" (5 chars, 2 tokens) + "a b c" (5 chars, 3 tokens)
+    //   -> 10 chars / 5 tokens = 2.000000 -> 2_000_000 ppm
+    // de: "abcdefg" (7 chars, 1 token) -> 7_000_000 ppm
+    val dw = TextOps.withWords(TextOps.normalize(Seq(
+      (0L, "en", "ab cd"), (1L, "en", "a b c"), (2L, "de", "abcdefg"))
+      .toDF("doc_id", "lang", "text")))
+    val r = TextOps.tokenFertilityOf(dw)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    assert(r("en") == ((2L, 10L, 5L, 2000000L)))
+    assert(r("de") == ((1L, 7L, 1L, 7000000L)))
+    // non-integral ratio: 7 chars / 3 tokens = 2.333333 -> truncated ppm
+    val dw2 = TextOps.withWords(TextOps.normalize(Seq(
+      (0L, "fr", "ab c d")).toDF("doc_id", "lang", "text")))
+    assert(TextOps.tokenFertilityOf(dw2).select("fert_ppm")
+      .as[Long].head() == 2000000L)
+    val dw3 = TextOps.withWords(TextOps.normalize(Seq(
+      (0L, "fr", "abc d e")).toDF("doc_id", "lang", "text")))
+    assert(TextOps.tokenFertilityOf(dw3).select("fert_ppm")
+      .as[Long].head() == 2333333L)
+  }
+
+  test("unigram surprisal: rare tokens score high, the ilog2 sums are exact") {
+    // corpus: a a a a b c  (N=6; bin-lengths: N->3, a(4)->3, b(1)->1, c->1)
+    // doc 0 = "a a a a" -> 4 tokens, each s = 3-3 = 0 -> surprisal 0
+    // doc 1 = "b c"     -> 2 tokens, each s = 3-1 = 2 -> surprisal 4,
+    //   mean_ppm = 4*1e6 div 2 = 2_000_000
+    val dw = TextOps.withWords(TextOps.normalize(Seq(
+      (0L, "a a a a"), (1L, "b c")).toDF("doc_id", "text")))
+    val r = TextOps.unigramSurprisalOf(dw)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(r(0L) == ((4L, 0L, 0L)))
+    assert(r(1L) == ((2L, 4L, 2000000L)))
+  }
 }
