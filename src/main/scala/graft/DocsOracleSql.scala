@@ -799,6 +799,37 @@ source_vocab_overlap AS (
           ON a.w = b.w AND a.source < b.source
         GROUP BY 1, 2) i
   JOIN src_vocab va ON va.source = i.src_a
-  JOIN src_vocab vb ON vb.source = i.src_b)
+  JOIN src_vocab vb ON vb.source = i.src_b),
+emb_norm_hist AS (
+  SELECT label, CAST(length(bin(n2)) - 1 AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_vecs,
+         min(n2) AS min_n2, max(n2) AS max_n2
+  FROM emb_n GROUP BY 1, 2),
+char_cnt AS (
+  SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n_c
+  FROM (SELECT doc_id, unnest(string_split(norm, '')) AS c FROM docs)
+  GROUP BY 1, 2),
+char_entropy AS (
+  SELECT doc_id, n_chars, n_distinct_chars,
+         CAST(n_chars * (length(bin(n_chars)) - 1) - sum_c_ilog2
+              AS BIGINT) AS entropy_surr
+  FROM (SELECT doc_id, CAST(sum(n_c) AS BIGINT) AS n_chars,
+               CAST(count(*) AS BIGINT) AS n_distinct_chars,
+               CAST(sum(n_c * (length(bin(n_c)) - 1)) AS BIGINT)
+                 AS sum_c_ilog2
+        FROM char_cnt GROUP BY 1) g),
+dedup_pairs_editdist AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(levenshtein(da.norm, db.norm) AS BIGINT) AS editdist
+  FROM minhash_pairs p
+  JOIN docs da ON da.doc_id = p.doc_a
+  JOIN docs db ON db.doc_id = p.doc_b
+  WHERE levenshtein(da.norm, db.norm) <= 16),
+dup_rate_by_source AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT md5(norm)) AS BIGINT) AS n_unique,
+         CAST((count(*) - count(DISTINCT md5(norm))) * 1000000
+              // count(*) AS BIGINT) AS dup_ppm
+  FROM docs GROUP BY 1)
 """
 }

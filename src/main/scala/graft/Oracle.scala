@@ -348,7 +348,24 @@ revenue_hhi AS (
                item_id,
                CAST(floor(sum(payment_amount)) AS BIGINT) AS rev_i
         FROM uol GROUP BY 1, 2) iw
-  GROUP BY 1)
+  GROUP BY 1),
+sales_mom AS (
+  SELECT month, rev, n_sales, rev_i,
+         prev_rev_i,
+         CAST(CASE
+           WHEN prev_rev_i IS NULL THEN NULL
+           WHEN rev_i >= prev_rev_i
+           THEN ((rev_i - prev_rev_i) * 1000000) // NULLIF(prev_rev_i, 0)
+           ELSE -(((prev_rev_i - rev_i) * 1000000) // NULLIF(prev_rev_i, 0))
+         END AS BIGINT) AS growth_ppm
+  FROM (SELECT month, rev, n_sales, rev_i,
+               lag(rev_i) OVER (ORDER BY month) AS prev_rev_i
+        FROM (SELECT CAST(date_trunc('month', date_time) AS TIMESTAMP)
+                       AS month,
+                     sum(payment_amount) AS rev,
+                     CAST(count(*) AS BIGINT) AS n_sales,
+                     CAST(floor(sum(payment_amount)) AS BIGINT) AS rev_i
+              FROM uol GROUP BY 1) m) l)
 """
 
   /** Docs/vectors prelude for the training-data-pipeline operators
@@ -1036,6 +1053,90 @@ revenue_hhi AS (
         FROM ev)
       SELECT event_id, user_id, ts2, event_type
       FROM deb WHERE prev IS NULL OR ts2 - prev > INTERVAL 300 SECOND""",
+    "q_sales_mom"       -> fromD("sales_mom", "rev"),
+    "q_emb_norm_hist"   -> fromDocs("emb_norm_hist"),
+    "q_char_entropy"    -> fromDocs("char_entropy"),
+    "q_dedup_pairs_editdist" -> fromDocs("dedup_pairs_editdist"),
+    "q_dup_rate_by_source"   -> fromDocs("dup_rate_by_source"),
+    // packing fill factor over the pack_sequences chunking (chunk counts
+    // and token mass per shard against the 512-token capacity)
+    "q_pack_efficiency" -> (docsPrelude + """
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(chunk_tokens) AS BIGINT) AS shard_tokens,
+             max(chunk_tokens) AS max_chunk_tokens,
+             CAST(CAST(sum(chunk_tokens) AS BIGINT) * 1000000
+                  // (count(*) * 512) AS BIGINT) AS fill_ppm
+      FROM (
+        SELECT shard, chunk, CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens
+        FROM (
+          SELECT doc_id, shard, n_tokens,
+                 (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                   - n_tokens) // 512 AS chunk
+          FROM (SELECT doc_id, doc_id % 8 AS shard,
+                       CAST(len(string_split(norm, ' ')) AS BIGINT)
+                         AS n_tokens
+                FROM docs) t) p
+        GROUP BY 1, 2) c
+      GROUP BY 1"""),
+    // TPC-H Q5 shape: ASIA-region 1996 order-year revenue per nation where
+    // customer and supplier nations match; the decimal tree matches the
+    // engine's discPrice exactly
+    "q_local_supplier_volume" -> """
+      SELECT n_name,
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2))
+                           * (CAST(1 AS DECIMAL(14,2))
+                              - CAST(l_discount AS DECIMAL(14,2)))
+                           AS DECIMAL(24,4))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      JOIN region   ON r_regionkey = n_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1""",
+    "q_event_rate_hist" -> """
+      SELECT CAST(length(bin(n_events)) - 1 AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(n_events) AS BIGINT) AS sum_events,
+             min(n_events) AS min_events, max(n_events) AS max_events
+      FROM (SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1) u
+      GROUP BY 1""",
+    // per-edge common-neighbor (= per-edge triangle) counts via the same
+    // canonical u<v edge closure as q_triangle_stats, fanned back to the
+    // triangle's 3 edges; J = common / (deg_u + deg_v - common)
+    "q_copurchase_jaccard" -> """
+      WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      edges AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v FROM edges) n
+        GROUP BY 1),
+      tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM edges e1 JOIN edges e2 ON e2.u = e1.v
+                   JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+      tri_edges AS (
+        SELECT u, v, CAST(count(*) AS BIGINT) AS n_common FROM (
+          SELECT a AS u, b AS v FROM tri
+          UNION ALL SELECT a AS u, c AS v FROM tri
+          UNION ALL SELECT b AS u, c AS v FROM tri) te
+        GROUP BY 1, 2)
+      SELECT e.u, e.v, du.deg AS deg_u, dv.deg AS deg_v,
+             COALESCE(t.n_common, 0) AS n_common,
+             CAST(COALESCE(t.n_common, 0) * 1000000
+                  // (du.deg + dv.deg - COALESCE(t.n_common, 0))
+                  AS BIGINT) AS jaccard_ppm
+      FROM edges e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+      LEFT JOIN tri_edges t ON t.u = e.u AND t.v = e.v""",
     // integer fixed-point PageRank, 3 unrolled power iterations — the
     // ppm/17-div-20 arithmetic is bit-identical to the engine's (double
     // sums would be addition-order-dependent and could never hash-match)

@@ -93,7 +93,15 @@ object ScaleProbe {
     // round-11j: bag dedup, deterministic shuffle, fertility, surprisal,
     // cross-source vocab overlap, telemetry debounce
     "q_dedup_bag", "q_shuffle_shards", "q_token_fertility",
-    "q_unigram_logprob", "q_source_vocab_overlap", "q_event_debounce")
+    "q_unigram_logprob", "q_source_vocab_overlap", "q_event_debounce",
+    // round-11k: MoM growth, event-rate hist, norm hist, char entropy,
+    // neighbor Jaccard
+    "q_sales_mom", "q_event_rate_hist", "q_emb_norm_hist",
+    "q_char_entropy", "q_copurchase_jaccard",
+    // round-11l: Q5 snowflake anchor, edit-distance dedup tier, dup-rate
+    // attribution, packing fill factor
+    "q_local_supplier_volume", "q_dedup_pairs_editdist",
+    "q_dup_rate_by_source", "q_pack_efficiency")
 
   def makeBig(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     // the embedding rotation below is the identity at i = 64 (reintroducing

@@ -301,7 +301,28 @@ object SparkEntry {
     // pairwise vocabulary Jaccard between sources (mixing redundancy)
     "q_source_vocab_overlap" -> ((s, d) => ops.Corpus.sourceVocabOverlap(s, d)),
     // same-(user,type) 300s telemetry debounce (kept events)
-    "q_event_debounce" -> ((s, d) => ops.Sessions.debounce(s, d)))
+    "q_event_debounce" -> ((s, d) => ops.Sessions.debounce(s, d)),
+    // month-over-month revenue growth (signed ppm, truncate-toward-zero)
+    "q_sales_mom" -> ((s, d) =>
+      money(ops.Analytics.salesMomOf(Pipeline.of(s, d).uol), "rev")),
+    // per-user event-rate power-of-2 histogram (bot/outlier readout)
+    "q_event_rate_hist" -> ((s, d) => ops.Sessions.eventRateHist(s, d)),
+    // per-label embedding norm histogram (norm-drift health check)
+    "q_emb_norm_hist" -> ((s, d) => ops.Vectors.normHist(s, d)),
+    // per-doc char-diversity entropy surrogate (gibberish detector)
+    "q_char_entropy" -> ((s, d) => ops.TextOps.charEntropy(s, d)),
+    // per-edge neighbor Jaccard of the co-purchase graph (link strength)
+    "q_copurchase_jaccard" -> ((s, d) => ops.Basket.neighborJaccard(s, d)),
+    // TPC-H Q5 shape: local-supplier revenue per nation (snowflake joins)
+    "q_local_supplier_volume" -> ((s, d) =>
+      ops.Analytics.localSupplierVolume(s, d)),
+    // LSH candidates verified by edit distance (near-exact dup tier)
+    "q_dedup_pairs_editdist" -> ((s, d) =>
+      ops.Dedup.minhashPairsEditVerified(s, d)),
+    // per-source exact-duplicate rate (corpus-card dup attribution)
+    "q_dup_rate_by_source" -> ((s, d) => ops.Corpus.dupRateBySource(s, d)),
+    // packing fill factor per shard (padding-waste readout)
+    "q_pack_efficiency" -> ((s, d) => ops.Pack.packEfficiency(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -458,4 +458,68 @@ object Analytics {
       .agg(count(lit(1)).as("n_sales"),
            sum(col("payment_amount")).cast("double").as("revenue"))
   }
+
+  /** Month-over-month revenue growth — monthly revenue with the previous
+    * month's and a ppm-exact signed growth rate. Growth is computed on
+    * floor-whole-currency integers (the revenue_hhi rule) with an
+    * explicit sign split, because integer division rounds toward zero in
+    * Spark but toward −∞ in DuckDB — the CASE makes both engines truncate
+    * the magnitude. NULLIF guards a zero-revenue month.
+    *
+    * Scale shape: one partial-agg groupBy to month grain, then a lag
+    * window over the ~tens-of-rows month dimension (bounded, same class
+    * as the calendar weeks window). */
+  def salesMomOf(uol: DataFrame): DataFrame = {
+    val monthly = uol
+      .groupBy(date_trunc("month", col("date_time")).as("month"))
+      .agg(sum(col("payment_amount")).as("rev"), count(lit(1)).as("n_sales"))
+      .withColumn("rev_i", floor(col("rev")).cast("long"))
+    val w = Window.orderBy("month") // bounded: one row per month
+    monthly
+      .withColumn("prev_rev_i", lag(col("rev_i"), 1).over(w))
+      .withColumn("growth_ppm", expr(
+        """CAST(CASE
+             WHEN prev_rev_i IS NULL THEN NULL
+             WHEN rev_i >= prev_rev_i
+             THEN ((rev_i - prev_rev_i) * 1000000) DIV NULLIF(prev_rev_i, 0)
+             ELSE -(((prev_rev_i - rev_i) * 1000000) DIV NULLIF(prev_rev_i, 0))
+           END AS BIGINT)"""))
+  }
+
+  /** Local-supplier volume (TPC-H Q5 shape): revenue per nation of an
+    * order-year window where the customer and the supplier share the
+    * nation — the classic snowflake join-order anchor.
+    *
+    * Scale shape: the fact-side chain is lineitem⨝orders⨝customer on
+    * their natural keys (shuffle joins on the big sides; the orders date
+    * filter prunes FIRST and pushes to the scan), supplier folds in on
+    * (l_suppkey) with the c_nationkey = s_nationkey equi-constraint in
+    * the SAME join condition (not a post-filter — the optimizer can use
+    * it), and the nation⨝region dimension — 25 rows — broadcasts. Revenue
+    * stays exact DECIMAL(24,4) until the output cast. */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val o = Feeds.table(spark, dir, "orders")
+      .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_custkey")
+    val c = Feeds.table(spark, dir, "customer")
+      .select("c_custkey", "c_nationkey")
+    val s = Feeds.table(spark, dir, "supplier")
+      .select("s_suppkey", "s_nationkey")
+    val dim = Feeds.table(spark, dir, "nation")
+      .join(Feeds.table(spark, dir, "region")
+              .where(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    Feeds.table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey") &&
+               col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(dim), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(discPrice).cast("double").as("revenue"))
+  }
 }

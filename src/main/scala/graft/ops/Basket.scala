@@ -189,4 +189,58 @@ object Basket {
 
   def degreeDist(spark: SparkSession, dir: String): DataFrame =
     degreeDistOf(coPurchaseEdgesOf(Feeds.table(spark, dir, "lineitem")))
+
+  /** Per-edge neighbor-set Jaccard of the co-purchase graph — the
+    * link-strength / link-prediction readout (an edge whose endpoints
+    * share most of their neighborhoods is a stable association; one with
+    * zero common neighbors is probably noise). common(u,v) = triangles
+    * through the edge; J = common / (deg_u + deg_v − common) (u,v are in
+    * the union but never common), ppm-exact.
+    *
+    * Scale shape: same degree-ordered wedge join as [[triangleStatsOf]]
+    * (each triangle enumerated exactly once from its lowest-degree
+    * vertex — the hub guard), then the triangle list fans back to its 3
+    * edges (bounded ×3) into a partial-agg rollup and one left join onto
+    * the edge list. Never a neighbor-list crossJoin on a hub. */
+  def neighborJaccardOf(edges0: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = edges0.persist(MEMORY_AND_DISK)
+    val deg = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .persist(MEMORY_AND_DISK)
+    val higher = col("deg_u") < col("deg_v") ||
+      (col("deg_u") === col("deg_v") && col("u") < col("v"))
+    val withDeg = edges
+      .join(deg.select(col("node").as("u"), col("deg").as("deg_u")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("deg_v")), Seq("v"))
+      .persist(MEMORY_AND_DISK) // feeds orientation AND the final output
+    val oriented = withDeg
+      .select(when(higher, col("u")).otherwise(col("v")).as("src"),
+              when(higher, col("v")).otherwise(col("u")).as("dst"))
+    val paths = oriented.select(col("src"), col("dst").as("v1"))
+      .join(oriented.select(col("src"), col("dst").as("v2")), Seq("src"))
+      .where(col("v1") =!= col("v2"))
+    val tri = paths
+      .join(oriented.select(col("src").as("v1"), col("dst").as("v2")),
+            Seq("v1", "v2"))
+      .select(col("src"), col("v1"), col("v2"))
+    val triEdges = tri
+      .select(least(col("src"), col("v1")).as("u"),
+              greatest(col("src"), col("v1")).as("v"))
+      .unionAll(tri.select(least(col("src"), col("v2")).as("u"),
+                           greatest(col("src"), col("v2")).as("v")))
+      .unionAll(tri.select(least(col("v1"), col("v2")).as("u"),
+                           greatest(col("v1"), col("v2")).as("v")))
+      .groupBy("u", "v").agg(count(lit(1)).as("n_common"))
+    withDeg.join(triEdges, Seq("u", "v"), "left")
+      .select(col("u"), col("v"), col("deg_u"), col("deg_v"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        expr("""CAST(coalesce(n_common, 0) * 1000000
+                DIV (deg_u + deg_v - coalesce(n_common, 0)) AS BIGINT)""")
+          .as("jaccard_ppm"))
+  }
+
+  def neighborJaccard(spark: SparkSession, dir: String): DataFrame =
+    neighborJaccardOf(coPurchaseEdgesOf(Feeds.table(spark, dir, "lineitem")))
 }

@@ -242,4 +242,21 @@ object Corpus {
 
   def sourceVocabOverlap(spark: SparkSession, dir: String): DataFrame =
     sourceVocabOverlapOf(TextOps.docsWords(spark, dir))
+
+  /** Per-source exact-duplicate rate (ppm) — the corpus-card column that
+    * tells you WHERE the dup mass comes from (one bad crawl, not the whole
+    * corpus) and what dedup will actually shrink. n_unique is an exact
+    * distinct over the md5 fingerprint (two-phase partial aggregation);
+    * output is source-count-sized at any scale. */
+  def dupRateBySourceOf(docsNorm: DataFrame): DataFrame =
+    docsNorm
+      .select(col("source"), md5(col("norm")).as("fp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), countDistinct("fp").as("n_unique"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        expr("CAST((n_docs - n_unique) * 1000000 DIV n_docs AS BIGINT)")
+          .as("dup_ppm"))
+
+  def dupRateBySource(spark: SparkSession, dir: String): DataFrame =
+    dupRateBySourceOf(TextOps.docs(spark, dir))
 }

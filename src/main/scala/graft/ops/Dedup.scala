@@ -51,6 +51,29 @@ object Dedup {
   def bagExact(spark: SparkSession, dir: String): DataFrame =
     bagExactOf(TextOps.docsWords(spark, dir))
 
+  /** LSH candidates verified by EDIT DISTANCE — the near-exact tier
+    * between byte-exact dedup and Jaccard near-dup: catches small-patch
+    * duplicates (a changed date, one fixed typo) with a guarantee Jaccard
+    * can't give. Levenshtein is O(len²) per pair, so it NEVER runs
+    * all-pairs — only on the banding candidates, where the pair count is
+    * collision-bounded; the two doc-text lookups are doc_id equi-joins.
+    * Same verify-the-candidates composition as [[minhashPairsVerified]]. */
+  def minhashPairsEditVerifiedOf(pairs: DataFrame, docsNorm: DataFrame,
+                                 maxDist: Long = 16L): DataFrame =
+    pairs.select("doc_a", "doc_b")
+      .join(docsNorm.select(col("doc_id").as("doc_a"),
+                            col("norm").as("norm_a")), Seq("doc_a"))
+      .join(docsNorm.select(col("doc_id").as("doc_b"),
+                            col("norm").as("norm_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("norm_a"), col("norm_b")).cast("long")
+          .as("editdist"))
+      .where(col("editdist") <= maxDist)
+
+  def minhashPairsEditVerified(spark: SparkSession, dir: String): DataFrame =
+    minhashPairsEditVerifiedOf(minhashPairs(spark, dir, Int.MaxValue),
+                               TextOps.docs(spark, dir))
+
   /** MinHash signatures: k=8 seeded min-hashes per doc
     * (min over shingles of md5(seed || '|' || shingle) — lexicographic min
     * of a uniform hash is a valid min-hash). */

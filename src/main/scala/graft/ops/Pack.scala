@@ -45,4 +45,25 @@ object Pack {
 
   def packSequences(spark: SparkSession, dir: String): DataFrame =
     packSequencesOf(TextOps.docsWords(spark, dir))
+
+  /** Packing-efficiency readout per shard: chunk count, token mass and the
+    * ppm fill factor against the chunk capacity — the number a training
+    * job watches to know how much compute it wastes on padding (fill can
+    * exceed 1e6: a doc longer than the capacity overflows its chunk by
+    * design). One partial-agg groupBy over the already-chunk-sized
+    * [[packSequencesOf]] output — constant work at any corpus scale. */
+  def packEfficiencyOf(packed: DataFrame, capacity: Int = 512): DataFrame =
+    packed
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_chunks"),
+           sum("chunk_tokens").as("shard_tokens"),
+           max("chunk_tokens").as("max_chunk_tokens"))
+      .select(col("shard"), col("n_chunks"), col("shard_tokens"),
+        col("max_chunk_tokens"),
+        expr(s"""CAST(shard_tokens * 1000000
+                 DIV (n_chunks * ${capacity.toLong}) AS BIGINT)""")
+          .as("fill_ppm"))
+
+  def packEfficiency(spark: SparkSession, dir: String): DataFrame =
+    packEfficiencyOf(packSequences(spark, dir))
 }

@@ -234,4 +234,21 @@ object Sessions {
 
   def debounce(spark: SparkSession, dir: String): DataFrame =
     debounceOf(Feeds.events(spark, dir))
+
+  /** Per-user event-rate histogram in power-of-2 buckets (bucket =
+    * ⌊log₂ events-per-user⌋, bin-length trick) — the bot/outlier readout:
+    * a heavy tail of users thousands of buckets above the median is
+    * scripted traffic. Two partial-agg groupBys (user → count, bucket →
+    * rollup); output is ~64 rows at any scale. */
+  def eventRateHistOf(events: DataFrame): DataFrame =
+    events.select(col("user_id").cast("long").as("user_id"))
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      .select(expr("CAST(length(bin(n_events)) - 1 AS BIGINT)").as("bucket"),
+              col("n_events"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_users"), sum("n_events").as("sum_events"),
+           min("n_events").as("min_events"), max("n_events").as("max_events"))
+
+  def eventRateHist(spark: SparkSession, dir: String): DataFrame =
+    eventRateHistOf(Feeds.events(spark, dir))
 }

@@ -694,4 +694,33 @@ object TextOps {
 
   def unigramSurprisal(spark: SparkSession, dir: String): DataFrame =
     unigramSurprisalOf(docsWords(spark, dir))
+
+  /** Per-doc character-diversity entropy surrogate — the gibberish /
+    * binary-junk detector that runs before any tokenizer: a doc whose
+    * characters concentrate on a few symbols scores near zero. Integer
+    * surrogate of Shannon entropy·n (exact, bit-stable):
+    *   surr = n·⌊log₂ n⌋ − Σ_c n_c·⌊log₂ n_c⌋
+    * (0 when one character dominates entirely, grows with spread; the
+    * bin-length ⌊log₂⌋ of the PMI/tf-idf scorers).
+    *
+    * Scale shape: per-(doc, char) counts are a partial-agg groupBy whose
+    * key fanout is ≤ alphabet-size per doc, folded back to doc grain in a
+    * second partial agg — both exchanges carry ≤ |alphabet| rows per doc,
+    * not per-character rows. */
+  def charEntropyOf(docsNorm: DataFrame): DataFrame =
+    docsNorm
+      .select(col("doc_id"), explode(split(col("norm"), "")).as("c"))
+      .where(col("c") =!= "") // Java split keeps a trailing empty token
+      .groupBy("doc_id", "c").agg(count(lit(1)).as("n_c"))
+      .groupBy("doc_id")
+      .agg(sum("n_c").as("n_chars"),
+           count(lit(1)).as("n_distinct_chars"),
+           expr("CAST(sum(n_c * (length(bin(n_c)) - 1)) AS BIGINT)")
+             .as("sum_c_ilog2"))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
+        expr("""CAST(n_chars * (length(bin(n_chars)) - 1) - sum_c_ilog2
+                AS BIGINT)""").as("entropy_surr"))
+
+  def charEntropy(spark: SparkSession, dir: String): DataFrame =
+    charEntropyOf(docs(spark, dir))
 }

@@ -65,6 +65,25 @@ object Vectors {
   def quantized(spark: SparkSession, dir: String): DataFrame =
     quantizedOf(Feeds.table(spark, dir, "embeddings"))
 
+  /** Per-label squared-norm histogram in power-of-2 buckets (bucket =
+    * ⌊log₂ n2⌋, bin-length trick) — the embedding-space health check an
+    * ANN serving stack watches for norm drift: a re-embedded batch whose
+    * norms land in different buckets than the index means the quantizer
+    * (and every cached dot-product threshold) is stale. Purely map-side
+    * bucketing into one partial-agg groupBy on the tiny (label, bucket)
+    * key; min/max only — no norm sums that could overflow at scale. */
+  def normHistOf(quantized: DataFrame): DataFrame =
+    quantized
+      .select(col("label"),
+        expr("CAST(length(bin(n2)) - 1 AS BIGINT)").as("bucket"),
+        col("n2"))
+      .groupBy("label", "bucket")
+      .agg(count(lit(1)).as("n_vecs"),
+           min("n2").as("min_n2"), max("n2").as("max_n2"))
+
+  def normHist(spark: SparkSession, dir: String): DataFrame =
+    normHistOf(quantized(spark, dir))
+
   // Memoized per (session, dir), like Dedup's band/cluster caches: the
   // quantized frame, the IVF cell ranking, the LSH-bucketed frame and the
   // trained PQ codebook are each built (and persisted) ONCE and shared by

@@ -95,4 +95,18 @@ class PlanShapeSpec extends SparkSpec {
     val scans = scansOf(ops.Audit.dqProfile(spark, d), "orders")
     assert(scans.size == 1, s"${scans.size} scans of orders")
   }
+
+  test("Q5: date filter pushes to the orders scan; nation dim broadcasts") {
+    val df = ops.Analytics.localSupplierVolume(spark, d)
+    val scans = scansOf(df, "orders")
+    assert(scans.nonEmpty)
+    // the order-year window must reach the scan's pushed filters
+    assert(scans.exists(_.metadata.getOrElse("PushedFilters", "")
+             .contains("o_orderdate")),
+      scans.map(_.metadata.getOrElse("PushedFilters", "")).mkString(";"))
+    val bcasts = df.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bcasts.nonEmpty, "nation⨝region dim did not broadcast")
+  }
 }

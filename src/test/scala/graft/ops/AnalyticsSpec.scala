@@ -63,4 +63,24 @@ class AnalyticsSpec extends SparkSpec {
     // city 1: item 10 revenue 15.00 beats item 20 at 7.00
     assert(top == Seq((1, 10, 1L), (2, 10, 1L)))
   }
+
+  test("salesMom: signed ppm growth truncates toward zero; first month null") {
+    import org.apache.spark.sql.functions.to_timestamp
+    val uol = Seq(
+      ("2024-01-05 00:00:00", "100.50"), // m1: rev_i 100
+      ("2024-02-05 00:00:00", "50.25"),  // m2: rev_i 50 -> -500000
+      ("2024-03-05 00:00:00", "75.00"),  // m3: rev_i 75 -> +500000
+      ("2024-04-05 00:00:00", "76.00"))  // m4: rev_i 76 -> 1e6/75 = 13333
+      .toDF("dt", "amt")
+      .select(to_timestamp($"dt").as("date_time"),
+              $"amt".cast("decimal(14,2)").as("payment_amount"))
+    val r = Analytics.salesMomOf(uol).orderBy("month")
+      .select("rev_i", "prev_rev_i", "growth_ppm")
+      .as[(Long, Option[Long], Option[Long])].collect().toSeq
+    assert(r == Seq(
+      (100L, None, None),
+      (50L, Some(100L), Some(-500000L)),
+      (75L, Some(50L), Some(500000L)),
+      (76L, Some(75L), Some(13333L))))
+  }
 }

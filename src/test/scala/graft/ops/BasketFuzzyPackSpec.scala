@@ -71,4 +71,29 @@ class BasketFuzzyPackSpec extends SparkSpec {
     // shard 0 holds docs 0,2 (cum 5,10 → chunks 0,1); shard 1 holds doc 1
     assert(got == Set((0L, 0L, 1L), (0L, 1L, 1L), (1L, 0L, 1L)))
   }
+
+  test("neighborJaccard: triangle edges share one neighbor, tail edge zero") {
+    // graph: triangle {1,2,3} plus pendant edge (3,4)
+    // deg: 1->2, 2->2, 3->3, 4->1
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val r = Basket.neighborJaccardOf(edges)
+      .select("u", "v", "n_common", "jaccard_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(r == Seq(
+      (1L, 2L, 1L, 333333L),  // 1/(2+2-1)
+      (1L, 3L, 1L, 250000L),  // 1/(2+3-1)
+      (2L, 3L, 1L, 250000L),
+      (3L, 4L, 0L, 0L)))      // no common neighbor
+  }
+
+  test("packEfficiency: ppm fill factor per shard against the capacity") {
+    // one shard, two chunks of 300 and 212 tokens at capacity 512:
+    // fill = 512_tokens*1e6 / (2*512) = 500000
+    val packed = Seq((0L, 0L, 300L), (0L, 1L, 212L), (1L, 0L, 512L))
+      .toDF("shard", "chunk", "chunk_tokens")
+    val r = Pack.packEfficiencyOf(packed)
+      .select("shard", "n_chunks", "shard_tokens", "fill_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(r == Seq((0L, 2L, 512L, 500000L), (1L, 1L, 512L, 1000000L)))
+  }
 }

@@ -242,4 +242,16 @@ class CohortQuotaDiffSpec extends SparkSpec {
     assert(r == Seq(("B", "A", 3L, 3L, 2L, 500000L)) ||
            r == Seq(("A", "B", 3L, 3L, 2L, 500000L)), r.toString)
   }
+
+  test("dupRateBySource: per-source exact-dup ppm from fingerprints") {
+    // A: 4 docs, 2 unique -> 500000 ppm; B: 1 doc, clean -> 0
+    val docs = TextOps.normalize(Seq(
+      (0L, "A", "x x"), (1L, "A", "x x"), (2L, "A", "y"), (3L, "A", "y"),
+      (4L, "B", "z")).toDF("doc_id", "source", "text"))
+    val r = Corpus.dupRateBySourceOf(docs)
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(r("A") == ((4L, 2L, 500000L)))
+    assert(r("B") == ((1L, 1L, 0L)))
+  }
 }

@@ -232,4 +232,16 @@ class DedupSpec extends SparkSpec {
       .toDF("doc_id", "text")))
     assert(e.count() == 2)
   }
+
+  test("edit-distance verify keeps near-exact candidates, drops far ones") {
+    val pairs = Seq((0L, 1L), (0L, 2L)).toDF("doc_a", "doc_b")
+    val d = TextOps.normalize(Seq(
+      (0L, "the quick brown fox jumps"),
+      (1L, "the quick brown fox jumped"),  // 2 edits -> kept
+      (2L, "completely different text entirely")) // far -> dropped
+      .toDF("doc_id", "text"))
+    val r = Dedup.minhashPairsEditVerifiedOf(pairs, d)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 0L, 2L)) || r == Seq((0L, 1L, 2L)), r.toString)
+  }
 }

@@ -186,4 +186,13 @@ class SessionsSpec extends SparkSpec {
       .toDF("event_id", "user_id", "ts", "event_type")
     assert(Sessions.debounceOf(ev2).count() == 1)
   }
+
+  test("eventRateHist: power-of-2 buckets over per-user counts") {
+    // users: 1 -> 1 event (bucket 0), 2 -> 2 events, 3 -> 3 (both bucket 1)
+    val ev = Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 3L), (5L, 3L), (6L, 3L))
+      .toDF("event_id", "user_id")
+    val r = Sessions.eventRateHistOf(ev).orderBy("bucket")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq((0L, 1L, 1L, 1L, 1L), (1L, 2L, 5L, 2L, 3L)))
+  }
 }

@@ -201,4 +201,16 @@ class TextOpsSpec extends SparkSpec {
     assert(r(0L) == ((4L, 0L, 0L)))
     assert(r(1L) == ((2L, 4L, 2000000L)))
   }
+
+  test("char entropy surrogate: concentrated chars score 0, spread scores up") {
+    // "aaaa": n=4 ilog2=2 -> 4*2 - 4*2 = 0 (maximally concentrated)
+    // "aab":  n=3 ilog2=1 -> 3*1 - (2*1 + 1*0) = 1
+    val d = TextOps.normalize(Seq((0L, "aaaa"), (1L, "aab"))
+      .toDF("doc_id", "text"))
+    val r = TextOps.charEntropyOf(d)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(r(0L) == ((4L, 1L, 0L)))
+    assert(r(1L) == ((3L, 2L, 1L)))
+  }
 }

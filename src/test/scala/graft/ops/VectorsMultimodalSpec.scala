@@ -212,4 +212,14 @@ class VectorsMultimodalSpec extends SparkSpec {
     val (n1, n2) = (rows(1L)._3, rows(2L)._3)
     assert(n1 > 0 && n2 > n1, s"candidate counts not increasing: $n1 -> $n2")
   }
+
+  test("normHist: ilog2 buckets per label with exact min/max") {
+    // n2 values: 5 -> bucket 2, 8 -> bucket 3, 1 -> bucket 0
+    val q = Seq((0, 5L), (0, 8L), (0, 6L), (1, 1L)).toDF("label", "n2")
+    val r = Vectors.normHistOf(q).orderBy("label", "bucket")
+      .select("label", "bucket", "n_vecs", "min_n2", "max_n2")
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (0, 2L, 2L, 5L, 6L), (0, 3L, 1L, 8L, 8L), (1, 0L, 1L, 1L, 1L)))
+  }
 }
