@@ -830,6 +830,68 @@ dup_rate_by_source AS (
          CAST(count(DISTINCT md5(norm)) AS BIGINT) AS n_unique,
          CAST((count(*) - count(DISTINCT md5(norm))) * 1000000
               // count(*) AS BIGINT) AS dup_ppm
-  FROM docs GROUP BY 1)
+  FROM docs GROUP BY 1),
+ann_f_scores AS (
+  SELECT q.vec_id AS query_id, q.label AS label, c.vec_id AS cand_id,
+         CAST(list_sum(list_transform(list_zip(q.qv, c.qv), x -> x[1] * x[2])) AS BIGINT) AS dot,
+         q.n2 AS qa2, c.n2 AS ca2
+  FROM emb_n q JOIN emb_n c ON c.vec_id != q.vec_id AND c.label = q.label
+  WHERE q.vec_id % 50 = 0),
+ann_filtered_topk AS (
+  SELECT query_id, label, cand_id, score, CAST(rnk AS BIGINT) AS rnk FROM (
+    SELECT query_id, label, cand_id,
+           CAST(dot AS DOUBLE) / sqrt(CAST(qa2 AS DOUBLE) * CAST(ca2 AS DOUBLE)) AS score,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qa2 AS DOUBLE) * CAST(ca2 AS DOUBLE)) DESC,
+                      cand_id) AS rnk
+    FROM ann_f_scores) s WHERE rnk <= 5),
+ivf_cell_balance AS (
+  SELECT centroid_id, n_vecs,
+         CAST(n_vecs * 1000000 // t.n_total AS BIGINT) AS share_ppm,
+         CAST(n_vecs * t.n_cells * 1000000 // t.n_total AS BIGINT)
+           AS balance_ppm
+  FROM (SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_vecs
+        FROM ivf_assign GROUP BY 1) s,
+       (SELECT CAST(count(*) AS BIGINT) AS n_total,
+               CAST(count(DISTINCT centroid_id) AS BIGINT) AS n_cells
+        FROM ivf_assign) t),
+minhash_band_stats AS (
+  SELECT band, CAST(length(bin(sz)) - 1 AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(sum(sz) AS BIGINT) AS n_docs, max(sz) AS max_sz
+  FROM (SELECT band, band_hash, CAST(count(*) AS BIGINT) AS sz
+        FROM minhash_bands GROUP BY 1, 2) b
+  GROUP BY 1, 2),
+drift_words AS (
+  SELECT s.split, unnest(d.words) AS w
+  FROM docs_words d JOIN split_tvt s ON s.doc_id = d.doc_id
+  WHERE s.split != 'val'),
+drift_counts AS (
+  SELECT split, w, CAST(count(*) AS BIGINT) AS n
+  FROM drift_words GROUP BY 1, 2),
+drift_tot AS (
+  SELECT CAST(sum(CASE WHEN split = 'train' THEN n END) AS BIGINT)
+           AS tot_train,
+         CAST(sum(CASE WHEN split = 'test' THEN n END) AS BIGINT)
+           AS tot_test
+  FROM drift_counts),
+token_freq_drift AS (
+  SELECT rank, w, n_train, n_test, f_train_ppm, f_test_ppm,
+         CAST(f_test_ppm - f_train_ppm AS BIGINT) AS drift_ppm
+  FROM (
+    SELECT tr.rank, tr.w, tr.n_train,
+           COALESCE(te.n, 0) AS n_test,
+           CAST(tr.n_train * 1000000 // t.tot_train AS BIGINT)
+             AS f_train_ppm,
+           CAST(COALESCE(te.n, 0) * 1000000 // t.tot_test AS BIGINT)
+             AS f_test_ppm
+    FROM (SELECT CAST(row_number() OVER (ORDER BY n DESC, w) AS BIGINT)
+                   AS rank,
+                 w, n AS n_train
+          FROM drift_counts WHERE split = 'train'
+          QUALIFY rank <= 50) tr
+    LEFT JOIN (SELECT w, n FROM drift_counts WHERE split = 'test') te
+      ON te.w = tr.w
+    CROSS JOIN drift_tot t) x)
 """
 }

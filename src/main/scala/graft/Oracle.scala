@@ -1058,6 +1058,10 @@ sales_mom AS (
     "q_char_entropy"    -> fromDocs("char_entropy"),
     "q_dedup_pairs_editdist" -> fromDocs("dedup_pairs_editdist"),
     "q_dup_rate_by_source"   -> fromDocs("dup_rate_by_source"),
+    "q_ann_filtered_topk"    -> fromDocs("ann_filtered_topk"),
+    "q_ivf_cell_balance"     -> fromDocs("ivf_cell_balance"),
+    "q_minhash_band_stats"   -> fromDocs("minhash_band_stats"),
+    "q_token_freq_drift"     -> fromDocs("token_freq_drift"),
     // packing fill factor over the pack_sequences chunking (chunk counts
     // and token mass per shard against the 512-token capacity)
     "q_pack_efficiency" -> (docsPrelude + """

@@ -101,7 +101,10 @@ object ScaleProbe {
     // round-11l: Q5 snowflake anchor, edit-distance dedup tier, dup-rate
     // attribution, packing fill factor
     "q_local_supplier_volume", "q_dedup_pairs_editdist",
-    "q_dup_rate_by_source", "q_pack_efficiency")
+    "q_dup_rate_by_source", "q_pack_efficiency",
+    // round-11m: filtered ANN, IVF balance, band stats, token drift
+    "q_ann_filtered_topk", "q_ivf_cell_balance",
+    "q_minhash_band_stats", "q_token_freq_drift")
 
   def makeBig(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     // the embedding rotation below is the identity at i = 64 (reintroducing

@@ -322,7 +322,16 @@ object SparkEntry {
     // per-source exact-duplicate rate (corpus-card dup attribution)
     "q_dup_rate_by_source" -> ((s, d) => ops.Corpus.dupRateBySource(s, d)),
     // packing fill factor per shard (padding-waste readout)
-    "q_pack_efficiency" -> ((s, d) => ops.Pack.packEfficiency(s, d)))
+    "q_pack_efficiency" -> ((s, d) => ops.Pack.packEfficiency(s, d)),
+    // label-filtered ANN top-k (metadata-constrained vector search)
+    "q_ann_filtered_topk" -> ((s, d) =>
+      ops.Vectors.annCosineTopKFiltered(s, d)),
+    // IVF cell-size balance report (serving tail-latency health)
+    "q_ivf_cell_balance" -> ((s, d) => ops.Vectors.ivfCellBalance(s, d)),
+    // LSH band-bucket size distribution (banding health)
+    "q_minhash_band_stats" -> ((s, d) => ops.Dedup.minhashBandStats(s, d)),
+    // train/test token-frequency drift over top-50 train words
+    "q_token_freq_drift" -> ((s, d) => ops.TextOps.tokenFreqDrift(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

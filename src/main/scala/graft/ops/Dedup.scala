@@ -74,6 +74,25 @@ object Dedup {
     minhashPairsEditVerifiedOf(minhashPairs(spark, dir, Int.MaxValue),
                                TextOps.docs(spark, dir))
 
+  /** LSH band-bucket size distribution (power-of-2 buckets per band) —
+    * the banding-health readout behind the giant-bucket guard: bucket
+    * sizes drive candidate-pair cost quadratically, so a fattening tail
+    * here predicts the pair explosion BEFORE the join pays it. Two
+    * partial-agg groupBys ((band, hash) → size, (band, ⌊log₂ size⌋) →
+    * rollup); output is bands × ~20 buckets at any corpus scale. */
+  def minhashBandStatsOf(bands: DataFrame): DataFrame =
+    bands
+      .groupBy("band", "band_hash").agg(count(lit(1)).as("sz"))
+      .select(col("band"),
+        expr("CAST(length(bin(sz)) - 1 AS BIGINT)").as("bucket"),
+        col("sz"))
+      .groupBy("band", "bucket")
+      .agg(count(lit(1)).as("n_buckets"), sum("sz").as("n_docs"),
+           max("sz").as("max_sz"))
+
+  def minhashBandStats(spark: SparkSession, dir: String): DataFrame =
+    minhashBandStatsOf(minhashBands(spark, dir))
+
   /** MinHash signatures: k=8 seeded min-hashes per doc
     * (min over shingles of md5(seed || '|' || shingle) — lexicographic min
     * of a uniform hash is a valid min-hash). */

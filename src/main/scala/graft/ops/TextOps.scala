@@ -723,4 +723,51 @@ object TextOps {
 
   def charEntropy(spark: SparkSession, dir: String): DataFrame =
     charEntropyOf(docs(spark, dir))
+
+  /** Train/test token-distribution drift over the top-`k` training words:
+    * per-split relative frequency in ppm and their signed difference —
+    * the distribution-shift check a split pipeline runs before trusting
+    * its eval numbers (a word 10× more frequent in test than train means
+    * the hash split correlates with content). The val split is excluded;
+    * ties rank by word.
+    *
+    * Scale shape: one (split, word) partial-agg rollup feeds both sides,
+    * split totals fold in as 1-row broadcasts, the train top-k head is
+    * TakeOrdered, and the test lookup joins k rows. Frequencies are
+    * exact-integer ppm (n_w · 1e6 ⫽ total — overflow past ~9e12 tokens
+    * per split; widen to DECIMAL(38,0) there). */
+  def tokenFreqDriftOf(docsWords: DataFrame, split: DataFrame,
+                       k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docsWords.join(split.select("doc_id", "split"), Seq("doc_id"))
+      .select(col("split"), explode(col("words")).as("w"))
+      .where(col("split") =!= "val")
+    val counts = words.groupBy("split", "w").agg(count(lit(1)).as("n"))
+    val totals = words.groupBy("split").agg(count(lit(1)).as("tot"))
+    val trTot = broadcast(totals.where(col("split") === "train")
+      .select(col("tot").as("tot_train")))
+    val teTot = broadcast(totals.where(col("split") === "test")
+      .select(col("tot").as("tot_test")))
+    val top = counts.where(col("split") === "train")
+      .select(col("w"), col("n").as("n_train"))
+      .orderBy(col("n_train").desc, col("w")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_train").desc, col("w"))).cast("long"))
+    top
+      .join(counts.where(col("split") === "test")
+              .select(col("w"), col("n").as("n_test")), Seq("w"), "left")
+      .na.fill(0L, Seq("n_test"))
+      .crossJoin(trTot).crossJoin(teTot)
+      .select(col("rank"), col("w"), col("n_train"), col("n_test"),
+        expr("CAST(n_train * 1000000 DIV tot_train AS BIGINT)")
+          .as("f_train_ppm"),
+        expr("CAST(n_test * 1000000 DIV tot_test AS BIGINT)")
+          .as("f_test_ppm"))
+      .withColumn("drift_ppm",
+        (col("f_test_ppm") - col("f_train_ppm")).cast("long"))
+  }
+
+  def tokenFreqDrift(spark: SparkSession, dir: String): DataFrame =
+    tokenFreqDriftOf(docsWords(spark, dir),
+                     Sampling.trainValTestSplit(spark, dir))
 }

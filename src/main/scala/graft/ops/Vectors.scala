@@ -84,6 +84,54 @@ object Vectors {
   def normHist(spark: SparkSession, dir: String): DataFrame =
     normHistOf(quantized(spark, dir))
 
+  /** Metadata-FILTERED brute-force cosine top-k: candidates restricted to
+    * the query's own label — the filtered-search contract every vector
+    * store ships (search only `lang='en'`, only this tenant, …). The
+    * filter lives in the JOIN CONDITION, not a post-filter, so the
+    * blocked/IVF variants inherit it as a label-partitioned candidate
+    * set; ranks shed the vectors before the window like every other
+    * scorer here. */
+  def annCosineTopKFiltered(spark: SparkSession, dir: String,
+                            k: Int = 5): DataFrame = {
+    val emb = quantizedCached(spark, dir)
+    val q = broadcast(emb.where(isQuery(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+              col("qv").as("q_qv"), col("n2").as("qa2")))
+    val c = emb.select(col("vec_id").as("cand_id"),
+                       col("label").as("c_label"),
+                       col("qv").as("c_qv"), col("n2").as("ca2"))
+    q.join(c, col("cand_id") =!= col("query_id") &&
+              col("q_label") === col("c_label"))
+      .withColumn("dot", dotCol)
+      .withColumn("score", expr(scoreExpr))
+      .select("query_id", "q_label", "cand_id", "score")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("cand_id"))).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("q_label").as("label"),
+              col("cand_id"), col("score"), col("rnk"))
+  }
+
+  /** IVF cell-balance report: per-cell vector counts with ppm share and a
+    * balance factor (1e6 = perfectly even; a cell at 8e6 holds 8× its
+    * fair share) — the serving-health readout that predicts probe-path
+    * tail latency: lookups landing in a bloated cell pay its whole
+    * candidate list. Partial-agg rollup of the memoized assignment plus a
+    * 1-row broadcast total — constant output at any corpus size. */
+  def ivfCellBalance(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = ivfAssign(spark, dir)
+      .groupBy("centroid_id").agg(count(lit(1)).as("n_vecs"))
+    val tot = sizes.agg(sum("n_vecs").as("n_total"),
+                        count(lit(1)).as("n_cells"))
+    sizes.crossJoin(broadcast(tot))
+      .select(col("centroid_id"), col("n_vecs"),
+        expr("CAST(n_vecs * 1000000 DIV n_total AS BIGINT)")
+          .as("share_ppm"),
+        expr("CAST(n_vecs * n_cells * 1000000 DIV n_total AS BIGINT)")
+          .as("balance_ppm"))
+  }
+
   // Memoized per (session, dir), like Dedup's band/cluster caches: the
   // quantized frame, the IVF cell ranking, the LSH-bucketed frame and the
   // trained PQ codebook are each built (and persisted) ONCE and shared by

@@ -233,6 +233,21 @@ class DedupSpec extends SparkSpec {
     assert(e.count() == 2)
   }
 
+  test("band stats: per-band bucket histogram accounts for every doc") {
+    val bands = Dedup.minhashBands(spark, "/root/testdata/sf0.001")
+    val nDocs = bands.select("doc_id").distinct().count()
+    val nBands = bands.select("band").distinct().count()
+    val stats = Dedup.minhashBandStats(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // every doc lands in exactly one bucket per band
+    for ((band, g) <- stats.groupBy(_._1))
+      assert(g.map(_._4).sum == nDocs, s"band $band drops docs")
+    assert(stats.map(_._1).distinct.length.toLong == nBands)
+    // bucket invariant: 2^bucket <= max_sz observed in that bucket row
+    for ((_, bucket, _, _, maxSz) <- stats)
+      assert(maxSz >= (1L << bucket) && maxSz < (2L << bucket))
+  }
+
   test("edit-distance verify keeps near-exact candidates, drops far ones") {
     val pairs = Seq((0L, 1L), (0L, 2L)).toDF("doc_a", "doc_b")
     val d = TextOps.normalize(Seq(

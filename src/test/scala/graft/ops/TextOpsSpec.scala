@@ -202,6 +202,25 @@ class TextOpsSpec extends SparkSpec {
     assert(r(1L) == ((2L, 4L, 2000000L)))
   }
 
+  test("token drift: exact ppm per split, signed difference, val excluded") {
+    // train: "a a b" + "a c" (5 tokens: a=3, b=1, c=1)
+    // test:  "a b b b" (4 tokens: a=1, b=3); val doc must not count
+    val dw = TextOps.withWords(TextOps.normalize(Seq(
+      (0L, "a a b"), (1L, "a c"), (2L, "a b b b"), (3L, "zzz zzz zzz"))
+      .toDF("doc_id", "text")))
+    val split = Seq((0L, "train"), (1L, "train"), (2L, "test"), (3L, "val"))
+      .toDF("doc_id", "split")
+    val r = TextOps.tokenFreqDriftOf(dw, split, k = 3)
+      .select("rank", "w", "n_train", "n_test", "f_train_ppm", "f_test_ppm",
+              "drift_ppm")
+      .as[(Long, String, Long, Long, Long, Long, Long)].collect().toSeq
+      .sortBy(_._1)
+    assert(r == Seq(
+      (1L, "a", 3L, 1L, 600000L, 250000L, -350000L),
+      (2L, "b", 1L, 3L, 200000L, 750000L, 550000L),
+      (3L, "c", 1L, 0L, 200000L, 0L, -200000L)))
+  }
+
   test("char entropy surrogate: concentrated chars score 0, spread scores up") {
     // "aaaa": n=4 ilog2=2 -> 4*2 - 4*2 = 0 (maximally concentrated)
     // "aab":  n=3 ilog2=1 -> 3*1 - (2*1 + 1*0) = 1

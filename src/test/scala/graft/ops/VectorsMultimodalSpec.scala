@@ -213,6 +213,38 @@ class VectorsMultimodalSpec extends SparkSpec {
     assert(n1 > 0 && n2 > n1, s"candidate counts not increasing: $n1 -> $n2")
   }
 
+  test("filtered ANN: every hit shares the query's label, ranks dense") {
+    val d = "/root/testdata/sf0.001"
+    val r = Vectors.annCosineTopKFiltered(spark, d)
+      .select("query_id", "label", "cand_id", "rnk")
+      .as[(Long, Int, Long, Long)].collect()
+    assert(r.nonEmpty)
+    val labels = Vectors.quantized(spark, d)
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    for ((q, lab, c, rnk) <- r) {
+      assert(labels(q) == lab && labels(c) == lab, s"label leak: $q -> $c")
+      assert(rnk >= 1 && rnk <= 5)
+    }
+    // dense ranks per query
+    for ((_, g) <- r.groupBy(_._1))
+      assert(g.map(_._4).sorted.toSeq == (1L to g.size).toSeq)
+  }
+
+  test("ivfCellBalance: shares sum to ~1e6, balance is share * n_cells") {
+    val d = "/root/testdata/sf0.001"
+    val rows = Vectors.ivfCellBalance(spark, d)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val shareSum = rows.map(_._3).sum
+    // integer-floor ppm: sum within n_cells of exactly 1e6
+    assert(shareSum <= 1000000L && shareSum > 1000000L - rows.size,
+      s"share sum $shareSum over ${rows.size} cells")
+    val total = rows.map(_._2).sum
+    val nCells = rows.size.toLong
+    for ((cid, n, _, bal) <- rows)
+      assert(bal == n * nCells * 1000000L / total, s"cell $cid")
+  }
+
   test("normHist: ilog2 buckets per label with exact min/max") {
     // n2 values: 5 -> bucket 2, 8 -> bucket 3, 1 -> bucket 0
     val q = Seq((0, 5L), (0, 8L), (0, 6L), (1, 1L)).toDF("label", "n2")
