@@ -892,6 +892,29 @@ token_freq_drift AS (
           QUALIFY rank <= 50) tr
     LEFT JOIN (SELECT w, n FROM drift_counts WHERE split = 'test') te
       ON te.w = tr.w
-    CROSS JOIN drift_tot t) x)
+    CROSS JOIN drift_tot t) x),
+dedup_prefix AS (
+  SELECT md5(array_to_string(words[1:16], ' ')) AS fp,
+         min(doc_id) AS keeper_doc_id,
+         CAST(count(*) AS BIGINT) AS n_dups
+  FROM docs_words GROUP BY 1),
+near_dup_rate_by_source AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(CASE WHEN cs.sz > 1 THEN 1 END) AS BIGINT)
+           AS n_near_dup,
+         CAST(count(CASE WHEN cs.sz > 1 THEN 1 END) * 1000000
+              // count(*) AS BIGINT) AS near_dup_ppm
+  FROM docs d
+  JOIN dedup_clusters c ON c.doc_id = d.doc_id
+  JOIN (SELECT cluster, CAST(count(*) AS BIGINT) AS sz
+        FROM dedup_clusters GROUP BY 1) cs ON cs.cluster = c.cluster
+  GROUP BY 1),
+contam_rate_by_source AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(ct.doc_id) AS BIGINT) AS n_contaminated,
+         CAST(count(ct.doc_id) * 1000000 // count(*) AS BIGINT)
+           AS contam_ppm
+  FROM docs d LEFT JOIN contamination ct ON ct.doc_id = d.doc_id
+  GROUP BY 1)
 """
 }

@@ -1062,6 +1062,18 @@ sales_mom AS (
     "q_ivf_cell_balance"     -> fromDocs("ivf_cell_balance"),
     "q_minhash_band_stats"   -> fromDocs("minhash_band_stats"),
     "q_token_freq_drift"     -> fromDocs("token_freq_drift"),
+    "q_dedup_prefix"            -> fromDocs("dedup_prefix"),
+    "q_near_dup_rate_by_source" -> fromDocs("near_dup_rate_by_source"),
+    "q_contam_rate_by_source"   -> fromDocs("contam_rate_by_source"),
+    "q_events_hour_profile" -> """
+      SELECT CAST(hour(date_trunc('second', CAST(ts AS TIMESTAMP)))
+                  AS BIGINT) AS hour,
+             event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT CAST(user_id AS BIGINT)) AS BIGINT)
+               AS n_users,
+             CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS quantity
+      FROM events GROUP BY 1, 2""",
     // packing fill factor over the pack_sequences chunking (chunk counts
     // and token mass per shard against the 512-token capacity)
     "q_pack_efficiency" -> (docsPrelude + """

@@ -104,7 +104,11 @@ object ScaleProbe {
     "q_dup_rate_by_source", "q_pack_efficiency",
     // round-11m: filtered ANN, IVF balance, band stats, token drift
     "q_ann_filtered_topk", "q_ivf_cell_balance",
-    "q_minhash_band_stats", "q_token_freq_drift")
+    "q_minhash_band_stats", "q_token_freq_drift",
+    // round-11n: prefix dedup, near-dup/contamination attribution,
+    // hour-of-day seasonality
+    "q_dedup_prefix", "q_near_dup_rate_by_source",
+    "q_contam_rate_by_source", "q_events_hour_profile")
 
   def makeBig(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     // the embedding rotation below is the identity at i = 64 (reintroducing

@@ -331,7 +331,17 @@ object SparkEntry {
     // LSH band-bucket size distribution (banding health)
     "q_minhash_band_stats" -> ((s, d) => ops.Dedup.minhashBandStats(s, d)),
     // train/test token-frequency drift over top-50 train words
-    "q_token_freq_drift" -> ((s, d) => ops.TextOps.tokenFreqDrift(s, d)))
+    "q_token_freq_drift" -> ((s, d) => ops.TextOps.tokenFreqDrift(s, d)),
+    // first-16-token prefix fingerprint dedup (footer-variant duplicates)
+    "q_dedup_prefix" -> ((s, d) => ops.Dedup.prefixExact(s, d)),
+    // near-dup cluster membership rate per source (verify-stage sizing)
+    "q_near_dup_rate_by_source" -> ((s, d) =>
+      ops.Corpus.nearDupRateBySource(s, d)),
+    // benchmark-contamination rate per source (leak attribution)
+    "q_contam_rate_by_source" -> ((s, d) =>
+      ops.Corpus.contamRateBySource(s, d)),
+    // hour-of-day x event-type seasonality profile
+    "q_events_hour_profile" -> ((s, d) => ops.Sessions.hourProfile(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

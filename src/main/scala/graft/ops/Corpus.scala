@@ -259,4 +259,50 @@ object Corpus {
 
   def dupRateBySource(spark: SparkSession, dir: String): DataFrame =
     dupRateBySourceOf(TextOps.docs(spark, dir))
+
+  /** Near-dup attribution per source — the cluster-based sibling of
+    * [[dupRateBySourceOf]]: the fraction of each source's docs living in
+    * a multi-member near-dup cluster. Exact-dup rate tells you what
+    * dedup deletes; near-dup rate tells you what it must VERIFY — the
+    * two ppm columns side by side size both stages per source. Reuses
+    * the memoized cluster labels; cluster sizes are a partial-agg rollup
+    * joined back on the cluster key. */
+  def nearDupRateBySourceOf(docsNorm: DataFrame,
+                            clusters: DataFrame): DataFrame = {
+    val sizes = clusters.groupBy("cluster").agg(count(lit(1)).as("sz"))
+    docsNorm.select(col("doc_id"), col("source"))
+      .join(clusters, Seq("doc_id"))
+      .join(sizes, Seq("cluster"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           count(when(col("sz") > 1, lit(1))).as("n_near_dup"))
+      .select(col("source"), col("n_docs"), col("n_near_dup"),
+        expr("CAST(n_near_dup * 1000000 DIV n_docs AS BIGINT)")
+          .as("near_dup_ppm"))
+  }
+
+  def nearDupRateBySource(spark: SparkSession, dir: String): DataFrame =
+    nearDupRateBySourceOf(TextOps.docs(spark, dir),
+                          Dedup.clusters(spark, dir))
+
+  /** Benchmark-contamination attribution per source: the fraction of each
+    * source's docs sharing shingles with the eval needle set — the
+    * readout that turns "the corpus is 2% contaminated" into "source 3
+    * is the leak". LEFT join (clean sources keep a 0 row); the
+    * contamination frame is needle-hit-sized, tiny next to the corpus. */
+  def contamRateBySourceOf(docsNorm: DataFrame,
+                           contamination: DataFrame): DataFrame =
+    docsNorm.select(col("doc_id"), col("source"))
+      .join(contamination.select(col("doc_id"), col("n_hits")),
+            Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           count(col("n_hits")).as("n_contaminated"))
+      .select(col("source"), col("n_docs"), col("n_contaminated"),
+        expr("CAST(n_contaminated * 1000000 DIV n_docs AS BIGINT)")
+          .as("contam_ppm"))
+
+  def contamRateBySource(spark: SparkSession, dir: String): DataFrame =
+    contamRateBySourceOf(TextOps.docs(spark, dir),
+                         TextOps.contamination(spark, dir))
 }

@@ -93,6 +93,22 @@ object Dedup {
   def minhashBandStats(spark: SparkSession, dir: String): DataFrame =
     minhashBandStatsOf(minhashBands(spark, dir))
 
+  /** Prefix fingerprint dedup: group on md5 of the first `k` tokens —
+    * catches common-prefix duplicates that full-body hashing misses (the
+    * same page re-crawled with a different footer/timestamp is the
+    * classic web case). Deliberately HIGH-RECALL/low-precision next to
+    * [[exactOf]]: a pipeline feeds its groups to a verifier (edit
+    * distance or Jaccard) rather than deleting on prefix alone. Same
+    * map-side slice + single partial-agg exchange as bag dedup. */
+  def prefixExactOf(docsWords: DataFrame, k: Int = 16): DataFrame =
+    docsWords
+      .groupBy(md5(concat_ws(" ", slice(col("words"), 1, k))).as("fp"))
+      .agg(min("doc_id").as("keeper_doc_id"),
+           count(lit(1)).as("n_dups"))
+
+  def prefixExact(spark: SparkSession, dir: String): DataFrame =
+    prefixExactOf(TextOps.docsWords(spark, dir))
+
   /** MinHash signatures: k=8 seeded min-hashes per doc
     * (min over shingles of md5(seed || '|' || shingle) — lexicographic min
     * of a uniform hash is a valid min-hash). */

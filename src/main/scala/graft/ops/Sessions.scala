@@ -251,4 +251,25 @@ object Sessions {
 
   def eventRateHist(spark: SparkSession, dir: String): DataFrame =
     eventRateHistOf(Feeds.events(spark, dir))
+
+  /** Hour-of-day × event-type seasonality profile: events, exact distinct
+    * users and quantity per (hour, type) — the diurnal-load readout
+    * behind capacity planning and anomaly baselines. Timestamps are NTZ
+    * and second-truncated, so the hour is timezone-independent and
+    * identical cross-engine. One partial-agg groupBy on a ≤24×|types|
+    * key; the distinct-user count is Spark's two-phase partial
+    * aggregation. */
+  def hourProfileOf(events: DataFrame): DataFrame =
+    events
+      .select(hour(date_trunc("second", col("ts"))).cast("long").as("hour"),
+              col("event_type"),
+              col("user_id").cast("long").as("user_id"),
+              floor(col("value")).cast("long").as("qty"))
+      .groupBy("hour", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct("user_id").as("n_users"),
+           sum("qty").as("quantity"))
+
+  def hourProfile(spark: SparkSession, dir: String): DataFrame =
+    hourProfileOf(Feeds.events(spark, dir))
 }

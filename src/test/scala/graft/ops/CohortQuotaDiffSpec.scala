@@ -243,6 +243,31 @@ class CohortQuotaDiffSpec extends SparkSpec {
            r == Seq(("A", "B", 3L, 3L, 2L, 500000L)), r.toString)
   }
 
+  test("nearDupRateBySource: cluster membership attribution, ppm-exact") {
+    // source A: docs 0,1 in a 2-cluster, doc 2 singleton -> 2/3
+    // source B: doc 3 singleton -> 0
+    val docs = Seq((0L, "A"), (1L, "A"), (2L, "A"), (3L, "B"))
+      .toDF("doc_id", "source")
+    val clusters = Seq((0L, 0L), (1L, 0L), (2L, 2L), (3L, 3L))
+      .toDF("doc_id", "cluster")
+    val r = Corpus.nearDupRateBySourceOf(docs, clusters)
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(r("A") == ((3L, 2L, 666666L)))
+    assert(r("B") == ((1L, 0L, 0L)))
+  }
+
+  test("contamRateBySource: left join keeps clean sources at zero") {
+    val docs = Seq((0L, "A"), (1L, "A"), (2L, "B"))
+      .toDF("doc_id", "source")
+    val contam = Seq((0L, 3L)).toDF("doc_id", "n_hits")
+    val r = Corpus.contamRateBySourceOf(docs, contam)
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(r("A") == ((2L, 1L, 500000L)))
+    assert(r("B") == ((1L, 0L, 0L)))
+  }
+
   test("dupRateBySource: per-source exact-dup ppm from fingerprints") {
     // A: 4 docs, 2 unique -> 500000 ppm; B: 1 doc, clean -> 0
     val docs = TextOps.normalize(Seq(

@@ -233,6 +233,21 @@ class DedupSpec extends SparkSpec {
     assert(e.count() == 2)
   }
 
+  test("prefix dedup groups shared-prefix docs regardless of tails") {
+    val dw = TextOps.withWords(TextOps.normalize(Seq(
+      (0L, "a b c footer one"),
+      (1L, "a b c totally different tail"), // same first-3 prefix -> dup
+      (2L, "a b d c"))                      // diverges inside the prefix
+      .toDF("doc_id", "text")))
+    val g = Dedup.prefixExactOf(dw, k = 3).orderBy("keeper_doc_id")
+      .select("keeper_doc_id", "n_dups").as[(Long, Long)].collect().toSeq
+    assert(g == Seq((0L, 2L), (2L, 1L)))
+    // a doc shorter than the prefix hashes its whole word list
+    val short = TextOps.withWords(TextOps.normalize(Seq(
+      (0L, "a b"), (1L, "a b")).toDF("doc_id", "text")))
+    assert(Dedup.prefixExactOf(short, k = 3).count() == 1)
+  }
+
   test("band stats: per-band bucket histogram accounts for every doc") {
     val bands = Dedup.minhashBands(spark, "/root/testdata/sf0.001")
     val nDocs = bands.select("doc_id").distinct().count()

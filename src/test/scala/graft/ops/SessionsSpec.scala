@@ -187,6 +187,20 @@ class SessionsSpec extends SparkSpec {
     assert(Sessions.debounceOf(ev2).count() == 1)
   }
 
+  test("hourProfile: per-(hour, type) events, exact users, floored qty") {
+    def h(hr: Int, sec: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-05 $hr%02d:00:$sec%02d")
+    val ev = Seq(
+      (1L, 1L, h(9, 0), "click", 1.9),
+      (2L, 1L, h(9, 30), "click", 2.9), // same user, same hour
+      (3L, 2L, h(9, 59), "click", 0.5),
+      (4L, 1L, h(23, 0), "view", 1.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val r = Sessions.hourProfileOf(ev).orderBy("hour", "event_type")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(r == Seq((9L, "click", 3L, 2L, 3L), (23L, "view", 1L, 1L, 1L)))
+  }
+
   test("eventRateHist: power-of-2 buckets over per-user counts") {
     // users: 1 -> 1 event (bucket 0), 2 -> 2 events, 3 -> 3 (both bucket 1)
     val ev = Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 3L), (5L, 3L), (6L, 3L))
