@@ -536,7 +536,11 @@ object TextOps {
     val top = words.groupBy("w").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("w")).limit(k)
     val byRank = Window.orderBy(col("n").desc, col("w"))
-    val total = words.agg(count(lit(1)).as("n_total"))
+    // token total WITHOUT a second explode: sum of array sizes map-side
+    // (== count of exploded rows; the 8× probe showed the doubled explode
+    // scan as this query's whole excess over its linear ideal)
+    val total = docsWords
+      .agg(sum(size(col("words")).cast("long")).as("n_total"))
     top
       .withColumn("rank", row_number().over(byRank).cast("long"))
       .withColumn("cum_n", sum("n").over(
@@ -680,7 +684,9 @@ object TextOps {
   def unigramSurprisalOf(docsWords: DataFrame): DataFrame = {
     val flat = docsWords.select(col("doc_id"), explode(col("words")).as("w"))
     val vocab = flat.groupBy("w").agg(count(lit(1)).as("n_w"))
-    val total = flat.agg(count(lit(1)).as("n_total"))
+    // map-side token total (== flat count), no second explode scan
+    val total = docsWords
+      .agg(sum(size(col("words")).cast("long")).as("n_total"))
     flat.join(vocab, "w")
       .crossJoin(broadcast(total))
       .select(col("doc_id"),
