@@ -915,6 +915,33 @@ contam_rate_by_source AS (
          CAST(count(ct.doc_id) * 1000000 // count(*) AS BIGINT)
            AS contam_ppm
   FROM docs d LEFT JOIN contamination ct ON ct.doc_id = d.doc_id
+  GROUP BY 1),
+top_docs_per_source AS (
+  SELECT source, doc_id, quality, CAST(rnk AS BIGINT) AS rnk FROM (
+    SELECT d.source, q.doc_id, q.quality,
+           row_number() OVER (PARTITION BY d.source
+                              ORDER BY q.quality DESC, q.doc_id) AS rnk
+    FROM quality_score q JOIN docs d ON d.doc_id = q.doc_id) s
+  WHERE rnk <= 3),
+cross_source_dup_pairs AS (
+  SELECT least(da.source, db.source) AS src_a,
+         greatest(da.source, db.source) AS src_b,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM minhash_pairs p
+  JOIN docs da ON da.doc_id = p.doc_a
+  JOIN docs db ON db.doc_id = p.doc_b
+  WHERE da.source != db.source
+  GROUP BY 1, 2),
+ann_label_agreement AS (
+  SELECT ql.label, CAST(count(DISTINCT t.query_id) AS BIGINT) AS n_queries,
+         CAST(count(*) AS BIGINT) AS n_hits,
+         CAST(count(CASE WHEN cl.label = ql.label THEN 1 END) AS BIGINT)
+           AS n_same,
+         CAST(count(CASE WHEN cl.label = ql.label THEN 1 END) * 1000000
+              // count(*) AS BIGINT) AS agreement_ppm
+  FROM ann_cosine_topk t
+  JOIN emb_n ql ON ql.vec_id = t.query_id
+  JOIN emb_n cl ON cl.vec_id = t.cand_id
   GROUP BY 1)
 """
 }

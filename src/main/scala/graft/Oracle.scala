@@ -1065,6 +1065,9 @@ sales_mom AS (
     "q_dedup_prefix"            -> fromDocs("dedup_prefix"),
     "q_near_dup_rate_by_source" -> fromDocs("near_dup_rate_by_source"),
     "q_contam_rate_by_source"   -> fromDocs("contam_rate_by_source"),
+    "q_top_docs_per_source"     -> fromDocs("top_docs_per_source"),
+    "q_cross_source_dup_pairs"  -> fromDocs("cross_source_dup_pairs"),
+    "q_ann_label_agreement"     -> fromDocs("ann_label_agreement"),
     "q_events_hour_profile" -> """
       SELECT CAST(hour(date_trunc('second', CAST(ts AS TIMESTAMP)))
                   AS BIGINT) AS hour,

@@ -108,7 +108,10 @@ object ScaleProbe {
     // round-11n: prefix dedup, near-dup/contamination attribution,
     // hour-of-day seasonality
     "q_dedup_prefix", "q_near_dup_rate_by_source",
-    "q_contam_rate_by_source", "q_events_hour_profile")
+    "q_contam_rate_by_source", "q_events_hour_profile",
+    // round-11o: showcase top-k, syndication overlap, label agreement
+    "q_top_docs_per_source", "q_cross_source_dup_pairs",
+    "q_ann_label_agreement")
 
   def makeBig(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     // the embedding rotation below is the identity at i = 64 (reintroducing

@@ -341,7 +341,15 @@ object SparkEntry {
     "q_contam_rate_by_source" -> ((s, d) =>
       ops.Corpus.contamRateBySource(s, d)),
     // hour-of-day x event-type seasonality profile
-    "q_events_hour_profile" -> ((s, d) => ops.Sessions.hourProfile(s, d)))
+    "q_events_hour_profile" -> ((s, d) => ops.Sessions.hourProfile(s, d)),
+    // per-source top-3 docs by quality (corpus-card showcase sample)
+    "q_top_docs_per_source" -> ((s, d) => ops.Corpus.topDocsPerSource(s, d)),
+    // cross-source near-dup pair counts (syndication overlap)
+    "q_cross_source_dup_pairs" -> ((s, d) =>
+      ops.Corpus.crossSourceDupPairs(s, d)),
+    // label-agreement@k of the exact top-k (embedding-quality readout)
+    "q_ann_label_agreement" -> ((s, d) =>
+      ops.Vectors.annLabelAgreement(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -305,4 +305,49 @@ object Corpus {
   def contamRateBySource(spark: SparkSession, dir: String): DataFrame =
     contamRateBySourceOf(TextOps.docs(spark, dir),
                          TextOps.contamination(spark, dir))
+
+  /** Per-source top-k docs by quality score (ties to min doc_id) — the
+    * showcase-sample query every corpus card links ("what does this
+    * source's best content look like"). Per-group top-k with the rank
+    * filter directly above the window so Spark plans WindowGroupLimit
+    * (partial per-partition top-k BEFORE the shuffle — the
+    * top_items_per_city shape on the docs domain). */
+  def topDocsPerSourceOf(docsNorm: DataFrame, quality: DataFrame,
+                         k: Int = 3): DataFrame = {
+    val bySource = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(col("quality").desc, col("doc_id"))
+    docsNorm.select(col("doc_id"), col("source"))
+      .join(quality, Seq("doc_id"))
+      .withColumn("rnk", row_number().over(bySource).cast("long"))
+      .where(col("rnk") <= k)
+      .select("source", "doc_id", "quality", "rnk")
+  }
+
+  def topDocsPerSource(spark: SparkSession, dir: String): DataFrame =
+    topDocsPerSourceOf(TextOps.docs(spark, dir),
+                       TextOps.qualityScore(spark, dir))
+
+  /** Cross-source near-dup pair counts: LSH candidate pairs whose two
+    * docs come from DIFFERENT sources, rolled up per unordered source
+    * pair — the syndication/cross-crawl overlap readout (two "different"
+    * crawls sharing near-dup mass are one source in disguise; mixing
+    * weights built on raw doc counts would double-count them). Two
+    * doc_id equi-joins on the candidate list + a rollup on the ≤n²
+    * source-pair key. */
+  def crossSourceDupPairsOf(docsNorm: DataFrame,
+                            pairs: DataFrame): DataFrame =
+    pairs.select("doc_a", "doc_b")
+      .join(docsNorm.select(col("doc_id").as("doc_a"),
+                            col("source").as("source_a")), Seq("doc_a"))
+      .join(docsNorm.select(col("doc_id").as("doc_b"),
+                            col("source").as("source_b")), Seq("doc_b"))
+      .where(col("source_a") =!= col("source_b"))
+      .groupBy(least(col("source_a"), col("source_b")).as("src_a"),
+               greatest(col("source_a"), col("source_b")).as("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+
+  def crossSourceDupPairs(spark: SparkSession, dir: String): DataFrame =
+    crossSourceDupPairsOf(TextOps.docs(spark, dir),
+                          Dedup.minhashPairs(spark, dir, Int.MaxValue))
 }

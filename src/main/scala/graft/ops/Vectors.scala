@@ -113,6 +113,32 @@ object Vectors {
               col("cand_id"), col("score"), col("rnk"))
   }
 
+  /** Label-agreement@k of the exact cosine top-k: per query label, the
+    * ppm fraction of retrieved neighbors sharing the query's label — the
+    * embedding-quality readout that catches a bad embedding version
+    * BEFORE recall monitors do (recall compares an index to brute force;
+    * agreement compares brute force to ground-truth labels). Composes
+    * the memoized top-k with two broadcast label lookups and one
+    * partial-agg rollup on the label key. */
+  def annLabelAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val labels = quantizedCached(spark, dir).select("vec_id", "label")
+    annCosineTopK(spark, dir)
+      .join(broadcast(labels.select(col("vec_id").as("query_id"),
+                                    col("label").as("q_label"))),
+            Seq("query_id"))
+      .join(broadcast(labels.select(col("vec_id").as("cand_id"),
+                                    col("label").as("c_label"))),
+            Seq("cand_id"))
+      .groupBy(col("q_label").as("label"))
+      .agg(countDistinct("query_id").as("n_queries"),
+           count(lit(1)).as("n_hits"),
+           count(when(col("c_label") === col("q_label"), lit(1)))
+             .as("n_same"))
+      .select(col("label"), col("n_queries"), col("n_hits"), col("n_same"),
+        expr("CAST(n_same * 1000000 DIV n_hits AS BIGINT)")
+          .as("agreement_ppm"))
+  }
+
   /** IVF cell-balance report: per-cell vector counts with ppm share and a
     * balance factor (1e6 = perfectly even; a cell at 8e6 holds 8× its
     * fair share) — the serving-health readout that predicts probe-path

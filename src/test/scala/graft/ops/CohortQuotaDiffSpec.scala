@@ -268,6 +268,29 @@ class CohortQuotaDiffSpec extends SparkSpec {
     assert(r("B") == ((1L, 0L, 0L)))
   }
 
+  test("topDocsPerSource: per-source top-k by quality, ties to min doc_id") {
+    val docs = Seq((0L, "A"), (1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"))
+      .toDF("doc_id", "source")
+    val quality = Seq((0L, 0.5), (1L, 0.9), (2L, 0.9), (3L, 0.1), (4L, 0.7))
+      .toDF("doc_id", "quality")
+    val r = Corpus.topDocsPerSourceOf(docs, quality, k = 2)
+      .select("source", "doc_id", "rnk")
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    // A: 0.9-tie broken by doc_id (1 before 2); 0.5 and 0.1 cut by k=2
+    assert(r == Seq(("A", 1L, 1L), ("A", 2L, 2L), ("B", 4L, 1L)))
+  }
+
+  test("crossSourceDupPairs: same-source pairs drop, key order canonical") {
+    val docs = Seq((0L, "A"), (1L, "B"), (2L, "A"), (3L, "C"))
+      .toDF("doc_id", "source")
+    val pairs = Seq((0L, 1L), (1L, 2L), (0L, 2L), (0L, 3L))
+      .toDF("doc_a", "doc_b")
+    val r = Corpus.crossSourceDupPairsOf(docs, pairs)
+      .as[(String, String, Long)].collect().toSeq.sorted
+    // (0,1) A-B; (1,2) B-A -> canonical A-B again; (0,2) A-A dropped
+    assert(r == Seq(("A", "B", 2L), ("A", "C", 1L)))
+  }
+
   test("dupRateBySource: per-source exact-dup ppm from fingerprints") {
     // A: 4 docs, 2 unique -> 500000 ppm; B: 1 doc, clean -> 0
     val docs = TextOps.normalize(Seq(

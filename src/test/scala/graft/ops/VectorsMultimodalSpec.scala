@@ -230,6 +230,22 @@ class VectorsMultimodalSpec extends SparkSpec {
       assert(g.map(_._4).sorted.toSeq == (1L to g.size).toSeq)
   }
 
+  test("annLabelAgreement: ppm in range, hit counts consistent with top-k") {
+    val d = "/root/testdata/sf0.001"
+    val rows = Vectors.annLabelAgreement(spark, d)
+      .as[(Int, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val k = 5L
+    for ((label, nq, nh, ns, ppm) <- rows) {
+      assert(nh == nq * k, s"label $label: $nh hits for $nq queries")
+      assert(ns >= 0 && ns <= nh)
+      assert(ppm == ns * 1000000L / nh, s"label $label ppm")
+    }
+    // totals line up with the top-k frame itself
+    val nTopk = Vectors.annCosineTopK(spark, d).count()
+    assert(rows.map(_._3).sum == nTopk)
+  }
+
   test("ivfCellBalance: shares sum to ~1e6, balance is share * n_cells") {
     val d = "/root/testdata/sf0.001"
     val rows = Vectors.ivfCellBalance(spark, d)
