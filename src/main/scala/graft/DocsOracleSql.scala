@@ -715,7 +715,7 @@ lang_confusion AS (
   FROM lang_id GROUP BY 1, 2),
 dedup_consensus AS (
   SELECT m.doc_a, m.doc_b, s.hamming
-  FROM minhash_pairs m
+  FROM minhash_pairs_guarded m
   JOIN simhash_pairs s ON s.doc_a = m.doc_a AND s.doc_b = m.doc_b),
 colloc_bi AS (
   SELECT split_part(bigram, ' ', 1) AS w1, split_part(bigram, ' ', 2) AS w2,
@@ -821,7 +821,7 @@ char_entropy AS (
 dedup_pairs_editdist AS (
   SELECT p.doc_a, p.doc_b,
          CAST(levenshtein(da.norm, db.norm) AS BIGINT) AS editdist
-  FROM minhash_pairs p
+  FROM minhash_pairs_guarded p
   JOIN docs da ON da.doc_id = p.doc_a
   JOIN docs db ON db.doc_id = p.doc_b
   WHERE levenshtein(da.norm, db.norm) <= 16),
@@ -927,7 +927,7 @@ cross_source_dup_pairs AS (
   SELECT least(da.source, db.source) AS src_a,
          greatest(da.source, db.source) AS src_b,
          CAST(count(*) AS BIGINT) AS n_pairs
-  FROM minhash_pairs p
+  FROM minhash_pairs_guarded p
   JOIN docs da ON da.doc_id = p.doc_a
   JOIN docs db ON db.doc_id = p.doc_b
   WHERE da.source != db.source

@@ -835,15 +835,18 @@ sales_mom AS (
       FROM names a JOIN names b ON a.block = b.block AND a.name < b.name
       WHERE levenshtein(a.name, b.name) <= 3""",
     // concat-then-chunk sequence packing: shard = doc_id % 8, chunk = the
-    // 512-token window the doc STARTS in (integer // ≡ Spark div)
+    // 512-token window the doc STARTS in (integer // ≡ Spark div).
+    // DuckDB window sum(BIGINT) returns HUGEINT (INT128), and `// 512`
+    // inherits it — the CAST pins chunk back to BIGINT so the driver's
+    // hasher sees the same type as Spark (values were already identical).
     "q_pack_sequences" -> (docsPrelude + """
       SELECT shard, chunk, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens,
              min(doc_id) AS first_doc, max(doc_id) AS last_doc
       FROM (
         SELECT doc_id, shard, n_tokens,
-               (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
-                 - n_tokens) // 512 AS chunk
+               CAST((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                 - n_tokens) // 512 AS BIGINT) AS chunk
         FROM (SELECT doc_id, doc_id % 8 AS shard,
                      CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens
               FROM docs) t) p
@@ -1089,8 +1092,8 @@ sales_mom AS (
         SELECT shard, chunk, CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens
         FROM (
           SELECT doc_id, shard, n_tokens,
-                 (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
-                   - n_tokens) // 512 AS chunk
+                 CAST((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                   - n_tokens) // 512 AS BIGINT) AS chunk
           FROM (SELECT doc_id, doc_id % 8 AS shard,
                        CAST(len(string_split(norm, ' ')) AS BIGINT)
                          AS n_tokens

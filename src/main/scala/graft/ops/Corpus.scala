@@ -349,5 +349,5 @@ object Corpus {
 
   def crossSourceDupPairs(spark: SparkSession, dir: String): DataFrame =
     crossSourceDupPairsOf(TextOps.docs(spark, dir),
-                          Dedup.minhashPairs(spark, dir, Int.MaxValue))
+                          Dedup.minhashPairs(spark, dir))
 }

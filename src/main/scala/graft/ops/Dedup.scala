@@ -71,7 +71,7 @@ object Dedup {
       .where(col("editdist") <= maxDist)
 
   def minhashPairsEditVerified(spark: SparkSession, dir: String): DataFrame =
-    minhashPairsEditVerifiedOf(minhashPairs(spark, dir, Int.MaxValue),
+    minhashPairsEditVerifiedOf(minhashPairs(spark, dir),
                                TextOps.docs(spark, dir))
 
   /** LSH band-bucket size distribution (power-of-2 buckets per band) —
@@ -506,7 +506,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
 
   def consensusPairs(spark: SparkSession, dir: String): DataFrame =
-    consensusPairsOf(minhashPairs(spark, dir, Int.MaxValue),
+    consensusPairsOf(minhashPairs(spark, dir),
                      simhashPairs(spark, dir))
 
   /** Near-dup clusters: connected components over the LSH candidate-pair

@@ -712,7 +712,13 @@ object TextOps {
     * Scale shape: per-(doc, char) counts are a partial-agg groupBy whose
     * key fanout is ≤ alphabet-size per doc, folded back to doc grain in a
     * second partial agg — both exchanges carry ≤ |alphabet| rows per doc,
-    * not per-character rows. */
+    * not per-character rows.
+    *
+    * Unicode parity: Spark's `split(col, "")` is CODE-POINT safe — Java
+    * regex zero-width matches never land inside a surrogate pair, so a
+    * non-BMP character (e.g. an emoji) stays one token, exactly matching
+    * DuckDB's `string_split(s, '')` (verified empirically; pinned by
+    * CharEntropySpec's non-BMP case). */
   def charEntropyOf(docsNorm: DataFrame): DataFrame =
     docsNorm
       .select(col("doc_id"), explode(split(col("norm"), "")).as("c"))

@@ -118,16 +118,19 @@ object Vectors {
     * embedding-quality readout that catches a bad embedding version
     * BEFORE recall monitors do (recall compares an index to brute force;
     * agreement compares brute force to ground-truth labels). Composes
-    * the memoized top-k with two broadcast label lookups and one
-    * partial-agg rollup on the label key. */
+    * the memoized top-k with two label equi-joins and one partial-agg
+    * rollup on the label key. The label frame is corpus-sized, so it is
+    * NOT broadcast-hinted — the top-k side is the small one (queries×k
+    * rows), and AQE picks the broadcast direction accordingly; hinting
+    * the corpus side would collect every vector's label to the driver. */
   def annLabelAgreement(spark: SparkSession, dir: String): DataFrame = {
     val labels = quantizedCached(spark, dir).select("vec_id", "label")
     annCosineTopK(spark, dir)
-      .join(broadcast(labels.select(col("vec_id").as("query_id"),
-                                    col("label").as("q_label"))),
+      .join(labels.select(col("vec_id").as("query_id"),
+                          col("label").as("q_label")),
             Seq("query_id"))
-      .join(broadcast(labels.select(col("vec_id").as("cand_id"),
-                                    col("label").as("c_label"))),
+      .join(labels.select(col("vec_id").as("cand_id"),
+                          col("label").as("c_label")),
             Seq("cand_id"))
       .groupBy(col("q_label").as("label"))
       .agg(countDistinct("query_id").as("n_queries"),

@@ -232,4 +232,16 @@ class TextOpsSpec extends SparkSpec {
     assert(r(0L) == ((4L, 1L, 0L)))
     assert(r(1L) == ((3L, 2L, 1L)))
   }
+
+  test("char entropy splits by code point — non-BMP chars stay whole") {
+    // U+1F600 is two UTF-16 code units; a surrogate-blind split would see
+    // "😀😀a" as 5 chars (3 distinct). Code-point
+    // split (= DuckDB string_split(s,'')) sees 3 chars, 2 distinct:
+    // n=3 ilog2=1 -> 3*1 - (2*1 + 1*0) = 1
+    val d = TextOps.normalize(Seq((0L, "😀😀a"))
+      .toDF("doc_id", "text"))
+    val r = TextOps.charEntropyOf(d)
+      .as[(Long, Long, Long, Long)].head()
+    assert(r == ((0L, 3L, 2L, 1L)))
+  }
 }

@@ -21,6 +21,23 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
         s = s.sort_values(by=list(s.columns), kind="mergesort")
     return s.reset_index(drop=True)
 
+def norm_raw(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-strict stringify: NO convert_dtypes. The driver's hasher
+    stringifies RAW frames, so an oracle column that DuckDB widens (window
+    sum(BIGINT) -> HUGEINT -> pandas float64) renders "0.0" and
+    hash-mismatches a Spark BIGINT "0" even when every value is identical
+    ("the HUGEINT rule": CAST window-sum-derived integer columns back to
+    BIGINT in the oracle). convert_dtypes() in norm() hides exactly that,
+    so the strict pass runs separately after the value pass is green."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+    s = df.astype(str)
+    if len(s.columns):
+        s = s.sort_values(by=list(s.columns), kind="mergesort")
+    return s.reset_index(drop=True)
+
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -62,8 +79,18 @@ def main():
             print("  spark :", dict(b.loc[i]))
             n_bad += 1
         else:
-            print(f"{name:32s} OK ({len(a)} rows)")
-            n_ok += 1
+            ra, rb = norm_raw(exp), norm_raw(got)
+            if not ra.equals(rb):
+                diff = (ra != rb).any(axis=1)
+                i = diff.idxmax()
+                print(f"{name:32s} RENDER-MISMATCH (driver hash would "
+                      f"differ; values equal after convert_dtypes)")
+                print("  oracle:", dict(ra.loc[i]))
+                print("  spark :", dict(rb.loc[i]))
+                n_bad += 1
+            else:
+                print(f"{name:32s} OK ({len(a)} rows)")
+                n_ok += 1
     print(f"== {n_ok} ok, {n_bad} bad")
     sys.exit(1 if n_bad else 0)
 
