@@ -942,6 +942,101 @@ ann_label_agreement AS (
   FROM ann_cosine_topk t
   JOIN emb_n ql ON ql.vec_id = t.query_id
   JOIN emb_n cl ON cl.vec_id = t.cand_id
-  GROUP BY 1)
+  GROUP BY 1),
+mc_inter AS (
+  SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM minhash_pairs_guarded p
+  JOIN docs_sh_d a ON a.doc_id = p.doc_a
+  JOIN docs_sh_d b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2),
+minhash_containment AS (
+  SELECT p.doc_a, p.doc_b,
+         COALESCE(i.n_shared, 0) AS n_shared,
+         sa.n_sh AS n_a, sb.n_sh AS n_b,
+         CAST(COALESCE(i.n_shared, 0) * 1000000 // sa.n_sh AS BIGINT)
+           AS contain_a_ppm,
+         CAST(COALESCE(i.n_shared, 0) * 1000000 // sb.n_sh AS BIGINT)
+           AS contain_b_ppm
+  FROM minhash_pairs_guarded p
+  LEFT JOIN mc_inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+  JOIN sh_sizes sa ON sa.doc_id = p.doc_a
+  JOIN sh_sizes sb ON sb.doc_id = p.doc_b),
+ngram_novelty AS (
+  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+         CAST(count(CASE WHEN d.sh_df = 1 THEN 1 END) AS BIGINT)
+           AS n_unique,
+         CAST(count(CASE WHEN d.sh_df = 1 THEN 1 END) * 1000000
+              // count(*) AS BIGINT) AS novelty_ppm
+  FROM docs_sh_d s
+  JOIN (SELECT shingle, CAST(count(*) AS BIGINT) AS sh_df
+        FROM docs_sh_d GROUP BY 1) d ON d.shingle = s.shingle
+  GROUP BY 1),
+token_budget_select AS (
+  SELECT source, doc_id, rank, n_tokens, cum_tokens FROM (
+    SELECT d.source, q.doc_id, t.n_tokens,
+           CAST(row_number() OVER w AS BIGINT) AS rank,
+           CAST(sum(t.n_tokens) OVER w AS BIGINT) AS cum_tokens
+    FROM quality_score q
+    JOIN docs d ON d.doc_id = q.doc_id
+    JOIN text_stats t ON t.doc_id = q.doc_id
+    WINDOW w AS (PARTITION BY d.source ORDER BY q.quality DESC, q.doc_id)) s
+  WHERE cum_tokens <= 800),
+curriculum_order AS (
+  SELECT doc_id, stage, shard,
+         CAST(row_number() OVER (PARTITION BY stage, shard
+                                 ORDER BY h, doc_id) AS BIGINT) AS pos
+  FROM (
+    SELECT doc_id, stage, h,
+           CAST(('0x' || substr(h, 1, 2)) AS BIGINT) % 8 AS shard
+    FROM (SELECT doc_id,
+                 least(CAST(floor(quality * 10.0) AS BIGINT), 9) AS stage,
+                 md5('curr|' || CAST(doc_id AS VARCHAR)) AS h
+          FROM quality_score) a) b),
+weighted_sample AS (
+  SELECT doc_id, u_hash, quality FROM (
+    SELECT doc_id, quality,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                AS BIGINT) AS u_hash,
+           CAST(floor(quality * 0.5 * 16777216.0) AS BIGINT) AS threshold
+    FROM quality_score) s
+  WHERE u_hash < threshold),
+pack_buckets AS (
+  SELECT bucket, shard, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(max(bin) + 1 AS BIGINT) AS n_bins,
+         CAST(sum(t) AS BIGINT) AS bucket_tokens,
+         CAST(CAST(sum(t) AS BIGINT) * 1000000
+              // ((max(bin) + 1) * 256) AS BIGINT) AS fill_ppm
+  FROM (
+    SELECT bucket, shard, t,
+           (row_number() OVER (PARTITION BY bucket, shard ORDER BY doc_id)
+             - 1) // (256 // (1 << CAST(bucket AS INTEGER))) AS bin
+    FROM (
+      SELECT doc_id, doc_id % 8 AS shard,
+             least(CAST(len(words) AS BIGINT), 256) AS t,
+             CAST(length(bin(least(CAST(len(words) AS BIGINT), 256))) - 1
+                  AS BIGINT) AS bucket
+      FROM docs_words) x) p
+  GROUP BY 1, 2),
+emb_dim_profile AS (
+  SELECT CAST(i AS BIGINT) AS dim,
+         CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(sum(q) AS BIGINT) AS sum_q,
+         CAST(sum(q * q) AS BIGINT) AS sumsq_q,
+         CAST(CAST(sum(q) AS BIGINT) // count(*) AS BIGINT) AS mean_q
+  FROM (SELECT i, qv[i + 1] AS q
+        FROM emb_n, unnest(range(0, len(qv))) t(i)) e
+  GROUP BY 1),
+emb_anisotropy AS (
+  SELECT CAST(n_vecs AS BIGINT) AS n_vecs,
+         CAST(sum_norm2 AS BIGINT) AS sum_norm2,
+         CAST(cn2 AS DOUBLE) AS centroid_norm2,
+         CAST(floor(CAST(cn2 AS DOUBLE) * 1000000.0
+              / (CAST(n_vecs AS DOUBLE) * CAST(sum_norm2 AS DOUBLE)))
+              AS BIGINT) AS aniso_ppm
+  FROM (SELECT count(*) AS n_vecs, sum(n2) AS sum_norm2 FROM emb_n) a,
+       (SELECT sum(s_d * s_d) AS cn2 FROM (
+          SELECT sum(qv[i + 1]) AS s_d
+          FROM emb_n, unnest(range(0, len(qv))) t(i)
+          GROUP BY i) d) b)
 """
 }

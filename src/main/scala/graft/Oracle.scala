@@ -1071,6 +1071,14 @@ sales_mom AS (
     "q_top_docs_per_source"     -> fromDocs("top_docs_per_source"),
     "q_cross_source_dup_pairs"  -> fromDocs("cross_source_dup_pairs"),
     "q_ann_label_agreement"     -> fromDocs("ann_label_agreement"),
+    "q_minhash_containment"     -> fromDocs("minhash_containment"),
+    "q_ngram_novelty"           -> fromDocs("ngram_novelty"),
+    "q_token_budget_select"     -> fromDocs("token_budget_select"),
+    "q_curriculum_order"        -> fromDocs("curriculum_order"),
+    "q_weighted_sample"         -> fromDocs("weighted_sample"),
+    "q_pack_buckets"            -> fromDocs("pack_buckets"),
+    "q_emb_dim_profile"         -> fromDocs("emb_dim_profile"),
+    "q_emb_anisotropy"          -> fromDocs("emb_anisotropy"),
     "q_events_hour_profile" -> """
       SELECT CAST(hour(date_trunc('second', CAST(ts AS TIMESTAMP)))
                   AS BIGINT) AS hour,

@@ -111,7 +111,12 @@ object ScaleProbe {
     "q_contam_rate_by_source", "q_events_hour_profile",
     // round-11o: showcase top-k, syndication overlap, label agreement
     "q_top_docs_per_source", "q_cross_source_dup_pairs",
-    "q_ann_label_agreement")
+    "q_ann_label_agreement",
+    // round-12: containment tier, novelty, budget/curriculum/weighted
+    // curation, bucketed packing, embedding health
+    "q_minhash_containment", "q_ngram_novelty", "q_token_budget_select",
+    "q_curriculum_order", "q_weighted_sample", "q_pack_buckets",
+    "q_emb_dim_profile", "q_emb_anisotropy")
 
   def makeBig(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     // the embedding rotation below is the identity at i = 64 (reintroducing
@@ -262,6 +267,54 @@ object ScaleProbe {
     }
     val ws1 = w1.values.sum; val wsN = wN.values.sum
     println(f"[scale] WH TOTAL 1x=$ws1%.1fs ${copies}x=$wsN%.1fs ratio=${wsN / ws1}%.1f (ideal ≤ $copies)")
+
+    guardProbe(spark, src, dst, copies)
     spark.stop()
+  }
+
+  /** Measured (not asserted) payoff of the giant-bucket star guard: seed
+    * 1% of docs with one identical boilerplate string — the degenerate
+    * bucket a boilerplate-heavy web corpus produces — and count/time the
+    * guarded (maxBucket=256) vs dense (guard off) candidate lists, plus
+    * the edit-distance verify tier composed on each. The boilerplate
+    * bucket holds B docs (B grows linearly with corpus copies), so dense
+    * candidates grow B²/2 while star pairing emits B-1: the dense/guarded
+    * pair ratio at Nx vs 1x is the quadratic blow-up the guard removes,
+    * and the verify timings show the O(len²) Levenshtein cost that would
+    * ride on it. Results cited in ARCHITECTURE.md §giant-bucket guard. */
+  def guardProbe(spark: SparkSession, src: String, dst: String,
+                 copies: Int): Unit = {
+    val boiler = "all rights reserved terms of service privacy policy " +
+      "cookie notice subscribe to our newsletter contact us about"
+    def seeded(dir: String): DataFrame =
+      ops.TextOps.withWords(ops.TextOps.normalize(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .withColumn("text",
+            when(col("doc_id") % 100 === 0, lit(boiler))
+              .otherwise(col("text")))))
+    def run(tag: String, dir: String): Unit = {
+      val bands = ops.Dedup.minhashBandsFastOf(seeded(dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      bands.count()
+      val docsNorm = seeded(dir).select("doc_id", "norm")
+      def timed(pairs: DataFrame): (Long, Double, Double) = {
+        val t0 = System.nanoTime()
+        val n = pairs.persist().count()
+        val tp = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        ops.Dedup.minhashPairsEditVerifiedOf(pairs, docsNorm).count()
+        val tv = (System.nanoTime() - t1) / 1e9
+        pairs.unpersist()
+        (n, tp, tv)
+      }
+      val (ng, tg, vg) = timed(ops.Dedup.minhashPairsOf(bands, 256))
+      val (nd, td, vd) = timed(ops.Dedup.minhashPairsOf(bands, Int.MaxValue))
+      bands.unpersist()
+      println(f"[guard] $tag%-4s guarded pairs=$ng%9d (${tg}%6.2fs, " +
+        f"editdist ${vg}%6.2fs)  dense pairs=$nd%9d (${td}%6.2fs, " +
+        f"editdist ${vd}%6.2fs)  dense/guarded=${nd.toDouble / ng}%6.1fx")
+    }
+    run("1x", src)
+    run(s"${copies}x", dst)
   }
 }

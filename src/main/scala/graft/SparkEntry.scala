@@ -349,7 +349,25 @@ object SparkEntry {
       ops.Corpus.crossSourceDupPairs(s, d)),
     // label-agreement@k of the exact top-k (embedding-quality readout)
     "q_ann_label_agreement" -> ((s, d) =>
-      ops.Vectors.annLabelAgreement(s, d)))
+      ops.Vectors.annLabelAgreement(s, d)),
+    // --- round 12: containment tier, novelty, budget/curriculum/
+    //     weighted-sample curation, bucketed packing, embedding health ---
+    // asymmetric shingle containment over guarded candidates (sub-doc dup)
+    "q_minhash_containment" -> ((s, d) => ops.Dedup.minhashContainment(s, d)),
+    // ppm fraction of a doc's shingles with corpus df=1 (novelty readout)
+    "q_ngram_novelty" -> ((s, d) => ops.TextOps.ngramNovelty(s, d)),
+    // best-quality docs per source under a token budget (bucket-pruned)
+    "q_token_budget_select" -> ((s, d) => ops.Corpus.tokenBudgetSelect(s, d)),
+    // (stage, shard, pos) curriculum address per doc (decile stages)
+    "q_curriculum_order" -> ((s, d) => ops.Corpus.curriculumOrder(s, d)),
+    // quality-weighted deterministic hash sampling (importance thinning)
+    "q_weighted_sample" -> ((s, d) => ops.Sampling.weightedSample(s, d)),
+    // length-bucketed packing summary (shuffle-friendly batch builder)
+    "q_pack_buckets" -> ((s, d) => ops.Pack.packBuckets(s, d)),
+    // per-dimension quantized sum/sumsq profile (collapse detector)
+    "q_emb_dim_profile" -> ((s, d) => ops.Vectors.embDimProfile(s, d)),
+    // mean-direction concentration ppm (cone-collapse readout)
+    "q_emb_anisotropy" -> ((s, d) => ops.Vectors.embAnisotropy(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

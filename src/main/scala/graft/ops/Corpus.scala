@@ -350,4 +350,88 @@ object Corpus {
   def crossSourceDupPairs(spark: SparkSession, dir: String): DataFrame =
     crossSourceDupPairsOf(TextOps.docs(spark, dir),
                           Dedup.minhashPairs(spark, dir))
+
+  /** Token-BUDGET selection: per source, keep the highest-quality docs
+    * whose cumulative token count fits the budget — the "give me the best
+    * N tokens from each source" primitive of mixture construction (the
+    * per-source sibling of [[mixtureWeights]]: weights say how MUCH of a
+    * source to take, this says WHICH docs).
+    *
+    * Scale shape — the naive form is a per-source prefix sum, i.e. one
+    * window partition per source holding the WHOLE source: a straggler at
+    * 100 TB. Instead, selection is two-phase like [[graft.Ids.dense]]:
+    * (1) a per-(source, quality-millibucket) token histogram (≤1001 rows
+    * per source) gets bucket-level prefix sums on a tiny frame; buckets
+    * whose prefix already exceeds the budget are dropped WHOLESALE;
+    * (2) the exact per-doc window runs only over surviving buckets —
+    * O(budget) rows per source, because the kept set is budget-bounded.
+    * Bucket = floor(quality·1000) is monotone in the (quality DESC,
+    * doc_id) selection order, so pruning whole buckets below the cutoff
+    * cannot change any kept doc's rank or prefix sum.
+    *
+    * `cum_tokens` is CAST to long explicitly (and the oracle casts its
+    * window sum to BIGINT — the DuckDB HUGEINT rule). */
+  def tokenBudgetSelectOf(docsNorm: DataFrame, stats: DataFrame,
+                          quality: DataFrame,
+                          budget: Long = 800L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docsNorm.select("doc_id", "source")
+      .join(stats.select("doc_id", "n_tokens"), Seq("doc_id"))
+      .join(quality, Seq("doc_id"))
+      .withColumn("bkt",
+        expr("CAST(floor(quality * 1000.0) AS BIGINT)"))
+    val wb = Window.partitionBy("source")
+      .orderBy(col("bkt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val liveBuckets = scored.groupBy("source", "bkt")
+      .agg(sum("n_tokens").as("btok"))
+      .withColumn("tok_before",
+        coalesce(sum("btok").over(wb), lit(0L)).cast("long"))
+      .where(col("tok_before") <= budget)
+      .select("source", "bkt")
+    val wd = Window.partitionBy("source")
+      .orderBy(col("quality").desc, col("doc_id"))
+    scored.join(liveBuckets, Seq("source", "bkt"), "left_semi")
+      .withColumn("rank", row_number().over(wd).cast("long"))
+      .withColumn("cum_tokens", sum("n_tokens").over(wd).cast("long"))
+      .where(col("cum_tokens") <= budget)
+      .select("source", "doc_id", "rank", "n_tokens", "cum_tokens")
+  }
+
+  def tokenBudgetSelect(spark: SparkSession, dir: String): DataFrame =
+    tokenBudgetSelectOf(TextOps.docs(spark, dir),
+                        TextOps.textStats(spark, dir),
+                        TextOps.qualityScore(spark, dir))
+
+  /** Curriculum ordering: every doc gets a (stage, shard, pos) address —
+    * stage = quality decile (floor(quality·10), clamped to 9, NO global
+    * ntile window), shard = content-hash slot within the stage, pos =
+    * rank within (stage, shard) by the salted hash — the deterministic
+    * easy→hard epoch order a curriculum loader consumes stage by stage,
+    * reading shards in parallel within each stage.
+    *
+    * Scale shape: stage assignment is a map-side projection (quality is
+    * a per-doc score, deciles are fixed cutpoints — deliberately NOT
+    * exact ntile, which needs a global sort); the only shuffle is the
+    * (stage, shard) window, whose key fanout is stages × nShards (raise
+    * nShards to match cluster parallelism; per-partition sort size is
+    * corpus/(10·nShards)). Same address-not-permutation stance as
+    * [[Sampling.shuffleShardsOf]]. */
+  def curriculumOrderOf(quality: DataFrame, nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    quality
+      .withColumn("stage",
+        expr("least(CAST(floor(quality * 10.0) AS BIGINT), 9L)"))
+      .withColumn("h",
+        md5(concat(lit("curr|"), col("doc_id").cast("string"))))
+      .withColumn("shard",
+        expr(s"CAST(conv(substring(h, 1, 2), 16, 10) AS BIGINT) % $nShards"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("stage", "shard").orderBy("h", "doc_id"))
+        .cast("long"))
+      .select("doc_id", "stage", "shard", "pos")
+  }
+
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame =
+    curriculumOrderOf(TextOps.qualityScore(spark, dir))
 }

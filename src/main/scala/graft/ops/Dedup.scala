@@ -762,6 +762,45 @@ object Dedup {
                     TextOps.shingles(spark, dir))
       .where(col("jaccard") >= threshold)
 
+  /** ASYMMETRIC containment tier over the guarded candidate pairs:
+    * |A∩B|/|A| and |A∩B|/|B| as exact ppm integers. Jaccard misses
+    * SUB-document duplication (a short doc fully quoted inside a long
+    * one scores low Jaccard but containment 1.0 on the short side) —
+    * the case that matters for press-release/boilerplate syndication
+    * and train/eval quote contamination. Same verify-the-candidates
+    * composition as [[ngramJaccardFor]]: the intersection join is
+    * per-candidate work over the memoized shingle frame (collision-
+    * bounded under the bucket guard), never corpus².
+    *
+    * ppm fields are exact integer arithmetic (shared-count · 10⁶ div
+    * set-size) — bit-stable cross-engine, no double division. */
+  def containmentFor(pairs: DataFrame, shingles: DataFrame): DataFrame = {
+    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = pairs
+      .join(shingles.select(col("doc_id").as("doc_a"), col("shingle")),
+            Seq("doc_a"))
+      .join(shingles.select(col("doc_id").as("doc_b"), col("shingle")),
+            Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left_outer")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+            Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+            Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        col("n_a"), col("n_b"))
+      .withColumn("contain_a_ppm",
+        expr("n_shared * 1000000L div n_a"))
+      .withColumn("contain_b_ppm",
+        expr("n_shared * 1000000L div n_b"))
+  }
+
+  def minhashContainment(spark: SparkSession, dir: String): DataFrame =
+    containmentFor(minhashPairs(spark, dir).select("doc_a", "doc_b"),
+                   TextOps.shingles(spark, dir))
+
   /** Sketch-calibration monitor: per LSH candidate pair, the MinHash
     * ESTIMATE of Jaccard (matching-signature fraction, k=8) against the
     * exact n-gram Jaccard the verifier computes — the readout that

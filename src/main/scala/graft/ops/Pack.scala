@@ -66,4 +66,48 @@ object Pack {
 
   def packEfficiency(spark: SparkSession, dir: String): DataFrame =
     packEfficiencyOf(packSequences(spark, dir))
+
+  /** LENGTH-BUCKETED packing — the shuffle-friendly alternative to
+    * sequential concat-then-chunk: docs are grouped into power-of-2
+    * length buckets (len clamped to the capacity), and a bucket-b bin
+    * holds exactly k = capacity >> b docs, so bin assignment inside a
+    * (bucket, shard) is pure arithmetic on a per-shard rank — no running
+    * token total, no cross-doc dependency beyond the rank. This is how
+    * padding-efficient batch builders actually pack at scale: same-length
+    * docs batch together, fill is bounded below by 50% per bin by
+    * construction (every doc in bucket b has ≥ 2^b of the 2^(b+1)-slot
+    * share... i.e. len ∈ [2^b, 2^(b+1))), and shards parallelize freely.
+    *
+    * Output is the per-(bucket, shard) packing summary: bin count, doc
+    * count, token mass, and the exact-integer ppm fill against bin
+    * capacity. Scale shape: one shuffle on (bucket, shard) — fanout
+    * buckets × nShards, raise nShards to cluster width — then a window
+    * rank and a partial-agg rollup; all arithmetic integer. */
+  def packBucketsOf(docsWords: DataFrame, nShards: Int = 8,
+                    capacity: Int = 256): DataFrame = {
+    val toks = docsWords.select(
+      col("doc_id"),
+      (col("doc_id") % nShards).as("shard"),
+      expr(s"least(CAST(size(words) AS BIGINT), ${capacity.toLong})")
+        .as("t"))
+      .withColumn("bucket", expr("CAST(length(bin(t)) - 1 AS BIGINT)"))
+      .withColumn("k", expr(s"CAST(${capacity.toLong} div " +
+        "shiftleft(1, CAST(bucket AS INT)) AS BIGINT)"))
+    val w = Window.partitionBy("bucket", "shard").orderBy("doc_id")
+    toks
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("bin", expr("(rn - 1) div k"))
+      .groupBy("bucket", "shard")
+      .agg(count(lit(1)).as("n_docs"),
+           (max("bin") + 1L).as("n_bins"),
+           sum("t").as("bucket_tokens"))
+      .select(col("bucket"), col("shard"), col("n_docs"), col("n_bins"),
+        col("bucket_tokens"),
+        expr(s"""CAST(bucket_tokens * 1000000
+                 DIV (n_bins * ${capacity.toLong}) AS BIGINT)""")
+          .as("fill_ppm"))
+  }
+
+  def packBuckets(spark: SparkSession, dir: String): DataFrame =
+    packBucketsOf(TextOps.docsWords(spark, dir))
 }

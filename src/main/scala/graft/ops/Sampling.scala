@@ -63,4 +63,30 @@ object Sampling {
 
   def shuffleShards(spark: SparkSession, dir: String): DataFrame =
     shuffleShardsOf(TextOps.docs(spark, dir))
+
+  /** QUALITY-WEIGHTED deterministic sampling: keep a doc with probability
+    * `rate × quality` — importance sampling that thins low-quality docs
+    * harder, with the same no-RNG reproducibility as [[hashSample]]. The
+    * doc's 24-bit hash value u (first 6 md5 hex digits) is compared
+    * against a per-doc integer threshold floor(quality·rate·2²⁴): every
+    * engine computes the identical keep set (quality's double expression
+    * tree is cross-engine bit-identical, floor pins the comparison to
+    * exact integers).
+    *
+    * Scale shape: one equi-join with the quality frame, then pure
+    * map-side hash + compare — no shuffle beyond the join, trivially
+    * parallel. */
+  def weightedSampleOf(docsQuality: DataFrame,
+                       rate: Double = 0.5): DataFrame =
+    docsQuality
+      .withColumn("u_hash",
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 6), " +
+             "16, 10) AS BIGINT)"))
+      .withColumn("threshold",
+        expr(s"CAST(floor(quality * $rate * 16777216.0) AS BIGINT)"))
+      .where(col("u_hash") < col("threshold"))
+      .select("doc_id", "u_hash", "quality")
+
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    weightedSampleOf(TextOps.qualityScore(spark, dir))
 }

@@ -736,6 +736,30 @@ object TextOps {
   def charEntropy(spark: SparkSession, dir: String): DataFrame =
     charEntropyOf(docs(spark, dir))
 
+  /** Per-doc n-gram NOVELTY: the ppm fraction of a doc's distinct
+    * 3-gram shingles that appear in NO other document (corpus df = 1).
+    * The inverse readout of the dedup stack — low novelty flags
+    * templated/boilerplate-assembled docs that exact and near-dup
+    * tiers miss because no single other doc matches them; high novelty
+    * marks the genuinely-new content a curation pass wants to keep.
+    *
+    * Scale shape: one partial-agg groupBy on the shingle key for df
+    * (the memoized shingle frame feeds it), one equi-join back on
+    * shingle, one per-doc partial-agg rollup — all hash-partitioned on
+    * their keys, never all-pairs, ppm exact-integer. */
+  def ngramNoveltyOf(shingles: DataFrame): DataFrame = {
+    val df = shingles.groupBy("shingle")
+      .agg(count(lit(1)).as("sh_df"))
+    shingles.join(df, Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+           count(when(col("sh_df") === 1L, lit(1))).as("n_unique"))
+      .withColumn("novelty_ppm", expr("n_unique * 1000000L div n_sh"))
+  }
+
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame =
+    ngramNoveltyOf(shingles(spark, dir))
+
   /** Train/test token-distribution drift over the top-`k` training words:
     * per-split relative frequency in ppm and their signed difference —
     * the distribution-shift check a split pipeline runs before trusting

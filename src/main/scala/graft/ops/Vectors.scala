@@ -1064,4 +1064,61 @@ object Vectors {
       .where(col("rnk") <= k)
     recallOf(truth, served, k)
   }
+
+  /** Per-DIMENSION embedding profile: count, exact quantized sum and
+    * sum-of-squares, and the integer mean per dimension — the
+    * dimension-collapse detector an embedding pipeline runs on every
+    * re-embed: a dimension whose variance (readable from sum/sumsq)
+    * drops to ~0 is dead, a mean far from 0 flags a normalization bug.
+    *
+    * Scale shape: posexplode emits |dims| rows per vector but they
+    * partial-agg down to |dims| total rows map-side before the single
+    * tiny exchange — the classic wide-to-narrow profile. All arithmetic
+    * exact BIGINT over the ±1e6-quantized components (sumsq per dim ≤
+    * 1e12·N — int64-safe past 10⁶ vectors; widen to DECIMAL(38,0) at
+    * larger corpus scale). */
+  def embDimProfileOf(quantized: DataFrame): DataFrame =
+    quantized
+      .select(posexplode(col("qv")).as(Seq("dim", "q")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+           sum("q").as("sum_q"),
+           sum(expr("q * q")).as("sumsq_q"))
+      .withColumn("mean_q", expr("sum_q div n_vecs"))
+
+  def embDimProfile(spark: SparkSession, dir: String): DataFrame =
+    embDimProfileOf(quantizedCached(spark, dir))
+
+  /** Embedding ANISOTROPY: ‖Σv‖² / (N · Σ‖v‖²) in ppm — the standard
+    * mean-direction concentration readout (≈0 for isotropic embeddings;
+    * →1e6 when every vector points the same way, the degenerate "cone"
+    * collapse that kills cosine retrieval). Numerator and denominator
+    * are EXACT integers: per-dim sums fold in DECIMAL(38,0) (their
+    * squares overflow int64 at corpus scale), the DuckDB twin uses
+    * HUGEINT, and the final ratio is computed identically in double on
+    * both engines from the same exact values.
+    *
+    * Scale shape: one |dims|-row partial agg (shared shape with
+    * [[embDimProfileOf]]) plus a 1-row fold — constant output, no
+    * vector ever leaves its partition unaggregated. */
+  def embAnisotropyOf(quantized: DataFrame): DataFrame = {
+    val dims = quantized
+      .select(posexplode(col("qv")).as(Seq("dim", "q")))
+      .groupBy("dim")
+      .agg(sum(expr("CAST(q AS DECIMAL(38,0))")).as("s_d"))
+    val centroid = dims.agg(
+      sum(expr("s_d * s_d")).as("centroid_norm2_x"))
+    val totals = quantized.agg(
+      count(lit(1)).as("n_vecs"), sum("n2").as("sum_norm2"))
+    totals.crossJoin(centroid) // 1-row × 1-row fold
+      .select(col("n_vecs"),
+        col("sum_norm2"),
+        expr("CAST(centroid_norm2_x AS DOUBLE)").as("centroid_norm2"),
+        expr("""CAST(floor(CAST(centroid_norm2_x AS DOUBLE) * 1000000.0
+                / (CAST(n_vecs AS DOUBLE) * CAST(sum_norm2 AS DOUBLE)))
+                AS BIGINT)""").as("aniso_ppm"))
+  }
+
+  def embAnisotropy(spark: SparkSession, dir: String): DataFrame =
+    embAnisotropyOf(quantizedCached(spark, dir))
 }

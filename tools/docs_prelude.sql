@@ -640,7 +640,7 @@ ivf_ingest_recall AS (
 -- ensemble consensus pairs, PMI-surrogate collocations, mixture weights.
 -- dedup_consensus AS (
 --   SELECT m.doc_a, m.doc_b, s.hamming
---   FROM minhash_pairs m
+--   FROM minhash_pairs_guarded m  -- r12: guarded list (star guard applied)
 --   JOIN simhash_pairs s ON s.doc_a = m.doc_a AND s.doc_b = m.doc_b)
 -- colloc_bi / colloc_tot / colloc_uni / colloc_pmi, mix_src / mix_weights:
 -- see DocsOracleSql.scala (canonical embedded text) — this prototype file
