@@ -1037,6 +1037,68 @@ emb_anisotropy AS (
        (SELECT sum(s_d * s_d) AS cn2 FROM (
           SELECT sum(qv[i + 1]) AS s_d
           FROM emb_n, unnest(range(0, len(qv))) t(i)
-          GROUP BY i) d) b)
+          GROUP BY i) d) b),
+quality_dup_calibration AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(CASE WHEN n_dups > 1 THEN 1 END) AS BIGINT)
+           AS n_dup_docs,
+         CAST(count(CASE WHEN n_dups > 1 THEN 1 END) * 1000000
+              // count(*) AS BIGINT) AS dup_ppm
+  FROM (
+    SELECT least(CAST(floor(q.quality * 10.0) AS BIGINT), 9) AS decile,
+           e.n_dups
+    FROM docs d
+    JOIN dedup_exact e ON e.fp = md5(d.norm)
+    JOIN quality_score q ON q.doc_id = d.doc_id) c
+  GROUP BY 1),
+jaccard_hist AS (
+  SELECT least(n_shared * 10 // (n_a + n_b - n_shared), 9) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(n_shared) AS BIGINT) AS sum_shared
+  FROM minhash_containment
+  GROUP BY 1),
+nov_hist_sh AS (
+  SELECT DISTINCT shingle FROM docs_sh_d, inc_cut WHERE doc_id <= cutoff),
+ngram_novelty_inc AS (
+  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+         CAST(count(CASE WHEN h.shingle IS NULL THEN 1 END) AS BIGINT)
+           AS n_new,
+         CAST(count(CASE WHEN h.shingle IS NULL THEN 1 END) * 1000000
+              // count(*) AS BIGINT) AS novelty_ppm
+  FROM (SELECT d.doc_id, d.shingle FROM docs_sh_d d, inc_cut c
+        WHERE d.doc_id > c.cutoff) s
+  LEFT JOIN nov_hist_sh h ON h.shingle = s.shingle
+  GROUP BY 1),
+charset_profile AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_ascii) AS BIGINT) AS n_ascii,
+         CAST(sum(n_non_ascii) AS BIGINT) AS n_non_ascii,
+         CAST(CAST(sum(n_non_ascii) AS BIGINT) * 1000000
+              // (CAST(sum(n_ascii) AS BIGINT)
+                  + CAST(sum(n_non_ascii) AS BIGINT)) AS BIGINT)
+           AS non_ascii_ppm
+  FROM (
+    SELECT source,
+           CAST(len(regexp_extract_all(norm, '[ -~]')) AS BIGINT)
+             AS n_ascii,
+           CAST(len(regexp_extract_all(norm, '[^ -~]')) AS BIGINT)
+             AS n_non_ascii
+    FROM docs) c
+  GROUP BY 1),
+emb_label_cohesion AS (
+  SELECT CAST(t.label AS BIGINT) AS label,
+         CAST(t.n_vecs AS BIGINT) AS n_vecs,
+         CAST(t.sum_norm2 AS BIGINT) AS sum_norm2,
+         CAST(d.cn2 AS DOUBLE) AS centroid_norm2,
+         CAST(floor(CAST(d.cn2 AS DOUBLE) * 1000000.0
+              / (CAST(t.n_vecs AS DOUBLE) * CAST(t.sum_norm2 AS DOUBLE)))
+              AS BIGINT) AS cohesion_ppm
+  FROM (SELECT label, count(*) AS n_vecs, sum(n2) AS sum_norm2
+        FROM emb_n GROUP BY 1) t
+  JOIN (SELECT label, sum(s_d * s_d) AS cn2 FROM (
+          SELECT label, i, sum(qv[i + 1]) AS s_d
+          FROM emb_n, unnest(range(0, len(qv))) u(i)
+          GROUP BY 1, 2) s
+        GROUP BY 1) d ON d.label = t.label)
 """
 }

@@ -1079,6 +1079,23 @@ sales_mom AS (
     "q_pack_buckets"            -> fromDocs("pack_buckets"),
     "q_emb_dim_profile"         -> fromDocs("emb_dim_profile"),
     "q_emb_anisotropy"          -> fromDocs("emb_anisotropy"),
+    "q_quality_dup_calibration" -> fromDocs("quality_dup_calibration"),
+    "q_jaccard_hist"            -> fromDocs("jaccard_hist"),
+    "q_ngram_novelty_inc"       -> fromDocs("ngram_novelty_inc"),
+    "q_charset_profile"         -> fromDocs("charset_profile"),
+    "q_emb_label_cohesion"      -> fromDocs("emb_label_cohesion"),
+    "q_user_lifecycle" -> """
+      SELECT CAST(user_id AS BIGINT) AS user_id,
+             min(ts2) AS first_ts, max(ts2) AS last_ts,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT CAST(ts2 AS DATE)) AS BIGINT)
+               AS n_active_days,
+             CAST(date_diff('day', CAST(min(ts2) AS DATE),
+                            CAST(max(ts2) AS DATE)) AS BIGINT) AS span_days
+      FROM (SELECT user_id,
+                   date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts2
+            FROM events) e
+      GROUP BY 1""",
     "q_events_hour_profile" -> """
       SELECT CAST(hour(date_trunc('second', CAST(ts AS TIMESTAMP)))
                   AS BIGINT) AS hour,

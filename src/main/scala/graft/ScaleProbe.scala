@@ -116,7 +116,11 @@ object ScaleProbe {
     // curation, bucketed packing, embedding health
     "q_minhash_containment", "q_ngram_novelty", "q_token_budget_select",
     "q_curriculum_order", "q_weighted_sample", "q_pack_buckets",
-    "q_emb_dim_profile", "q_emb_anisotropy")
+    "q_emb_dim_profile", "q_emb_anisotropy",
+    // round-12b: calibration, jaccard hist, incremental novelty,
+    // charset profile, label cohesion, user lifecycle
+    "q_quality_dup_calibration", "q_jaccard_hist", "q_ngram_novelty_inc",
+    "q_charset_profile", "q_emb_label_cohesion", "q_user_lifecycle")
 
   def makeBig(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     // the embedding rotation below is the identity at i = 64 (reintroducing

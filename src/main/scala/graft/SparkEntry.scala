@@ -367,7 +367,20 @@ object SparkEntry {
     // per-dimension quantized sum/sumsq profile (collapse detector)
     "q_emb_dim_profile" -> ((s, d) => ops.Vectors.embDimProfile(s, d)),
     // mean-direction concentration ppm (cone-collapse readout)
-    "q_emb_anisotropy" -> ((s, d) => ops.Vectors.embAnisotropy(s, d)))
+    "q_emb_anisotropy" -> ((s, d) => ops.Vectors.embAnisotropy(s, d)),
+    // quality-decile vs exact-dup rate calibration (signal cross-check)
+    "q_quality_dup_calibration" -> ((s, d) =>
+      ops.Corpus.qualityDupCalibration(s, d)),
+    // integer tenth-bucket Jaccard histogram over guarded candidates
+    "q_jaccard_hist" -> ((s, d) => ops.Dedup.jaccardHist(s, d)),
+    // new-batch novelty vs history shingles (daily-admission readout)
+    "q_ngram_novelty_inc" -> ((s, d) => ops.TextOps.ngramNoveltyInc(s, d)),
+    // per-source ASCII/non-ASCII code-point profile (charset junk)
+    "q_charset_profile" -> ((s, d) => ops.TextOps.charsetProfile(s, d)),
+    // per-label embedding cohesion ppm (class-cluster tightness)
+    "q_emb_label_cohesion" -> ((s, d) => ops.Vectors.embLabelCohesion(s, d)),
+    // per-user lifecycle mart (first/last/active days/span)
+    "q_user_lifecycle" -> ((s, d) => ops.Sessions.userLifecycle(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -434,4 +434,30 @@ object Corpus {
 
   def curriculumOrder(spark: SparkSession, dir: String): DataFrame =
     curriculumOrderOf(TextOps.qualityScore(spark, dir))
+
+  /** Quality↔duplication calibration: per quality decile, how many docs
+    * sit in an exact-dup group — the sanity check that the quality score
+    * and the dedup stack agree (boilerplate SHOULD score low AND
+    * duplicate heavily; a decile where high quality meets high dup rate
+    * means one of the two signals is broken). Decile = fixed cutpoints
+    * (same map-side stance as [[curriculumOrderOf]]); the dup flag rides
+    * the exact-dedup groupBy through one fp equi-join; output is ≤10
+    * rows at any corpus scale. */
+  def qualityDupCalibrationOf(docsNorm: DataFrame,
+                              quality: DataFrame): DataFrame = {
+    val groups = Dedup.exactOf(docsNorm).select("fp", "n_dups")
+    docsNorm.select(col("doc_id"), md5(col("norm")).as("fp"))
+      .join(groups, Seq("fp"))
+      .join(quality, Seq("doc_id"))
+      .withColumn("decile",
+        expr("least(CAST(floor(quality * 10.0) AS BIGINT), 9L)"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+           count(when(col("n_dups") > 1L, lit(1))).as("n_dup_docs"))
+      .withColumn("dup_ppm", expr("n_dup_docs * 1000000L div n_docs"))
+  }
+
+  def qualityDupCalibration(spark: SparkSession, dir: String): DataFrame =
+    qualityDupCalibrationOf(TextOps.docs(spark, dir),
+                            TextOps.qualityScore(spark, dir))
 }

@@ -801,6 +801,26 @@ object Dedup {
     containmentFor(minhashPairs(spark, dir).select("doc_a", "doc_b"),
                    TextOps.shingles(spark, dir))
 
+  /** Candidate-pair Jaccard HISTOGRAM in tenth buckets — the
+    * banding-threshold tuning readout: where the guarded candidates'
+    * exact similarity mass actually sits tells you whether τ=0.7 keeps
+    * the right tail (a hump below τ means banding is too loose, paying
+    * verify cost on junk; an empty 0.5-0.7 band means τ can drop for
+    * recall at no cost). PURE integer arithmetic: bucket =
+    * (10·|A∩B|) div |A∪B| clamped to 9 — no double ever, bit-stable
+    * cross-engine. Composes the [[containmentFor]] shape; output is ≤10
+    * rows at any corpus scale. */
+  def jaccardHistOf(containment: DataFrame): DataFrame =
+    containment
+      .withColumn("bucket",
+        expr("""least(n_shared * 10L div (n_a + n_b - n_shared), 9L)"""))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+           sum("n_shared").as("sum_shared"))
+
+  def jaccardHist(spark: SparkSession, dir: String): DataFrame =
+    jaccardHistOf(minhashContainment(spark, dir))
+
   /** Sketch-calibration monitor: per LSH candidate pair, the MinHash
     * ESTIMATE of Jaccard (matching-signature fraction, k=8) against the
     * exact n-gram Jaccard the verifier computes — the readout that

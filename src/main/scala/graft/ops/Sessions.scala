@@ -272,4 +272,25 @@ object Sessions {
 
   def hourProfile(spark: SparkSession, dir: String): DataFrame =
     hourProfileOf(Feeds.events(spark, dir))
+
+  /** Per-user LIFECYCLE mart: first/last activity, event count, exact
+    * active-day count and calendar span — the base frame of churn and
+    * engagement models. One partial-agg groupBy on user_id (the distinct
+    * active-day count is two-phase partial aggregation on the bounded
+    * (user, day) key); output is |users| rows, never |events|. */
+  def userLifecycleOf(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+              date_trunc("second", col("ts")).as("ts2"))
+      .groupBy("user_id")
+      .agg(min("ts2").as("first_ts"),
+           max("ts2").as("last_ts"),
+           count(lit(1)).as("n_events"),
+           countDistinct(to_date(col("ts2"))).as("n_active_days"))
+      .withColumn("span_days",
+        datediff(to_date(col("last_ts")), to_date(col("first_ts")))
+          .cast("long"))
+
+  def userLifecycle(spark: SparkSession, dir: String): DataFrame =
+    userLifecycleOf(Feeds.events(spark, dir))
 }

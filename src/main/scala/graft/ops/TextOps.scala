@@ -760,6 +760,63 @@ object TextOps {
   def ngramNovelty(spark: SparkSession, dir: String): DataFrame =
     ngramNoveltyOf(shingles(spark, dir))
 
+  /** INCREMENTAL novelty: per new-batch doc, the ppm of its shingles
+    * absent from the HISTORY's shingle set — the daily-admission
+    * "how much genuinely new content did today bring" readout (the
+    * batch twin of [[ngramNoveltyOf]], which scores df=1 against the
+    * whole corpus; here the reference set is history only, so a batch
+    * of mutual near-dups still scores high if none of it was seen
+    * before). Batch = top decile of doc_ids, same deterministic
+    * cutoff convention as the incremental dedup queries (broadcast
+    * 1-row cross join, no driver action).
+    *
+    * Scale shape: history collapses to a DISTINCT shingle-key frame
+    * once (partial-agg distinct); the batch's shingles left-join it on
+    * the shingle key — work is O(batch shingles + history distinct),
+    * both hash-partitioned, never corpus × batch. */
+  def ngramNoveltyIncOf(shingles: DataFrame): DataFrame = {
+    val cut = shingles.agg(
+      expr("CAST(max(doc_id) * 9 DIV 10 AS BIGINT)").as("cutoff"))
+    val tagged = shingles.crossJoin(broadcast(cut))
+    val hist = tagged.where(col("doc_id") <= col("cutoff"))
+      .select("shingle").distinct()
+      .withColumn("seen", lit(1))
+    tagged.where(col("doc_id") > col("cutoff"))
+      .select("doc_id", "shingle")
+      .join(hist, Seq("shingle"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+           count(when(col("seen").isNull, lit(1))).as("n_new"))
+      .withColumn("novelty_ppm", expr("n_new * 1000000L div n_sh"))
+  }
+
+  def ngramNoveltyInc(spark: SparkSession, dir: String): DataFrame =
+    ngramNoveltyIncOf(shingles(spark, dir))
+
+  /** Per-source charset profile: ASCII-printable vs non-ASCII code-point
+    * counts and the non-ASCII ppm — the encoding-junk detector a crawl
+    * pipeline runs per source (a source whose non-ASCII ppm jumps
+    * shipped a charset regression or switched language). Counted by
+    * regexp over single code points on BOTH engines (Java regex and
+    * DuckDB both match per code point, so the total is a code-point
+    * count — immune to the UTF-16 length() divergence). Map-side
+    * projection + one ≤|sources|-row partial agg. */
+  def charsetProfileOf(docsNorm: DataFrame): DataFrame =
+    docsNorm
+      .select(col("source"),
+        expr("CAST(regexp_count(norm, '[ -~]') AS BIGINT)").as("n_ascii"),
+        expr("CAST(regexp_count(norm, '[^ -~]') AS BIGINT)")
+          .as("n_non_ascii"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_ascii").as("n_ascii"),
+           sum("n_non_ascii").as("n_non_ascii"))
+      .withColumn("non_ascii_ppm",
+        expr("n_non_ascii * 1000000L div (n_ascii + n_non_ascii)"))
+
+  def charsetProfile(spark: SparkSession, dir: String): DataFrame =
+    charsetProfileOf(docs(spark, dir))
+
   /** Train/test token-distribution drift over the top-`k` training words:
     * per-split relative frequency in ppm and their signed difference —
     * the distribution-shift check a split pipeline runs before trusting

@@ -1121,4 +1121,32 @@ object Vectors {
 
   def embAnisotropy(spark: SparkSession, dir: String): DataFrame =
     embAnisotropyOf(quantizedCached(spark, dir))
+
+  /** Per-LABEL cohesion: the [[embAnisotropyOf]] ratio grouped by label —
+    * ‖Σ_label v‖² / (N_label · Σ_label ‖v‖²) in ppm. High cohesion means
+    * the label's vectors point the same way (a tight class cluster);
+    * a label whose cohesion collapses after a re-embed is the class the
+    * new encoder broke. Same exact-integer discipline: per-(label, dim)
+    * sums fold in DECIMAL(38,0) (≡ DuckDB HUGEINT), one double division
+    * per label at the end; output is |labels| rows. */
+  def embLabelCohesionOf(quantized: DataFrame): DataFrame = {
+    val dims = quantized
+      .select(col("label"), posexplode(col("qv")).as(Seq("dim", "q")))
+      .groupBy("label", "dim")
+      .agg(sum(expr("CAST(q AS DECIMAL(38,0))")).as("s_d"))
+      .groupBy("label")
+      .agg(sum(expr("s_d * s_d")).as("cn2"))
+    quantized.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), sum("n2").as("sum_norm2"))
+      .join(dims, Seq("label"))
+      .select(col("label").cast("long").as("label"),
+        col("n_vecs"), col("sum_norm2"),
+        expr("CAST(cn2 AS DOUBLE)").as("centroid_norm2"),
+        expr("""CAST(floor(CAST(cn2 AS DOUBLE) * 1000000.0
+                / (CAST(n_vecs AS DOUBLE) * CAST(sum_norm2 AS DOUBLE)))
+                AS BIGINT)""").as("cohesion_ppm"))
+  }
+
+  def embLabelCohesion(spark: SparkSession, dir: String): DataFrame =
+    embLabelCohesionOf(quantizedCached(spark, dir))
 }
