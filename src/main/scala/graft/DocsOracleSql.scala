@@ -1099,6 +1099,38 @@ emb_label_cohesion AS (
           SELECT label, i, sum(qv[i + 1]) AS s_d
           FROM emb_n, unnest(range(0, len(qv))) u(i)
           GROUP BY 1, 2) s
-        GROUP BY 1) d ON d.label = t.label)
+        GROUP BY 1) d ON d.label = t.label),
+pq_distortion AS (
+  SELECT CAST(e.label AS BIGINT) AS label,
+         CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(sum(v.vd2) AS BIGINT) AS sum_d2,
+         CAST(sum(e.n2) AS BIGINT) AS sum_norm2,
+         CAST(sum(v.vd2) * 1000000 // sum(e.n2) AS BIGINT)
+           AS distortion_ppm
+  FROM (SELECT vec_id, CAST(sum(d2) AS BIGINT) AS vd2
+        FROM pq_codes GROUP BY 1) v
+  JOIN emb_n e ON e.vec_id = v.vec_id
+  GROUP BY 1),
+dedup_cluster_sizes AS (
+  SELECT CAST(length(bin(sz)) - 1 AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_clusters,
+         CAST(sum(sz) AS BIGINT) AS n_docs,
+         CAST(max(sz) AS BIGINT) AS max_sz
+  FROM (SELECT cluster, CAST(count(*) AS BIGINT) AS sz
+        FROM dedup_clusters GROUP BY 1) c
+  GROUP BY 1),
+pair_degree_dist AS (
+  SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(deg) AS BIGINT) AS sum_deg
+  FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS deg FROM (
+          SELECT doc_a AS doc_id FROM minhash_pairs_guarded
+          UNION ALL SELECT doc_b AS doc_id FROM minhash_pairs_guarded) e
+        GROUP BY 1) d
+  GROUP BY 1),
+mix_epochs AS (
+  SELECT source, n_docs, share_ppm, w_ppm,
+         CAST(w_ppm * 1000000 // share_ppm AS BIGINT) AS epochs_ppm
+  FROM mix_weights)
 """
 }

@@ -1084,6 +1084,10 @@ sales_mom AS (
     "q_ngram_novelty_inc"       -> fromDocs("ngram_novelty_inc"),
     "q_charset_profile"         -> fromDocs("charset_profile"),
     "q_emb_label_cohesion"      -> fromDocs("emb_label_cohesion"),
+    "q_pq_distortion"           -> fromDocs("pq_distortion"),
+    "q_dedup_cluster_sizes"     -> fromDocs("dedup_cluster_sizes"),
+    "q_pair_degree_dist"        -> fromDocs("pair_degree_dist"),
+    "q_mix_epochs"              -> fromDocs("mix_epochs"),
     "q_user_lifecycle" -> """
       SELECT CAST(user_id AS BIGINT) AS user_id,
              min(ts2) AS first_ts, max(ts2) AS last_ts,

@@ -120,7 +120,10 @@ object ScaleProbe {
     // round-12b: calibration, jaccard hist, incremental novelty,
     // charset profile, label cohesion, user lifecycle
     "q_quality_dup_calibration", "q_jaccard_hist", "q_ngram_novelty_inc",
-    "q_charset_profile", "q_emb_label_cohesion", "q_user_lifecycle")
+    "q_charset_profile", "q_emb_label_cohesion", "q_user_lifecycle",
+    // round-12c: PQ distortion, cluster sizes, pair degrees, mix epochs
+    "q_pq_distortion", "q_dedup_cluster_sizes", "q_pair_degree_dist",
+    "q_mix_epochs")
 
   def makeBig(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     // the embedding rotation below is the identity at i = 64 (reintroducing

@@ -380,7 +380,15 @@ object SparkEntry {
     // per-label embedding cohesion ppm (class-cluster tightness)
     "q_emb_label_cohesion" -> ((s, d) => ops.Vectors.embLabelCohesion(s, d)),
     // per-user lifecycle mart (first/last/active days/span)
-    "q_user_lifecycle" -> ((s, d) => ops.Sessions.userLifecycle(s, d)))
+    "q_user_lifecycle" -> ((s, d) => ops.Sessions.userLifecycle(s, d)),
+    // per-label PQ reconstruction error (compressed-index signal loss)
+    "q_pq_distortion" -> ((s, d) => ops.Vectors.pqDistortion(s, d)),
+    // power-of-2 near-dup cluster-size histogram (dedup yield forecast)
+    "q_dedup_cluster_sizes" -> ((s, d) => ops.Dedup.clusterSizesHist(s, d)),
+    // per-doc candidate-degree histogram (post-join banding health)
+    "q_pair_degree_dist" -> ((s, d) => ops.Dedup.pairDegreeDist(s, d)),
+    // fractional passes per source implied by the tempered mixture
+    "q_mix_epochs" -> ((s, d) => ops.Corpus.mixEpochs(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -182,6 +182,22 @@ object Corpus {
   def mixWeights(spark: SparkSession, dir: String): DataFrame =
     mixWeightsOf(TextOps.docs(spark, dir))
 
+  /** EPOCHS-over-source: how many (fractional, ppm) passes over each
+    * source one epoch of the α-tempered mixture implies — the repetition
+    * readout a data scheduler publishes next to the weights (a rare
+    * source with w_ppm ≫ share_ppm is repeated that ratio per epoch;
+    * past ~4e6 the repetition itself starts hurting, the standard
+    * data-repetition budget check). Pure integer composition on the
+    * |sources|-row [[mixWeightsOf]] output: epochs_ppm =
+    * w_ppm·10⁶ div share_ppm. */
+  def mixEpochsOf(weights: DataFrame): DataFrame =
+    weights.select(col("source"), col("n_docs"), col("share_ppm"),
+      col("w_ppm"),
+      expr("w_ppm * 1000000L div share_ppm").as("epochs_ppm"))
+
+  def mixEpochs(spark: SparkSession, dir: String): DataFrame =
+    mixEpochsOf(mixWeights(spark, dir))
+
   /** Canonical-representative selection — per near-dup cluster keep the
     * HIGHEST-QUALITY member (ties → smallest doc_id), not the arbitrary
     * min-id keeper: when a boilerplate-laden page and its clean mirror are
@@ -354,7 +370,7 @@ object Corpus {
   /** Token-BUDGET selection: per source, keep the highest-quality docs
     * whose cumulative token count fits the budget — the "give me the best
     * N tokens from each source" primitive of mixture construction (the
-    * per-source sibling of [[mixtureWeights]]: weights say how MUCH of a
+    * per-source sibling of [[mixWeightsOf]]: weights say how MUCH of a
     * source to take, this says WHICH docs).
     *
     * Scale shape — the naive form is a per-source prefix sum, i.e. one

@@ -821,6 +821,47 @@ object Dedup {
   def jaccardHist(spark: SparkSession, dir: String): DataFrame =
     jaccardHistOf(minhashContainment(spark, dir))
 
+  /** Near-dup CLUSTER-SIZE histogram in power-of-2 buckets — the dedup
+    * yield forecast: Σ(sz−1) over the histogram is exactly how many docs
+    * dedup will drop, and a fattening large-size tail is the earliest
+    * corpus-health signal that a boilerplate family is growing (the
+    * cluster-level twin of [[minhashBandStatsOf]]). Two partial-agg
+    * groupBys over the memoized cluster labels; ≤ log₂(corpus) output
+    * rows. */
+  def clusterSizesHistOf(clusters: DataFrame): DataFrame =
+    clusters
+      .groupBy("cluster").agg(count(lit(1)).as("sz"))
+      .select(expr("CAST(length(bin(sz)) - 1 AS BIGINT)").as("bucket"),
+              col("sz"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_clusters"),
+           sum("sz").as("n_docs"),
+           max("sz").as("max_sz"))
+
+  def clusterSizesHist(spark: SparkSession, dir: String): DataFrame =
+    clusterSizesHistOf(clusters(spark, dir))
+
+  /** Per-doc candidate-DEGREE histogram (power-of-2 buckets of how many
+    * LSH candidate pairs each doc participates in) — the doc-level
+    * banding-health readout: [[minhashBandStatsOf]] watches bucket sizes
+    * BEFORE the pair join, this watches the degree the join actually
+    * dealt each doc (a hub doc with degree 10³ pays 10³ verify
+    * comparisons even under the bucket guard, and is the doc to
+    * quarantine). Explode both pair ends → one (doc) partial agg → one
+    * ≤log₂ rollup. */
+  def pairDegreeDistOf(pairs: DataFrame): DataFrame =
+    pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+      .select(expr("CAST(length(bin(deg)) - 1 AS BIGINT)").as("bucket"),
+              col("deg"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("deg").as("sum_deg"))
+
+  def pairDegreeDist(spark: SparkSession, dir: String): DataFrame =
+    pairDegreeDistOf(minhashPairs(spark, dir).select("doc_a", "doc_b"))
+
   /** Sketch-calibration monitor: per LSH candidate pair, the MinHash
     * ESTIMATE of Jaccard (matching-signature fraction, k=8) against the
     * exact n-gram Jaccard the verifier computes — the readout that

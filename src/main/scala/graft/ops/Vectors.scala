@@ -1149,4 +1149,33 @@ object Vectors {
 
   def embLabelCohesion(spark: SparkSession, dir: String): DataFrame =
     embLabelCohesionOf(quantizedCached(spark, dir))
+
+  /** PQ DISTORTION per label: the quantization error the compressed index
+    * carries — Σ‖v − reconstruct(codes(v))‖² over each label's vectors,
+    * published as exact integers plus the ppm ratio against Σ‖v‖² (the
+    * relative signal loss; rising distortion on one label after a
+    * re-embed or codebook retrain is the class whose ADC ranks degrade
+    * first — the readout that pairs with [[embLabelCohesionOf]] and the
+    * recall monitors). Exact by construction: [[pqCodesOf]]'s per-
+    * subspace d2 is already int64, and Σ over the M subspaces of a
+    * vector IS the full squared reconstruction distance (subspaces are
+    * disjoint coordinate slices).
+    *
+    * Scale shape: one (vec_id) partial agg over the M-rows-per-vector
+    * codes, one label equi-join, one |labels|-row rollup. */
+  def pqDistortionOf(codes: DataFrame, quantized: DataFrame): DataFrame =
+    codes.groupBy("vec_id").agg(sum("d2").as("vd2"))
+      .join(quantized.select("vec_id", "label", "n2"), Seq("vec_id"))
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+           sum("vd2").as("sum_d2"),
+           sum("n2").as("sum_norm2"))
+      .withColumn("distortion_ppm",
+        // via DECIMAL(38,0): sum_d2·10⁶ can pass int64 at corpus scale
+        // (DuckDB side is HUGEINT-exact by default)
+        expr("""CAST(CAST(sum_d2 AS DECIMAL(38,0)) * 1000000
+                div CAST(sum_norm2 AS DECIMAL(38,0)) AS BIGINT)"""))
+
+  def pqDistortion(spark: SparkSession, dir: String): DataFrame =
+    pqDistortionOf(pqCodes(spark, dir), quantizedCached(spark, dir))
 }
