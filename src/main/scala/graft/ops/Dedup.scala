@@ -297,6 +297,8 @@ object Dedup {
     * partitions — REQUIRED before re-reading a dir whose files changed. */
   def invalidate(spark: SparkSession, dir: String): Unit = {
     Option(bandsCache.remove((spark, dir))).foreach(_.unpersist(false))
+    Option(containmentCache.remove((spark, dir)))
+      .foreach(_.unpersist(false))
     pairsCache.entrySet.removeIf { e =>
       val hit = e.getKey._1 == spark && e.getKey._2 == dir
       if (hit) e.getValue.unpersist(false)
@@ -322,6 +324,11 @@ object Dedup {
       if (hit) e.getValue.unpersist(false)
       hit
     }
+    containmentCache.entrySet.removeIf { e =>
+      val hit = e.getKey._1 eq spark
+      if (hit) e.getValue.unpersist(false)
+      hit
+    }
     clustersCache.keySet.removeIf(_._1 eq spark)
   }
 
@@ -329,6 +336,7 @@ object Dedup {
   private[graft] def cacheSize(spark: SparkSession): Int =
     bandsCache.keySet.asScala.count(_._1 eq spark) +
       pairsCache.keySet.asScala.count(_._1 eq spark) +
+      containmentCache.keySet.asScala.count(_._1 eq spark) +
       clustersCache.keySet.asScala.count(_._1 eq spark)
 
   // Cluster labels are memoized too: the CC label-propagation loop runs
@@ -797,9 +805,20 @@ object Dedup {
         expr("n_shared * 1000000L div n_b"))
   }
 
+  // The containment frame feeds two queries (the containment tier itself
+  // and the Jaccard histogram derived from its exact counts) — memoized +
+  // persisted per (session, dir) so the shingle-intersection join runs
+  // once, not per consumer. Same stale-read contract as the other caches.
+  private val containmentCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+
   def minhashContainment(spark: SparkSession, dir: String): DataFrame =
-    containmentFor(minhashPairs(spark, dir).select("doc_a", "doc_b"),
-                   TextOps.shingles(spark, dir))
+    containmentCache.computeIfAbsent((spark, dir),
+      { case (s, d) =>
+          containmentFor(minhashPairs(s, d).select("doc_a", "doc_b"),
+                         TextOps.shingles(s, d))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
 
   /** Candidate-pair Jaccard HISTOGRAM in tenth buckets — the
     * banding-threshold tuning readout: where the guarded candidates'

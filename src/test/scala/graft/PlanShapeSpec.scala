@@ -109,4 +109,51 @@ class PlanShapeSpec extends SparkSpec {
     }
     assert(bcasts.nonEmpty, "nation⨝region dim did not broadcast")
   }
+
+  test("containment tier plans hash joins only — no cartesian product") {
+    // the verify-the-candidates composition must stay per-candidate
+    // equi-join work; a refactor that degrades the shingle-intersection
+    // to a cross join would be the 100 TB blow-up the tier exists to avoid
+    val docs = ops.TextOps.withWords(ops.TextOps.normalize(
+      spark.read.parquet(s"$d/documents.parquet")))
+    val df = ops.Dedup.containmentFor(
+      ops.Dedup.minhashPairsOf(ops.Dedup.minhashBandsFastOf(docs)),
+      ops.TextOps.shinglesOf(docs))
+    val cart = df.queryExecution.sparkPlan.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case n: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => n
+    }
+    assert(cart.isEmpty, s"non-equi join in containment plan: $cart")
+  }
+
+  test("token-budget selection reads only its three columns off documents") {
+    val scans = scansOf(ops.Corpus.tokenBudgetSelect(spark, d), "documents")
+    assert(scans.nonEmpty)
+    for (s <- scans) {
+      val read = s.requiredSchema.fieldNames.toSet
+      assert(read.subsetOf(Set("doc_id", "source", "text")),
+        read.mkString(","))
+    }
+  }
+
+  test("ann label agreement does not broadcast the corpus-sized label side") {
+    // r11 ADVICE: broadcast-hinting the full vec_id->label frame collects
+    // every vector's label on the driver; the hint must stay off the
+    // CORPUS-sized side (AQE may still CHOOSE broadcast at this tiny SF —
+    // we pin the absence of the logical-plan hint, not the physical
+    // strategy). The memoized top-k lineage legitimately hints its
+    // QUERY-set side (shrunk by the vec_id % 50 filter) — any hint whose
+    // subtree lacks that filter is an unbounded broadcast.
+    val hints = ops.Vectors.annLabelAgreement(spark, d)
+      .queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => r
+      }
+    val unbounded = hints.filterNot(h => h.child.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.sql.contains("% CAST(50") ||
+             f.condition.sql.contains("% 50") => f
+    }.nonEmpty)
+    assert(unbounded.isEmpty,
+      s"corpus-sized broadcast hint present: $unbounded")
+  }
 }
