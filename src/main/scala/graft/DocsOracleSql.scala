@@ -1131,6 +1131,75 @@ pair_degree_dist AS (
 mix_epochs AS (
   SELECT source, n_docs, share_ppm, w_ppm,
          CAST(w_ppm * 1000000 // share_ppm AS BIGINT) AS epochs_ppm
-  FROM mix_weights)
+  FROM mix_weights),
+doc_bigrams AS (
+  SELECT doc_id, split_part(bigram, ' ', 1) AS w1,
+         split_part(bigram, ' ', 2) AS w2
+  FROM (SELECT doc_id, unnest(CASE WHEN len(words) >= 2
+          THEN [words[i+1] || ' ' || words[i+2] for i in range(0, len(words)-1)]
+          ELSE CAST([] AS VARCHAR[]) END) AS bigram
+        FROM docs_words) b),
+bigram_surprisal AS (
+  SELECT doc_id, n_bigrams, surprisal,
+         CAST(surprisal * 1000000 // n_bigrams AS BIGINT) AS mean_ppm
+  FROM (
+    SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(length(bin(h.n_head)) - length(bin(p.n_pair)))
+                AS BIGINT) AS surprisal
+    FROM doc_bigrams g
+    JOIN (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+          FROM doc_bigrams GROUP BY 1, 2) p
+      ON p.w1 = g.w1 AND p.w2 = g.w2
+    JOIN (SELECT w1, CAST(count(*) AS BIGINT) AS n_head
+          FROM doc_bigrams GROUP BY 1) h
+      ON h.w1 = g.w1
+    GROUP BY 1) s),
+lexical_diversity AS (
+  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(words)) AS BIGINT) AS n_types,
+         CAST(CAST(len(list_distinct(words)) AS BIGINT) * 1000000
+              // len(words) AS BIGINT) AS ttr_ppm
+  FROM docs_words),
+token_gini AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(sum(rank * n_tokens) AS BIGINT) AS rank_weighted_sum,
+         CAST((2 * CAST(sum(rank * n_tokens) AS BIGINT) * 1000000)
+                // (CAST(count(*) AS BIGINT) * CAST(sum(n_tokens) AS BIGINT))
+              - ((CAST(count(*) AS BIGINT) + 1) * 1000000) // count(*)
+            AS BIGINT) AS gini_ppm
+  FROM (SELECT source, n_tokens,
+               CAST(row_number() OVER (PARTITION BY source
+                      ORDER BY n_tokens, doc_id) AS BIGINT) AS rank
+        FROM (SELECT source, doc_id, CAST(len(words) AS BIGINT) AS n_tokens
+              FROM docs_words) t) r
+  GROUP BY 1),
+cluster_purity AS (
+  SELECT cluster, CAST(sum(n_src) AS BIGINT) AS sz,
+         CAST(count(*) AS BIGINT) AS n_sources,
+         CAST(max(n_src) AS BIGINT) AS majority_n,
+         CAST(CAST(max(n_src) AS BIGINT) * 1000000
+              // CAST(sum(n_src) AS BIGINT) AS BIGINT) AS purity_ppm
+  FROM (SELECT c.cluster, d.source, CAST(count(*) AS BIGINT) AS n_src
+        FROM dedup_clusters c JOIN docs d ON d.doc_id = c.doc_id
+        GROUP BY 1, 2) s
+  GROUP BY 1
+  HAVING sum(n_src) >= 2),
+mm_chunks AS (
+  SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+         md5(substr(text, CAST(ci * 256 + 1 AS INTEGER), 256)) AS chunk_fp
+  FROM (SELECT doc_id, text,
+               unnest(range(0, 1 + (greatest(len(text), 1) - 1) // 256)) AS ci
+        FROM documents) t),
+mm_chunks_d AS (
+  SELECT DISTINCT doc_id, chunk_fp FROM mm_chunks
+  WHERE chunk_fp IN (SELECT chunk_fp FROM mm_chunks
+                     GROUP BY 1 HAVING count(*) <= 64)),
+mm_frame_dedup AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS shared_chunks
+  FROM mm_chunks_d a JOIN mm_chunks_d b
+    ON a.chunk_fp = b.chunk_fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2)
 """
 }

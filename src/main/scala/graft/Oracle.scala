@@ -1088,6 +1088,82 @@ sales_mom AS (
     "q_dedup_cluster_sizes"     -> fromDocs("dedup_cluster_sizes"),
     "q_pair_degree_dist"        -> fromDocs("pair_degree_dist"),
     "q_mix_epochs"              -> fromDocs("mix_epochs"),
+    "q_bigram_surprisal"        -> fromDocs("bigram_surprisal"),
+    "q_lexical_diversity"       -> fromDocs("lexical_diversity"),
+    "q_token_gini"              -> fromDocs("token_gini"),
+    "q_cluster_purity"          -> fromDocs("cluster_purity"),
+    "q_multimodal_frame_dedup"  -> fromDocs("mm_frame_dedup"),
+    // Benford first-digit profile; the expected-share expression is the
+    // same log10 literal tree on both engines (values sit ~0.3 bp from
+    // any floor boundary — a 1-ulp libm skew cannot flip the floor)
+    "q_benford_totalprice" -> """
+      WITH d AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        FROM orders),
+      c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_orders
+            FROM d WHERE digit >= 1 GROUP BY 1),
+      t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS total FROM c)
+      SELECT digit, n_orders,
+             CAST(n_orders * 10000 // total AS BIGINT) AS share_bp,
+             CAST(floor(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 10000)
+                  AS BIGINT) AS benford_bp
+      FROM c, t""",
+    // discrete-rank quartiles (order-statistic picks — no interpolation,
+    // exact on both engines) + Tukey 1.5·IQR fence counts per priority
+    "q_price_outliers_iqr" -> """
+      WITH ranked AS (
+        SELECT o_orderpriority, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey) AS rn,
+               count(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders),
+      quart AS (
+        SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n_orders,
+               max(CASE WHEN rn = (n + 3) // 4 THEN o_totalprice END) AS q1,
+               max(CASE WHEN rn = (3 * n + 3) // 4 THEN o_totalprice END)
+                 AS q3
+        FROM ranked GROUP BY 1),
+      fences AS (
+        SELECT *, q1 - (q3 - q1) * 1.5 AS lo_fence,
+               q3 + (q3 - q1) * 1.5 AS hi_fence
+        FROM quart)
+      SELECT o.o_orderpriority, max(f.n_orders) AS n_orders,
+             max(f.q1) AS q1, max(f.q3) AS q3,
+             CAST(sum(CASE WHEN o.o_totalprice < f.lo_fence
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+             CAST(sum(CASE WHEN o.o_totalprice > f.hi_fence
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+      FROM orders o JOIN fences f ON f.o_orderpriority = o.o_orderpriority
+      GROUP BY 1""",
+    // fixed-round BFS from the co-purchase hub: min-hop per node over the
+    // unioned frontiers (re-reached nodes collapse via min), ≤3 hops
+    "q_graph_hops" -> """
+      WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      edges AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      sym AS (SELECT u AS src, v AS dst FROM edges
+              UNION ALL SELECT v, u FROM edges),
+      seed AS (SELECT src AS node FROM sym
+               GROUP BY 1 ORDER BY count(*) DESC, src LIMIT 1),
+      h1 AS (SELECT DISTINCT e.dst AS node
+             FROM sym e JOIN seed s ON e.src = s.node),
+      h2 AS (SELECT DISTINCT e.dst AS node
+             FROM sym e JOIN h1 ON e.src = h1.node),
+      h3 AS (SELECT DISTINCT e.dst AS node
+             FROM sym e JOIN h2 ON e.src = h2.node),
+      reach AS (
+        SELECT node, 0 AS hops FROM seed
+        UNION ALL SELECT node, 1 FROM h1
+        UNION ALL SELECT node, 2 FROM h2
+        UNION ALL SELECT node, 3 FROM h3)
+      SELECT CAST(min_hops AS BIGINT) AS hops,
+             CAST(count(*) AS BIGINT) AS n_items
+      FROM (SELECT node, min(hops) AS min_hops FROM reach GROUP BY 1) m
+      GROUP BY 1""",
     "q_user_lifecycle" -> """
       SELECT CAST(user_id AS BIGINT) AS user_id,
              min(ts2) AS first_ts, max(ts2) AS last_ts,

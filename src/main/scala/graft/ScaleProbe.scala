@@ -123,7 +123,12 @@ object ScaleProbe {
     "q_charset_profile", "q_emb_label_cohesion", "q_user_lifecycle",
     // round-12c: PQ distortion, cluster sizes, pair degrees, mix epochs
     "q_pq_distortion", "q_dedup_cluster_sizes", "q_pair_degree_dist",
-    "q_mix_epochs")
+    "q_mix_epochs",
+    // round-12d: Benford profile, IQR fences, BFS hops, frame dedup,
+    // bigram surprisal, lexical diversity, token Gini, cluster purity
+    "q_benford_totalprice", "q_price_outliers_iqr", "q_graph_hops",
+    "q_multimodal_frame_dedup", "q_bigram_surprisal", "q_lexical_diversity",
+    "q_token_gini", "q_cluster_purity")
 
   def makeBig(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     // the embedding rotation below is the identity at i = 64 (reintroducing

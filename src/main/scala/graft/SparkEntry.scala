@@ -388,7 +388,23 @@ object SparkEntry {
     // per-doc candidate-degree histogram (post-join banding health)
     "q_pair_degree_dist" -> ((s, d) => ops.Dedup.pairDegreeDist(s, d)),
     // fractional passes per source implied by the tempered mixture
-    "q_mix_epochs" -> ((s, d) => ops.Corpus.mixEpochs(s, d)))
+    "q_mix_epochs" -> ((s, d) => ops.Corpus.mixEpochs(s, d)),
+    // Benford first-digit DQ profile of order totals (fraud/synth smoke)
+    "q_benford_totalprice" -> ((s, d) => ops.Analytics.benfordTotalprice(s, d)),
+    // discrete-quartile Tukey fences + outlier counts per order priority
+    "q_price_outliers_iqr" -> ((s, d) => ops.Analytics.priceOutliersIqr(s, d)),
+    // fixed-round BFS reachability histogram from the co-purchase hub
+    "q_graph_hops" -> ((s, d) => ops.Basket.graphHops(s, d)),
+    // payload-chunk fingerprint near-dup pairs (frame-level media dedup)
+    "q_multimodal_frame_dedup" -> ((s, d) => ops.Multimodal.frameDedupPairs(s, d)),
+    // per-doc bigram-LM conditional surprisal (rare-transition detector)
+    "q_bigram_surprisal" -> ((s, d) => ops.TextOps.bigramSurprisal(s, d)),
+    // per-doc type-token ratio (map-side lexical-diversity gate)
+    "q_lexical_diversity" -> ((s, d) => ops.TextOps.lexicalDiversity(s, d)),
+    // per-source token-concentration Gini (mixture-design readout)
+    "q_token_gini" -> ((s, d) => ops.Corpus.tokenGiniBySource(s, d)),
+    // near-dup cluster source-purity (syndication family readout)
+    "q_cluster_purity" -> ((s, d) => ops.Dedup.clusterSourcePurity(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -56,7 +56,10 @@ object Verify {
   } + "\""
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    // optional extra args: run only these queries (local iteration; the
+    // driver always passes exactly two args → full run)
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -79,10 +82,12 @@ object Verify {
       s"""{"tables":${sources.TestdataContract.fingerprintJson(spark, sfDir)},""" +
       s""""drift":$driftJson}""")
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      writeResult(spark, outDir, name, fn(spark, sfDir))
-        .foreach(failed += name -> _)
-    }
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
+        writeResult(spark, outDir, name, fn(spark, sfDir))
+          .foreach(failed += name -> _)
+      }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

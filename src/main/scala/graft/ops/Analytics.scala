@@ -522,4 +522,75 @@ object Analytics {
       .groupBy("n_name")
       .agg(sum(discPrice).cast("double").as("revenue"))
   }
+
+  /** Benford first-digit profile of order totals — the classic
+    * fabricated-data / DQ smoke test: natural multi-magnitude amounts
+    * follow log10(1+1/d); a flat or spiked digit histogram flags synthetic
+    * or truncated feeds. Shares are basis-point integers (n·10⁴ div total
+    * — non-negative, so Spark DIV ≡ DuckDB //); the expected share is the
+    * same literal log10 expression on both engines (bit-identical).
+    *
+    * Scale shape: map-side digit extraction fused into the scan, one
+    * partial-agg groupBy on a 9-value key, 1-row broadcast total. */
+  def benfordTotalpriceOf(orders: DataFrame): DataFrame = {
+    val digits = orders
+      .select(substring(floor(col("o_totalprice")).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .where(col("digit") >= 1)
+      .groupBy("digit")
+      .agg(count(lit(1)).as("n_orders"))
+    val tot = digits.agg(sum("n_orders").as("total"))
+    digits.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_orders"),
+        expr("(n_orders * 10000) DIV total").cast("long").as("share_bp"),
+        expr("CAST(floor(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 10000) AS BIGINT)")
+          .as("benford_bp"))
+  }
+
+  def benfordTotalprice(spark: SparkSession, dir: String): DataFrame =
+    benfordTotalpriceOf(Feeds.table(spark, dir, "orders"))
+
+  /** Robust outlier fences per order priority: DISCRETE quartiles (the
+    * element at rank ⌈n/4⌉ / ⌈3n/4⌉ under a total (price, orderkey)
+    * order — exact on both engines, no interpolation) and the Tukey
+    * 1.5·IQR fence counts. Discrete-rank selection is the
+    * scale-portable exactness trick: percentile interpolation differs
+    * across engines, an order-statistic pick cannot.
+    *
+    * Scale shape: one shuffle on the 5-value priority key for the
+    * row_number window (per-group partitions), quartiles collapse to a
+    * 5-row frame that broadcasts back onto the same already-partitioned
+    * scan for the fence counts. Rank positions are integer arithmetic
+    * ((n+3) div 4 = ⌈n/4⌉); fences are doubles with the identical
+    * expression tree in the oracle. */
+  def priceOutliersIqrOf(orders: DataFrame): DataFrame = {
+    val byPrio = Window.partitionBy("o_orderpriority")
+      .orderBy("o_totalprice", "o_orderkey")
+    val ranked = orders
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(byPrio))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy("o_orderpriority")))
+    val quart = ranked
+      .groupBy("o_orderpriority")
+      .agg(max("n").cast("long").as("n_orders"),
+        max(when(col("rn") === expr("(n + 3) DIV 4"), col("o_totalprice")))
+          .as("q1"),
+        max(when(col("rn") === expr("(3 * n + 3) DIV 4"), col("o_totalprice")))
+          .as("q3"))
+      .withColumn("lo_fence", col("q1") - (col("q3") - col("q1")) * lit(1.5))
+      .withColumn("hi_fence", col("q3") + (col("q3") - col("q1")) * lit(1.5))
+    orders.select(col("o_orderpriority"), col("o_totalprice"))
+      .join(broadcast(quart), Seq("o_orderpriority"))
+      .groupBy("o_orderpriority")
+      .agg(max("n_orders").as("n_orders"), max("q1").as("q1"),
+        max("q3").as("q3"),
+        sum(when(col("o_totalprice") < col("lo_fence"), 1L).otherwise(0L))
+          .as("n_low"),
+        sum(when(col("o_totalprice") > col("hi_fence"), 1L).otherwise(0L))
+          .as("n_high"))
+  }
+
+  def priceOutliersIqr(spark: SparkSession, dir: String): DataFrame =
+    priceOutliersIqrOf(Feeds.table(spark, dir, "orders"))
 }

@@ -243,4 +243,48 @@ object Basket {
 
   def neighborJaccard(spark: SparkSession, dir: String): DataFrame =
     neighborJaccardOf(coPurchaseEdgesOf(Feeds.table(spark, dir, "lineitem")))
+
+  /** Multi-hop reachability histogram: BFS from the hub (highest-degree
+    * node, ties to the smaller id) over the co-purchase graph, min-hop
+    * per node, rolled up to (hops, n_items) for hops ≤ `maxHops` — the
+    * "how much of the catalog is within k recommendation hops" readout.
+    *
+    * Scale shape: FIXED-ROUND frontier expansion (no driver-side
+    * convergence count()): each round is one equi-join shuffle of the
+    * previous frontier against the symmetrized edge list keyed by src,
+    * then min-hop dedup folds all rounds in a single partial-agg groupBy.
+    * Frontier frames stay node-sized; the hub seed is a 1-row broadcast.
+    * A diameter-sized loop would be the scale risk — k is a constant.
+    * Min-hop, not path enumeration: the union can re-reach a node, the
+    * final min() collapses it (no exponential path blowup). */
+  def graphHopsOf(edges0: DataFrame, maxHops: Int = 3): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sym = edges0.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges0.select(col("v").as("src"), col("u").as("dst")))
+      .persist(MEMORY_AND_DISK)
+    val seed = sym.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("node"))
+      .limit(1)
+      .select(col("node"))
+    // no broadcast hint: hop-0 is one row but later frontiers grow —
+    // AQE picks broadcast vs shuffle per round from actual sizes
+    var frontier = seed.persist(MEMORY_AND_DISK)
+    var reached = frontier.select(col("node"), lit(0L).as("hops"))
+    for (h <- 1 to maxHops) {
+      frontier = sym
+        .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .persist(MEMORY_AND_DISK)
+      reached = reached.unionAll(
+        frontier.select(col("node"), lit(h.toLong).as("hops")))
+    }
+    reached
+      .groupBy("node").agg(min("hops").as("min_hops"))
+      .groupBy(col("min_hops").as("hops"))
+      .agg(count(lit(1)).as("n_items"))
+  }
+
+  def graphHops(spark: SparkSession, dir: String): DataFrame =
+    graphHopsOf(coPurchaseEdgesOf(Feeds.table(spark, dir, "lineitem")))
 }

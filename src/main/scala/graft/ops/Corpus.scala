@@ -476,4 +476,42 @@ object Corpus {
   def qualityDupCalibration(spark: SparkSession, dir: String): DataFrame =
     qualityDupCalibrationOf(TextOps.docs(spark, dir),
                             TextOps.qualityScore(spark, dir))
+
+  /** Per-source token-concentration (Gini) readout — does a handful of
+    * giant docs carry most of a source's token mass? A high-Gini source
+    * is one where a length cap or doc-level sampling changes the mixture
+    * far more than its doc count suggests; mixture designers read this
+    * next to [[mixWeightsOf]].
+    *
+    * Exact-integer formulation: with docs ranked 1..n by (n_tokens,
+    * doc_id) ascending within the source, Gini = (2·Σᵢ i·tᵢ)/(n·T)
+    * − (n+1)/n. The output carries the integer terms (n_docs,
+    * total_tokens, rank_weighted_sum — all BIGINT, bit-stable) plus the
+    * ppm surrogate assembled with non-negative integer division mirrored
+    * in the oracle (Spark DIV ≡ DuckDB // on non-negatives).
+    *
+    * Scale shape: one shuffle on the source key for the rank window
+    * (per-source partitions — the same grain every other per-source
+    * readout shuffles on), then a partial-agg fold to one row per
+    * source. rank·tokens ≤ n·T per term: overflow needs n·T > 2⁶³,
+    * i.e. a single source with ~10⁹ docs of ~10⁹ tokens — widen to
+    * DECIMAL(38,0) there. */
+  def tokenGiniBySourceOf(docsWords: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byw = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    docsWords
+      .select(col("source"), col("doc_id"),
+        size(col("words")).cast("long").as("n_tokens"))
+      .withColumn("rank", row_number().over(byw).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_tokens").as("total_tokens"),
+           sum(col("rank") * col("n_tokens")).as("rank_weighted_sum"))
+      .withColumn("gini_ppm", expr(
+        """CAST((2 * rank_weighted_sum * 1000000) DIV (n_docs * total_tokens)
+             - ((n_docs + 1) * 1000000) DIV n_docs AS BIGINT)"""))
+  }
+
+  def tokenGiniBySource(spark: SparkSession, dir: String): DataFrame =
+    tokenGiniBySourceOf(TextOps.docsWords(spark, dir))
 }

@@ -930,4 +930,33 @@ object Dedup {
             col("doc_b") === col("doc_a") + 1)
     ngramJaccardFor(pairs, TextOps.shingles(spark, dir))
   }
+
+  /** Near-dup cluster SOURCE PURITY — for every multi-doc cluster, how
+    * many sources its members span and what fraction the majority source
+    * holds. Pure clusters (one source) are ordinary scraper-side dups the
+    * per-source rates already count; MIXED clusters are syndication /
+    * mirror-site families whose dedup decision moves token mass BETWEEN
+    * sources — the readout a mixture designer checks before trusting
+    * [[Corpus.dupRateBySourceOf]]'s per-source attribution.
+    *
+    * Scale shape: one equi-join of the memoized cluster labels against
+    * the doc→source projection (both doc-keyed), a (cluster, source)
+    * partial agg, then a cluster-grain fold — every exchange is on the
+    * cluster key, output is one row per multi-doc cluster. Majority pick
+    * is max(count) — no per-cluster sort. */
+  def clusterSourcePurityOf(clusters: DataFrame,
+                            docsNorm: DataFrame): DataFrame =
+    clusters
+      .join(docsNorm.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("cluster", "source")
+      .agg(count(lit(1)).as("n_src"))
+      .groupBy("cluster")
+      .agg(sum("n_src").as("sz"),
+           count(lit(1)).as("n_sources"),
+           max("n_src").as("majority_n"))
+      .where(col("sz") >= 2L)
+      .withColumn("purity_ppm", expr("majority_n * 1000000L div sz"))
+
+  def clusterSourcePurity(spark: SparkSession, dir: String): DataFrame =
+    clusterSourcePurityOf(clusters(spark, dir), TextOps.docs(spark, dir))
 }

@@ -109,4 +109,53 @@ object Multimodal {
     }
     spark.createDataFrame(rdd, featureSchema)
   }
+
+  /** CONTENT-chunk fingerprints: the payload sliced into fixed 256-byte
+    * windows, one md5 per slice — the video-frame / audio-segment
+    * perceptual-hash stand-in ([[frames]]' fingerprint derives from the
+    * WHOLE payload, so only exact dups collide; these collide per shared
+    * SEGMENT, which is what frame-level video dedup actually keys on).
+    * The payload is UTF-8-encoded ASCII text here, so char slices ≡ byte
+    * slices and the oracle can mirror with substr — a real codec would
+    * swap the slicer only. */
+  def chunkFrames(spark: SparkSession, dir: String): DataFrame =
+    Feeds.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        expr("1 + (greatest(length(text), 1) - 1) DIV 256").as("n_chunks"))
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(0, CAST(n_chunks - 1 AS INT))")).as("ci"))
+      .select(col("doc_id"), col("ci").cast("long").as("chunk_idx"),
+        md5(expr("substring(text, ci * 256 + 1, 256)")).as("chunk_fp"))
+
+  /** Frame-level near-dup pairs: media whose payloads share ≥ `minShared`
+    * content-chunk fingerprints — mirrored transcodes, re-uploads with
+    * trailing edits, and prefix-padded copies that whole-file hashing
+    * misses.
+    *
+    * Scale shape: the fp-bucket join is the LSH shape (collision-bounded,
+    * never all-pairs), with the same giant-bucket guard as the MinHash
+    * stack: a chunk shared by > `maxBucket` docs (an intro card, a
+    * silence segment) would go quadratic, so its bucket is dropped from
+    * pair formation — recall lost only on pairs whose EVERY shared chunk
+    * is degenerate-common, which are boilerplate by definition. One
+    * partial-agg per-pair count after the bucket join; `shared_chunks`
+    * ≥ 2 prunes the accidental single-chunk collisions. */
+  def frameDedupPairsOf(chunks: DataFrame, minShared: Long = 2L,
+                        maxBucket: Int = 64): DataFrame = {
+    val sized = chunks
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("chunk_fp")))
+      .where(col("bsz") <= maxBucket)
+      .select(col("doc_id"), col("chunk_fp")).distinct()
+    sized.select(col("chunk_fp"), col("doc_id").as("doc_a"))
+      .join(sized.select(col("chunk_fp"), col("doc_id").as("doc_b")),
+            Seq("chunk_fp"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared_chunks"))
+      .where(col("shared_chunks") >= minShared)
+  }
+
+  def frameDedupPairs(spark: SparkSession, dir: String): DataFrame =
+    frameDedupPairsOf(chunkFrames(spark, dir))
 }

@@ -863,4 +863,64 @@ object TextOps {
   def tokenFreqDrift(spark: SparkSession, dir: String): DataFrame =
     tokenFreqDriftOf(docsWords(spark, dir),
                      Sampling.trainValTestSplit(spark, dir))
+
+  /** Per-doc BIGRAM surprisal under the corpus's own bigram LM — one
+    * order up from [[unigramSurprisalOf]]: the conditional surprisal of
+    * each adjacent pair, s(w₁w₂) = ilog2(n(w₁·)) − ilog2(n(w₁w₂)), where
+    * n(w₁·) counts w₁ as a bigram HEAD (so the ratio is the conditional
+    * P(w₂|w₁) and the −1s of true ⌊log₂⌋ cancel). Boilerplate whose
+    * pairs repeat corpus-wide scores near zero; incoherent word salad
+    * scores high — the bigram-perplexity proxy that separates "rare
+    * words" (unigram) from "rare transitions" (this).
+    *
+    * Scale shape: one exploded pair frame feeds BOTH vocab rollups
+    * (pair counts and head counts — partial-agg groupBys); the pair
+    * frame joins back against each on its key (Zipf-skewed heads are
+    * AQE-skew-split territory at web scale, same as the unigram path);
+    * fold to doc grain is a final partial agg. Surprisal < 64 per
+    * pair — no overflow. */
+  def bigramSurprisalOf(docsWords: DataFrame): DataFrame = {
+    val pairs = docsWords.select(col("doc_id"), explode(expr(
+      """CASE WHEN size(words) >= 2
+           THEN transform(sequence(0, size(words) - 2),
+                  i -> struct(words[i] AS w1, words[i+1] AS w2))
+           ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)
+         END""")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val biCnt = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+    val headCnt = pairs.groupBy("w1").agg(count(lit(1)).as("n_head"))
+    pairs
+      .join(biCnt, Seq("w1", "w2"))
+      .join(headCnt, Seq("w1"))
+      .select(col("doc_id"),
+        expr("CAST(length(bin(n_head)) - length(bin(n_pair)) AS BIGINT)")
+          .as("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("s").as("surprisal"))
+      .withColumn("mean_ppm",
+        expr("CAST(surprisal * 1000000 DIV n_bigrams AS BIGINT)"))
+  }
+
+  def bigramSurprisal(spark: SparkSession, dir: String): DataFrame =
+    bigramSurprisalOf(docsWords(spark, dir))
+
+  /** Per-doc lexical diversity — token count, type (distinct-token)
+    * count, and the type-token ratio in ppm. The repetition detector's
+    * cheap cousin: templated or keyword-stuffed docs have few types per
+    * token; TTR thresholds are a standard pre-tokenizer quality gate.
+    *
+    * Scale shape: entirely map-side — size() and array_distinct() are
+    * per-row codegen'd HOFs fused into the scan stage; no explode, no
+    * shuffle, no exchange at any corpus size. */
+  def lexicalDiversityOf(docsWords: DataFrame): DataFrame =
+    docsWords.select(
+      col("doc_id"),
+      size(col("words")).cast("long").as("n_tokens"),
+      size(array_distinct(col("words"))).cast("long").as("n_types"))
+      .withColumn("ttr_ppm",
+        expr("CAST(n_types * 1000000 DIV n_tokens AS BIGINT)"))
+
+  def lexicalDiversity(spark: SparkSession, dir: String): DataFrame =
+    lexicalDiversityOf(docsWords(spark, dir))
 }

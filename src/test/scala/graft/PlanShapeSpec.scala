@@ -156,4 +156,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(unbounded.isEmpty,
       s"corpus-sized broadcast hint present: $unbounded")
   }
+
+  test("lexical diversity is exchange-free and reads only (doc_id, text)") {
+    // the op's whole claim is "entirely map-side": a refactor that
+    // introduces an explode+groupBy would silently add a corpus-sized
+    // shuffle — pin the absence of any exchange in the plan
+    val df = ops.TextOps.lexicalDiversity(spark, d)
+    val exchanges = df.queryExecution.sparkPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, s"unexpected shuffle: $exchanges")
+    val scans = scansOf(df, "documents")
+    assert(scans.nonEmpty)
+    for (s <- scans)
+      assert(s.requiredSchema.fieldNames.toSet == Set("doc_id", "text"),
+        s.requiredSchema.fieldNames.mkString(","))
+  }
+
+  test("benford profile reads only o_totalprice from orders") {
+    val scans = scansOf(ops.Analytics.benfordTotalprice(spark, d), "orders")
+    assert(scans.nonEmpty)
+    for (s <- scans)
+      assert(s.requiredSchema.fieldNames.toSet == Set("o_totalprice"),
+        s.requiredSchema.fieldNames.mkString(","))
+  }
+
+  test("frame dedup plans equi-joins only — no cartesian product") {
+    // the chunk-fp bucket join is the LSH shape; a refactor that loses
+    // the fp equi-key would go all-pairs over the corpus
+    val df = ops.Multimodal.frameDedupPairs(spark, d)
+    val cart = df.queryExecution.sparkPlan.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case n: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => n
+    }
+    assert(cart.isEmpty, s"non-equi join in frame-dedup plan: $cart")
+  }
 }
