@@ -1200,6 +1200,70 @@ mm_frame_dedup AS (
          CAST(count(*) AS BIGINT) AS shared_chunks
   FROM mm_chunks_d a JOIN mm_chunks_d b
     ON a.chunk_fp = b.chunk_fp AND a.doc_id < b.doc_id
-  GROUP BY 1, 2 HAVING count(*) >= 2)
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+split_leakage AS (
+  SELECT least(sa.split, sb.split) AS split_a,
+         greatest(sa.split, sb.split) AS split_b,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM dedup_pairs_verified p
+  JOIN split_tvt sa ON sa.doc_id = p.doc_a
+  JOIN split_tvt sb ON sb.doc_id = p.doc_b
+  GROUP BY 1, 2),
+ver_scored AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(COALESCE(i.i, 0) AS BIGINT) AS n_common,
+         CAST(sa.n_sh + sb.n_sh - COALESCE(i.i, 0) AS BIGINT) AS n_union
+  FROM minhash_pairs_guarded p
+  LEFT JOIN ver_inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+  JOIN sh_sizes sa ON sa.doc_id = p.doc_a
+  JOIN sh_sizes sb ON sb.doc_id = p.doc_b),
+thr_flat AS (
+  SELECT t.t_ppm, v.doc_a, v.doc_b
+  FROM (SELECT CAST(unnest([500000, 700000, 900000]) AS BIGINT) AS t_ppm) t
+  JOIN ver_scored v ON v.n_common * 1000000 >= t.t_ppm * v.n_union),
+dedup_threshold_sweep AS (
+  SELECT p.t_ppm, p.n_pairs, d.n_docs
+  FROM (SELECT t_ppm, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM thr_flat GROUP BY 1) p
+  JOIN (SELECT t_ppm, CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+        FROM (SELECT t_ppm, unnest([doc_a, doc_b]) AS doc FROM thr_flat) u
+        GROUP BY 1) d USING (t_ppm)),
+lt_ranked AS (
+  SELECT lang, doc_id, CAST(len(words) AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY lang
+           ORDER BY len(words), doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM docs_words),
+lt_fences AS (
+  SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+         CAST(max(CASE WHEN rn = (n + 19) // 20 THEN n_tokens END)
+              AS BIGINT) AS p5,
+         CAST(max(CASE WHEN rn = (19 * n + 19) // 20 THEN n_tokens END)
+              AS BIGINT) AS p95
+  FROM lt_ranked GROUP BY 1),
+length_trim AS (
+  SELECT r.lang, max(f.n_docs) AS n_docs, max(f.p5) AS p5,
+         max(f.p95) AS p95,
+         CAST(sum(CASE WHEN r.n_tokens < f.p5 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_below,
+         CAST(sum(CASE WHEN r.n_tokens > f.p95 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_above,
+         CAST(sum(CASE WHEN r.n_tokens >= f.p5 AND r.n_tokens <= f.p95
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+  FROM lt_ranked r JOIN lt_fences f ON f.lang = r.lang
+  GROUP BY 1),
+source_bigram_diversity AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS n_bigrams,
+         CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+         CAST(count(*) * 1000000 // CAST(sum(n) AS BIGINT) AS BIGINT)
+           AS diversity_ppm
+  FROM (SELECT source, bigram, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT w.source, b.bigram FROM docs_words w,
+              unnest(CASE WHEN len(words) >= 2
+                THEN [words[i+1] || ' ' || words[i+2]
+                      for i in range(0, len(words)-1)]
+                ELSE CAST([] AS VARCHAR[]) END) b(bigram)) s
+        GROUP BY 1, 2) g
+  GROUP BY 1)
 """
 }

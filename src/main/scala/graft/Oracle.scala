@@ -1093,6 +1093,49 @@ sales_mom AS (
     "q_token_gini"              -> fromDocs("token_gini"),
     "q_cluster_purity"          -> fromDocs("cluster_purity"),
     "q_multimodal_frame_dedup"  -> fromDocs("mm_frame_dedup"),
+    "q_split_leakage"           -> fromDocs("split_leakage"),
+    "q_dedup_threshold_sweep"   -> fromDocs("dedup_threshold_sweep"),
+    "q_length_trim"             -> fromDocs("length_trim"),
+    "q_source_bigram_diversity" -> fromDocs("source_bigram_diversity"),
+    // sweep-line concurrency over the gap-sessions: boundary order is
+    // total — (ts, delta −1<+1, user, seq): a session ending the second
+    // another starts closes FIRST (back-to-back ≠ concurrent); the
+    // running window sum is INT128 in DuckDB — BIGINT-pinned (HUGEINT rule)
+    "q_session_concurrency" -> """
+      WITH ev AS (
+        SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+               date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts2
+        FROM events),
+      flags AS (
+        SELECT *, CASE WHEN lag(ts2) OVER w IS NULL
+                         OR ts2 - lag(ts2) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts2, event_id)),
+      sess AS (
+        SELECT user_id, ts2,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts2, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flags),
+      sgrp AS (
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+               min(ts2) AS session_start, max(ts2) AS session_end
+        FROM sess GROUP BY 1, 2),
+      bounds AS (
+        SELECT date_trunc('day', session_start) AS day,
+               session_start AS ts, 1 AS delta, user_id, session_seq
+        FROM sgrp
+        UNION ALL
+        SELECT date_trunc('day', session_start) AS day,
+               session_end AS ts, -1 AS delta, user_id, session_seq
+        FROM sgrp),
+      sweep AS (
+        SELECT day, sum(delta) OVER (PARTITION BY day
+                 ORDER BY ts, delta, user_id, session_seq
+                 ROWS UNBOUNDED PRECEDING) AS conc
+        FROM bounds)
+      SELECT day, CAST(count(*) // 2 AS BIGINT) AS n_sessions,
+             CAST(max(conc) AS BIGINT) AS max_concurrent
+      FROM sweep GROUP BY 1""",
     // Benford first-digit profile; the expected-share expression is the
     // same log10 literal tree on both engines (values sit ~0.3 bp from
     // any floor boundary — a 1-ulp libm skew cannot flip the floor)

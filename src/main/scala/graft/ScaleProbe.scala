@@ -128,7 +128,11 @@ object ScaleProbe {
     // bigram surprisal, lexical diversity, token Gini, cluster purity
     "q_benford_totalprice", "q_price_outliers_iqr", "q_graph_hops",
     "q_multimodal_frame_dedup", "q_bigram_surprisal", "q_lexical_diversity",
-    "q_token_gini", "q_cluster_purity")
+    "q_token_gini", "q_cluster_purity",
+    // round-12e: split leakage, threshold sweep, length trim, bigram
+    // diversity, session concurrency
+    "q_split_leakage", "q_dedup_threshold_sweep", "q_length_trim",
+    "q_source_bigram_diversity", "q_session_concurrency")
 
   def makeBig(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     // the embedding rotation below is the identity at i = 64 (reintroducing

@@ -404,7 +404,18 @@ object SparkEntry {
     // per-source token-concentration Gini (mixture-design readout)
     "q_token_gini" -> ((s, d) => ops.Corpus.tokenGiniBySource(s, d)),
     // near-dup cluster source-purity (syndication family readout)
-    "q_cluster_purity" -> ((s, d) => ops.Dedup.clusterSourcePurity(s, d)))
+    "q_cluster_purity" -> ((s, d) => ops.Dedup.clusterSourcePurity(s, d)),
+    // train/test near-dup leakage matrix (eval-integrity readout)
+    "q_split_leakage" -> ((s, d) => ops.Corpus.splitLeakage(s, d)),
+    // dedup yield vs Jaccard threshold (integer cross-multiplied sweep)
+    "q_dedup_threshold_sweep" -> ((s, d) => ops.Dedup.dedupThresholdSweep(s, d)),
+    // per-lang discrete p5/p95 token-length trim dry-run
+    "q_length_trim" -> ((s, d) => ops.TextOps.lengthTrim(s, d)),
+    // per-source bigram transition diversity (template detector)
+    "q_source_bigram_diversity" -> ((s, d) =>
+      ops.TextOps.sourceBigramDiversity(s, d)),
+    // sweep-line daily peak session concurrency (capacity profile)
+    "q_session_concurrency" -> ((s, d) => ops.Sessions.sessionConcurrency(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

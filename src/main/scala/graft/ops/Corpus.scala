@@ -514,4 +514,31 @@ object Corpus {
 
   def tokenGiniBySource(spark: SparkSession, dir: String): DataFrame =
     tokenGiniBySourceOf(TextOps.docsWords(spark, dir))
+
+  /** Train/test near-dup LEAKAGE matrix: verified near-dup pairs counted
+    * by the (split, split) cell they straddle. The (train, test) cell is
+    * the number every eval reader asks for first — near-dups of training
+    * docs sitting in the held-out split inflate benchmark scores exactly
+    * like verbatim contamination, and doc-level hash splitting does NOT
+    * prevent it (the split is independent per doc; near-dup FAMILIES
+    * straddle it). Cells are canonicalized (least/greatest) so (a, b)
+    * and (b, a) pairs land together.
+    *
+    * Scale shape: two doc-keyed equi-joins of the candidate-bounded
+    * verified pair list against the split projection, then a partial agg
+    * on the ≤6-value cell key. */
+  def splitLeakageOf(verified: DataFrame, split: DataFrame): DataFrame =
+    verified
+      .join(split.select(col("doc_id").as("doc_a"), col("split").as("sa")),
+            Seq("doc_a"))
+      .join(split.select(col("doc_id").as("doc_b"), col("split").as("sb")),
+            Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("split_a"),
+              greatest(col("sa"), col("sb")).as("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame =
+    splitLeakageOf(Dedup.minhashPairsVerified(spark, dir),
+                   Sampling.trainValTestSplit(spark, dir))
 }

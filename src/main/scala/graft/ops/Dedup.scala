@@ -959,4 +959,37 @@ object Dedup {
 
   def clusterSourcePurity(spark: SparkSession, dir: String): DataFrame =
     clusterSourcePurityOf(clusters(spark, dir), TextOps.docs(spark, dir))
+
+  /** Dedup yield vs Jaccard threshold — for τ ∈ {0.5, 0.7, 0.9}, how many
+    * verified candidate pairs and distinct docs the near-dup tier would
+    * act on. THE tuning readout before committing a threshold: a curve
+    * that cliffs between 0.7 and 0.9 means the corpus has a near-dup band
+    * right at the decision boundary and the pipeline owner should look at
+    * samples before picking a side.
+    *
+    * Exactness: τ-comparison is pure integer cross-multiplication
+    * (n_common·10⁶ ≥ τ_ppm·n_union) — no float thresholding, so a pair
+    * at exactly τ lands the same way on both engines. Scale shape: the
+    * scored frame is candidate-bounded (guarded LSH output); the ×3
+    * threshold fanout is a 3-row broadcast; both rollups are partial
+    * aggs on the 3-value key. */
+  def dedupThresholdSweepOf(scored: DataFrame): DataFrame = {
+    val spark = scored.sparkSession
+    val thr = spark.sql(
+      "SELECT explode(array(500000L, 700000L, 900000L)) AS t_ppm")
+    val flat = scored
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_union"))
+      .crossJoin(broadcast(thr))
+      .where(col("n_common") * lit(1000000L) >= col("t_ppm") * col("n_union"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = flat.groupBy("t_ppm").agg(count(lit(1)).as("n_pairs"))
+    val docs = flat
+      .select(col("t_ppm"), explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+      .groupBy("t_ppm").agg(countDistinct("doc").as("n_docs"))
+    pairs.join(docs, Seq("t_ppm"))
+  }
+
+  def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame =
+    dedupThresholdSweepOf(
+      ngramJaccardFor(minhashPairs(spark, dir), TextOps.shingles(spark, dir)))
 }

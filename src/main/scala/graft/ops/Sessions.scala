@@ -293,4 +293,45 @@ object Sessions {
 
   def userLifecycle(spark: SparkSession, dir: String): DataFrame =
     userLifecycleOf(Feeds.events(spark, dir))
+
+  /** Daily PEAK-CONCURRENCY profile over the gap-sessions: the classic
+    * sweep-line — each session contributes a +1 boundary at start and a
+    * −1 at end, a running sum over the ordered boundaries is the live
+    * session count, and its per-day max is the capacity-planning number
+    * ("how many sessions were open at once").
+    *
+    * Determinism: the boundary order is total — (ts, delta, user_id,
+    * session_seq) with delta −1 < +1, so a session ENDING at the exact
+    * second another starts closes first (back-to-back ≠ concurrent);
+    * mirrored in the oracle. A session is swept within its START day
+    * (sessions are gap-bounded, so midnight-spanning tails are rare and
+    * attributed to the day they began).
+    *
+    * Scale shape: the sweep partitions by DAY, not globally — each day's
+    * running sum is an independent window partition (a global sweep
+    * would be the single-partition WindowExec trap); boundaries are
+    * 2·|sessions| rows, session-grain not event-grain. */
+  def sessionConcurrencyOf(sessions: DataFrame): DataFrame = {
+    val bounds = sessions.select(
+      date_trunc("day", col("session_start")).as("day"),
+      explode(array(
+        struct(col("session_start").as("ts"), lit(1L).as("delta"),
+               col("user_id"), col("session_seq")),
+        struct(col("session_end").as("ts"), lit(-1L).as("delta"),
+               col("user_id"), col("session_seq")))).as("e"))
+      .select(col("day"), col("e.ts").as("ts"), col("e.delta").as("delta"),
+              col("e.user_id").as("user_id"),
+              col("e.session_seq").as("session_seq"))
+    val sweep = Window.partitionBy("day")
+      .orderBy("ts", "delta", "user_id", "session_seq")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bounds
+      .withColumn("conc", sum(col("delta")).over(sweep))
+      .groupBy("day")
+      .agg(expr("CAST(count(*) DIV 2 AS BIGINT)").as("n_sessions"),
+           max("conc").cast("long").as("max_concurrent"))
+  }
+
+  def sessionConcurrency(spark: SparkSession, dir: String): DataFrame =
+    sessionConcurrencyOf(sessions(spark, dir))
 }

@@ -923,4 +923,72 @@ object TextOps {
 
   def lexicalDiversity(spark: SparkSession, dir: String): DataFrame =
     lexicalDiversityOf(docsWords(spark, dir))
+
+  /** Per-language length-trim fences: DISCRETE p5/p95 token-length picks
+    * (order statistics at rank ⌈n/20⌉ / ⌈19n/20⌉ — the same
+    * interpolation-free exactness trick as the IQR op) plus how many
+    * docs a [p5, p95] length filter would drop on each side. Length
+    * trimming is a standard curation stage (truncated fragments below,
+    * concatenation junk above); this is its dry-run readout.
+    *
+    * Scale shape: one shuffle on the language key for the rank window,
+    * fences collapse to a lang-cardinality frame that broadcasts back
+    * onto the same partitioning for the side counts. */
+  def lengthTrimOf(docsWords: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLang = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    val ranked = docsWords
+      .select(col("lang"), col("doc_id"),
+        size(col("words")).cast("long").as("n_tokens"))
+      .withColumn("rn", row_number().over(byLang).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+    val fences = ranked.groupBy("lang")
+      .agg(max("n").cast("long").as("n_docs"),
+        max(when(col("rn") === expr("(n + 19) DIV 20"), col("n_tokens")))
+          .as("p5"),
+        max(when(col("rn") === expr("(19 * n + 19) DIV 20"), col("n_tokens")))
+          .as("p95"))
+    ranked.select(col("lang"), col("n_tokens"))
+      .join(broadcast(fences), Seq("lang"))
+      .groupBy("lang")
+      .agg(max("n_docs").as("n_docs"), max("p5").as("p5"),
+        max("p95").as("p95"),
+        sum(when(col("n_tokens") < col("p5"), 1L).otherwise(0L))
+          .as("n_below"),
+        sum(when(col("n_tokens") > col("p95"), 1L).otherwise(0L))
+          .as("n_above"),
+        sum(when(col("n_tokens") >= col("p5") &&
+                 col("n_tokens") <= col("p95"), 1L).otherwise(0L))
+          .as("n_kept"))
+  }
+
+  def lengthTrim(spark: SparkSession, dir: String): DataFrame =
+    lengthTrimOf(docsWords(spark, dir))
+
+  /** Per-source bigram (transition) diversity: total vs distinct
+    * adjacent-pair counts and their ppm ratio — the source-grain twin of
+    * [[lexicalDiversityOf]] one Markov order up. A source whose
+    * transition inventory is tiny relative to its volume is template
+    * output (same sentences re-emitted); mixture designers read it next
+    * to the vocab-overlap readout.
+    *
+    * Scale shape: one exploded-pair partial agg per (source, bigram) —
+    * map-side combine absorbs the repeats that make templated sources
+    * cheap — then a source-grain fold. Exact integers + one ppm div. */
+  def sourceBigramDiversityOf(docsWords: DataFrame): DataFrame =
+    docsWords.select(col("source"), explode(expr(
+      """CASE WHEN size(words) >= 2
+           THEN transform(sequence(0, size(words) - 2),
+                  i -> concat_ws(' ', words[i], words[i+1]))
+           ELSE CAST(array() AS ARRAY<STRING>) END""")).as("bg"))
+      .groupBy("source", "bg")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("source")
+      .agg(sum("n").as("n_bigrams"),
+           count(lit(1)).as("n_distinct_bigrams"))
+      .withColumn("diversity_ppm",
+        expr("CAST(n_distinct_bigrams * 1000000 DIV n_bigrams AS BIGINT)"))
+
+  def sourceBigramDiversity(spark: SparkSession, dir: String): DataFrame =
+    sourceBigramDiversityOf(docsWords(spark, dir))
 }
