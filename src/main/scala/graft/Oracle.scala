@@ -1179,6 +1179,75 @@ sales_mom AS (
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_high
       FROM orders o JOIN fences f ON f.o_orderpriority = o.o_orderpriority
       GROUP BY 1""",
+    // TPC-H Q4 shape: EXISTS dedups by construction (an order with five
+    // late lines counts once)
+    "q_late_orders" -> """
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders o
+      WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+        AND o.o_orderdate < TIMESTAMP '1996-10-01'
+        AND EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND CAST(l.l_shipdate AS TIMESTAMP)
+                          > CAST(o.o_orderdate AS TIMESTAMP)
+                            + INTERVAL 90 DAY)
+      GROUP BY 1""",
+    // TPC-H Q13 shape: LEFT OUTER + count(col) NULL semantics put the
+    // zero-order customers in the k=0 bucket
+    "q_cust_order_dist" -> """
+      SELECT c_count, CAST(count(*) AS BIGINT) AS n_custs
+      FROM (SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT)
+              AS c_count
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY 1) t
+      GROUP BY 1""",
+    // RFM quintiles: dense 1..n ranks + the SQL-standard integer-div
+    // ntile CASE (identical text to the engine's ntileExpr); monetary
+    // sums in DECIMAL so the floor is exact
+    "q_customer_rfm" -> """
+      WITH base AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+                    (SELECT CAST(max(o_orderdate) AS DATE) FROM orders))
+                 AS BIGINT) AS recency_days,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(floor(sum(CAST(o_totalprice AS DECIMAL(14,2))))
+                 AS BIGINT) AS monetary
+        FROM orders GROUP BY 1),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM base),
+      rk AS (
+        SELECT o_custkey, monetary,
+               CAST(row_number() OVER (ORDER BY recency_days, o_custkey)
+                 AS BIGINT) AS r_rn,
+               CAST(row_number() OVER (ORDER BY -n_orders, o_custkey)
+                 AS BIGINT) AS f_rn,
+               CAST(row_number() OVER (ORDER BY -monetary, o_custkey)
+                 AS BIGINT) AS m_rn
+        FROM base),
+      q AS (
+        SELECT o_custkey, monetary,
+          CAST(CASE WHEN nt // 5 = 0 THEN r_rn
+               WHEN r_rn <= (nt % 5) * (nt // 5 + 1)
+                 THEN (r_rn + nt // 5) // (nt // 5 + 1)
+               ELSE nt % 5 + (r_rn - (nt % 5) * (nt // 5 + 1)
+                              + nt // 5 - 1) // (nt // 5) END AS BIGINT)
+            AS r_q,
+          CAST(CASE WHEN nt // 5 = 0 THEN f_rn
+               WHEN f_rn <= (nt % 5) * (nt // 5 + 1)
+                 THEN (f_rn + nt // 5) // (nt // 5 + 1)
+               ELSE nt % 5 + (f_rn - (nt % 5) * (nt // 5 + 1)
+                              + nt // 5 - 1) // (nt // 5) END AS BIGINT)
+            AS f_q,
+          CAST(CASE WHEN nt // 5 = 0 THEN m_rn
+               WHEN m_rn <= (nt % 5) * (nt // 5 + 1)
+                 THEN (m_rn + nt // 5) // (nt // 5 + 1)
+               ELSE nt % 5 + (m_rn - (nt % 5) * (nt // 5 + 1)
+                              + nt // 5 - 1) // (nt // 5) END AS BIGINT)
+            AS m_q
+        FROM rk, n)
+      SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_custs,
+             CAST(sum(monetary) AS BIGINT) AS sum_monetary
+      FROM q GROUP BY 1, 2, 3""",
     // fixed-round BFS from the co-purchase hub: min-hop per node over the
     // unioned frontiers (re-reached nodes collapse via min), ≤3 hops
     "q_graph_hops" -> """

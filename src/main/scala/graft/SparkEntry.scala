@@ -415,7 +415,13 @@ object SparkEntry {
     "q_source_bigram_diversity" -> ((s, d) =>
       ops.TextOps.sourceBigramDiversity(s, d)),
     // sweep-line daily peak session concurrency (capacity profile)
-    "q_session_concurrency" -> ((s, d) => ops.Sessions.sessionConcurrency(s, d)))
+    "q_session_concurrency" -> ((s, d) => ops.Sessions.sessionConcurrency(s, d)),
+    // late-order rate per priority (TPC-H Q4 EXISTS/semi-join anchor)
+    "q_late_orders" -> ((s, d) => ops.Analytics.lateOrders(s, d)),
+    // customer order-count distribution incl. zero-order (Q13 shape)
+    "q_cust_order_dist" -> ((s, d) => ops.Analytics.custOrderDist(s, d)),
+    // RFM quintile segmentation cube (two-phase ranks, integer ntile)
+    "q_customer_rfm" -> ((s, d) => ops.Analytics.customerRfm(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.etl.Feeds
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -593,4 +593,114 @@ object Analytics {
 
   def priceOutliersIqr(spark: SparkSession, dir: String): DataFrame =
     priceOutliersIqrOf(Feeds.table(spark, dir, "orders"))
+
+  /** Late-order rate per priority (TPC-H Q4 shape): orders of one quarter
+    * that have AT LEAST ONE lineitem shipped > 90 days after the order
+    * date — the EXISTS / LEFT-SEMI anchor. The semi join deduplicates by
+    * construction (an order with five late lines counts once) — no
+    * DISTINCT, no post-join dedup.
+    *
+    * Scale shape: the quarter predicate pushes to the orders scan
+    * BEFORE the join (the probe window is a small fraction of history);
+    * the semi join shuffles on the natural order key with the date
+    * comparison as a residual in the same join — lineitem is never
+    * materialized past its matching keys. */
+  def lateOrdersOf(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val lo = lit("1996-07-01").cast("timestamp")
+    val hi = lit("1996-10-01").cast("timestamp")
+    orders
+      .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      .join(lineitem.select("l_orderkey", "l_shipdate"),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  def lateOrders(spark: SparkSession, dir: String): DataFrame =
+    lateOrdersOf(Feeds.table(spark, dir, "orders"),
+                 Feeds.table(spark, dir, "lineitem"))
+
+  /** Customer order-count distribution (TPC-H Q13 shape): how many
+    * customers placed exactly k orders, INCLUDING the zero-order
+    * customers — the LEFT OUTER + count(col) NULL-semantics anchor
+    * (count(o_orderkey) skips the NULLs an unmatched customer row
+    * carries, so zero-order customers land in the k=0 bucket).
+    *
+    * Scale shape: one shuffle join on the customer key, then two
+    * partial-agg groupBys (customer grain, then the small k-grain). */
+  def custOrderDistOf(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.select("c_custkey")
+      .join(orders.select(col("o_custkey"), col("o_orderkey")),
+            col("o_custkey") === col("c_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("n_custs"))
+
+  def custOrderDist(spark: SparkSession, dir: String): DataFrame =
+    custOrderDistOf(Feeds.table(spark, dir, "customer"),
+                    Feeds.table(spark, dir, "orders"))
+
+  /** SQL-standard ntile over a dense 1..n rank as all-integer `div`
+    * arithmetic (bit-exact cross-engine; the [[customerDecilesOf]]
+    * formula): first n%k buckets hold ⌈n/k⌉ rows, the rest ⌊n/k⌋. */
+  private def ntileExpr(rn: String, n: String, k: Int): String =
+    s"""CASE WHEN $n div $k = 0 THEN $rn
+             WHEN $rn <= ($n % $k) * ($n div $k + 1)
+               THEN ($rn + $n div $k) div ($n div $k + 1)
+             ELSE $n % $k
+                  + ($rn - ($n % $k) * ($n div $k + 1)
+                     + $n div $k - 1) div ($n div $k)
+        END"""
+
+  /** RFM segmentation mart: each ordering customer scored into quintiles
+    * of Recency (days since last order — quintile 1 = most recent),
+    * Frequency (order count — 1 = most frequent) and Monetary
+    * (whole-currency lifetime spend — 1 = highest), rolled up to
+    * (r_q, f_q, m_q) segment counts — the classic CRM cube.
+    *
+    * Scale shape: the base frame is ONE partial-agg groupBy to customer
+    * grain; each quintile rank is the two-phase [[graft.Ids.dense]]
+    * assignment (range-partitioned sort + per-partition offsets — never
+    * an unpartitioned row_number window over the customer dimension);
+    * the ntile cut is all-integer arithmetic against a broadcast n;
+    * the final rollup has ≤ k³ rows. Monetary sums in DECIMAL (exact —
+    * a double sum's floor could flip on a .99̄ boundary). */
+  def customerRfmOf(orders: DataFrame, k: Int = 5): DataFrame = {
+    val base = orders
+      .groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+           count(lit(1)).as("n_orders"),
+           floor(sum(col("o_totalprice").cast(DecimalType(14, 2))))
+             .cast("long").as("monetary"))
+      .crossJoin(broadcast(
+        orders.agg(max(to_date(col("o_orderdate"))).as("max_day"))))
+      .select(col("o_custkey"),
+        datediff(col("max_day"), col("last_day")).cast("long")
+          .as("recency_days"),
+        col("n_orders"), col("monetary"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def quintile(metric: Column, name: String): DataFrame = {
+      val ranked = graft.Ids.dense(
+        base.withColumn("mneg", metric), Seq("mneg", "o_custkey"), "rn")
+      ranked
+        .crossJoin(broadcast(ranked.agg(max(col("rn")).as("n_total"))))
+        .select(col("o_custkey"),
+          expr(ntileExpr("rn", "n_total", k)).cast("long").as(name))
+    }
+    val r = quintile(col("recency_days"), "r_q")
+    val f = quintile(negate(col("n_orders")), "f_q")
+    val m = quintile(negate(col("monetary")), "m_q")
+    base.select("o_custkey", "monetary")
+      .join(r, "o_custkey").join(f, "o_custkey").join(m, "o_custkey")
+      .groupBy("r_q", "f_q", "m_q")
+      .agg(count(lit(1)).as("n_custs"),
+           sum("monetary").as("sum_monetary"))
+  }
+
+  def customerRfm(spark: SparkSession, dir: String): DataFrame =
+    customerRfmOf(Feeds.table(spark, dir, "orders"))
 }
