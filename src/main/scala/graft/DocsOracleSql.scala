@@ -1264,6 +1264,33 @@ source_bigram_diversity AS (
                       for i in range(0, len(words)-1)]
                 ELSE CAST([] AS VARCHAR[]) END) b(bigram)) s
         GROUP BY 1, 2) g
-  GROUP BY 1)
+  GROUP BY 1),
+contrastive_terms AS (
+  SELECT source, rank, w, n_sw, n_rest, score FROM (
+    SELECT source, w, n_sw, n_rest,
+           CAST(length(bin(n_sw)) - length(bin(n_rest + 1)) AS BIGINT)
+             AS score,
+           CAST(row_number() OVER (PARTITION BY source
+                  ORDER BY length(bin(n_sw)) - length(bin(n_rest + 1)) DESC,
+                           n_sw DESC, w) AS BIGINT) AS rank
+    FROM (
+      SELECT s.source, s.w, s.n_sw,
+             CAST(t.n_w - s.n_sw AS BIGINT) AS n_rest
+      FROM (SELECT d.source, f.w, CAST(count(*) AS BIGINT) AS n_sw
+            FROM words_flat f JOIN docs d USING (doc_id)
+            GROUP BY 1, 2) s
+      JOIN (SELECT w, CAST(count(*) AS BIGINT) AS n_w
+            FROM words_flat GROUP BY 1) t USING (w)
+      WHERE s.n_sw >= 10) b) z
+  WHERE rank <= 5),
+ann_mrr AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         CAST(count(a.rnk) AS BIGINT) AS n_found,
+         CAST(sum(COALESCE(1000000 // a.rnk, 0)) AS BIGINT) AS sum_rr_ppm,
+         CAST(sum(COALESCE(1000000 // a.rnk, 0)) // count(*) AS BIGINT)
+           AS mrr_ppm
+  FROM (SELECT query_id, cand_id FROM ann_cosine_topk WHERE rnk = 1) e
+  LEFT JOIN ivfpq_topk a
+    ON a.query_id = e.query_id AND a.cand_id = e.cand_id)
 """
 }

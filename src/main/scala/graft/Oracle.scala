@@ -1097,6 +1097,44 @@ sales_mom AS (
     "q_dedup_threshold_sweep"   -> fromDocs("dedup_threshold_sweep"),
     "q_length_trim"             -> fromDocs("length_trim"),
     "q_source_bigram_diversity" -> fromDocs("source_bigram_diversity"),
+    "q_contrastive_terms"       -> fromDocs("contrastive_terms"),
+    "q_ann_mrr"                 -> fromDocs("ann_mrr"),
+    // stage-to-stage funnel latency: discrete median/p90 picks over the
+    // ordered-converter durations (same first-touch + in-order condition
+    // as q_funnel)
+    "q_funnel_time" -> """
+      WITH f AS (
+        SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+               min(date_trunc('second', CAST(ts AS TIMESTAMP))) AS first_ts
+        FROM events WHERE event_type IN ('signup', 'view', 'purchase')
+        GROUP BY 1, 2),
+      p AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'signup' THEN first_ts END) AS s,
+               max(CASE WHEN event_type = 'view' THEN first_ts END) AS v,
+               max(CASE WHEN event_type = 'purchase' THEN first_ts END) AS pu
+        FROM f GROUP BY 1),
+      d AS (
+        SELECT '01_signup_to_view' AS stage_pair, user_id,
+               CAST(date_diff('second', s, v) AS BIGINT) AS dur_sec
+        FROM p WHERE s IS NOT NULL AND v IS NOT NULL AND v >= s
+        UNION ALL
+        SELECT '02_view_to_purchase', user_id,
+               CAST(date_diff('second', v, pu) AS BIGINT)
+        FROM p WHERE s IS NOT NULL AND v IS NOT NULL AND v >= s
+                 AND pu IS NOT NULL AND pu >= v),
+      r AS (
+        SELECT stage_pair, dur_sec,
+               row_number() OVER (PARTITION BY stage_pair
+                 ORDER BY dur_sec, user_id) AS rn,
+               count(*) OVER (PARTITION BY stage_pair) AS n
+        FROM d)
+      SELECT stage_pair, CAST(max(n) AS BIGINT) AS n_users,
+             CAST(max(CASE WHEN rn = (n + 1) // 2 THEN dur_sec END)
+               AS BIGINT) AS median_sec,
+             CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN dur_sec END)
+               AS BIGINT) AS p90_sec
+      FROM r GROUP BY 1""",
     // sweep-line concurrency over the gap-sessions: boundary order is
     // total — (ts, delta −1<+1, user, seq): a session ending the second
     // another starts closes FIRST (back-to-back ≠ concurrent); the

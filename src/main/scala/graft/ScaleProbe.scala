@@ -134,7 +134,9 @@ object ScaleProbe {
     "q_split_leakage", "q_dedup_threshold_sweep", "q_length_trim",
     "q_source_bigram_diversity", "q_session_concurrency",
     // round-12f: Q4 semi-join, Q13 outer-join distribution, RFM cube
-    "q_late_orders", "q_cust_order_dist", "q_customer_rfm")
+    "q_late_orders", "q_cust_order_dist", "q_customer_rfm",
+    // round-12g: contrastive keywords, ANN MRR, funnel latency
+    "q_contrastive_terms", "q_ann_mrr", "q_funnel_time")
 
   def makeBig(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     // the embedding rotation below is the identity at i = 64 (reintroducing

@@ -421,7 +421,13 @@ object SparkEntry {
     // customer order-count distribution incl. zero-order (Q13 shape)
     "q_cust_order_dist" -> ((s, d) => ops.Analytics.custOrderDist(s, d)),
     // RFM quintile segmentation cube (two-phase ranks, integer ntile)
-    "q_customer_rfm" -> ((s, d) => ops.Analytics.customerRfm(s, d)))
+    "q_customer_rfm" -> ((s, d) => ops.Analytics.customerRfm(s, d)),
+    // contrastive per-source keywords (integer log-odds surrogate)
+    "q_contrastive_terms" -> ((s, d) => ops.TextOps.contrastiveTerms(s, d)),
+    // MRR of the IVF-PQ serving path vs the exact top-1 (rank-aware eval)
+    "q_ann_mrr" -> ((s, d) => ops.Vectors.annMrr(s, d)),
+    // discrete median/p90 stage-to-stage funnel latency
+    "q_funnel_time" -> ((s, d) => ops.Sessions.funnelTimeToConvert(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -334,4 +334,56 @@ object Sessions {
 
   def sessionConcurrency(spark: SparkSession, dir: String): DataFrame =
     sessionConcurrencyOf(sessions(spark, dir))
+
+  /** Time-to-convert between adjacent funnel stages: for users who
+    * convert IN ORDER (same condition as [[funnelOf]] — each stage's
+    * first touch at-or-after the previous stage's), the DISCRETE median
+    * and p90 of the stage-to-stage latency in seconds. The funnel says
+    * how many make it; this says how long the ones who make it take —
+    * the pairing every activation dashboard shows.
+    *
+    * Discrete order-statistic picks (rank ⌈n/2⌉ / ⌈9n/10⌉ under a total
+    * (duration, user) order) — the same interpolation-free exactness
+    * trick as the IQR/length-trim ops. Scale shape: first-touch pivot is
+    * one partial-agg groupBy on user_id; durations are user-grain rows;
+    * the rank window partitions by the ≤|stages| pair key. */
+  def funnelTimeToConvertOf(events: DataFrame,
+                            stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, "a funnel needs at least 2 stages")
+    val firsts = events
+      .where(col("event_type").isin(stages: _*))
+      .groupBy(col("user_id").cast("long").as("user_id"), col("event_type"))
+      .agg(min(date_trunc("second", col("ts"))).as("first_ts"))
+    val byUser = firsts.groupBy("user_id")
+      .pivot("event_type", stages)
+      .agg(first(col("first_ts")))
+    val durs = stages.sliding(2).zipWithIndex.map { case (pair, i) =>
+      val (a, b) = (pair.head, pair(1))
+      val cond = (1 to i + 1).foldLeft(col(stages.head).isNotNull) {
+        (acc, j) =>
+          acc && col(stages(j)).isNotNull &&
+            col(stages(j)) >= col(stages(j - 1))
+      }
+      byUser.where(cond)
+        .select(lit(f"${i + 1}%02d_${a}_to_$b").as("stage_pair"),
+          (unix_timestamp(col(b)) - unix_timestamp(col(a))).cast("long")
+            .as("dur_sec"),
+          col("user_id"))
+    }.reduce(_ unionAll _)
+    val byPair = Window.partitionBy("stage_pair").orderBy("dur_sec", "user_id")
+    durs
+      .withColumn("rn", row_number().over(byPair).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy("stage_pair")))
+      .groupBy("stage_pair")
+      .agg(max("n").cast("long").as("n_users"),
+        max(when(col("rn") === expr("(n + 1) DIV 2"), col("dur_sec")))
+          .as("median_sec"),
+        max(when(col("rn") === expr("(9 * n + 9) DIV 10"), col("dur_sec")))
+          .as("p90_sec"))
+  }
+
+  def funnelTimeToConvert(spark: SparkSession, dir: String): DataFrame =
+    funnelTimeToConvertOf(Feeds.events(spark, dir),
+                          Seq("signup", "view", "purchase"))
 }

@@ -991,4 +991,41 @@ object TextOps {
 
   def sourceBigramDiversity(spark: SparkSession, dir: String): DataFrame =
     sourceBigramDiversityOf(docsWords(spark, dir))
+
+  /** CONTRASTIVE source vocabulary: per source, the top-`k` words that
+    * are frequent IN this source relative to the rest of the corpus —
+    * the log-odds keyword readout ("what is source A actually about")
+    * behind corpus cards and domain labeling. Score is the bin-length
+    * integer log-odds surrogate ilog2(n_in) − ilog2(n_rest+1) (+1
+    * smooths source-exclusive words; same bit-stable trick as
+    * PMI/tf-idf); a min-count floor drops the noise tail whose odds are
+    * inflated by tiny denominators.
+    *
+    * Scale shape: one (source, word) partial-agg rollup, one vocab
+    * rollup, the support filter prunes BEFORE the vocabulary equi-join,
+    * and the per-source head is a rank-window top-k that planner
+    * rewrites to WindowGroupLimit (never a full per-source sort). */
+  def contrastiveTermsOf(docsWords: DataFrame, k: Int = 5,
+                         minCount: Long = 10L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sw = docsWords.select(col("source"), explode(col("words")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("n_sw"))
+    val tot = sw.groupBy("w").agg(sum("n_sw").cast("long").as("n_w"))
+    val scored = sw.where(col("n_sw") >= minCount)
+      .join(tot, "w")
+      .select(col("source"), col("w"), col("n_sw"),
+        (col("n_w") - col("n_sw")).as("n_rest"))
+      .withColumn("score", expr(
+        "CAST(length(bin(n_sw)) - length(bin(n_rest + 1)) AS BIGINT)"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(col("score").desc, col("n_sw").desc, col("w")))
+        .cast("long"))
+      .where(col("rank") <= k)
+      .select("source", "rank", "w", "n_sw", "n_rest", "score")
+  }
+
+  def contrastiveTerms(spark: SparkSession, dir: String): DataFrame =
+    contrastiveTermsOf(docsWords(spark, dir))
 }

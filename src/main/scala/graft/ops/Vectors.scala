@@ -1178,4 +1178,33 @@ object Vectors {
 
   def pqDistortion(spark: SparkSession, dir: String): DataFrame =
     pqDistortionOf(pqCodes(spark, dir), quantizedCached(spark, dir))
+
+  /** Mean reciprocal rank of the IVF-PQ serving path against the exact
+    * top-1 — the rank-SENSITIVE eval beside recall@k: recall says whether
+    * the true neighbor appears anywhere in the top-k, MRR says WHERE
+    * (rank 1 vs rank 3 is the difference users feel). rr = 10⁶ DIV rank
+    * in ppm (0 when the true top-1 is missed entirely — the left join
+    * keeps those queries in the denominator instead of inflating the
+    * mean by dropping them).
+    *
+    * Scale shape: both inputs are the memoized query-grain top-k frames
+    * (queries×k rows); one equi-join + one global fold — constant output.
+    * Exact integers end to end. */
+  def annMrrOf(exactTopK: DataFrame, approxTopK: DataFrame): DataFrame = {
+    val truth = exactTopK.where(col("rnk") === 1L)
+      .select("query_id", "cand_id")
+    val approx = approxTopK
+      .select(col("query_id"), col("cand_id"), col("rnk").as("approx_rnk"))
+    truth.join(approx, Seq("query_id", "cand_id"), "left_outer")
+      .agg(count(lit(1)).as("n_queries"),
+           count(col("approx_rnk")).as("n_found"),
+           sum(coalesce(expr("1000000 DIV approx_rnk"), lit(0L)))
+             .cast("long").as("sum_rr_ppm"))
+      .withColumn("mrr_ppm",
+        expr("CAST(sum_rr_ppm DIV n_queries AS BIGINT)"))
+  }
+
+  def annMrr(spark: SparkSession, dir: String): DataFrame =
+    annMrrOf(annCosineTopK(spark, dir, DefaultK),
+             ivfPqTopK(spark, dir, DefaultK))
 }
