@@ -1283,6 +1283,103 @@ contrastive_terms AS (
             FROM words_flat GROUP BY 1) t USING (w)
       WHERE s.n_sw >= 10) b) z
   WHERE rank <= 5),
+mm_size_hist AS (
+  SELECT CAST(length(bin(greatest(byte_len, 1))) - 1 AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(byte_len) AS BIGINT) AS sum_bytes,
+         CAST(sum(n_frames) AS BIGINT) AS sum_frames
+  FROM mm_meta GROUP BY 1),
+emb_principal AS (
+  SELECT dim, y,
+         CAST(row_number() OVER (ORDER BY abs(y) DESC, dim) AS BIGINT)
+           AS rank
+  FROM (SELECT CAST(dim0 AS BIGINT) AS dim,
+               CAST(sum(s_i * v) AS BIGINT) AS y
+        FROM (SELECT CAST(list_sum(qv) AS BIGINT) AS s_i,
+                     unnest(qv) AS v,
+                     unnest(range(0, len(qv))) AS dim0
+              FROM emb_n) x
+        GROUP BY 1) g
+  QUALIFY rank <= 5),
+cur_flags AS (
+  SELECT d.doc_id,
+         (c.cluster = d.doc_id) AS f_canon,
+         (q.quality >= 0.5) AS f_quality,
+         (e.keeper_doc_id IS NOT NULL) AS f_exact,
+         (ct.doc_id IS NULL) AS f_clean,
+         (NOT p.has_pii) AS f_pii,
+         (r.rep_ratio <= 0.5) AS f_rep
+  FROM docs d
+  JOIN dedup_clusters c ON c.doc_id = d.doc_id
+  JOIN quality_score q ON q.doc_id = d.doc_id
+  LEFT JOIN (SELECT DISTINCT keeper_doc_id FROM dedup_exact) e
+    ON e.keeper_doc_id = d.doc_id
+  LEFT JOIN (SELECT DISTINCT doc_id FROM contamination) ct
+    ON ct.doc_id = d.doc_id
+  JOIN pii_scan p ON p.doc_id = d.doc_id
+  JOIN repetition r ON r.doc_id = d.doc_id),
+curation_funnel AS (
+  SELECT stage_id, stage, n_docs,
+         CAST(n_docs * 1000000
+              // (SELECT CAST(count(*) AS BIGINT) FROM cur_flags)
+              AS BIGINT) AS retained_ppm
+  FROM (
+    SELECT CAST(1 AS BIGINT) AS stage_id, 'raw' AS stage,
+           CAST(count(*) AS BIGINT) AS n_docs FROM cur_flags
+    UNION ALL SELECT 2, 'canonical',
+      CAST(count(*) FILTER (WHERE f_canon) AS BIGINT) FROM cur_flags
+    UNION ALL SELECT 3, 'quality',
+      CAST(count(*) FILTER (WHERE f_canon AND f_quality) AS BIGINT)
+      FROM cur_flags
+    UNION ALL SELECT 4, 'exact_keeper',
+      CAST(count(*) FILTER (WHERE f_canon AND f_quality AND f_exact)
+           AS BIGINT) FROM cur_flags
+    UNION ALL SELECT 5, 'decontaminated',
+      CAST(count(*) FILTER (WHERE f_canon AND f_quality AND f_exact
+                              AND f_clean) AS BIGINT) FROM cur_flags
+    UNION ALL SELECT 6, 'pii_clean',
+      CAST(count(*) FILTER (WHERE f_canon AND f_quality AND f_exact
+                              AND f_clean AND f_pii) AS BIGINT)
+      FROM cur_flags
+    UNION ALL SELECT 7, 'repetition',
+      CAST(count(*) FILTER (WHERE f_canon AND f_quality AND f_exact
+                              AND f_clean AND f_pii AND f_rep) AS BIGINT)
+      FROM cur_flags) s),
+dedup_length_shift AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_raw,
+         CAST(count(c.doc_id) AS BIGINT) AS n_curated,
+         CAST(CAST(count(c.doc_id) AS BIGINT) * 1000000 // count(*)
+              AS BIGINT) AS kept_ppm
+  FROM (SELECT doc_id,
+               CAST(length(bin(greatest(n_tokens, 1))) - 1 AS BIGINT)
+                 AS bucket
+        FROM text_stats) t
+  LEFT JOIN corpus_curated_v2 c ON c.doc_id = t.doc_id
+  GROUP BY 1),
+knn_mutual AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_eval,
+         CAST(count(m.query_id) AS BIGINT) AS n_mutual,
+         CAST(CASE WHEN count(*) = 0 THEN 0
+              ELSE CAST(count(m.query_id) AS BIGINT) * 1000000
+                   // CAST(count(*) AS BIGINT) END AS BIGINT) AS mutual_ppm
+  FROM (SELECT query_id, cand_id FROM ann_cosine_topk
+        WHERE cand_id % 50 = 0) e
+  LEFT JOIN ann_cosine_topk m
+    ON m.query_id = e.cand_id AND m.cand_id = e.query_id),
+hapax_rate AS (
+  SELECT source, CAST(sum(n_w) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS vocab,
+         CAST(count(*) FILTER (WHERE n_w = 1) AS BIGINT) AS hapax,
+         CAST(CAST(count(*) FILTER (WHERE n_w = 1) AS BIGINT)
+              * 1000000 // count(*) AS BIGINT) AS hapax_vocab_ppm,
+         CAST(CAST(count(*) FILTER (WHERE n_w = 1) AS BIGINT)
+              * 1000000 // CAST(sum(n_w) AS BIGINT) AS BIGINT)
+           AS hapax_token_ppm
+  FROM (SELECT d.source, f.w, CAST(count(*) AS BIGINT) AS n_w
+        FROM words_flat f JOIN docs d USING (doc_id)
+        WHERE f.w <> ''
+        GROUP BY 1, 2) sw
+  GROUP BY 1),
 ann_mrr AS (
   SELECT CAST(count(*) AS BIGINT) AS n_queries,
          CAST(count(a.rnk) AS BIGINT) AS n_found,

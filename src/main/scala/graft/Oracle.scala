@@ -1508,5 +1508,245 @@ sales_mom AS (
         WHERE p.event_type = 'purchase')
       SELECT COALESCE(touch_type, 'none') AS touch_type,
              CAST(count(*) AS BIGINT) AS n_purchases
-      FROM att GROUP BY 1""")
+      FROM att GROUP BY 1""",
+    // TPC-H Q7 shape: bilateral nation-pair revenue per ship year
+    "q_q7_volume" -> """
+      SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2))
+                           * (CAST(1 AS DECIMAL(14,2))
+                              - CAST(l_discount AS DECIMAL(14,2)))
+                           AS DECIMAL(24,4))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s_nationkey
+      JOIN nation cn ON cn.n_nationkey = c_nationkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND sn.n_name <> cn.n_name
+      GROUP BY 1, 2, 3""",
+    // TPC-H Q8 shape: national ppm market share per order year
+    // (whole-currency integer revenue; floor of the exact DECIMAL sum)
+    "q_q8_market_share" -> """
+      WITH f AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               sn.n_name AS supp_nation,
+               CAST(CAST(l_extendedprice AS DECIMAL(14,2))
+                    * (CAST(1 AS DECIMAL(14,2))
+                       - CAST(l_discount AS DECIMAL(14,2)))
+                    AS DECIMAL(24,4)) AS rev
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation cn ON cn.n_nationkey = c_nationkey
+        JOIN region   ON r_regionkey = cn.n_regionkey AND r_name = 'ASIA'
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation sn ON sn.n_nationkey = s_nationkey),
+      g AS (
+        SELECT o_year,
+               CAST(floor(sum(rev)) AS BIGINT) AS total_rev_i,
+               CAST(floor(COALESCE(
+                 sum(rev) FILTER (WHERE supp_nation = 'NATION_2'), 0))
+                 AS BIGINT) AS nation_rev_i
+        FROM f GROUP BY 1)
+      SELECT o_year, total_rev_i, nation_rev_i,
+             CAST(nation_rev_i * 1000000 // total_rev_i AS BIGINT)
+               AS share_ppm
+      FROM g""",
+    // TPC-H Q10 shape: top-20 customers by refunded revenue in a quarter
+    "q_q10_returned_top" -> """
+      WITH rev AS (
+        SELECT o_custkey,
+               sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2))
+                        * (CAST(1 AS DECIMAL(14,2))
+                           - CAST(l_discount AS DECIMAL(14,2)))
+                        AS DECIMAL(24,4))) AS revenue
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1),
+      top AS (
+        SELECT o_custkey, revenue,
+               row_number() OVER (ORDER BY revenue DESC, o_custkey) AS rnk
+        FROM rev)
+      SELECT t.o_custkey AS custkey, c.c_name, n.n_name,
+             CAST(t.revenue AS DOUBLE) AS revenue, CAST(t.rnk AS BIGINT) AS rnk
+      FROM top t
+      JOIN customer c ON c.c_custkey = t.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      WHERE t.rnk <= 20""",
+    // TPC-H Q14 shape: monthly promo-revenue ppm share
+    "q_q14_promo_share" -> """
+      WITH f AS (
+        SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+               p_type = 'PROMO' AS is_promo,
+               CAST(CAST(l_extendedprice AS DECIMAL(14,2))
+                    * (CAST(1 AS DECIMAL(14,2))
+                       - CAST(l_discount AS DECIMAL(14,2)))
+                    AS DECIMAL(24,4)) AS rev
+        FROM lineitem JOIN part ON p_partkey = l_partkey),
+      g AS (
+        SELECT month,
+               CAST(floor(COALESCE(sum(rev) FILTER (WHERE is_promo), 0))
+                 AS BIGINT) AS promo_rev_i,
+               CAST(floor(sum(rev)) AS BIGINT) AS total_rev_i
+        FROM f GROUP BY 1)
+      SELECT month, promo_rev_i, total_rev_i,
+             CAST(promo_rev_i * 1000000 // total_rev_i AS BIGINT)
+               AS promo_ppm
+      FROM g""",
+    // TPC-H Q18 shape: bulk orders over the line-quantity threshold
+    "q_q18_bulk_orders" -> """
+      WITH q AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem GROUP BY 1
+        HAVING sum(CAST(l_quantity AS BIGINT)) >= 200)
+      SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS custkey, c_name,
+             o_orderdate,
+             CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS DOUBLE)
+               AS o_totalprice,
+             sum_qty
+      FROM q
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey""",
+    // TPC-H Q22 shape: idle above-average positive balances per nation
+    // (cross-multiplied threshold — no division; DECIMAL(18,6) balances)
+    "q_q22_idle_balance" -> """
+      WITH bal AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(c_acctbal AS DECIMAL(18,6)) AS bal
+        FROM customer),
+      t AS (SELECT sum(bal) AS sum_pos, CAST(count(*) AS BIGINT) AS n_pos
+            FROM bal WHERE bal > 0),
+      recent AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+      SELECT n_name, CAST(count(*) AS BIGINT) AS n_custs,
+             CAST(sum(bal) AS DOUBLE) AS sum_acctbal
+      FROM bal
+      CROSS JOIN t
+      JOIN nation ON n_nationkey = c_nationkey
+      WHERE bal * n_pos > sum_pos
+        AND NOT EXISTS (SELECT 1 FROM recent r
+                        WHERE r.o_custkey = bal.c_custkey)
+      GROUP BY 1""",
+    // per-source hapax-legomena vocabulary-tail profile
+    "q_hapax_rate" -> fromDocs("hapax_rate"),
+    // per-user event-type diversity entropy (ilog2 integer surrogate —
+    // the charEntropy formula over the (user, event_type) histogram)
+    "q_event_entropy" -> """
+      WITH t AS (
+        SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+               CAST(count(*) AS BIGINT) AS n_t
+        FROM events GROUP BY 1, 2),
+      g AS (
+        SELECT user_id, CAST(sum(n_t) AS BIGINT) AS n_events,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(n_t * (length(bin(n_t)) - 1)) AS BIGINT)
+                 AS sum_t_ilog2
+        FROM t GROUP BY 1)
+      SELECT user_id, n_events, n_types,
+             CAST(n_events * (length(bin(n_events)) - 1) - sum_t_ilog2
+                  AS BIGINT) AS entropy_surr
+      FROM g""",
+    // TPC-H Q6 shape: what-if discount revenue, pure filter-scan fold
+    "q_q6_forecast" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(COALESCE(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                               * CAST(l_discount AS DECIMAL(14,2))), 0)
+                  AS DOUBLE) AS forecast_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND CAST(l_discount AS DECIMAL(14,2))
+              BETWEEN CAST(0.05 AS DECIMAL(14,2))
+                  AND CAST(0.07 AS DECIMAL(14,2))
+        AND l_quantity < 24""",
+    // TPC-H Q15 shape: supplier(s) at the exact quarter-revenue maximum
+    "q_q15_top_supplier" -> """
+      WITH rev AS (
+        SELECT l_suppkey,
+               sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2))
+                        * (CAST(1 AS DECIMAL(14,2))
+                           - CAST(l_discount AS DECIMAL(14,2)))
+                        AS DECIMAL(24,4))) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1)
+      SELECT s_suppkey, s_name, CAST(r.total_rev AS DOUBLE) AS total_rev
+      FROM rev r JOIN supplier ON s_suppkey = r.l_suppkey
+      WHERE r.total_rev = (SELECT max(total_rev) FROM rev)""",
+    // TPC-H Q17 shape: below-20%-of-part-average quantity revenue
+    // (integer cross-multiplication 5*qty*n < sum_qty — no division)
+    "q_q17_small_qty" -> """
+      WITH lines AS (
+        SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+               CAST(l_extendedprice AS DECIMAL(14,2)) AS price
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey AND p_brand = 'Brand#7'),
+      a AS (
+        SELECT l_partkey AS p_key, CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(qty) AS BIGINT) AS sum_qty
+        FROM lines GROUP BY 1)
+      SELECT CAST(count(*) AS BIGINT) AS n_small_lines,
+             CAST(COALESCE(sum(price), 0) AS DOUBLE) AS small_qty_revenue
+      FROM lines l JOIN a ON a.p_key = l.l_partkey
+      WHERE l.qty * 5 * a.n_lines < a.sum_qty""",
+    // asymmetric GROUPING SETS report (the set list CUBE can't express)
+    "q_sales_grouping_sets" -> (prelude + """
+      SELECT city_id, status, CAST(sum(payment_amount) AS DOUBLE) AS revenue,
+             CAST(sum(quantity) AS BIGINT) AS qty,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(GROUPING(city_id) AS BIGINT) AS g_city,
+             CAST(GROUPING(status) AS BIGINT) AS g_status
+      FROM uol_v2
+      GROUP BY GROUPING SETS ((city_id, status), (status), ())"""),
+    // SCD2 version-opening churn per month
+    "q_scd_change_rate" -> (prelude + """
+      SELECT CAST(date_trunc('month', valid_from) AS TIMESTAMP) AS month,
+             CAST(count(*) AS BIGINT) AS n_versions,
+             CAST(count(DISTINCT customer_id) AS BIGINT) AS n_custs
+      FROM d_customer_scd GROUP BY 1"""),
+    // power-of-2 session-duration histogram (composes the sessionizer)
+    "q_session_duration_hist" -> """
+      WITH ev AS (
+        SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+               date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts2
+        FROM events),
+      flags AS (
+        SELECT *, CASE WHEN lag(ts2) OVER w IS NULL
+                         OR ts2 - lag(ts2) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts2, event_id)),
+      sess AS (
+        SELECT user_id, ts2,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts2, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flags),
+      s AS (
+        SELECT user_id, session_seq,
+               CAST(date_diff('second', min(ts2), max(ts2)) AS BIGINT)
+                 AS dur_sec
+        FROM sess GROUP BY 1, 2)
+      SELECT CAST(length(bin(greatest(dur_sec, 1))) - 1 AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_sessions,
+             CAST(sum(dur_sec) AS BIGINT) AS sum_dur_sec,
+             CAST(max(dur_sec) AS BIGINT) AS max_dur_sec
+      FROM s GROUP BY 1""",
+    // power-of-2 media payload-size histogram
+    "q_multimodal_size_hist" -> fromDocs("mm_size_hist"),
+    // top-|y| dims of one exact power-iteration step over quantized vecs
+    "q_emb_principal_dims" -> fromDocs("emb_principal"),
+    // stage-by-stage corpus admission funnel
+    "q_curation_funnel" -> fromDocs("curation_funnel"),
+    // raw vs curated per-length-bucket survivor shift
+    "q_dedup_length_shift" -> fromDocs("dedup_length_shift"),
+    // kNN-graph reciprocity over the exact top-k
+    "q_knn_mutual" -> fromDocs("knn_mutual"))
 }

@@ -136,7 +136,21 @@ object ScaleProbe {
     // round-12f: Q4 semi-join, Q13 outer-join distribution, RFM cube
     "q_late_orders", "q_cust_order_dist", "q_customer_rfm",
     // round-12g: contrastive keywords, ANN MRR, funnel latency
-    "q_contrastive_terms", "q_ann_mrr", "q_funnel_time")
+    "q_contrastive_terms", "q_ann_mrr", "q_funnel_time",
+    // round-12h additions: the TPC-H classic shapes (Q7/Q8/Q10/Q14/Q18/
+    // Q22) + hapax vocabulary tail + per-user event-type entropy
+    "q_q7_volume", "q_q8_market_share", "q_q10_returned_top",
+    "q_q14_promo_share", "q_q18_bulk_orders", "q_q22_idle_balance",
+    "q_hapax_rate", "q_event_entropy",
+    // round-12i additions: Q6/Q15/Q17 classics + curation funnel,
+    // length-shift card and kNN mutuality monitor
+    "q_q6_forecast", "q_q15_top_supplier", "q_q17_small_qty",
+    "q_curation_funnel", "q_dedup_length_shift", "q_knn_mutual",
+    // round-12j additions: asymmetric grouping sets, SCD churn rate,
+    // session-duration/media-size histograms, principal-direction dims
+    "q_sales_grouping_sets", "q_scd_change_rate",
+    "q_session_duration_hist", "q_multimodal_size_hist",
+    "q_emb_principal_dims")
 
   def makeBig(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     // the embedding rotation below is the identity at i = 64 (reintroducing

@@ -427,7 +427,50 @@ object SparkEntry {
     // MRR of the IVF-PQ serving path vs the exact top-1 (rank-aware eval)
     "q_ann_mrr" -> ((s, d) => ops.Vectors.annMrr(s, d)),
     // discrete median/p90 stage-to-stage funnel latency
-    "q_funnel_time" -> ((s, d) => ops.Sessions.funnelTimeToConvert(s, d)))
+    "q_funnel_time" -> ((s, d) => ops.Sessions.funnelTimeToConvert(s, d)),
+    // bilateral nation-pair trade matrix per ship year (TPC-H Q7 shape)
+    "q_q7_volume" -> ((s, d) => ops.Analytics.volumeShipping(s, d)),
+    // national ppm market share per order year (TPC-H Q8 shape)
+    "q_q8_market_share" -> ((s, d) => ops.Analytics.marketShare(s, d)),
+    // top-20 customers by refunded revenue in a quarter (TPC-H Q10 shape)
+    "q_q10_returned_top" -> ((s, d) => ops.Analytics.returnedTop(s, d)),
+    // monthly promo-revenue ppm share (TPC-H Q14 shape)
+    "q_q14_promo_share" -> ((s, d) => ops.Analytics.promoShare(s, d)),
+    // bulk orders over the quantity threshold (TPC-H Q18 shape)
+    "q_q18_bulk_orders" -> ((s, d) => ops.Analytics.bulkOrders(s, d)),
+    // idle above-average balances per nation (TPC-H Q22 shape)
+    "q_q22_idle_balance" -> ((s, d) => ops.Analytics.idleBalance(s, d)),
+    // per-source hapax-legomena vocabulary-tail profile
+    "q_hapax_rate" -> ((s, d) => ops.TextOps.hapaxRate(s, d)),
+    // per-user event-type diversity entropy (integer surrogate)
+    "q_event_entropy" -> ((s, d) => ops.Sessions.eventEntropy(s, d)),
+    // no-join filter-scan what-if revenue fold (TPC-H Q6 shape)
+    "q_q6_forecast" -> ((s, d) => ops.Analytics.forecastRevenue(s, d)),
+    // scalar-max-subquery top supplier(s) by quarter revenue (Q15 shape)
+    "q_q15_top_supplier" -> ((s, d) => ops.Analytics.topSupplier(s, d)),
+    // correlated-average small-quantity revenue, cross-multiplied (Q17)
+    "q_q17_small_qty" -> ((s, d) => ops.Analytics.smallQtyRevenue(s, d)),
+    // stage-by-stage admission-funnel survivor counts (corpus card)
+    "q_curation_funnel" -> ((s, d) => ops.Corpus.curationFunnel(s, d)),
+    // per-log2-length-bucket raw vs curated survivor shift
+    "q_dedup_length_shift" -> ((s, d) => ops.Corpus.dedupLengthShift(s, d)),
+    // kNN-graph reciprocity rate over the exact top-k (hubness monitor)
+    "q_knn_mutual" -> ((s, d) => ops.Vectors.knnMutual(s, d)),
+    // asymmetric GROUPING SETS ((city,status),(status),()) report
+    "q_sales_grouping_sets" -> ((s, d) => { val p = Pipeline.of(s, d)
+      money(ops.Analytics.salesGroupingSetsOf(p.uolV2, p.registerCached),
+            "revenue") }),
+    // SCD2 version-opening churn per month (dimension-rewrite monitor)
+    "q_scd_change_rate" -> ((s, d) => ops.Analytics.scdChangeRateOf(
+      etl.Dims.dCustomerScd(Pipeline.of(s, d).uolV2))),
+    // power-of-2 session-duration histogram (engagement shape card)
+    "q_session_duration_hist" -> ((s, d) =>
+      ops.Sessions.sessionDurationHist(s, d)),
+    // power-of-2 media payload-size histogram (storage planning card)
+    "q_multimodal_size_hist" -> ((s, d) => ops.Multimodal.sizeHist(s, d)),
+    // top-|y| dimensions of one exact power-iteration step (anisotropy
+    // direction profile, all-integer)
+    "q_emb_principal_dims" -> ((s, d) => ops.Vectors.principalDims(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

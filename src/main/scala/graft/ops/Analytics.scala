@@ -703,4 +703,412 @@ object Analytics {
 
   def customerRfm(spark: SparkSession, dir: String): DataFrame =
     customerRfmOf(Feeds.table(spark, dir, "orders"))
+
+  /** Volume shipping (TPC-H Q7 shape): bilateral trade matrix — revenue
+    * between every (supplier nation, customer nation) pair per ship year.
+    * The classic two-dimension-table double-join: the same 25-row nation
+    * dim joins the fact chain TWICE under different roles.
+    *
+    * Scale shape: the ship-year filter prunes at the lineitem scan, the
+    * fact chain shuffles on its natural keys (orderkey, then custkey /
+    * suppkey), and BOTH nation lookups broadcast (one copy each, distinct
+    * aliases — no shuffle added by the dimension legs). The output grain
+    * is ≤ 25·24·years rows, collapsed by partial aggregation map-side.
+    * Revenue stays exact DECIMAL(24,4) until the output cast. */
+  def volumeShippingOf(lineitem: DataFrame, orders: DataFrame,
+                       customer: DataFrame, supplier: DataFrame,
+                       nation: DataFrame): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1998-01-01").cast("timestamp")
+    val suppNation = nation.select(col("n_nationkey").as("sn_key"),
+                                   col("n_name").as("supp_nation"))
+    val custNation = nation.select(col("n_nationkey").as("cn_key"),
+                                   col("n_name").as("cust_nation"))
+    lineitem
+      .where(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select(col("l_orderkey"), col("l_suppkey"),
+              year(col("l_shipdate")).cast("long").as("ship_year"),
+              discPrice.as("rev"))
+      .join(orders.select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select("c_custkey", "c_nationkey"),
+            col("o_custkey") === col("c_custkey"))
+      .join(supplier.select("s_suppkey", "s_nationkey"),
+            col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+      .where(col("supp_nation") =!= col("cust_nation"))
+      .groupBy("supp_nation", "cust_nation", "ship_year")
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+  }
+
+  def volumeShipping(spark: SparkSession, dir: String): DataFrame =
+    volumeShippingOf(Feeds.table(spark, dir, "lineitem"),
+      Feeds.table(spark, dir, "orders"),
+      Feeds.table(spark, dir, "customer"),
+      Feeds.table(spark, dir, "supplier"),
+      Feeds.table(spark, dir, "nation"))
+
+  /** National market share (TPC-H Q8 shape): per order year, the ppm
+    * share of one supplier nation's revenue within a region's consumer
+    * market for one part type — conditional aggregation over a 5-table
+    * fact chain, ratio as exact integers.
+    *
+    * Exactness: revenue folds to whole-currency BIGINT (floor of the
+    * exact DECIMAL sum — floor AFTER the sum, so both engines floor the
+    * same exact value; the ppm is grain-insensitive at this magnitude),
+    * share is `nat·10⁶ DIV total` (non-negative, so Spark DIV ≡ DuckDB
+    * //). The ×10⁶ headroom holds to ~9·10¹² in whole currency; widen
+    * to DECIMAL(38,0) beyond.
+    *
+    * Scale shape: the PROMO filter prunes part BEFORE its join (1/|types|
+    * of the dimension; AQE may then broadcast it), the consumer-region
+    * constraint rides the broadcast nation dim, the supplier-nation flag
+    * is resolved map-side from the broadcast dim — one shuffle per
+    * fact-chain key and a years-sized output. */
+  def marketShareOf(lineitem: DataFrame, orders: DataFrame,
+                    customer: DataFrame, supplier: DataFrame, part: DataFrame,
+                    nation: DataFrame, region: DataFrame,
+                    partType: String = "PROMO", rName: String = "ASIA",
+                    targetNation: String = "NATION_2"): DataFrame = {
+    val consumerNations = nation
+      .join(region.where(col("r_name") === rName),
+            col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cn_key"))
+    val suppNation = nation.select(col("n_nationkey").as("sn_key"),
+                                   col("n_name").as("supp_nation"))
+    lineitem
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+              discPrice.as("rev"))
+      .join(part.where(col("p_type") === partType).select("p_partkey"),
+            col("l_partkey") === col("p_partkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey"),
+                          year(col("o_orderdate")).cast("long").as("o_year")),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select("c_custkey", "c_nationkey"),
+            col("o_custkey") === col("c_custkey"))
+      .join(broadcast(consumerNations), col("c_nationkey") === col("cn_key"))
+      .join(supplier.select("s_suppkey", "s_nationkey"),
+            col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+      .groupBy("o_year")
+      .agg(floor(sum(col("rev"))).cast("long").as("total_rev_i"),
+           floor(coalesce(sum(when(col("supp_nation") === targetNation,
+                                   col("rev"))),
+                          lit(java.math.BigDecimal.ZERO)))
+             .cast("long").as("nation_rev_i"))
+      .withColumn("share_ppm",
+        expr("nation_rev_i * 1000000 DIV total_rev_i").cast("long"))
+  }
+
+  def marketShare(spark: SparkSession, dir: String): DataFrame =
+    marketShareOf(Feeds.table(spark, dir, "lineitem"),
+      Feeds.table(spark, dir, "orders"),
+      Feeds.table(spark, dir, "customer"),
+      Feeds.table(spark, dir, "supplier"),
+      Feeds.table(spark, dir, "part"),
+      Feeds.table(spark, dir, "nation"),
+      Feeds.table(spark, dir, "region"))
+
+  /** Returned-item reporting (TPC-H Q10 shape): the top-k customers by
+    * refunded revenue inside one order quarter — the "who is returning
+    * the most" ops report.
+    *
+    * Scale shape: the quarter filter prunes orders at the scan and the
+    * returnflag filter prunes lineitem at the scan BEFORE the join; the
+    * per-customer rollup is a partial-agg groupBy; the top-k is
+    * sort-LIMIT (Spark's TakeOrderedAndProject — k·partitions rows to
+    * the driver-side heap, never a global sort), and the rank window
+    * then runs over k rows. Customer attributes join AFTER the limit —
+    * k rows against the dimension, broadcast-side reversed by AQE.
+    * DECIMAL revenue makes the (revenue, custkey) order engine-exact. */
+  def returnedTopOf(lineitem: DataFrame, orders: DataFrame,
+                    customer: DataFrame, nation: DataFrame,
+                    k: Int = 20): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1996-04-01").cast("timestamp")
+    val rev = lineitem
+      .where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), discPrice.as("rev"))
+      .join(orders.where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+              .select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum("rev").as("revenue"))
+    val top = rev.orderBy(col("revenue").desc, col("o_custkey")).limit(k)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("revenue").desc, col("o_custkey"))).cast("long"))
+    top
+      .join(customer.select("c_custkey", "c_name", "c_nationkey"),
+            col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+            col("c_nationkey") === col("n_nationkey"))
+      .select(col("o_custkey").as("custkey"), col("c_name"), col("n_name"),
+              col("revenue").cast("double").as("revenue"), col("rnk"))
+  }
+
+  def returnedTop(spark: SparkSession, dir: String): DataFrame =
+    returnedTopOf(Feeds.table(spark, dir, "lineitem"),
+      Feeds.table(spark, dir, "orders"),
+      Feeds.table(spark, dir, "customer"),
+      Feeds.table(spark, dir, "nation"))
+
+  /** Promotion effect (TPC-H Q14 shape): per ship month, the ppm of
+    * revenue coming from promo-type parts — conditional share over a
+    * single fact⨝dimension join, all-integer ratio (the Q8
+    * floor-after-sum whole-currency/ppm discipline and its headroom
+    * bound).
+    *
+    * Scale shape: the part leg carries only (partkey, is-promo flag) —
+    * the flag is resolved IN the join projection, so the join payload is
+    * one boolean; months collapse by partial aggregation to a
+    * months-sized output. Month ships as midnight TIMESTAMP (house
+    * rule — DATE stringification differs across engines). */
+  def promoShareOf(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_partkey"),
+              date_trunc("month", col("l_shipdate")).as("month"),
+              discPrice.as("rev"))
+      .join(part.select(col("p_partkey"),
+                        (col("p_type") === "PROMO").as("is_promo")),
+            col("l_partkey") === col("p_partkey"))
+      .groupBy("month")
+      .agg(floor(coalesce(sum(when(col("is_promo"), col("rev"))),
+                          lit(java.math.BigDecimal.ZERO)))
+             .cast("long").as("promo_rev_i"),
+           floor(sum(col("rev"))).cast("long").as("total_rev_i"))
+      .withColumn("promo_ppm",
+        expr("promo_rev_i * 1000000 DIV total_rev_i").cast("long"))
+
+  def promoShare(spark: SparkSession, dir: String): DataFrame =
+    promoShareOf(Feeds.table(spark, dir, "lineitem"),
+                 Feeds.table(spark, dir, "part"))
+
+  /** Large-volume customers (TPC-H Q18 shape): orders whose total line
+    * quantity reaches a bulk threshold, with their customer — the
+    * HAVING-on-a-join-key pattern.
+    *
+    * Scale shape: the quantity rollup is a partial-agg groupBy on
+    * orderkey (map-side combine collapses each order's ≤7 lines before
+    * the exchange) and the HAVING prunes to the rare bulk tail BEFORE
+    * the joins — the order/customer joins then carry only qualifying
+    * keys. Quantities are integer-valued in the feed (asserted by the
+    * cast — a fractional feed would round, and the oracle's floor-sum
+    * would flag it); the sum is BIGINT-exact. */
+  def bulkOrdersOf(lineitem: DataFrame, orders: DataFrame,
+                   customer: DataFrame, minQty: Long = 200L): DataFrame =
+    lineitem
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .where(col("sum_qty") >= minQty)
+      .join(orders.select("o_orderkey", "o_custkey", "o_orderdate",
+                          "o_totalprice"),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select("c_custkey", "c_name"),
+            col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+              col("c_name"), col("o_orderdate"),
+              col("o_totalprice").cast(DecimalType(14, 2)).cast("double")
+                .as("o_totalprice"),
+              col("sum_qty"))
+
+  def bulkOrders(spark: SparkSession, dir: String): DataFrame =
+    bulkOrdersOf(Feeds.table(spark, dir, "lineitem"),
+      Feeds.table(spark, dir, "orders"),
+      Feeds.table(spark, dir, "customer"))
+
+  /** Idle high-balance accounts (TPC-H Q22 shape): per nation, the
+    * customers holding an above-average positive balance who placed NO
+    * order since a cutoff — the global-scalar-threshold + anti-join
+    * combination (the classic "sales opportunity" report).
+    *
+    * Exactness: balances fold to DECIMAL(18,6) (far below the feed's
+    * value grain, so both engines round the same doubles to the same
+    * decimals), and "above average" is the cross-multiplication
+    * `bal·n_pos > sum_pos` — no division anywhere.
+    *
+    * Scale shape: the threshold is a 1-row broadcast fold; the recent
+    * buyer set is a DISTINCT on custkey of the date-pruned orders scan;
+    * the anti-join shuffles both sides on custkey (build side is the
+    * deduped key set, not the order feed); the nation rollup broadcasts
+    * the 25-row dim. */
+  def idleBalanceOf(customer: DataFrame, orders: DataFrame,
+                    nation: DataFrame,
+                    cutoff: String = "2000-01-01"): DataFrame = {
+    val bal = customer.select(col("c_custkey"), col("c_nationkey"),
+      col("c_acctbal").cast(DecimalType(18, 6)).as("bal"))
+    val thresh = bal.where(col("bal") > 0)
+      .agg(sum("bal").as("sum_pos"), count(lit(1)).as("n_pos"))
+    val recent = orders
+      .where(col("o_orderdate") >= lit(cutoff).cast("timestamp"))
+      .select("o_custkey").distinct()
+    bal
+      .crossJoin(broadcast(thresh))
+      .where(col("bal") * col("n_pos") > col("sum_pos"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+            col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_custs"),
+           sum("bal").cast("double").as("sum_acctbal"))
+  }
+
+  def idleBalance(spark: SparkSession, dir: String): DataFrame =
+    idleBalanceOf(Feeds.table(spark, dir, "customer"),
+      Feeds.table(spark, dir, "orders"),
+      Feeds.table(spark, dir, "nation"))
+
+  /** Forecast revenue change (TPC-H Q6 shape): the what-if "revenue we
+    * would have kept had these discounts not been given" — a pure
+    * filter-scan-aggregate with NO join, the canonical predicate-pushdown
+    * / whole-stage-codegen anchor.
+    *
+    * Scale shape: all three predicates (ship-year window, discount band,
+    * quantity cap) push to the parquet scan; the aggregate is a 1-row
+    * full fold with map-side partials — the cheapest possible plan per
+    * byte scanned. Discounts compare AFTER the DECIMAL(14,2) cast (both
+    * engines round the same doubles to the same decimals — the feed is
+    * hundredths-grain), and the discount·price product stays exact
+    * DECIMAL until the output cast. */
+  def forecastRevenueOf(lineitem: DataFrame): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val disc = col("l_discount").cast(DecimalType(14, 2))
+    lineitem
+      .where(col("l_shipdate") >= lo && col("l_shipdate") < hi &&
+             disc >= lit(java.math.BigDecimal.valueOf(0.05)) &&
+             disc <= lit(java.math.BigDecimal.valueOf(0.07)) &&
+             col("l_quantity") < 24)
+      .select((col("l_extendedprice").cast(DecimalType(14, 2)) * disc)
+                .cast(DecimalType(24, 4)).as("lost"))
+      .agg(count(lit(1)).as("n_lines"),
+           coalesce(sum(col("lost")), lit(java.math.BigDecimal.ZERO))
+             .cast("double").as("forecast_revenue"))
+  }
+
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    forecastRevenueOf(Feeds.table(spark, dir, "lineitem"))
+
+  /** Top supplier (TPC-H Q15 shape): the supplier(s) whose quarter
+    * revenue equals the global maximum — the scalar-max-subquery
+    * pattern, kept exact by DECIMAL revenue (a double sum's max-equality
+    * could flip on accumulation order; the decimal sum cannot).
+    *
+    * Scale shape: one partial-agg groupBy to supplier grain on the
+    * date-pruned scan; the max is a 1-row broadcast fold joined back
+    * (no second scan, no window over the supplier dimension); the
+    * supplier dim joins AFTER the max filter — usually a handful of
+    * rows against it. */
+  def topSupplierOf(lineitem: DataFrame, supplier: DataFrame): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1996-04-01").cast("timestamp")
+    val rev = lineitem
+      .where(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .groupBy("l_suppkey")
+      .agg(sum(discPrice).as("total_rev"))
+    rev
+      .crossJoin(broadcast(rev.agg(max("total_rev").as("max_rev"))))
+      .where(col("total_rev") === col("max_rev"))
+      .join(supplier.select("s_suppkey", "s_name"),
+            col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+              col("total_rev").cast("double").as("total_rev"))
+  }
+
+  def topSupplier(spark: SparkSession, dir: String): DataFrame =
+    topSupplierOf(Feeds.table(spark, dir, "lineitem"),
+                  Feeds.table(spark, dir, "supplier"))
+
+  /** Small-quantity-order revenue (TPC-H Q17 shape): for one brand's
+    * parts, the revenue sitting in lines whose quantity is below 20% of
+    * that part's average line quantity — the correlated-average
+    * threshold, decided by integer cross-multiplication
+    * (`5·qty·n_lines < sum_qty`, quantities integer-valued in the feed)
+    * so no engine ever divides.
+    *
+    * Scale shape: the brand filter prunes part FIRST (1/|brands| of the
+    * dimension, broadcast-able after the cut); the per-part average is a
+    * partial-agg groupBy joined back on partkey (two passes over only
+    * the brand's lines — the join carries (n_lines, sum_qty), not the
+    * line set); output is a 1-row fold. */
+  def smallQtyRevenueOf(lineitem: DataFrame, part: DataFrame,
+                        brand: String = "Brand#7"): DataFrame = {
+    val lines = lineitem
+      .join(part.where(col("p_brand") === brand).select("p_partkey"),
+            col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+              col("l_extendedprice").cast(DecimalType(14, 2)).as("price"))
+    val avgQ = lines.groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_lines"), sum("qty").as("sum_qty"))
+      .withColumnRenamed("l_partkey", "p_key")
+    lines
+      .join(avgQ, col("l_partkey") === col("p_key"))
+      .where(col("qty") * lit(5L) * col("n_lines") < col("sum_qty"))
+      .agg(count(lit(1)).as("n_small_lines"),
+           coalesce(sum(col("price")), lit(java.math.BigDecimal.ZERO))
+             .cast("double").as("small_qty_revenue"))
+  }
+
+  def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame =
+    smallQtyRevenueOf(Feeds.table(spark, dir, "lineitem"),
+                      Feeds.table(spark, dir, "part"))
+
+  /** ASYMMETRIC `GROUPING SETS ((city,status),(status),())` — the shape
+    * CUBE/ROLLUP can't express (a deliberately skipped (city) level),
+    * i.e. the arbitrary-set report a BI layer actually requests. Same
+    * Expand-avoidance as [[salesCubeOf]]: aggregate ONCE to the finest
+    * requested grain, then fold the coarser sets hierarchically from
+    * that dimension-sized frame — the feed is scanned once regardless
+    * of how many sets are requested, vs. Spark's native Expand which
+    * replicates every input row per set. Oracle runs the genuine
+    * `GROUP BY GROUPING SETS`. */
+  def salesGroupingSetsOf(uolV2: DataFrame,
+                          share: DataFrame => DataFrame = identity)
+      : DataFrame = {
+    val base = share(uolV2
+      .select(col("city_id"), col("status"), col("payment_amount"),
+              col("quantity"))
+      .groupBy("city_id", "status")
+      .agg(sum(col("payment_amount")).as("revenue"),
+           sum(col("quantity")).as("qty"),
+           count(lit(1)).as("n_rows")))
+    def lvl(df: DataFrame, gCity: Int, gStatus: Int) =
+      df.select(col("city_id"), col("status"), col("revenue"), col("qty"),
+                col("n_rows"), lit(gCity.toLong).as("g_city"),
+                lit(gStatus.toLong).as("g_status"))
+    val byStatus = base.groupBy("status")
+      .agg(sum(col("revenue")).as("revenue"), sum(col("qty")).as("qty"),
+           sum(col("n_rows")).as("n_rows"))
+      .withColumn("city_id", lit(null).cast("int"))
+    val total = base
+      .agg(sum(col("revenue")).as("revenue"), sum(col("qty")).as("qty"),
+           sum(col("n_rows")).as("n_rows"))
+      .withColumn("city_id", lit(null).cast("int"))
+      .withColumn("status", lit(null).cast("string"))
+    lvl(base, 0, 0)
+      .unionByName(lvl(byStatus, 1, 0))
+      .unionByName(lvl(total, 1, 1))
+  }
+
+
+  /** SCD2 CHANGE-RATE mart: per month of `valid_from`, how many new
+    * dimension versions opened and for how many distinct customers —
+    * the churn readout a warehouse publishes to catch an upstream feed
+    * suddenly rewriting attributes (a spike here precedes every "why
+    * did the dimension double" incident). Composes the SCD2 dimension
+    * ([[graft.etl.Dims.dCustomerScd]]) — initial loads count as
+    * openings, mirroring the oracle.
+    *
+    * Scale shape: one partial-agg groupBy on the months-sized key over
+    * the already-compressed SCD frame (change points only, ≪ feed);
+    * distinct-customer counts partial-aggregate per month. Month ships
+    * as midnight TIMESTAMP (house rule). */
+  def scdChangeRateOf(scd: DataFrame): DataFrame =
+    scd
+      .select(date_trunc("month", col("valid_from")).as("month"),
+              col("customer_id"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_versions"),
+           countDistinct("customer_id").as("n_custs"))
+
 }

@@ -541,4 +541,104 @@ object Corpus {
   def splitLeakage(spark: SparkSession, dir: String): DataFrame =
     splitLeakageOf(Dedup.minhashPairsVerified(spark, dir),
                    Sampling.trainValTestSplit(spark, dir))
+
+  /** The CURATION FUNNEL — the stage-by-stage survivor counts every
+    * dataset release publishes ("started with N docs, kept M"): raw →
+    * near-dup canonical → quality floor → exact keeper → benchmark
+    * decontamination → PII gate → repetition ceiling, with each stage's
+    * retained-ppm against raw. Stage 7 equals |curatedV2| by
+    * construction (same predicates, same order — pinned by spec), so the
+    * funnel explains WHERE the admission pipeline's rejections happen
+    * rather than just what survives it.
+    *
+    * Scale shape: one doc_id-keyed hash-join chain over the per-doc
+    * operator frames (all reused/memoized elsewhere), folded by ONE
+    * 1-row conditional-count aggregate; the 7 stage rows come from a
+    * constant-width `stack` over that single row — no second pass, no
+    * driver loop. Cumulative flags are plain boolean ANDs evaluated
+    * map-side. */
+  def curationFunnelOf(docsNorm: DataFrame, clusters: DataFrame,
+                       quality: DataFrame, exact: DataFrame,
+                       contamination: DataFrame, pii: DataFrame,
+                       repetition: DataFrame): DataFrame = {
+    val flags = docsNorm.select("doc_id")
+      .join(clusters.select(col("doc_id"),
+              (col("doc_id") === col("cluster")).as("f_canon")), "doc_id")
+      .join(quality.select(col("doc_id"),
+              (col("quality") >= Corpus.qualityFloor).as("f_quality")),
+            "doc_id")
+      .join(exact.select(col("keeper_doc_id").as("doc_id"))
+              .withColumn("f_exact", lit(true)), Seq("doc_id"), "left")
+      .join(contamination.select(col("doc_id"))
+              .withColumn("f_dirty", lit(true)), Seq("doc_id"), "left")
+      .join(pii.select(col("doc_id"), (!col("has_pii")).as("f_pii")),
+            "doc_id")
+      .join(repetition.select(col("doc_id"),
+              (col("rep_ratio") <= Corpus.repetitionCeiling).as("f_rep")),
+            "doc_id")
+      .select(col("f_canon"), col("f_quality"),
+              coalesce(col("f_exact"), lit(false)).as("f_exact"),
+              coalesce(!col("f_dirty"), lit(true)).as("f_clean"),
+              col("f_pii"), col("f_rep"))
+    val c2 = col("f_canon")
+    val c3 = c2 && col("f_quality")
+    val c4 = c3 && col("f_exact")
+    val c5 = c4 && col("f_clean")
+    val c6 = c5 && col("f_pii")
+    val c7 = c6 && col("f_rep")
+    flags
+      .agg(count(lit(1)).as("s1"),
+           count(when(c2, lit(1))).as("s2"),
+           count(when(c3, lit(1))).as("s3"),
+           count(when(c4, lit(1))).as("s4"),
+           count(when(c5, lit(1))).as("s5"),
+           count(when(c6, lit(1))).as("s6"),
+           count(when(c7, lit(1))).as("s7"))
+      .select(expr(
+        """stack(7, 1L, 'raw', s1, 2L, 'canonical', s2,
+                    3L, 'quality', s3, 4L, 'exact_keeper', s4,
+                    5L, 'decontaminated', s5, 6L, 'pii_clean', s6,
+                    7L, 'repetition', s7)
+           AS (stage_id, stage, n_docs)"""),
+        col("s1"))
+      .select(col("stage_id"), col("stage"), col("n_docs"),
+        expr("n_docs * 1000000 DIV s1").cast("long").as("retained_ppm"))
+  }
+
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame =
+    curationFunnelOf(
+      TextOps.docs(spark, dir),
+      Dedup.clusters(spark, dir),
+      TextOps.qualityScore(spark, dir),
+      Dedup.exact(spark, dir),
+      TextOps.contamination(spark, dir),
+      TextOps.piiScan(spark, dir),
+      TextOps.repetition(spark, dir))
+
+  /** Dedup LENGTH-SHIFT card: what the admission pipeline did to the
+    * length distribution — per ⌊log₂ tokens⌋ bucket, raw doc count,
+    * curated-v2 survivor count and kept-ppm. The readout that catches a
+    * curation pass silently truncating the long tail (or keeping only
+    * boilerplate-short docs) before anyone trains on the result.
+    *
+    * Scale shape: bucket assignment is map-side on the per-doc stats
+    * frame, the survivor flag is one doc_id equi-join against the
+    * curated-v2 id set, and the rollup is a partial agg on a ~30-value
+    * bucket key. */
+  def dedupLengthShiftOf(stats: DataFrame, curatedV2: DataFrame): DataFrame =
+    stats
+      .select(col("doc_id"),
+        expr("CAST(length(bin(greatest(n_tokens, 1))) - 1 AS BIGINT)")
+          .as("bucket"))
+      .join(curatedV2.select(col("doc_id")).withColumn("kept", lit(1L)),
+            Seq("doc_id"), "left")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_raw"),
+           count(col("kept")).as("n_curated"))
+      .withColumn("kept_ppm",
+        expr("n_curated * 1000000 DIV n_raw").cast("long"))
+
+  def dedupLengthShift(spark: SparkSession, dir: String): DataFrame =
+    dedupLengthShiftOf(TextOps.textStats(spark, dir),
+                       curatedV2(spark, dir))
 }

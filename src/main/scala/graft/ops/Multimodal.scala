@@ -158,4 +158,26 @@ object Multimodal {
 
   def frameDedupPairs(spark: SparkSession, dir: String): DataFrame =
     frameDedupPairsOf(chunkFrames(spark, dir))
+
+  /** Media SIZE histogram: payload bytes in power-of-2 buckets with
+    * doc/byte/frame totals per bucket — the storage-planning card a
+    * multimodal ingest publishes (how much of the corpus is thumbnails
+    * vs. hour-long video decides shard sizing and decode parallelism
+    * before any codec runs).
+    *
+    * Scale shape: bucket assignment is map-side on the metadata frame
+    * (no payload bytes move — only their lengths), one partial-agg
+    * groupBy on a ~30-value bucket key. */
+  def sizeHistOf(meta: DataFrame): DataFrame =
+    meta
+      .select(expr("CAST(length(bin(greatest(byte_len, 1))) - 1 AS BIGINT)")
+                .as("bucket"),
+              col("byte_len"), col("n_frames"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("byte_len").cast("long").as("sum_bytes"),
+           sum("n_frames").cast("long").as("sum_frames"))
+
+  def sizeHist(spark: SparkSession, dir: String): DataFrame =
+    sizeHistOf(meta(spark, dir))
 }

@@ -386,4 +386,60 @@ object Sessions {
   def funnelTimeToConvert(spark: SparkSession, dir: String): DataFrame =
     funnelTimeToConvertOf(Feeds.events(spark, dir),
                           Seq("signup", "view", "purchase"))
+
+  /** Per-user event-type diversity entropy — the bot / stuck-client
+    * detector: a user whose events concentrate on one type scores 0, a
+    * user spread evenly across the catalog scores high. Integer
+    * surrogate of Shannon entropy·n (the charEntropy formula, exact and
+    * bit-stable cross-engine):
+    *   surr = n·⌊log₂ n⌋ − Σ_t n_t·⌊log₂ n_t⌋
+    * via the bin-string-length ⌊log₂⌋.
+    *
+    * Scale shape: per-(user, type) counts are a partial-agg groupBy
+    * whose exchange carries ≤ |event-type catalog| rows per user, folded
+    * to user grain in a second partial agg — never per-event rows past
+    * the first combine. The per-user output is the monitoring mart a
+    * downstream percentile/fence pass reads; no driver-side state. */
+  def eventEntropyOf(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id").cast("long").as("user_id"), col("event_type"))
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n_t"))
+      .groupBy("user_id")
+      .agg(sum("n_t").as("n_events"),
+           count(lit(1)).as("n_types"),
+           expr("CAST(sum(n_t * (length(bin(n_t)) - 1)) AS BIGINT)")
+             .as("sum_t_ilog2"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        expr("""CAST(n_events * (length(bin(n_events)) - 1) - sum_t_ilog2
+                AS BIGINT)""").as("entropy_surr"))
+
+  def eventEntropy(spark: SparkSession, dir: String): DataFrame =
+    eventEntropyOf(Feeds.events(spark, dir))
+
+  /** Session-DURATION histogram in power-of-2 second buckets (the
+    * doclen-hist trick: bucket = ⌊log₂ max(dur,1)⌋ via bin-string
+    * length — zero-length single-event sessions land in bucket 0) —
+    * the engagement-shape card a product team reads next to the
+    * concurrency profile: a bimodal histogram here means bots or a
+    * broken gap threshold.
+    *
+    * Scale shape: composes the sessionized frame (already ≪ events);
+    * duration and bucket are map-side expressions, the rollup is a
+    * partial agg on a ~20-value bucket key. */
+  def sessionDurationHistOf(sessions: DataFrame): DataFrame =
+    sessions
+      .select(expr(
+        """CAST(length(bin(greatest(
+              unix_timestamp(session_end) - unix_timestamp(session_start),
+              1))) - 1 AS BIGINT)""").as("bucket"),
+        (unix_timestamp(col("session_end")) -
+          unix_timestamp(col("session_start"))).as("dur_sec"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_sessions"),
+           sum("dur_sec").cast("long").as("sum_dur_sec"),
+           max("dur_sec").cast("long").as("max_dur_sec"))
+
+  def sessionDurationHist(spark: SparkSession, dir: String): DataFrame =
+    sessionDurationHistOf(sessions(spark, dir))
 }

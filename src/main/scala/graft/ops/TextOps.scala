@@ -1028,4 +1028,36 @@ object TextOps {
 
   def contrastiveTerms(spark: SparkSession, dir: String): DataFrame =
     contrastiveTermsOf(docsWords(spark, dir))
+
+  /** Per-source hapax-legomena profile: vocabulary size, the count of
+    * words occurring exactly once IN THAT SOURCE, and two ppm ratios —
+    * hapax share of the vocabulary (Zipf-tail health: natural text sits
+    * near 40-60%, templated/boilerplate output collapses toward 0) and
+    * hapax share of the token stream (how much of the corpus a
+    * rare-word-aware tokenizer would see as singletons). Complements
+    * [[contrastiveTermsOf]] (head of the per-source distribution) with
+    * the tail, and the corpus-level TTR/Gini readouts with a per-source
+    * rare-mass cut.
+    *
+    * Scale shape: one partial-agg groupBy on the (source, word) key —
+    * map-side combine collapses each partition's repeats, the exchange
+    * carries ≤ per-source-vocab rows — then a second partial agg to
+    * source grain; ppm ratios are exact-integer DIV (non-negative). */
+  def hapaxRateOf(docsWords: DataFrame): DataFrame =
+    docsWords
+      .select(col("source"), explode(col("words")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("source", "w")
+      .agg(count(lit(1)).as("n_w"))
+      .groupBy("source")
+      .agg(sum("n_w").as("n_tokens"),
+           count(lit(1)).as("vocab"),
+           count(when(col("n_w") === 1L, lit(1))).as("hapax"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("hapax"),
+        expr("hapax * 1000000 DIV vocab").cast("long").as("hapax_vocab_ppm"),
+        expr("hapax * 1000000 DIV n_tokens").cast("long")
+          .as("hapax_token_ppm"))
+
+  def hapaxRate(spark: SparkSession, dir: String): DataFrame =
+    hapaxRateOf(docsWords(spark, dir))
 }

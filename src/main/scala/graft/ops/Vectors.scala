@@ -1207,4 +1207,69 @@ object Vectors {
   def annMrr(spark: SparkSession, dir: String): DataFrame =
     annMrrOf(annCosineTopK(spark, dir, DefaultK),
              ivfPqTopK(spark, dir, DefaultK))
+
+  /** kNN-graph MUTUALITY rate: of the exact top-k edges whose candidate
+    * is itself a query vector (the evaluable subset — both directions
+    * were computed), the ppm fraction that is reciprocated (a ∈ topk(b)
+    * ∧ b ∈ topk(a)). Low mutuality flags hubness — a few vectors
+    * appearing in everyone's neighbor list while reciprocating nothing —
+    * the standard symptom of a degenerate/anisotropic embedding space
+    * that breaks kNN-graph consumers (UMAP-style layouts, graph-based
+    * dedup, label propagation).
+    *
+    * Scale shape: composes the memoized exact top-k frame (queries×k
+    * rows — query-grain, not corpus-grain); the reciprocal probe is one
+    * self-equi-join on the swapped (query, cand) key pair; the fold is a
+    * 1-row aggregate. Zero-evaluable degenerates to 0 ppm via the CASE,
+    * not a division error. */
+  def knnMutualOf(exactTopK: DataFrame): DataFrame = {
+    val edges = exactTopK.select("query_id", "cand_id")
+    val eval = edges.where(isQuery(col("cand_id")))
+    val rev = edges.select(col("cand_id").as("query_id"),
+                           col("query_id").as("cand_id"))
+      .withColumn("mutual", lit(1L))
+    eval.join(rev, Seq("query_id", "cand_id"), "left_outer")
+      .agg(count(lit(1)).as("n_eval"),
+           count(col("mutual")).as("n_mutual"))
+      .select(col("n_eval"), col("n_mutual"),
+        expr("""CAST(CASE WHEN n_eval = 0 THEN 0
+                     ELSE n_mutual * 1000000 DIV n_eval END AS BIGINT)""")
+          .as("mutual_ppm"))
+  }
+
+  def knnMutual(spark: SparkSession, dir: String): DataFrame =
+    knnMutualOf(annCosineTopK(spark, dir, DefaultK))
+
+  /** PRINCIPAL-DIRECTION profile: one exact power-iteration step
+    * y = Σᵢ (qvᵢ·1) · qvᵢ from the all-ones probe over the
+    * integer-quantized vectors, reporting the top-k dimensions by |y| —
+    * the anisotropy readout with a DIRECTION: [[embAnisotropy]] says how
+    * concentrated the space is, this says WHERE (which dimensions carry
+    * the rogue common direction that mean-centering / ABTT whitening
+    * would remove). All-integer (micro-unit products), so bit-exact
+    * cross-engine — no float matrix math.
+    *
+    * Scale shape: the probe dot is a per-row HOF fold (map-side); the
+    * accumulation is posexplode → partial-agg groupBy on the ≤d
+    * dimension key (the exchange carries d rows per partition, not per
+    * vector); the rank window runs over d rows. Magnitude headroom:
+    * |y| ≤ n·d·(10⁶·maxval)² ≈ 4·10¹⁶ at the 20k-vector probe corpus —
+    * widen the term sum to DECIMAL(38,0) beyond ~10⁸ vectors. */
+  def principalDimsOf(emb: DataFrame, k: Int = 5): DataFrame = {
+    val y = emb
+      .select(col("qv"),
+              expr("aggregate(qv, 0L, (acc, x) -> acc + x)").as("s_i"))
+      .select(col("s_i"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .select(col("pos").cast("long").as("dim"),
+              (col("v") * col("s_i")).as("term"))
+      .groupBy("dim")
+      .agg(sum("term").cast("long").as("y"))
+    y.orderBy(abs(col("y")).desc, col("dim")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(abs(col("y")).desc, col("dim"))).cast("long"))
+      .select("dim", "y", "rank")
+  }
+
+  def principalDims(spark: SparkSession, dir: String): DataFrame =
+    principalDimsOf(quantizedCached(spark, dir))
 }
