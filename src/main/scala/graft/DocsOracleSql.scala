@@ -3,7 +3,7 @@ package graft
 /** The docs/vectors DuckDB oracle prelude (see Oracle.scala). Embedded
   * verbatim from tools/docs_prelude.sql (prototyped there first). */
 object DocsOracleSql {
-  val text: String = """WITH RECURSIVE
+  private val text1: String = """WITH RECURSIVE
 docs AS (
   SELECT doc_id, text, lang, source, n_chars,
          lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
@@ -612,7 +612,12 @@ corpus_stats AS (
   JOIN pii_scan p ON p.doc_id = d.doc_id
   JOIN repetition r ON r.doc_id = d.doc_id
   GROUP BY 1, 2),
-ing_inc AS (
+"""
+
+  // Split into two literals: a single string constant would exceed the
+  // JVM classfile's 64 KB CONSTANT_Utf8 limit. `text` joins them at
+  // runtime (val references are not constant-folded).
+  private val text2: String = """ing_inc AS (
   SELECT vec_id,
          list_concat(qv[1:32], list_transform(qv[33:64], v -> -v)) AS qv, n2
   FROM emb_n WHERE vec_id % 10 = 7),
@@ -1388,6 +1393,135 @@ ann_mrr AS (
            AS mrr_ppm
   FROM (SELECT query_id, cand_id FROM ann_cosine_topk WHERE rnk = 1) e
   LEFT JOIN ivfpq_topk a
-    ON a.query_id = e.query_id AND a.cand_id = e.cand_id)
+    ON a.query_id = e.query_id AND a.cand_id = e.cand_id),
+zipf_vocab AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n FROM words_flat GROUP BY 1),
+zipf_hist AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS n_words FROM zipf_vocab GROUP BY 1),
+zipf_blocks AS (
+  SELECT n_words,
+         CAST(length(bin(greatest(
+           CAST(COALESCE(sum(n_words) OVER (ORDER BY n DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+             AS BIGINT), 1))) - 1 AS BIGINT) AS x,
+         CAST(length(bin(greatest(n, 1))) - 1 AS BIGINT) AS y
+  FROM zipf_hist),
+zipf_fit AS (
+  SELECT CAST(sum(n_words) AS BIGINT) AS n_vocab,
+         CAST(sum(n_words * x) AS BIGINT) AS sx,
+         CAST(sum(n_words * y) AS BIGINT) AS sy,
+         CAST(sum(n_words * x * x) AS BIGINT) AS sxx,
+         CAST(sum(n_words * x * y) AS BIGINT) AS sxy,
+         CAST(CAST(sum(n_words) AS BIGINT) * CAST(sum(n_words * x * y) AS BIGINT)
+              - CAST(sum(n_words * x) AS BIGINT)
+                * CAST(sum(n_words * y) AS BIGINT) AS BIGINT) AS slope_num,
+         CAST(CAST(sum(n_words) AS BIGINT) * CAST(sum(n_words * x * x) AS BIGINT)
+              - CAST(sum(n_words * x) AS BIGINT)
+                * CAST(sum(n_words * x) AS BIGINT) AS BIGINT) AS slope_den
+  FROM zipf_blocks),
+ks_cell AS (
+  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS cnt
+  FROM docs GROUP BY 1, 2),
+ks_lengths AS (SELECT DISTINCT n_chars FROM ks_cell),
+ks_sources AS (
+  SELECT source, CAST(sum(cnt) AS BIGINT) AS n_source FROM ks_cell GROUP BY 1),
+ks_global AS (
+  SELECT n_chars,
+         CAST(sum(gcnt) OVER (ORDER BY n_chars
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_all
+  FROM (SELECT n_chars, CAST(sum(cnt) AS BIGINT) AS gcnt
+        FROM ks_cell GROUP BY 1) g),
+ks_grid AS (
+  SELECT s.source, s.n_source, l.n_chars,
+         CAST(sum(COALESCE(c.cnt, 0)) OVER (PARTITION BY s.source
+           ORDER BY l.n_chars ROWS BETWEEN UNBOUNDED PRECEDING
+           AND CURRENT ROW) AS BIGINT) AS cum_s
+  FROM ks_sources s CROSS JOIN ks_lengths l
+  LEFT JOIN ks_cell c ON c.source = s.source AND c.n_chars = l.n_chars),
+ks_source_drift AS (
+  SELECT g.source, g.n_source, t.n_total,
+         CAST(max(abs(g.cum_s * t.n_total - ga.cum_all * g.n_source))
+           AS BIGINT) AS ks_num,
+         CAST(max(abs(g.cum_s * t.n_total - ga.cum_all * g.n_source))
+              * 1000000 // (g.n_source * t.n_total) AS BIGINT) AS ks_ppm
+  FROM ks_grid g
+  JOIN ks_global ga ON ga.n_chars = g.n_chars
+  CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_total FROM docs) t
+  GROUP BY 1, 2, 3),
+length_token_moments AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(t.n_chars_norm) AS BIGINT) AS sx,
+         CAST(sum(t.n_tokens) AS BIGINT) AS sy,
+         CAST(sum(t.n_chars_norm * t.n_chars_norm) AS BIGINT) AS sxx,
+         CAST(sum(t.n_tokens * t.n_tokens) AS BIGINT) AS syy,
+         CAST(sum(t.n_chars_norm * t.n_tokens) AS BIGINT) AS sxy
+  FROM text_stats t JOIN docs d USING (doc_id)
+  GROUP BY 1),
+simhash_bit_balance AS (
+  SELECT CAST(bit AS BIGINT) AS bit,
+         CAST(sum((simhash64 >> CAST(bit AS INTEGER)) & 1) AS BIGINT)
+           AS n_ones,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(CAST(sum((simhash64 >> CAST(bit AS INTEGER)) & 1) AS BIGINT)
+              * 1000000 // count(*) AS BIGINT) AS ones_ppm
+  FROM simhash64, range(0, 64) t(bit)
+  GROUP BY 1),
+boilerplate_shingles AS (
+  SELECT CAST(row_number() OVER (ORDER BY n_docs DESC, shingle) AS BIGINT)
+           AS rank,
+         shingle, n_docs,
+         CAST(n_docs * 1000000 // t.n_total AS BIGINT) AS df_ppm
+  FROM (SELECT shingle, CAST(count(*) AS BIGINT) AS n_docs
+        FROM docs_sh_d GROUP BY 1
+        ORDER BY n_docs DESC, shingle LIMIT 20) s
+  CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_total FROM docs) t),
+knn_edges AS (
+  SELECT e.query_id AS doc_a, e.cand_id AS doc_b
+  FROM ann_cosine_topk e
+  JOIN ann_cosine_topk m
+    ON m.query_id = e.cand_id AND m.cand_id = e.query_id
+  WHERE e.cand_id % 50 = 0 AND e.query_id < e.cand_id),
+knn_sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM knn_edges
+  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM knn_edges),
+knn_reach AS (
+  SELECT DISTINCT query_id AS node, query_id AS label FROM ann_cosine_topk
+  UNION
+  SELECT e.dst AS node, r.label FROM knn_reach r
+  JOIN knn_sym e ON e.src = r.node),
+knn_components AS (
+  SELECT CAST(cluster AS BIGINT) AS cluster,
+         CAST(count(*) AS BIGINT) AS n_members
+  FROM (SELECT node, min(label) AS cluster FROM knn_reach GROUP BY 1) c
+  GROUP BY 1),
+stopword_profile AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(t.n_tokens) AS BIGINT) AS sum_tokens,
+         CAST(sum(t.stop_cnt) AS BIGINT) AS sum_stop,
+         CAST(CAST(sum(t.stop_cnt) AS BIGINT) * 1000000
+              // CAST(sum(t.n_tokens) AS BIGINT) AS BIGINT) AS stop_ppm
+  FROM text_stats t JOIN docs d USING (doc_id)
+  GROUP BY 1),
+dup_inflation AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(*) FILTER (WHERE e.keeper_doc_id = d.doc_id) AS BIGINT)
+           AS n_keep,
+         CAST(sum(t.n_tokens) AS BIGINT) AS tokens_total,
+         CAST(COALESCE(sum(t.n_tokens)
+                FILTER (WHERE e.keeper_doc_id = d.doc_id), 0) AS BIGINT)
+           AS tokens_keep,
+         CAST((CAST(sum(t.n_tokens) AS BIGINT)
+               - CAST(COALESCE(sum(t.n_tokens)
+                        FILTER (WHERE e.keeper_doc_id = d.doc_id), 0)
+                      AS BIGINT))
+              * 1000000 // CAST(sum(t.n_tokens) AS BIGINT) AS BIGINT)
+           AS savings_ppm
+  FROM docs d
+  JOIN dedup_exact e ON e.fp = md5(d.norm)
+  JOIN text_stats t ON t.doc_id = d.doc_id
+  GROUP BY 1)
 """
+
+  val text: String = text1 + text2
 }

@@ -365,7 +365,51 @@ sales_mom AS (
                      sum(payment_amount) AS rev,
                      CAST(count(*) AS BIGINT) AS n_sales,
                      CAST(floor(sum(payment_amount)) AS BIGINT) AS rev_i
-              FROM uol GROUP BY 1) m) l)
+              FROM uol GROUP BY 1) m) l),
+cohort_ltv AS (
+  SELECT cohort_month, month_index, n_active,
+         CAST(rev_dec AS DOUBLE) AS revenue,
+         CAST(sum(rev_dec) OVER (PARTITION BY cohort_month
+                ORDER BY month_index ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS DOUBLE) AS cum_revenue
+  FROM (
+    SELECT cm.cohort_month,
+           CAST((year(m.month) - year(cm.cohort_month)) * 12
+                + (month(m.month) - month(cm.cohort_month)) AS BIGINT)
+             AS month_index,
+           CAST(count(DISTINCT m.customer_id) AS BIGINT) AS n_active,
+           sum(m.rev_m) AS rev_dec
+    FROM (SELECT customer_id,
+                 CAST(date_trunc('month', date_time) AS TIMESTAMP) AS month,
+                 sum(payment_amount) AS rev_m
+          FROM uol GROUP BY 1, 2) m
+    JOIN (SELECT customer_id, min(month) AS cohort_month
+          FROM (SELECT customer_id,
+                       CAST(date_trunc('month', date_time) AS TIMESTAMP)
+                         AS month FROM uol) x
+          GROUP BY 1) cm ON cm.customer_id = m.customer_id
+    GROUP BY 1, 2) cells),
+sales_dow AS (
+  SELECT CAST(isodow(date_time) AS BIGINT) AS dow,
+         CAST(count(*) AS BIGINT) AS n_sales,
+         CAST(sum(quantity) AS BIGINT) AS qty,
+         CAST(sum(payment_amount) AS DOUBLE) AS revenue
+  FROM uol GROUP BY 1),
+cust_gini AS (
+  SELECT month, CAST(count(*) AS BIGINT) AS n_custs,
+         CAST(sum(rev_i) AS BIGINT) AS total_rev_i,
+         CAST((2 * CAST(sum(rank * rev_i) AS BIGINT) * 1000000)
+                // (count(*) * CAST(sum(rev_i) AS BIGINT))
+              - ((count(*) + 1) * 1000000) // count(*) AS BIGINT) AS gini_ppm
+  FROM (SELECT month, customer_id, rev_i,
+               CAST(row_number() OVER (PARTITION BY month
+                 ORDER BY rev_i, customer_id) AS BIGINT) AS rank
+        FROM (SELECT CAST(date_trunc('month', date_time) AS TIMESTAMP)
+                       AS month,
+                     customer_id,
+                     CAST(floor(sum(payment_amount)) AS BIGINT) AS rev_i
+              FROM uol GROUP BY 1, 2) pc) r
+  GROUP BY 1)
 """
 
   /** Docs/vectors prelude for the training-data-pipeline operators
@@ -1748,5 +1792,96 @@ sales_mom AS (
     // raw vs curated per-length-bucket survivor shift
     "q_dedup_length_shift" -> fromDocs("dedup_length_shift"),
     // kNN-graph reciprocity over the exact top-k
-    "q_knn_mutual" -> fromDocs("knn_mutual"))
+    "q_knn_mutual" -> fromDocs("knn_mutual"),
+    // Zipf-law fit as exact integer least-squares moments + rational slope
+    "q_zipf_fit" -> fromDocs("zipf_fit"),
+    // per-source KS drift of the doc-length distribution vs the corpus
+    "q_ks_source_drift" -> fromDocs("ks_source_drift"),
+    // per-source exact second-order (chars, tokens) moments
+    "q_length_token_moments" -> fromDocs("length_token_moments"),
+    // per-bit ones-rate of the 64-bit SimHash (sketch health)
+    "q_simhash_bit_balance" -> fromDocs("simhash_bit_balance"),
+    // top-k shingles by distinct-doc frequency (boilerplate detector)
+    "q_boilerplate_shingles" -> fromDocs("boilerplate_shingles"),
+    // connected components over the mutual-kNN reciprocity graph
+    "q_knn_components" -> fromDocs("knn_components"),
+    // cohort lifetime value: cumulative revenue per signup-month cohort
+    "q_cohort_ltv" -> from("cohort_ltv"),
+    // TPC-H Q9 shape adapted (no partsupp): nation x product line x year
+    "q_q9_profit" -> """
+      SELECT n_name AS nation, p_type,
+             CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2))
+                           * (CAST(1 AS DECIMAL(14,2))
+                              - CAST(l_discount AS DECIMAL(14,2)))
+                           AS DECIMAL(24,4))) AS DOUBLE) AS profit
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      GROUP BY 1, 2, 3""",
+    // users bucketed by floor-log2 of mean inter-event gap seconds
+    "q_user_burstiness" -> """
+      WITH ev AS (
+        SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+               date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts2
+        FROM events),
+      g AS (
+        SELECT user_id,
+               date_diff('second', lag(ts2) OVER (PARTITION BY user_id
+                 ORDER BY ts2, event_id), ts2) AS gap_sec
+        FROM ev),
+      pu AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+               CAST(sum(gap_sec) AS BIGINT) AS sum_gap
+        FROM g WHERE gap_sec IS NOT NULL GROUP BY 1)
+      SELECT CAST(length(bin(greatest(sum_gap // n_gaps, 1))) - 1 AS BIGINT)
+               AS bucket,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(n_gaps) AS BIGINT) AS sum_gaps,
+             CAST(sum(sum_gap) AS BIGINT) AS sum_gap_sec
+      FROM pu GROUP BY 1""",
+    // per-user Markov surprisal (integer-log2 surrogate), quarter-bit
+    // mean histogram
+    "q_event_seq_surprisal" -> """
+      WITH ev AS (
+        SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+               date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts2, event_type
+        FROM events),
+      tr AS (
+        SELECT user_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts2, event_id) AS from_type,
+               event_type AS to_type
+        FROM ev),
+      ut AS (
+        SELECT user_id, from_type, to_type, CAST(count(*) AS BIGINT) AS n_ut
+        FROM tr WHERE from_type IS NOT NULL GROUP BY 1, 2, 3),
+      pm AS (
+        SELECT from_type, to_type, CAST(sum(n_ut) AS BIGINT) AS c_pair
+        FROM ut GROUP BY 1, 2),
+      fm AS (
+        SELECT from_type, CAST(sum(c_pair) AS BIGINT) AS c_from
+        FROM pm GROUP BY 1),
+      bits AS (
+        SELECT u.user_id, CAST(sum(u.n_ut) AS BIGINT) AS n_trans,
+               CAST(sum(u.n_ut * (length(bin(f.c_from))
+                                  - length(bin(p.c_pair)))) AS BIGINT) AS bits
+        FROM ut u
+        JOIN pm p ON p.from_type = u.from_type AND p.to_type = u.to_type
+        JOIN fm f ON f.from_type = u.from_type
+        GROUP BY 1)
+      SELECT CAST(bits * 4 // n_trans AS BIGINT) AS qbits_bucket,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(n_trans) AS BIGINT) AS sum_trans
+      FROM bits GROUP BY 1""",
+    // per-source stopword-token rate (register/quality mix card)
+    "q_stopword_profile" -> fromDocs("stopword_profile"),
+    // per-source exact-dup token savings (dedup inflation card)
+    "q_dup_inflation" -> fromDocs("dup_inflation"),
+    // ISO day-of-week sales seasonality profile
+    "q_sales_dow_profile" -> from("sales_dow"),
+    // monthly customer-revenue Gini (exact integer ppm)
+    "q_customer_gini_monthly" -> from("cust_gini"))
 }

@@ -150,7 +150,19 @@ object ScaleProbe {
     // session-duration/media-size histograms, principal-direction dims
     "q_sales_grouping_sets", "q_scd_change_rate",
     "q_session_duration_hist", "q_multimodal_size_hist",
-    "q_emb_principal_dims")
+    "q_emb_principal_dims",
+    // round-12k additions: corpus-health statistics (Zipf fit, KS
+    // source drift, length/token moments, SimHash bit balance,
+    // boilerplate shingles), mutual-kNN components, cohort LTV, Q9
+    // profit shape, event burstiness + Markov surprisal
+    "q_zipf_fit", "q_ks_source_drift", "q_length_token_moments",
+    "q_simhash_bit_balance", "q_boilerplate_shingles", "q_knn_components",
+    "q_cohort_ltv", "q_q9_profit", "q_user_burstiness",
+    "q_event_seq_surprisal",
+    // round-12l additions: stopword profile, dup token inflation,
+    // day-of-week seasonality, monthly customer-revenue Gini
+    "q_stopword_profile", "q_dup_inflation", "q_sales_dow_profile",
+    "q_customer_gini_monthly")
 
   def makeBig(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     // the embedding rotation below is the identity at i = 64 (reintroducing

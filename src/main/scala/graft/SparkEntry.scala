@@ -470,7 +470,38 @@ object SparkEntry {
     "q_multimodal_size_hist" -> ((s, d) => ops.Multimodal.sizeHist(s, d)),
     // top-|y| dimensions of one exact power-iteration step (anisotropy
     // direction profile, all-integer)
-    "q_emb_principal_dims" -> ((s, d) => ops.Vectors.principalDims(s, d)))
+    "q_emb_principal_dims" -> ((s, d) => ops.Vectors.principalDims(s, d)),
+    // Zipf-law fit: exact integer least-squares moments + rational slope
+    "q_zipf_fit" -> ((s, d) => ops.Stats.zipfFit(s, d)),
+    // per-source KS drift of doc-length distribution vs the corpus
+    "q_ks_source_drift" -> ((s, d) => ops.Stats.ksSourceDrift(s, d)),
+    // per-source exact (chars, tokens) second-order moments
+    "q_length_token_moments" -> ((s, d) => ops.Stats.lengthTokenMoments(s, d)),
+    // per-bit ones-rate of the 64-bit SimHash (sketch health, 64 rows)
+    "q_simhash_bit_balance" -> ((s, d) => ops.Stats.simhashBitBalance(s, d)),
+    // top-k shingles by distinct-doc df (boilerplate detector)
+    "q_boilerplate_shingles" -> ((s, d) => ops.Stats.boilerplateShingles(s, d)),
+    // connected components over the mutual-kNN reciprocity graph
+    "q_knn_components" -> ((s, d) => ops.Vectors.knnComponents(s, d)),
+    // cohort lifetime value: cumulative revenue per signup-month cohort
+    "q_cohort_ltv" -> ((s, d) =>
+      ops.Analytics.cohortLtvOf(Pipeline.of(s, d).uol)),
+    // TPC-H Q9 shape adapted: nation x product line x year profit
+    "q_q9_profit" -> ((s, d) => ops.Analytics.productTypeProfit(s, d)),
+    // users bucketed by floor-log2 mean inter-event gap (traffic shape)
+    "q_user_burstiness" -> ((s, d) => ops.Sessions.userBurstiness(s, d)),
+    // per-user Markov surprisal histogram (behavioral anomaly card)
+    "q_event_seq_surprisal" -> ((s, d) => ops.Sessions.eventSeqSurprisal(s, d)),
+    // per-source stopword-token rate (register/quality mix card)
+    "q_stopword_profile" -> ((s, d) => ops.Stats.stopwordProfile(s, d)),
+    // per-source exact-dup token savings (dedup inflation card)
+    "q_dup_inflation" -> ((s, d) => ops.Stats.dupInflation(s, d)),
+    // ISO day-of-week sales seasonality profile
+    "q_sales_dow_profile" -> ((s, d) =>
+      ops.Analytics.salesDowProfileOf(Pipeline.of(s, d).uol)),
+    // monthly customer-revenue Gini (exact integer ppm)
+    "q_customer_gini_monthly" -> ((s, d) =>
+      ops.Analytics.customerGiniMonthlyOf(Pipeline.of(s, d).uol)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -1111,4 +1111,110 @@ object Analytics {
       .agg(count(lit(1)).as("n_versions"),
            countDistinct("customer_id").as("n_custs"))
 
+  /** Cohort lifetime value: cumulative revenue per signup-month cohort
+    * over months-since-signup — the LTV curve behind every
+    * payback-period decision, and the monthly-money twin of
+    * [[cohortRetentionOf]] (which counts heads weekly). Revenue stays
+    * exact DECIMAL through BOTH sums (per-cell aggregate, then the
+    * cumulative window); DOUBLE only at output, so both engines cast
+    * bit-identical decimals.
+    *
+    * Scale shape: the only fact-sized exchange is the per-customer
+    * month collapse; cohort assignment is a min-aggregate on the
+    * collapsed frame joined back on customer_id; the cumulative window
+    * partitions by cohort over the months-since axis — a few dozen rows
+    * per cohort, never per sale. */
+  def cohortLtvOf(uol: DataFrame): DataFrame = {
+    val custMonths = uol
+      .groupBy(col("customer_id"),
+               date_trunc("month", col("date_time")).as("month"))
+      .agg(sum(col("payment_amount")).as("rev_m"))
+    val cohorts = custMonths.groupBy("customer_id")
+      .agg(min("month").as("cohort_month"))
+    val cells = custMonths.join(cohorts, "customer_id")
+      .groupBy(col("cohort_month"),
+        ((year(col("month")) - year(col("cohort_month"))) * 12 +
+          (month(col("month")) - month(col("cohort_month"))))
+          .cast("long").as("month_index"))
+      .agg(countDistinct("customer_id").as("n_active"),
+           sum(col("rev_m")).as("rev_dec"))
+    val byCohort = Window.partitionBy("cohort_month").orderBy("month_index")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_dec", sum(col("rev_dec")).over(byCohort))
+      .select(col("cohort_month"), col("month_index"), col("n_active"),
+        col("rev_dec").cast("double").as("revenue"),
+        col("cum_dec").cast("double").as("cum_revenue"))
+  }
+
+  /** Product-line profit matrix (TPC-H Q9 shape, adapted to this
+    * dataset's columns: no partsupp/supplycost here, so "profit" is
+    * discounted revenue): supplier nation × part type × order year.
+    * The classic multi-way star join — fact scans once, every dimension
+    * joins on its key, revenue in exact DECIMAL until the output cast.
+    *
+    * Scale shape: lineitem→orders co-shuffle on orderkey is the only
+    * fact-sized exchange; part / supplier / nation are dimension-sized
+    * (broadcast under AQE); the final rollup key (nation × type × year)
+    * is tiny and partial-aggregates map-side. */
+  def productTypeProfitOf(lineitem: DataFrame, orders: DataFrame,
+                          part: DataFrame, supplier: DataFrame,
+                          nation: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(nation, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("p_type"),
+               year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(discPrice).cast("double").as("profit"))
+
+  def productTypeProfit(spark: SparkSession, dir: String): DataFrame =
+    productTypeProfitOf(
+      Feeds.table(spark, dir, "lineitem"), Feeds.table(spark, dir, "orders"),
+      Feeds.table(spark, dir, "part"), Feeds.table(spark, dir, "supplier"),
+      Feeds.table(spark, dir, "nation"))
+
+  /** Day-of-week sales seasonality (ISO numbering 1=Mon…7=Sun on both
+    * engines: Spark weekday()+1 ≡ DuckDB isodow — pinned because the
+    * engines' default dow functions disagree on week start). Revenue
+    * exact DECIMAL until the output cast; 7-row output at any scale via
+    * one partial-agg groupBy. */
+  def salesDowProfileOf(uol: DataFrame): DataFrame =
+    uol.groupBy((expr("weekday(date_time)") + 1).cast("long").as("dow"))
+      .agg(count(lit(1)).as("n_sales"),
+           sum(col("quantity")).cast("long").as("qty"),
+           sum(col("payment_amount")).cast("double").as("revenue"))
+
+  /** Monthly revenue inequality across customers — Gini in exact integer
+    * ppm via the rank-weighted-sum identity (the business twin of the
+    * per-source token Gini; same formula, same determinism pins:
+    * whole-dollar integer revenue, ties broken by customer_id, Spark DIV
+    * ≡ DuckDB // on non-negatives). A concentration spike is a whale
+    * month; a drift is the customer base hollowing out.
+    *
+    * Scale shape: one fact-sized partial-agg collapse to (month,
+    * customer) grain, then the rank window partitions BY MONTH (each
+    * partition is one month's customers — the same grain the readout
+    * groups on, one exchange for both). rank·rev_i overflow needs a
+    * month with n·total > 2⁶³ — widen to DECIMAL(38,0) past ~10⁹
+    * customers of ~10⁹ $/month. */
+  def customerGiniMonthlyOf(uol: DataFrame): DataFrame = {
+    val perCust = uol
+      .groupBy(date_trunc("month", col("date_time")).as("month"),
+               col("customer_id"))
+      .agg(floor(sum(col("payment_amount"))).cast("long").as("rev_i"))
+    val byMonth = Window.partitionBy("month").orderBy("rev_i", "customer_id")
+    perCust
+      .withColumn("rank", row_number().over(byMonth).cast("long"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_custs"),
+           sum("rev_i").as("total_rev_i"),
+           sum(col("rank") * col("rev_i")).as("rank_weighted_sum"))
+      .select(col("month"), col("n_custs"), col("total_rev_i"),
+        expr("""CAST((2 * rank_weighted_sum * 1000000)
+                  DIV (n_custs * total_rev_i)
+                - ((n_custs + 1) * 1000000) DIV n_custs AS BIGINT)""")
+          .as("gini_ppm"))
+  }
 }

@@ -442,4 +442,82 @@ object Sessions {
 
   def sessionDurationHist(spark: SparkSession, dir: String): DataFrame =
     sessionDurationHistOf(sessions(spark, dir))
+
+  /** User-burstiness histogram: users bucketed by ⌊log₂(mean
+    * inter-event gap in seconds)⌋. Separates steady hourly users from
+    * bursty scrape-like traffic (tiny mean gap, huge event count) — the
+    * traffic-shape card that decides sampling and rate-limit policy.
+    * Integer mean (sum DIV n) so the bucket is bit-stable cross-engine.
+    *
+    * Scale: one shuffle on user_id for the lag window (shared ordering
+    * rule with the sessionizer: second-truncated ts, event_id); the
+    * per-user rollup reuses that partitioning; the final histogram is a
+    * partial agg on a ~25-value bucket key. */
+  def userBurstinessOf(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts2", "event_id")
+    val gaps = events
+      .select(col("event_id"), col("user_id").cast("long").as("user_id"),
+              date_trunc("second", col("ts")).as("ts2"))
+      .withColumn("gap_sec",
+        unix_timestamp(col("ts2")) -
+          unix_timestamp(lag(col("ts2"), 1).over(byUser)))
+      .where(col("gap_sec").isNotNull)
+    gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap_sec")).as("sum_gap"))
+      .select(expr(
+        s"""CAST(length(bin(greatest(sum_gap DIV n_gaps, 1))) - 1
+            AS BIGINT)""").as("bucket"),
+        col("n_gaps"), col("sum_gap"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_users"),
+           sum(col("n_gaps")).as("sum_gaps"),
+           sum(col("sum_gap")).as("sum_gap_sec"))
+  }
+
+  def userBurstiness(spark: SparkSession, dir: String): DataFrame =
+    userBurstinessOf(Feeds.events(spark, dir))
+
+  /** Per-user event-sequence surprisal under the corpus's first-order
+    * Markov model, as a quarter-bit mean histogram: each transition
+    * (prev→next) contributes ⌊log₂ c(prev,*)⌋ − ⌊log₂ c(prev,next)⌋
+    * bits (the integer-log2 surrogate of −log₂ P(next|prev) the text
+    * stack standardizes on), and users land in buckets of
+    * (4·total_bits) DIV n_transitions. High-surprisal users follow
+    * paths the population never takes — the behavioral-anomaly twin of
+    * the text perplexity filter.
+    *
+    * Scale: one shuffle on user_id for the lag; per-user transition
+    * rollup reuses it; the model join keys on the (from,to) pair domain
+    * (bounded by |event_type|², broadcast-sized at any corpus scale);
+    * the histogram is a partial agg on a small bucket key. */
+  def eventSeqSurprisalOf(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts2", "event_id")
+    val trans = events
+      .select(col("event_id"), col("user_id").cast("long").as("user_id"),
+              date_trunc("second", col("ts")).as("ts2"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(byUser))
+      .where(col("from_type").isNotNull)
+      .groupBy(col("user_id"), col("from_type"),
+               col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n_ut"))
+    val pairModel = trans.groupBy("from_type", "to_type")
+      .agg(sum(col("n_ut")).as("c_pair"))
+    val fromModel = pairModel.groupBy("from_type")
+      .agg(sum(col("c_pair")).as("c_from"))
+    val model = broadcast(pairModel.join(fromModel, "from_type")
+      .select(col("from_type"), col("to_type"),
+        expr("""CAST(length(bin(c_from)) - length(bin(c_pair))
+                AS BIGINT)""").as("bits_per")))
+    trans.join(model, Seq("from_type", "to_type"))
+      .groupBy("user_id")
+      .agg(sum(col("n_ut")).as("n_trans"),
+           sum(col("n_ut") * col("bits_per")).as("bits"))
+      .select(expr("CAST(bits * 4 DIV n_trans AS BIGINT)").as("qbits_bucket"),
+              col("n_trans"))
+      .groupBy("qbits_bucket")
+      .agg(count(lit(1)).as("n_users"), sum(col("n_trans")).as("sum_trans"))
+  }
+
+  def eventSeqSurprisal(spark: SparkSession, dir: String): DataFrame =
+    eventSeqSurprisalOf(Feeds.events(spark, dir))
 }

@@ -1,0 +1,237 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical corpus-health profiles — the distribution-shape readouts a
+  * training-data pipeline watches BETWEEN snapshots (is the length mix
+  * drifting per source? is the vocabulary still Zipfian? are the simhash
+  * bits balanced?). All-integer arithmetic throughout (the ⌊log2⌋ /
+  * exact-rational surrogates the text stack already uses), so every
+  * number is bit-stable cross-engine at any scale.
+  *
+  * Scale shape shared by every op here: one partial-agg groupBy collapses
+  * the corpus to a SMALL statistic domain (distinct frequencies, distinct
+  * lengths, 64 bits, |sources|), and any window/sort runs over that
+  * bounded domain — never over rows. Nothing here keeps per-document
+  * state past the first exchange.
+  */
+object Stats {
+
+  private def ilog2(c: String) = s"CAST(length(bin(greatest($c, 1))) - 1 AS BIGINT)"
+
+  /** Zipf-law fit of the word-frequency distribution as EXACT integer
+    * least-squares moments over (x=⌊log2 rank⌋, y=⌊log2 freq⌋): a healthy
+    * natural-language corpus has slope ≈ −1; boilerplate floods or
+    * synthetic-text contamination bend it. The slope is reported as the
+    * exact rational slope_num/slope_den (no float regression — consumers
+    * divide; both engines emit identical BIGINTs).
+    *
+    * Ranks without a vocabulary-wide window: vocabulary collapses to the
+    * frequency HISTOGRAM (freq → n_words, a few hundred rows at any
+    * corpus size since distinct frequencies are ≲ max doc freq), and a
+    * word's rank-block lower bound is 1 + Σ n_words over strictly higher
+    * frequencies — a window over the tiny histogram. Every word in a
+    * block shares x = ⌊log2 rank_lo⌋, so the moment sums weight by
+    * n_words instead of iterating words. Magnitude: moments are ≤
+    * vocab·63² ≈ 4·10¹² at 10⁹ vocab and the slope products ≤ n·sxy —
+    * widen to DECIMAL(38,0) beyond ~10⁸ distinct words (same headroom
+    * note as the principal-dims accumulator). */
+  def zipfFitOf(wordsFlat: DataFrame): DataFrame = {
+    val vocab = wordsFlat.groupBy("w").agg(count(lit(1)).as("n"))
+    val hist = vocab.groupBy("n").agg(count(lit(1)).as("n_words"))
+    val byFreqDesc = Window.orderBy(col("n").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blocks = hist
+      .withColumn("rank_lo",
+        (coalesce(sum(col("n_words")).over(byFreqDesc), lit(0L)) + 1L))
+      .select(col("n_words"),
+        expr(ilog2("rank_lo")).as("x"), expr(ilog2("n")).as("y"))
+    blocks.agg(
+        sum(col("n_words")).as("n_vocab"),
+        sum(col("n_words") * col("x")).as("sx"),
+        sum(col("n_words") * col("y")).as("sy"),
+        sum(col("n_words") * col("x") * col("x")).as("sxx"),
+        sum(col("n_words") * col("x") * col("y")).as("sxy"))
+      .select(col("n_vocab"), col("sx"), col("sy"), col("sxx"), col("sxy"),
+        (col("n_vocab") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n_vocab") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+  }
+
+  def zipfFit(spark: SparkSession, dir: String): DataFrame =
+    zipfFitOf(TextOps.docsWords(spark, dir)
+      .select(col("doc_id"), explode(col("words")).as("w")))
+
+  /** Per-source Kolmogorov–Smirnov drift of the doc-length distribution
+    * against the whole corpus: ks_num = max over observed lengths of
+    * |cdf_source·n_total − cdf_all·n_source| (the KS statistic scaled by
+    * n_source·n_total — an exact integer; ks_ppm divides it back out).
+    * The canary for "source X started shipping truncated/concatenated
+    * docs" that a mean-length monitor misses.
+    *
+    * Scale: docs collapse to the (source × distinct-length) histogram in
+    * one partial-agg groupBy; the CDF windows run over the dense
+    * source×length grid (|sources|·|distinct lengths| — thousands of
+    * rows, corpus-size-independent). Product headroom: cdf·n ≤
+    * n_source·n_total — BIGINT-safe to ~3·10⁹ total docs; widen to
+    * DECIMAL(38,0) beyond. */
+  def ksSourceDriftOf(documents: DataFrame): DataFrame = {
+    val cell = documents.groupBy("source", "n_chars")
+      .agg(count(lit(1)).as("cnt"))
+    val lengths = cell.select("n_chars").distinct()
+    val sources = cell.groupBy("source").agg(sum("cnt").as("n_source"))
+    val globalCdf = cell.groupBy("n_chars").agg(sum("cnt").as("gcnt"))
+      .withColumn("cum_all",
+        sum(col("gcnt")).over(Window.orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val grid = sources.crossJoin(broadcast(lengths))
+      .join(cell, Seq("source", "n_chars"), "left_outer")
+      .na.fill(0L, Seq("cnt"))
+      .withColumn("cum_s",
+        sum(col("cnt")).over(Window.partitionBy("source").orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(globalCdf.select("n_chars", "cum_all"), "n_chars")
+    val total = documents.agg(count(lit(1)).as("n_total"))
+    grid.crossJoin(broadcast(total))
+      .groupBy(col("source"), col("n_source"), col("n_total"))
+      .agg(max(abs(col("cum_s") * col("n_total") -
+                   col("cum_all") * col("n_source"))).as("ks_num"))
+      .select(col("source"), col("n_source"), col("n_total"), col("ks_num"),
+        expr("CAST(ks_num * 1000000 DIV (n_source * n_total) AS BIGINT)")
+          .as("ks_ppm"))
+  }
+
+  def ksSourceDrift(spark: SparkSession, dir: String): DataFrame =
+    ksSourceDriftOf(graft.etl.Feeds.table(spark, dir, "documents"))
+
+  /** Per-source exact second-order moments of (chars, tokens): n, Σx, Σy,
+    * Σx², Σy², Σxy as BIGINTs — the sufficient statistics for mean,
+    * variance and Pearson correlation of length-vs-tokenization, kept as
+    * raw integer sums so the artifact is bit-exact and mergeable across
+    * shards (moments ADD; correlations don't). A tokenizer regression
+    * (chars/token ratio shift) shows up here before any eval does.
+    *
+    * Scale: one partial-agg groupBy on source over map-side integer
+    * products. Headroom: Σx² ≤ n·max_chars² — BIGINT-safe to ~10⁹ docs of
+    * 30k chars; widen to DECIMAL(38,0) beyond. */
+  def lengthTokenMomentsOf(textStats: DataFrame, documents: DataFrame)
+      : DataFrame = {
+    val x = col("n_chars_norm")
+    val y = col("n_tokens")
+    textStats.join(documents.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+           sum(x).as("sx"), sum(y).as("sy"),
+           sum(x * x).as("sxx"), sum(y * y).as("syy"),
+           sum(x * y).as("sxy"))
+  }
+
+  def lengthTokenMoments(spark: SparkSession, dir: String): DataFrame =
+    lengthTokenMomentsOf(TextOps.textStats(spark, dir),
+      graft.etl.Feeds.table(spark, dir, "documents"))
+
+  /** Per-bit ones-rate of the 64-bit SimHash across the corpus — the
+    * sketch-health monitor: a healthy hash keeps every bit near 500 000
+    * ppm; a skewed bit (bad hash mixing, degenerate vocabulary) silently
+    * halves that bit's discriminating power and inflates near-dup false
+    * positives. 64-row output at any corpus size.
+    *
+    * Scale: the hash is the existing map-side codegen kernel; the bit
+    * explode is 64 rows per doc collapsed by a partial-agg groupBy on
+    * bit, so the exchange carries ≤ 64 rows per map partition. */
+  def simhashBitBalanceOf(simhash64: DataFrame): DataFrame =
+    simhash64
+      .select(explode(expr(
+        """transform(sequence(0, 63), b ->
+             struct(CAST(b AS BIGINT) AS bit,
+                    shiftright(simhash64, b) & 1 AS one))""")).as("e"))
+      .groupBy(col("e.bit").as("bit"))
+      .agg(sum(col("e.one")).as("n_ones"), count(lit(1)).as("n_docs"))
+      .withColumn("ones_ppm",
+        expr("CAST(n_ones * 1000000 DIV n_docs AS BIGINT)"))
+
+  def simhashBitBalance(spark: SparkSession, dir: String): DataFrame =
+    simhashBitBalanceOf(Dedup.simhash64(spark, dir))
+
+  /** Top-k shingles by DISTINCT-document frequency — the boilerplate
+    * detector: navigation chrome, license headers and template footers
+    * are exactly the shingles that recur across many documents, and they
+    * are what poisons MinHash buckets (the giant-bucket guard's root
+    * cause) and inflates n-gram novelty. df_ppm = share of docs carrying
+    * the shingle.
+    *
+    * Scale: reuses the memoized distinct-shingle frame (one shuffle,
+    * shared with the dedup/contamination family); the df rollup is a
+    * partial-agg groupBy; the head is TakeOrdered (per-partition top-k +
+    * driver merge of k·P rows, no global sort); the rank window runs
+    * over k rows. */
+  def boilerplateShinglesOf(shingles: DataFrame, nDocs: DataFrame,
+                            k: Int = 20): DataFrame = {
+    val df = shingles.groupBy("shingle").agg(count(lit(1)).as("n_docs"))
+    val top = df.orderBy(col("n_docs").desc, col("shingle")).limit(k)
+    top
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_docs").desc, col("shingle"))).cast("long"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("rank"), col("shingle"), col("n_docs"),
+        expr("CAST(n_docs * 1000000 DIV n_total AS BIGINT)").as("df_ppm"))
+  }
+
+  def boilerplateShingles(spark: SparkSession, dir: String): DataFrame =
+    boilerplateShinglesOf(TextOps.shingles(spark, dir),
+      graft.etl.Feeds.table(spark, dir, "documents")
+        .agg(count(lit(1)).as("n_total")))
+
+  /** Per-source stopword-token rate (ppm) — the coarse register/quality
+    * mix card: natural prose sits in a band, code/tables/navigation fall
+    * far below it, so a source whose stop_ppm drifts is changing WHAT it
+    * ships, not just how much. Composes the existing per-doc text stats;
+    * one partial-agg groupBy on source. */
+  def stopwordProfileOf(textStats: DataFrame, documents: DataFrame)
+      : DataFrame =
+    textStats.join(documents.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).as("sum_tokens"),
+           sum(col("stop_cnt")).as("sum_stop"))
+      .withColumn("stop_ppm",
+        expr("CAST(sum_stop * 1000000 DIV sum_tokens AS BIGINT)"))
+
+  def stopwordProfile(spark: SparkSession, dir: String): DataFrame =
+    stopwordProfileOf(TextOps.textStats(spark, dir),
+      graft.etl.Feeds.table(spark, dir, "documents"))
+
+  /** Per-source exact-dup token inflation — the "what does dedup save
+    * HERE" card: token volume per source vs the volume surviving exact
+    * dedup (keeper = min doc_id per normalized-text fingerprint, the
+    * corpus-wide keeper contract), with the savings in ppm. Sources
+    * quoting big savings are re-crawls/mirrors; the mixture weights
+    * should see post-dedup counts, not raw.
+    *
+    * Scale shape: fingerprint groupBy is the dedup stack's existing
+    * hash-partitioned collapse; the keeper flag joins back on the
+    * fingerprint key; the readout is a partial agg on source. */
+  def dupInflationOf(docsNorm: DataFrame, textStats: DataFrame)
+      : DataFrame = {
+    val keepers = Dedup.exactOf(docsNorm)
+      .select(col("fp"), col("keeper_doc_id"))
+    docsNorm
+      .select(col("doc_id"), col("source"), md5(col("norm")).as("fp"))
+      .join(keepers, "fp")
+      .join(textStats.select("doc_id", "n_tokens"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("doc_id") === col("keeper_doc_id"), 1L)
+             .otherwise(0L)).as("n_keep"),
+           sum(col("n_tokens")).as("tokens_total"),
+           sum(when(col("doc_id") === col("keeper_doc_id"), col("n_tokens"))
+             .otherwise(0L)).as("tokens_keep"))
+      .withColumn("savings_ppm",
+        expr("""CAST((tokens_total - tokens_keep) * 1000000
+                DIV tokens_total AS BIGINT)"""))
+  }
+
+  def dupInflation(spark: SparkSession, dir: String): DataFrame =
+    dupInflationOf(TextOps.docs(spark, dir), TextOps.textStats(spark, dir))
+}

@@ -1272,4 +1272,38 @@ object Vectors {
 
   def principalDims(spark: SparkSession, dir: String): DataFrame =
     principalDimsOf(quantizedCached(spark, dir))
+
+  /** Semantic clusters over the mutual-kNN graph of the eval-query set:
+    * connected components of the edges where a retrieves b AND b
+    * retrieves a in their exact cosine top-k — the reciprocity edges
+    * [[knnMutualOf]] counts, here materialized and clustered. The output
+    * grain is one row per component (min-id label, member count): the
+    * semantic-dedup sibling of the text-side cluster-size readout, run
+    * on embeddings instead of shingles.
+    *
+    * Scale shape: the edge list is bounded by |eval set|·k (mutual
+    * pairs are a subset of the top-k lists — never all-pairs); component
+    * labeling reuses [[Dedup.clustersOf]] (label propagation, O(graph
+    * diameter) bounded joins, driver out of the loop); singleton eval
+    * vectors are restored by a left-anti-free fill so every eval vector
+    * lands in exactly one component. */
+  def knnComponentsOf(exactTopK: DataFrame): DataFrame = {
+    val edges = exactTopK.select("query_id", "cand_id")
+      .where(isQuery(col("cand_id")))
+    val rev = edges.select(col("cand_id").as("query_id"),
+                           col("query_id").as("cand_id"))
+      .withColumn("mutual", lit(1L))
+    val pairs = edges.join(rev, Seq("query_id", "cand_id"))
+      .where(col("query_id") < col("cand_id"))
+      .select(col("query_id").as("doc_a"), col("cand_id").as("doc_b"))
+      .distinct()
+    val nodes = exactTopK.select(col("query_id").as("doc_id")).distinct()
+    val labeled = Dedup.clustersOf(nodes, pairs)
+    labeled.groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"))
+      .select(col("cluster").cast("long").as("cluster"), col("n_members"))
+  }
+
+  def knnComponents(spark: SparkSession, dir: String): DataFrame =
+    knnComponentsOf(annCosineTopK(spark, dir, DefaultK))
 }
