@@ -1125,13 +1125,20 @@ object Analytics {
     * partitions by cohort over the months-since axis — a few dozen rows
     * per cohort, never per sale. */
   def cohortLtvOf(uol: DataFrame): DataFrame = {
-    val custMonths = uol
+    // Pre-partition by customer ALONE (the rolling-7d trick):
+    // HashPartitioning(customer) satisfies the monthly groupBy's
+    // (customer, month) clustering AND the cohort-min window's
+    // (customer) requirement, so cohort assignment is a window over the
+    // collapsed frame — the fact is scanned and shuffled ONCE (a
+    // groupBy-cohorts + join-back branch would re-derive the whole feed
+    // a second time).
+    val custMonths = uol.repartition(col("customer_id"))
       .groupBy(col("customer_id"),
                date_trunc("month", col("date_time")).as("month"))
       .agg(sum(col("payment_amount")).as("rev_m"))
-    val cohorts = custMonths.groupBy("customer_id")
-      .agg(min("month").as("cohort_month"))
-    val cells = custMonths.join(cohorts, "customer_id")
+    val cells = custMonths
+      .withColumn("cohort_month",
+        min(col("month")).over(Window.partitionBy("customer_id")))
       .groupBy(col("cohort_month"),
         ((year(col("month")) - year(col("cohort_month"))) * 12 +
           (month(col("month")) - month(col("cohort_month"))))

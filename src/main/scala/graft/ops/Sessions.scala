@@ -500,6 +500,10 @@ object Sessions {
       .groupBy(col("user_id"), col("from_type"),
                col("event_type").as("to_type"))
       .agg(count(lit(1)).as("n_ut"))
+      // three consumers (pair model, from-model, final join) — truncate
+      // the lineage so the event-sized lag window runs ONCE, not per
+      // branch; the materialized frame is per-user-pair grain (≪ events)
+      .localCheckpoint(true)
     val pairModel = trans.groupBy("from_type", "to_type")
       .agg(sum(col("n_ut")).as("c_pair"))
     val fromModel = pairModel.groupBy("from_type")

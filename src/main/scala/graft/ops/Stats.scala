@@ -77,8 +77,14 @@ object Stats {
     * n_source·n_total — BIGINT-safe to ~3·10⁹ total docs; widen to
     * DECIMAL(38,0) beyond. */
   def ksSourceDriftOf(documents: DataFrame): DataFrame = {
+    // The cell histogram feeds FIVE derivations (lengths, per-source
+    // totals, global CDF, grid, corpus total); without truncation each
+    // branch re-scans the corpus. localCheckpoint materializes the tiny
+    // (|sources|·|lengths|-bounded) frame once — ONE fact-sized pass
+    // end to end, everything downstream is histogram-sized.
     val cell = documents.groupBy("source", "n_chars")
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val lengths = cell.select("n_chars").distinct()
     val sources = cell.groupBy("source").agg(sum("cnt").as("n_source"))
     val globalCdf = cell.groupBy("n_chars").agg(sum("cnt").as("gcnt"))
@@ -92,7 +98,7 @@ object Stats {
         sum(col("cnt")).over(Window.partitionBy("source").orderBy("n_chars")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .join(globalCdf.select("n_chars", "cum_all"), "n_chars")
-    val total = documents.agg(count(lit(1)).as("n_total"))
+    val total = cell.agg(sum("cnt").cast("long").as("n_total"))
     grid.crossJoin(broadcast(total))
       .groupBy(col("source"), col("n_source"), col("n_total"))
       .agg(max(abs(col("cum_s") * col("n_total") -
@@ -209,17 +215,19 @@ object Stats {
     * quoting big savings are re-crawls/mirrors; the mixture weights
     * should see post-dedup counts, not raw.
     *
-    * Scale shape: fingerprint groupBy is the dedup stack's existing
-    * hash-partitioned collapse; the keeper flag joins back on the
-    * fingerprint key; the readout is a partial agg on source. */
+    * Scale shape: one exchange on the fingerprint key (the window-min
+    * keeper flag); the readout is a partial agg on source. */
   def dupInflationOf(docsNorm: DataFrame, textStats: DataFrame)
-      : DataFrame = {
-    val keepers = Dedup.exactOf(docsNorm)
-      .select(col("fp"), col("keeper_doc_id"))
+      : DataFrame =
     docsNorm
       .select(col("doc_id"), col("source"), md5(col("norm")).as("fp"))
-      .join(keepers, "fp")
       .join(textStats.select("doc_id", "n_tokens"), "doc_id")
+      // keeper via a window min over the fingerprint partition — same
+      // keeper contract as Dedup.exactOf (min doc_id per fp) with ONE
+      // exchange on fp instead of a groupBy branch + join-back (which
+      // would re-derive the normalized corpus a second time)
+      .withColumn("keeper_doc_id",
+        min(col("doc_id")).over(Window.partitionBy("fp")))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
            sum(when(col("doc_id") === col("keeper_doc_id"), 1L)
@@ -230,7 +238,6 @@ object Stats {
       .withColumn("savings_ppm",
         expr("""CAST((tokens_total - tokens_keep) * 1000000
                 DIV tokens_total AS BIGINT)"""))
-  }
 
   def dupInflation(spark: SparkSession, dir: String): DataFrame =
     dupInflationOf(TextOps.docs(spark, dir), TextOps.textStats(spark, dir))
