@@ -1238,7 +1238,11 @@ object Vectors {
   }
 
   def knnMutual(spark: SparkSession, dir: String): DataFrame =
-    knnMutualOf(annCosineTopK(spark, dir, DefaultK))
+    // k = 5, the exact-top-k default: the oracle's ann_cosine_topk CTE is
+    // the k=5 list (DefaultK=3 is the IVF SERVING width, not the exact
+    // baseline's) — at sf0.01 the two happened to agree (every mutual
+    // edge sat within rank 3); sf0.1 exposed the drift
+    knnMutualOf(annCosineTopK(spark, dir))
 
   /** PRINCIPAL-DIRECTION profile: one exact power-iteration step
     * y = Σᵢ (qvᵢ·1) · qvᵢ from the all-ones probe over the
@@ -1305,5 +1309,6 @@ object Vectors {
   }
 
   def knnComponents(spark: SparkSession, dir: String): DataFrame =
-    knnComponentsOf(annCosineTopK(spark, dir, DefaultK))
+    // k = 5 to match the oracle's exact-top-k CTE (see knnMutual)
+    knnComponentsOf(annCosineTopK(spark, dir))
 }
