@@ -1520,7 +1520,20 @@ dup_inflation AS (
   FROM docs d
   JOIN dedup_exact e ON e.fp = md5(d.norm)
   JOIN text_stats t ON t.doc_id = d.doc_id
-  GROUP BY 1)
+  GROUP BY 1),
+token_len_hist AS (
+  SELECT CAST(strlen(w) AS BIGINT) AS len_bytes,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT w) AS BIGINT) AS n_words
+  FROM words_flat GROUP BY 1),
+shard_skew AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_shards,
+         CAST(min(sz) AS BIGINT) AS min_sz,
+         CAST(max(sz) AS BIGINT) AS max_sz,
+         CAST(sum(sz) AS BIGINT) AS n_docs,
+         CAST(max(sz) * 1000000 * count(*) // sum(sz) AS BIGINT) AS skew_ppm
+  FROM (SELECT shard, CAST(count(*) AS BIGINT) AS sz
+        FROM shuffle_shards GROUP BY 1) s)
 """
 
   val text: String = text1 + text2

@@ -1883,5 +1883,50 @@ cust_gini AS (
     // ISO day-of-week sales seasonality profile
     "q_sales_dow_profile" -> from("sales_dow"),
     // monthly customer-revenue Gini (exact integer ppm)
-    "q_customer_gini_monthly" -> from("cust_gini"))
+    "q_customer_gini_monthly" -> from("cust_gini"),
+    // token BYTE-length histogram (octet_length — engine-neutral)
+    "q_token_len_hist" -> fromDocs("token_len_hist"),
+    // deterministic shard-size skew monitor (one row)
+    "q_shard_skew_profile" -> fromDocs("shard_skew"),
+    // monthly open-order share + cumulative backlog curve
+    "q_order_backlog" -> """
+      WITH m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(count(*) FILTER (WHERE o_orderstatus <> 'F') AS BIGINT)
+                 AS n_open
+        FROM orders GROUP BY 1)
+      SELECT month, n_orders, n_open,
+             CAST(n_open * 1000000 // n_orders AS BIGINT) AS open_ppm,
+             CAST(sum(n_open) OVER (ORDER BY month
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS backlog
+      FROM m""",
+    // per-product-line exact (quantity, whole-dollar price) moments
+    "q_price_qty_moments" -> """
+      SELECT p_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(q_i) AS BIGINT) AS sx,
+             CAST(sum(p_i) AS BIGINT) AS sy,
+             CAST(sum(q_i * q_i) AS BIGINT) AS sxx,
+             CAST(sum(p_i * p_i) AS BIGINT) AS syy,
+             CAST(sum(q_i * p_i) AS BIGINT) AS sxy
+      FROM (SELECT p_type,
+                   CAST(floor(l_quantity) AS BIGINT) AS q_i,
+                   CAST(floor(l_extendedprice) AS BIGINT) AS p_i
+            FROM lineitem JOIN part ON p_partkey = l_partkey) t
+      GROUP BY 1""",
+    // weekly telemetry-value drift card
+    "q_event_value_weekly" -> """
+      WITH ev AS (
+        SELECT CAST(user_id AS BIGINT) AS u,
+               date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts2,
+               CAST(floor(value) AS BIGINT) AS v
+        FROM events)
+      SELECT CAST(date_trunc('week', ts2) AS TIMESTAMP) AS week,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT u) AS BIGINT) AS n_users,
+             CAST(sum(v) AS BIGINT) AS v_sum,
+             CAST(min(v) AS BIGINT) AS v_min,
+             CAST(max(v) AS BIGINT) AS v_max
+      FROM ev GROUP BY 1""")
 }

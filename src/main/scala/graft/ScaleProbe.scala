@@ -162,7 +162,12 @@ object ScaleProbe {
     // round-12l additions: stopword profile, dup token inflation,
     // day-of-week seasonality, monthly customer-revenue Gini
     "q_stopword_profile", "q_dup_inflation", "q_sales_dow_profile",
-    "q_customer_gini_monthly")
+    "q_customer_gini_monthly",
+    // round-12m additions: token byte-length histogram, shard-size
+    // skew, order backlog curve, price/qty moments, weekly event-value
+    // drift card
+    "q_token_len_hist", "q_shard_skew_profile", "q_order_backlog",
+    "q_price_qty_moments", "q_event_value_weekly")
 
   def makeBig(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     // the embedding rotation below is the identity at i = 64 (reintroducing

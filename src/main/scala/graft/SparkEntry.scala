@@ -501,7 +501,17 @@ object SparkEntry {
       ops.Analytics.salesDowProfileOf(Pipeline.of(s, d).uol)),
     // monthly customer-revenue Gini (exact integer ppm)
     "q_customer_gini_monthly" -> ((s, d) =>
-      ops.Analytics.customerGiniMonthlyOf(Pipeline.of(s, d).uol)))
+      ops.Analytics.customerGiniMonthlyOf(Pipeline.of(s, d).uol)),
+    // token BYTE-length histogram (octet_length — engine-neutral)
+    "q_token_len_hist" -> ((s, d) => ops.Stats.tokenLenHist(s, d)),
+    // deterministic shard-size skew monitor (one row)
+    "q_shard_skew_profile" -> ((s, d) => ops.Stats.shardSkew(s, d)),
+    // monthly open-order share + cumulative backlog curve
+    "q_order_backlog" -> ((s, d) => ops.Analytics.orderBacklog(s, d)),
+    // per-product-line exact (quantity, price) moments
+    "q_price_qty_moments" -> ((s, d) => ops.Analytics.priceQtyMoments(s, d)),
+    // weekly telemetry-value drift card
+    "q_event_value_weekly" -> ((s, d) => ops.Sessions.eventValueWeekly(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

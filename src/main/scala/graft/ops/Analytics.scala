@@ -1224,4 +1224,56 @@ object Analytics {
                 - ((n_custs + 1) * 1000000) DIV n_custs AS BIGINT)""")
           .as("gini_ppm"))
   }
+
+  /** Order-backlog curve: per order month, the count of orders still
+    * not finalized (status ≠ 'F') with its ppm share and the cumulative
+    * backlog over time — the fulfillment-health card an ops team reads
+    * next to the month-over-month revenue curve. All counts exact; the
+    * cumulative window runs over the months axis only.
+    *
+    * Scale shape: one partial-agg groupBy collapses orders to the
+    * months-sized key; the running sum is a window over those few
+    * dozen rows. */
+  def orderBacklogOf(orders: DataFrame): DataFrame = {
+    val m = orders
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(when(col("o_orderstatus") =!= "F", 1L).otherwise(0L))
+             .as("n_open"))
+    m.select(col("month"), col("n_orders"), col("n_open"),
+        expr("CAST(n_open * 1000000 DIV n_orders AS BIGINT)").as("open_ppm"),
+        sum(col("n_open")).over(Window.orderBy("month")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("backlog"))
+  }
+
+  def orderBacklog(spark: SparkSession, dir: String): DataFrame =
+    orderBacklogOf(Feeds.table(spark, dir, "orders"))
+
+  /** Per-product-line exact moments of (quantity, whole-dollar price):
+    * n, Σq, Σp, Σq², Σp², Σqp as BIGINTs — the sufficient statistics
+    * for the price/quantity covariance behind any elasticity readout,
+    * kept as mergeable integer sums (the same contract as the
+    * length/token moments: moments ADD across shards, correlations
+    * don't). Headroom: Σp² ≤ n·maxprice² — BIGINT-safe to ~10⁹ rows of
+    * ~10⁵ $ lines; widen to DECIMAL(38,0) beyond.
+    *
+    * Scale shape: the part join is dimension-sized (broadcast under
+    * AQE); one partial-agg groupBy on the ≤|p_type| key. */
+  def priceQtyMomentsOf(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val q = floor(col("l_quantity")).cast("long")
+    val p = floor(col("l_extendedprice")).cast("long")
+    lineitem.join(part, col("l_partkey") === col("p_partkey"))
+      .select(col("p_type"), q.as("q_i"), p.as("p_i"))
+      .groupBy("p_type")
+      .agg(count(lit(1)).as("n"),
+           sum(col("q_i")).as("sx"), sum(col("p_i")).as("sy"),
+           sum(col("q_i") * col("q_i")).as("sxx"),
+           sum(col("p_i") * col("p_i")).as("syy"),
+           sum(col("q_i") * col("p_i")).as("sxy"))
+  }
+
+  def priceQtyMoments(spark: SparkSession, dir: String): DataFrame =
+    priceQtyMomentsOf(Feeds.table(spark, dir, "lineitem"),
+                      Feeds.table(spark, dir, "part"))
 }

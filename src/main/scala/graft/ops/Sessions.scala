@@ -524,4 +524,28 @@ object Sessions {
 
   def eventSeqSurprisal(spark: SparkSession, dir: String): DataFrame =
     eventSeqSurprisalOf(Feeds.events(spark, dir))
+
+  /** Weekly telemetry-value profile: events, distinct users, and
+    * floor-integer value sum/min/max per week — the drift card that
+    * catches a broken emitter (value unit change, user-id collapse)
+    * in one glance. Integer floors keep every column bit-stable; the
+    * second-truncated ts rule matches the rest of the event stack.
+    *
+    * Scale shape: one partial-agg groupBy on the weeks-sized key;
+    * distinct users partial-aggregate per week. */
+  def eventValueWeeklyOf(events: DataFrame): DataFrame =
+    events
+      .select(date_trunc("week", date_trunc("second", col("ts")))
+                .as("week"),
+              col("user_id").cast("long").as("u"),
+              floor(col("value")).cast("long").as("v"))
+      .groupBy("week")
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(col("u")).as("n_users"),
+           sum(col("v")).as("v_sum"),
+           min(col("v")).as("v_min"),
+           max(col("v")).as("v_max"))
+
+  def eventValueWeekly(spark: SparkSession, dir: String): DataFrame =
+    eventValueWeeklyOf(Feeds.events(spark, dir))
 }

@@ -241,4 +241,45 @@ object Stats {
 
   def dupInflation(spark: SparkSession, dir: String): DataFrame =
     dupInflationOf(TextOps.docs(spark, dir), TextOps.textStats(spark, dir))
+
+  /** Token-length histogram in BYTES (octet_length on both engines —
+    * byte semantics are identical across engines for ANY Unicode input,
+    * unlike length(), which counts UTF-16 units in Spark and code
+    * points in DuckDB): per length, total occurrences and distinct
+    * words. The tokenizer-shape card: a byte-length mass shift means
+    * the tokenizer's chars-per-token budget is about to move.
+    *
+    * Scale: one partial-agg groupBy on the ≤~40-value length key; the
+    * distinct-word count shuffles the vocabulary once (the same grain
+    * every vocab readout pays). */
+  def tokenLenHistOf(wordsFlat: DataFrame): DataFrame =
+    wordsFlat
+      .select(octet_length(col("w")).cast("long").as("len_bytes"), col("w"))
+      .groupBy("len_bytes")
+      .agg(count(lit(1)).as("n_tokens"),
+           countDistinct(col("w")).as("n_words"))
+
+  def tokenLenHist(spark: SparkSession, dir: String): DataFrame =
+    tokenLenHistOf(TextOps.docsWords(spark, dir)
+      .select(col("doc_id"), explode(col("words")).as("w")))
+
+  /** Size distribution of the deterministic training shards — the
+    * skew monitor for the (shard, rank) addressing scheme: a healthy
+    * md5 split keeps every shard within a few percent of the mean;
+    * skew_ppm is max/mean in ppm (exact integer cross-multiplication).
+    * One row out at any corpus size.
+    *
+    * Scale: composes the existing shard assignment (map-side md5),
+    * collapses to |shards| rows in one partial agg, folds to one row. */
+  def shardSkewOf(shards: DataFrame): DataFrame =
+    shards.groupBy("shard").agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_shards"),
+           min("sz").cast("long").as("min_sz"),
+           max("sz").cast("long").as("max_sz"),
+           sum("sz").cast("long").as("n_docs"))
+      .withColumn("skew_ppm",
+        expr("CAST(max_sz * 1000000 * n_shards DIV n_docs AS BIGINT)"))
+
+  def shardSkew(spark: SparkSession, dir: String): DataFrame =
+    shardSkewOf(Sampling.shuffleShards(spark, dir))
 }
