@@ -359,7 +359,10 @@ object ScaleProbe {
         (n, tp, tv)
       }
       val (ng, tg, vg) = timed(ops.Dedup.minhashPairsOf(bands, 256))
-      val (nd, td, vd) = timed(ops.Dedup.minhashPairsOf(bands, Int.MaxValue))
+      // denseGate off: this probe MEASURES the dense blowup the gate exists
+      // to prevent — the seeded boilerplate bucket must be allowed to run
+      val (nd, td, vd) = timed(
+        ops.Dedup.minhashPairsOf(bands, Int.MaxValue, Int.MaxValue))
       bands.unpersist()
       println(f"[guard] $tag%-4s guarded pairs=$ng%9d (${tg}%6.2fs, " +
         f"editdist ${vg}%6.2fs)  dense pairs=$nd%9d (${td}%6.2fs, " +

@@ -256,7 +256,14 @@ object Basket {
     * Frontier frames stay node-sized; the hub seed is a 1-row broadcast.
     * A diameter-sized loop would be the scale risk — k is a constant.
     * Min-hop, not path enumeration: the union can re-reach a node, the
-    * final min() collapses it (no exponential path blowup). */
+    * final min() collapses it (no exponential path blowup).
+    *
+    * Persist hygiene: the per-call frames (symmetrized edges + one
+    * frontier per hop) are EAGER-scoped — the final rollup is at most
+    * `maxHops + 1` rows, so it is materialized here (a bounded collect,
+    * same stance as Layout's scalar metrics) and every per-call frame is
+    * unpersisted before returning. A long-lived session can call this
+    * repeatedly without accreting ~4 cached frames per invocation. */
   def graphHopsOf(edges0: DataFrame, maxHops: Int = 3): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sym = edges0.select(col("u").as("src"), col("v").as("dst"))
@@ -269,20 +276,29 @@ object Basket {
       .select(col("node"))
     // no broadcast hint: hop-0 is one row but later frontiers grow —
     // AQE picks broadcast vs shuffle per round from actual sizes
+    val frontiers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var frontier = seed.persist(MEMORY_AND_DISK)
+    frontiers += frontier
     var reached = frontier.select(col("node"), lit(0L).as("hops"))
     for (h <- 1 to maxHops) {
       frontier = sym
         .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node")).distinct()
         .persist(MEMORY_AND_DISK)
+      frontiers += frontier
       reached = reached.unionAll(
         frontier.select(col("node"), lit(h.toLong).as("hops")))
     }
-    reached
+    val rollup = reached
       .groupBy("node").agg(min("hops").as("min_hops"))
       .groupBy(col("min_hops").as("hops"))
       .agg(count(lit(1)).as("n_items"))
+    val rows = rollup.collect() // ≤ maxHops + 1 rows by construction
+    frontiers.foreach(_.unpersist())
+    sym.unpersist()
+    rollup.sparkSession.createDataFrame(
+      rollup.sparkSession.sparkContext.parallelize(rows.toIndexedSeq, 1),
+      rollup.schema)
   }
 
   def graphHops(spark: SparkSession, dir: String): DataFrame =

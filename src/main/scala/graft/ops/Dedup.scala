@@ -23,6 +23,13 @@ import scala.jdk.CollectionConverters._
   */
 object Dedup {
 
+  /** Loud-failure ceiling for the EXACT (guard-off) minhash pair list: a
+    * bucket of B docs emits C(B,2) pairs, so 4096 caps any one bucket at
+    * ~8.4M pairs — far above every natural bucket at the driver SFs and
+    * probe tiers, far below the web-corpus boilerplate buckets that make
+    * the dense form quadratic. See [[minhashPairsOf]]. */
+  val DenseBucketGate: Int = 4096
+
   /** Exact dedup: group by md5(normalized text); keeper = min doc_id. */
   def exactOf(docsNorm: DataFrame): DataFrame =
     docsNorm
@@ -167,13 +174,37 @@ object Dedup {
     * dense pair list (the oracle-checked parity form, no stats join in the
     * plan). The guard is entirely LAZY — no Spark job runs at query
     * construction; use [[minhashGiantBuckets]] to inspect/log what a guard
-    * run would degrade. */
-  def minhashPairsOf(bands0: DataFrame, maxBucket: Int = 256): DataFrame = {
+    * run would degrade.
+    *
+    * The exact form is additionally gated: `denseGate` is an IN-PLAN
+    * assertion (window count per bucket + `raise_error` filter) that makes
+    * a run over a corpus with any bucket larger than the gate fail loudly
+    * instead of running O(C(bucket,2)) quadratic — the dense list is a
+    * driver-SF oracle baseline, not a production path, and a future
+    * larger-SF run must not silently pay the blowup. The gate does not
+    * change the output (the filter passes every row of a compliant
+    * corpus); measurement harnesses that deliberately probe the dense
+    * blowup ([[graft.ScaleProbe.guardProbe]]) pass
+    * `denseGate = Int.MaxValue`. */
+  def minhashPairsOf(bands0: DataFrame, maxBucket: Int = 256,
+                     denseGate: Int = DenseBucketGate): DataFrame = {
     val bands = bands0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (maxBucket == Int.MaxValue) {
-      // exact dense bucket join — plain plan, no stats join
+      // exact dense bucket join — plain plan, no stats join (the gate
+      // window reuses the join's own (band, band_hash) partitioning)
+      val byBucket = org.apache.spark.sql.expressions.Window
+        .partitionBy("band", "band_hash")
       val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
+        .withColumn("_bsz", count(lit(1)).over(byBucket))
+        .where(when(col("_bsz") > lit(denseGate.toLong),
+          raise_error(concat(
+            lit(s"dense minhash pair list: bucket size "),
+            col("_bsz").cast("string"),
+            lit(s" exceeds denseGate=$denseGate — the exact dense form is " +
+              "O(C(bucket,2)); use the guarded pair list (maxBucket=256)"))))
+          .otherwise(lit(true)))
+        .drop("_bsz")
       val c = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
       return a.join(c, Seq("band", "band_hash"))
         .where(col("doc_a") < col("doc_b"))

@@ -1296,7 +1296,6 @@ object Vectors {
       .where(isQuery(col("cand_id")))
     val rev = edges.select(col("cand_id").as("query_id"),
                            col("query_id").as("cand_id"))
-      .withColumn("mutual", lit(1L))
     val pairs = edges.join(rev, Seq("query_id", "cand_id"))
       .where(col("query_id") < col("cand_id"))
       .select(col("query_id").as("doc_a"), col("cand_id").as("doc_b"))
