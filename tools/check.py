@@ -38,16 +38,17 @@ def norm_raw(df: pd.DataFrame) -> pd.DataFrame:
         s = s.sort_values(by=list(s.columns), kind="mergesort")
     return s.reset_index(drop=True)
 
-def main():
-    sfdir, outdir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+def compare(sfdir, outdir, only=None, log=print):
+    """Run the DuckDB compare for every oracle entry in `outdir` (or the
+    `only` subset) against `sfdir`'s tables. Returns {name: status} where
+    status is "ok" or the failure kind (reused by check_multi.py)."""
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-    n_ok = n_bad = 0
+    statuses = {}
     for name in sorted(oracle):
         if only and name not in only:
             continue
@@ -55,42 +56,50 @@ def main():
         try:
             exp = con.execute(sql).df()
         except Exception as e:
-            print(f"{name:32s} ORACLE-ERROR {e}")
-            n_bad += 1
+            log(f"{name:32s} ORACLE-ERROR {e}")
+            statuses[name] = "oracle-error"
             continue
         try:
             got = pd.read_parquet(f"{outdir}/{name}")
         except Exception as e:
-            print(f"{name:32s} SPARK-MISSING {e}")
-            n_bad += 1
+            log(f"{name:32s} SPARK-MISSING {e}")
+            statuses[name] = "spark-missing"
             continue
         a, b = norm(exp), norm(got)
         if list(a.columns) != list(b.columns):
-            print(f"{name:32s} COLUMN-MISMATCH oracle={list(a.columns)} spark={list(b.columns)}")
-            n_bad += 1
+            log(f"{name:32s} COLUMN-MISMATCH oracle={list(a.columns)} spark={list(b.columns)}")
+            statuses[name] = "column-mismatch"
         elif len(a) != len(b):
-            print(f"{name:32s} ROWCOUNT oracle={len(a)} spark={len(b)}")
-            n_bad += 1
+            log(f"{name:32s} ROWCOUNT oracle={len(a)} spark={len(b)}")
+            statuses[name] = "rowcount"
         elif not a.equals(b):
             diff = (a != b).any(axis=1)
             i = diff.idxmax()
-            print(f"{name:32s} VALUE-MISMATCH {int(diff.sum())}/{len(a)} rows; first at {i}:")
-            print("  oracle:", dict(a.loc[i]))
-            print("  spark :", dict(b.loc[i]))
-            n_bad += 1
+            log(f"{name:32s} VALUE-MISMATCH {int(diff.sum())}/{len(a)} rows; first at {i}:")
+            log(f"  oracle: {dict(a.loc[i])}")
+            log(f"  spark : {dict(b.loc[i])}")
+            statuses[name] = "value-mismatch"
         else:
             ra, rb = norm_raw(exp), norm_raw(got)
             if not ra.equals(rb):
                 diff = (ra != rb).any(axis=1)
                 i = diff.idxmax()
-                print(f"{name:32s} RENDER-MISMATCH (driver hash would "
-                      f"differ; values equal after convert_dtypes)")
-                print("  oracle:", dict(ra.loc[i]))
-                print("  spark :", dict(rb.loc[i]))
-                n_bad += 1
+                log(f"{name:32s} RENDER-MISMATCH (driver hash would "
+                    f"differ; values equal after convert_dtypes)")
+                log(f"  oracle: {dict(ra.loc[i])}")
+                log(f"  spark : {dict(rb.loc[i])}")
+                statuses[name] = "render-mismatch"
             else:
-                print(f"{name:32s} OK ({len(a)} rows)")
-                n_ok += 1
+                log(f"{name:32s} OK ({len(a)} rows)")
+                statuses[name] = "ok"
+    return statuses
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    statuses = compare(sfdir, outdir, only)
+    n_ok = sum(1 for s in statuses.values() if s == "ok")
+    n_bad = len(statuses) - n_ok
     print(f"== {n_ok} ok, {n_bad} bad")
     sys.exit(1 if n_bad else 0)
 

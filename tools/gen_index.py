@@ -1,0 +1,169 @@
+#!/usr/bin/env python3
+"""Generate queries_index.json — the machine-readable coverage index.
+
+Usage: python3 tools/gen_index.py [--probe <scaleprobe.log> ...]
+
+One row per SparkEntry.queries entry:
+    {"q_x": {"entry": "src/main/scala/graft/SparkEntry.scala:244",
+             "impl": "src/main/scala/graft/ops/Analytics.scala:333",
+             "oracle": "src/main/scala/graft/Oracle.scala:87",
+             "spec": "src/test/scala/graft/ops/AnalyticsSpec.scala",
+             "probe_ratio_8x": 1.2}}
+
+- entry: the registration line in SparkEntry.scala (always present).
+- impl: the definition site of the first graft method the entry's lambda
+  calls (resolved by scanning main sources for `def`/`val` declarations);
+  falls back to the entry line for inline compositions.
+- oracle: the `"q_x" ->` line in Oracle.scala.
+- spec: the first test source mentioning the impl method (or query name).
+- probe_ratio_8x: cross-run MIN of the query's ratio over the `[scale]`
+  lines of the probe logs passed via --probe (null when no log given).
+
+QueriesIndexSpec pins the key set to SparkEntry.queries, so adding a
+query without regenerating the index is a red build.
+"""
+import json, os, re, subprocess, sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENTRY_FILE = "src/main/scala/graft/SparkEntry.scala"
+ORACLE_FILE = "src/main/scala/graft/Oracle.scala"
+
+def read(path):
+    with open(os.path.join(ROOT, path)) as f:
+        return f.read()
+
+def scala_sources(root_rel):
+    out = []
+    for dirpath, _, files in os.walk(os.path.join(ROOT, root_rel)):
+        for fn in sorted(files):
+            if fn.endswith(".scala"):
+                out.append(os.path.relpath(os.path.join(dirpath, fn), ROOT))
+    return out
+
+def parse_entries():
+    """{name: (entry_line, rhs_text)} in registration order."""
+    lines = read(ENTRY_FILE).split("\n")
+    starts = []  # (idx, name)
+    for i, l in enumerate(lines):
+        m = re.search(r'"(q_\w+)"\s*->', l)
+        if m:
+            starts.append((i, m.group(1)))
+    entries = {}
+    for j, (i, name) in enumerate(starts):
+        end = starts[j + 1][0] if j + 1 < len(starts) else i + 6
+        rhs = "\n".join(lines[i:end])
+        entries[name] = (i + 1, rhs)
+    return entries
+
+def build_decl_index():
+    """{(Object, member): 'file:line'} for every def/val in main sources."""
+    decl = {}
+    for path in scala_sources("src/main/scala"):
+        text = read(path)
+        obj = None
+        for i, l in enumerate(text.split("\n")):
+            m = re.search(r"\bobject\s+(\w+)", l)
+            if m:
+                obj = m.group(1)
+            m = re.search(r"\b(?:def|(?:lazy\s+)?val)\s+(\w+)\b", l)
+            if m and obj:
+                decl.setdefault((obj, m.group(1)), f"{path}:{i + 1}")
+    return decl
+
+def resolve_impl(rhs, decl, entry_loc):
+    # explicit Object.method calls (skip the registration helpers); the
+    # (spark, dir) wrappers delegate to a testable `*Of` core — anchor there
+    # when one exists
+    for obj, meth in re.findall(r"\b([A-Z]\w+)\.(\w+)", rhs):
+        if (obj, meth) in (("Pipeline", "of"), ("SparkEntry", "queries")):
+            continue
+        loc = decl.get((obj, meth + "Of")) or decl.get((obj, meth))
+        if loc:
+            return loc
+    # Pipeline.of(s, d).member property accesses
+    for meth in re.findall(r"Pipeline\.of\([^)]*\)\.(\w+)", rhs):
+        loc = decl.get(("Pipeline", meth))
+        if loc:
+            return loc
+    return entry_loc
+
+def parse_oracle_lines():
+    out = {}
+    for i, l in enumerate(read(ORACLE_FILE).split("\n")):
+        m = re.search(r'"(q_\w+)"\s*->', l)
+        if m:
+            out.setdefault(m.group(1), f"{ORACLE_FILE}:{i + 1}")
+    return out
+
+def find_spec(name, impl_loc, rhs, test_texts):
+    # candidate tokens: the impl declaration's name, then every method the
+    # entry's lambda calls (and its `*Of` core sibling), then the query name
+    tokens = []
+    m = re.search(r"/(\w+)\.scala:(\d+)$", impl_loc)
+    if m:
+        path = impl_loc.split(":")[0]
+        line_no = int(impl_loc.split(":")[1])
+        line = read(path).split("\n")[line_no - 1]
+        d = re.search(r"\b(?:def|(?:lazy\s+)?val)\s+(\w+)\b", line)
+        if d:
+            tokens.append(d.group(1))
+    for obj, meth in re.findall(r"\b([A-Z]\w+)\.(\w+)", rhs):
+        if (obj, meth) != ("Pipeline", "of"):
+            tokens += [meth + "Of", meth]
+    tokens.append(name)
+    for tok in tokens:
+        pat = re.compile(r"\b" + re.escape(tok) + r"\b")
+        for path, text in test_texts:
+            if pat.search(text):
+                return path
+    return None
+
+def parse_probe_logs(paths):
+    """Cross-run MIN ratio per query over `[scale] q_x  t1 tN ratio` rows."""
+    ratios = {}
+    for p in paths:
+        with open(p) as f:
+            for l in f:
+                m = re.match(r"\[scale\]\s+(q_\w+)\s+([\d.]+)\s+([\d.]+)\s+([\d.]+)", l)
+                if m:
+                    name, r = m.group(1), float(m.group(4))
+                    ratios[name] = min(r, ratios.get(name, float("inf")))
+    return ratios
+
+def main():
+    probe_logs = []
+    args = sys.argv[1:]
+    while args:
+        if args[0] == "--probe":
+            probe_logs.append(args[1]); args = args[2:]
+        else:
+            sys.exit(f"unknown arg {args[0]}")
+    entries = parse_entries()
+    decl = build_decl_index()
+    oracle = parse_oracle_lines()
+    ratios = parse_probe_logs(probe_logs)
+    test_texts = [(p, read(p)) for p in scala_sources("src/test/scala")]
+    index = {}
+    for name, (line, rhs) in sorted(entries.items()):
+        entry_loc = f"{ENTRY_FILE}:{line}"
+        impl = resolve_impl(rhs, decl, entry_loc)
+        index[name] = {
+            "entry": entry_loc,
+            "impl": impl,
+            "oracle": oracle.get(name),
+            "spec": find_spec(name, impl, rhs, test_texts),
+            "probe_ratio_8x": ratios.get(name),
+        }
+    doc = {"n_queries": len(index), "queries": index}
+    out = os.path.join(ROOT, "queries_index.json")
+    with open(out, "w") as f:
+        json.dump(doc, f, indent=1)
+        f.write("\n")
+    n_oracle = sum(1 for v in index.values() if v["oracle"])
+    n_spec = sum(1 for v in index.values() if v["spec"])
+    n_probe = sum(1 for v in index.values() if v["probe_ratio_8x"] is not None)
+    print(f"queries_index.json: {len(index)} queries, {n_oracle} with oracle "
+          f"anchor, {n_spec} with spec, {n_probe} with probe ratio")
+
+if __name__ == "__main__":
+    main()
