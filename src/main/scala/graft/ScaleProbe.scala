@@ -238,6 +238,11 @@ object ScaleProbe {
     // nanosAsLong lets the NANOS vintage load (as raw longs), and
     // Feeds.normalizeEventTs converts either representation identically
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (args.contains("cust-only")) { // fast path: just the custkey probe
+      custProbe(spark, src, copies)
+      spark.stop()
+      return
+    }
     makeBig(spark, src, dst, copies)
     println(s"[scale] built ${copies}x dataset at $dst")
 
@@ -320,7 +325,45 @@ object ScaleProbe {
     println(f"[scale] WH TOTAL 1x=$ws1%.1fs ${copies}x=$wsN%.1fs ratio=${wsN / ws1}%.1f (ideal ≤ $copies)")
 
     guardProbe(spark, src, dst, copies)
+    custProbe(spark, src, copies)
     spark.stop()
+  }
+
+  /** Custkey-shifted probe variant (r12 verdict task 4). The default
+    * builder shifts o_orderkey but NOT o_custkey, so every copy lands in
+    * the same per-customer partitions: order histories genuinely deepen
+    * N× and q_order_gaps' per-customer sort pays the extra log factor
+    * (cross-run min-ratio 9.9 at 8× in r12 — adjudicated, not a plan
+    * defect). Real corpus growth adds CUSTOMERS at roughly constant
+    * history depth; this variant shifts o_custkey per copy exactly like
+    * the doc/event keys, keeping per-group depth constant, and measures
+    * q_order_gaps there — pinning the "linear at real growth" claim.
+    * Only the orders table is synthesized (the customer dim is copied
+    * unshifted by the main builder, so custkey JOINS would miss by
+    * construction — q_order_gaps reads orders alone). */
+  def custProbe(spark: SparkSession, src: String, copies: Int): Unit = {
+    val dstCust = s"/tmp/graft_sf_cust_x$copies"
+    val K = 100000000L
+    val base = spark.read.parquet(s"$src/orders.parquet")
+    (0 until copies)
+      .map(i => base
+        .withColumn("o_orderkey", col("o_orderkey") + lit(i * K))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * K)))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dstCust/orders.parquet")
+    def time(dir: String): Double = {
+      spark.catalog.clearCache()
+      Caches.invalidateAll(spark)
+      val t0 = System.nanoTime()
+      SparkEntry.queries("q_order_gaps")(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    time(src) // warm code paths
+    val t1 = time(src)
+    val tN = time(dstCust)
+    println(f"[scale-cust] q_order_gaps (o_custkey shifted) 1x=$t1%.2fs " +
+      f"${copies}x=$tN%.2fs ratio=${tN / t1}%.1f (ideal ≤ $copies; " +
+      "constant per-customer depth)")
   }
 
   /** Measured (not asserted) payoff of the giant-bucket star guard: seed
