@@ -1679,6 +1679,105 @@ cust_gini AS (
         AND NOT EXISTS (SELECT 1 FROM recent r
                         WHERE r.o_custkey = bal.c_custkey)
       GROUP BY 1""",
+    // round-13 TPC-H classics (adapted: supply facts from lineitem,
+    // lateness from the orderdate->shipdate lag; see ops/TpchShapes)
+    "q_q2_min_cost_supp" -> """
+      WITH supply AS (
+        SELECT l_partkey, l_suppkey,
+               min(CAST(floor(l_extendedprice * 100 / l_quantity) AS BIGINT))
+                 AS unit_cost_c
+        FROM lineitem GROUP BY 1, 2),
+      eligible AS (
+        SELECT supply.l_partkey, supply.l_suppkey, unit_cost_c, s_name, n_name
+        FROM supply
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey AND r_name = 'EUROPE'),
+      best AS (SELECT l_partkey, min(unit_cost_c) AS best_cost
+               FROM eligible GROUP BY 1)
+      SELECT p_partkey, p_brand, p_size, s_name, n_name, e.unit_cost_c
+      FROM eligible e
+      JOIN best b ON b.l_partkey = e.l_partkey
+                 AND e.unit_cost_c = b.best_cost
+      JOIN part ON p_partkey = e.l_partkey AND p_size <= 15""",
+    "q_q11_important_share" -> """
+      WITH val AS (
+        SELECT n_name, l_partkey AS p_key,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) * 100
+                    AS BIGINT) AS value_c
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        GROUP BY 1, 2),
+      tot AS (SELECT n_name, CAST(sum(value_c) AS BIGINT) AS total_c,
+                     CAST(count(*) AS BIGINT) AS n_parts
+              FROM val GROUP BY 1)
+      SELECT v.n_name, p_key, value_c
+      FROM val v JOIN tot t ON t.n_name = v.n_name
+      WHERE value_c * n_parts > 4 * total_c""",
+    "q_q12_priority_ship" -> """
+      SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE datediff('day', CAST(o_orderdate AS DATE),
+                     CAST(l_shipdate AS DATE)) > 90
+      GROUP BY 1""",
+    "q_q16_part_supplier_cnt" -> """
+      SELECT p_brand, p_type, p_size,
+             CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand <> 'Brand#1'
+        AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+      GROUP BY 1, 2, 3""",
+    "q_q19_disc_revenue" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(COALESCE(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) *
+                  (CAST(1 AS DECIMAL(14,2)) - CAST(l_discount AS DECIMAL(14,2)))
+                  AS DECIMAL(24,4))), 0) AS DOUBLE) AS revenue
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 5
+             AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#9' AND p_size BETWEEN 1 AND 10
+             AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 20 AND 30)""",
+    "q_q20_dominant_supplier" -> """
+      WITH sp AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem GROUP BY 1, 2),
+      pt AS (SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS total_qty,
+                    CAST(count(*) AS BIGINT) AS n_supp
+             FROM sp GROUP BY 1)
+      SELECT s_name, n_name, CAST(count(*) AS BIGINT) AS n_dominant_parts
+      FROM sp JOIN pt USING (l_partkey)
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE qty * n_supp > 2 * total_qty AND n_supp >= 2
+      GROUP BY 1, 2""",
+    "q_q21_late_only_supplier" -> """
+      WITH ord AS (
+        SELECT l_orderkey, l_suppkey,
+               max(CASE WHEN datediff('day', CAST(o_orderdate AS DATE),
+                                      CAST(l_shipdate AS DATE)) > 365
+                   THEN 1 ELSE 0 END) AS is_late
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        GROUP BY 1, 2),
+      agg AS (
+        SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_supp,
+               CAST(sum(is_late) AS BIGINT) AS n_late
+        FROM ord GROUP BY 1)
+      SELECT s_name, n_name, CAST(count(*) AS BIGINT) AS numwait
+      FROM ord JOIN agg USING (l_orderkey)
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE is_late = 1 AND n_supp >= 2 AND n_late = 1
+      GROUP BY 1, 2""",
     // per-source hapax-legomena vocabulary-tail profile
     "q_hapax_rate" -> fromDocs("hapax_rate"),
     // per-user event-type diversity entropy (ilog2 integer surrogate —

@@ -167,7 +167,11 @@ object ScaleProbe {
     // skew, order backlog curve, price/qty moments, weekly event-value
     // drift card
     "q_token_len_hist", "q_shard_skew_profile", "q_order_backlog",
-    "q_price_qty_moments", "q_event_value_weekly")
+    "q_price_qty_moments", "q_event_value_weekly",
+    // round-13 additions: the remaining TPC-H classic shapes
+    "q_q2_min_cost_supp", "q_q11_important_share", "q_q12_priority_ship",
+    "q_q16_part_supplier_cnt", "q_q19_disc_revenue",
+    "q_q20_dominant_supplier", "q_q21_late_only_supplier")
 
   def makeBig(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     // the embedding rotation below is the identity at i = 64 (reintroducing

@@ -440,6 +440,16 @@ object SparkEntry {
     "q_q18_bulk_orders" -> ((s, d) => ops.Analytics.bulkOrders(s, d)),
     // idle above-average balances per nation (TPC-H Q22 shape)
     "q_q22_idle_balance" -> ((s, d) => ops.Analytics.idleBalance(s, d)),
+    // round-13: the remaining TPC-H classic shapes, adapted to the
+    // driver tables (no partsupp / shipmode / receipt columns) — with
+    // these all 22 classic shapes are covered
+    "q_q2_min_cost_supp" -> ((s, d) => ops.TpchShapes.minCostSupplier(s, d)),
+    "q_q11_important_share" -> ((s, d) => ops.TpchShapes.importantPartValue(s, d)),
+    "q_q12_priority_ship" -> ((s, d) => ops.TpchShapes.priorityShipClasses(s, d)),
+    "q_q16_part_supplier_cnt" -> ((s, d) => ops.TpchShapes.partSupplierCnt(s, d)),
+    "q_q19_disc_revenue" -> ((s, d) => ops.TpchShapes.discountedRevenue(s, d)),
+    "q_q20_dominant_supplier" -> ((s, d) => ops.TpchShapes.dominantSuppliers(s, d)),
+    "q_q21_late_only_supplier" -> ((s, d) => ops.TpchShapes.lateOnlySupplier(s, d)),
     // per-source hapax-legomena vocabulary-tail profile
     "q_hapax_rate" -> ((s, d) => ops.TextOps.hapaxRate(s, d)),
     // per-user event-type diversity entropy (integer surrogate)
@@ -521,5 +531,8 @@ object SparkEntry {
     * Every name here must ship with a fully-green three-SF row in the
     * committed CORRECTNESS_multi.json (VerifyMultiSpec pins it); reset to
     * the new additions at the start of each round. */
-  def newThisRound: Set[String] = Set()
+  def newThisRound: Set[String] = Set(
+    "q_q2_min_cost_supp", "q_q11_important_share", "q_q12_priority_ship",
+    "q_q16_part_supplier_cnt", "q_q19_disc_revenue",
+    "q_q20_dominant_supplier", "q_q21_late_only_supplier")
 }

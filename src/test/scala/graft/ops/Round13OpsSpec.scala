@@ -40,6 +40,64 @@ class Round13OpsSpec extends SparkSpec {
       s"expected the denseGate raise, got: $ex")
   }
 
+  test("q2 shape: min-cost tie keeps BOTH suppliers, region prunes") {
+    val li = Seq(
+      (1L, 10L, 100L, 2.0, 40.0),  // part 10, supp 100: unit 20.00
+      (2L, 10L, 101L, 1.0, 20.0),  // part 10, supp 101: unit 20.00 (tie)
+      (3L, 10L, 102L, 1.0, 30.0),  // part 10, supp 102: unit 30.00
+      (4L, 11L, 103L, 1.0, 10.0))  // part 11 only in the OTHER region
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+            "l_extendedprice")
+    val supp = Seq((100L, "S100", 0L), (101L, "S101", 0L),
+                   (102L, "S102", 0L), (103L, "S103", 1L))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+    val nat = Seq((0L, "N0", 0L), (1L, "N1", 1L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val reg = Seq((0L, "EUROPE"), (1L, "ASIA")).toDF("r_regionkey", "r_name")
+    val part = Seq((10L, "B1", 5), (11L, "B2", 5))
+      .toDF("p_partkey", "p_brand", "p_size")
+    val r = TpchShapes.minCostSupplierOf(li, supp, nat, reg, part)
+      .select("p_partkey", "s_name", "unit_cost_c")
+      .as[(Long, String, Long)].collect().toSet
+    assert(r == Set((10L, "S100", 2000L), (10L, "S101", 2000L)))
+  }
+
+  test("q20/q21 shapes: dominance cross-multiply and sole-late logic") {
+    val d0 = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
+    def ship(days: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2000, 1, 1, 0, 0).plusDays(days))
+    // order 1: supp 100 late, supp 101 on time -> 100 counted
+    // order 2: both late -> neither counted; order 3: single-supplier
+    val li = Seq(
+      (1L, 10L, 100L, 10.0, ship(400)), (1L, 10L, 101L, 1.0, ship(10)),
+      (2L, 10L, 100L, 1.0, ship(400)), (2L, 10L, 101L, 1.0, ship(500)),
+      (3L, 10L, 100L, 1.0, ship(400)))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+            "l_shipdate")
+    val ord = Seq((1L, d0), (2L, d0), (3L, d0))
+      .toDF("o_orderkey", "o_orderdate")
+    val supp = Seq((100L, "S100", 0L), (101L, "S101", 0L))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+    val nat = Seq((0L, "N0")).toDF("n_nationkey", "n_name")
+    val late = TpchShapes.lateOnlySupplierOf(li, ord, supp, nat)
+      .select("s_name", "numwait").as[(String, Long)].collect().toSet
+    assert(late == Set(("S100", 1L)))
+    // dominance needs n_supp >= 3 (with 2 suppliers, qty*2 > 2*total is
+    // impossible): part 10 qty supp100=12 supp101=2 supp102=1, total 15,
+    // n_supp 3 -> 12*3=36 > 30 true only for supp100
+    val li3 = Seq(
+      (1L, 10L, 100L, 12.0), (1L, 10L, 101L, 2.0), (2L, 10L, 102L, 1.0),
+      (3L, 11L, 100L, 9.0)) // part 11: single supplier -> excluded
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val supp3 = Seq((100L, "S100", 0L), (101L, "S101", 0L),
+                    (102L, "S102", 0L))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+    val dom = TpchShapes.dominantSuppliersOf(li3, supp3, nat)
+      .select("s_name", "n_dominant_parts").as[(String, Long)]
+      .collect().toSet
+    assert(dom == Set(("S100", 1L)))
+  }
+
   test("dense-pair gate: compliant corpus output is unchanged") {
     val bands = bandsOf(
       (1L to 5L).map(i => (i, 0, "h0")) ++ Seq((6L, 1, "h1"), (7L, 1, "h1")))
