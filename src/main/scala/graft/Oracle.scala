@@ -1778,6 +1778,103 @@ cust_gini AS (
       JOIN nation ON n_nationkey = s_nationkey
       WHERE is_late = 1 AND n_supp >= 2 AND n_late = 1
       GROUP BY 1, 2""",
+    // round-13 training-data ops (see ops/Vectors, TextOps, Stats, Dedup,
+    // Corpus, Analytics scaladocs)
+    "q_ann_range_count" -> (docsPrelude + """
+      SELECT query_id, CAST(count(*) AS BIGINT) AS n_in_range
+      FROM (SELECT query_id,
+                   CAST(dot AS DOUBLE)
+                     / sqrt(CAST(qa2 AS DOUBLE) * CAST(ca2 AS DOUBLE))
+                     AS score
+            FROM ann_scores) s
+      WHERE score >= 0.25 GROUP BY 1"""),
+    "q_readability" -> (docsPrelude + """
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars_n) * 100 // sum(n_tok) AS BIGINT)
+               AS chars_per_word_c,
+             CAST(sum(n_tok) * 100 // sum(n_sent) AS BIGINT)
+               AS words_per_sent_c
+      FROM (SELECT lang, CAST(length(norm) AS BIGINT) AS n_chars_n,
+                   CAST(len(words) AS BIGINT) AS n_tok,
+                   CAST(length(norm) - length(replace(norm, '.', '')) + 1
+                        AS BIGINT) AS n_sent
+            FROM docs_words) t
+      GROUP BY 1"""),
+    "q_token_doc_freq" -> (docsPrelude + """
+      SELECT CAST(length(bin(greatest(df, 1))) - 1 AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(df) AS BIGINT) AS sum_df
+      FROM (SELECT w, CAST(count(*) AS BIGINT) AS df
+            FROM words_dist GROUP BY 1) t
+      GROUP BY 1"""),
+    "q_heaps_law" -> (docsPrelude + """
+      SELECT bucket, new_words,
+             CAST(sum(new_words) OVER (ORDER BY bucket
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+      FROM (SELECT CAST(length(bin(greatest(min_doc, 1))) - 1 AS BIGINT)
+                     AS bucket,
+                   CAST(count(*) AS BIGINT) AS new_words
+            FROM (SELECT w, min(doc_id) AS min_doc
+                  FROM words_dist GROUP BY 1) f
+            GROUP BY 1) b"""),
+    "q_simhash_precision_curve" -> (docsPrelude + """
+      SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN md5(da.norm) = md5(db.norm)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+      FROM simhash_pairs p
+      JOIN docs da ON da.doc_id = p.doc_a
+      JOIN docs db ON db.doc_id = p.doc_b
+      GROUP BY 1"""),
+    "q_dup_lang_pairs" -> (docsPrelude + """
+      SELECT least(la.lang, lb.lang) AS lang_a,
+             greatest(la.lang, lb.lang) AS lang_b,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM minhash_pairs_guarded p
+      JOIN docs la ON la.doc_id = p.doc_a
+      JOIN docs lb ON lb.doc_id = p.doc_b
+      GROUP BY 1, 2"""),
+    "q_source_quality_matrix" -> (docsPrelude + """
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(qppm) // count(*) AS BIGINT) AS mean_quality_ppm,
+             CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
+             CAST(sum(is_dup) * 1000000 // count(*) AS BIGINT) AS dup_ppm
+      FROM (SELECT d.source, d.lang,
+                   CAST(floor(q.quality * 1000000) AS BIGINT) AS qppm,
+                   CASE WHEN e.n_dups > 1 THEN 1 ELSE 0 END AS is_dup
+            FROM docs d
+            JOIN quality_score q ON q.doc_id = d.doc_id
+            JOIN dedup_exact e ON e.fp = md5(d.norm)) t
+      GROUP BY 1, 2"""),
+    "q_supplier_leadtime" -> """
+      SELECT s_name, n_name, CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(min(lag_days) AS BIGINT) AS min_days,
+             CAST(max(lag_days) AS BIGINT) AS max_days,
+             CAST(sum(lag_days) AS BIGINT) AS sum_days,
+             CAST(sum(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_30d,
+             CAST(sum(CASE WHEN lag_days > 365 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_over_1y
+      FROM (SELECT l_suppkey,
+                   CAST(datediff('day', CAST(o_orderdate AS DATE),
+                                 CAST(l_shipdate AS DATE)) AS BIGINT)
+                     AS lag_days
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey) t
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      GROUP BY 1, 2""",
+    "q_brand_price_drift" -> """
+      WITH m AS (
+        SELECT p_brand, date_trunc('month', l_shipdate) AS month,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) * 100
+                    AS BIGINT) AS cents,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        GROUP BY 1, 2)
+      SELECT p_brand, month, CAST(cents // qty AS BIGINT) AS unit_c,
+             CAST(cents // qty - lag(cents // qty)
+                  OVER (PARTITION BY p_brand ORDER BY month) AS BIGINT)
+               AS delta_c
+      FROM m""",
     // per-source hapax-legomena vocabulary-tail profile
     "q_hapax_rate" -> fromDocs("hapax_rate"),
     // per-user event-type diversity entropy (ilog2 integer surrogate —

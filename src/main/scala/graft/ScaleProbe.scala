@@ -171,7 +171,11 @@ object ScaleProbe {
     // round-13 additions: the remaining TPC-H classic shapes
     "q_q2_min_cost_supp", "q_q11_important_share", "q_q12_priority_ship",
     "q_q16_part_supplier_cnt", "q_q19_disc_revenue",
-    "q_q20_dominant_supplier", "q_q21_late_only_supplier")
+    "q_q20_dominant_supplier", "q_q21_late_only_supplier",
+    "q_ann_range_count", "q_readability", "q_token_doc_freq",
+    "q_heaps_law", "q_simhash_precision_curve", "q_dup_lang_pairs",
+    "q_source_quality_matrix", "q_supplier_leadtime",
+    "q_brand_price_drift")
 
   def makeBig(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     // the embedding rotation below is the identity at i = 64 (reintroducing

@@ -450,6 +450,18 @@ object SparkEntry {
     "q_q19_disc_revenue" -> ((s, d) => ops.TpchShapes.discountedRevenue(s, d)),
     "q_q20_dominant_supplier" -> ((s, d) => ops.TpchShapes.dominantSuppliers(s, d)),
     "q_q21_late_only_supplier" -> ((s, d) => ops.TpchShapes.lateOnlySupplier(s, d)),
+    // round-13 training-data ops: range search, readability, DF/Heaps
+    // vocabulary curves, simhash precision curve, cross-lang dup matrix,
+    // source-quality grid, supplier lead-time, brand price drift
+    "q_ann_range_count" -> ((s, d) => ops.Vectors.annRangeCount(s, d)),
+    "q_readability" -> ((s, d) => ops.TextOps.readability(s, d)),
+    "q_token_doc_freq" -> ((s, d) => ops.Stats.tokenDocFreq(s, d)),
+    "q_heaps_law" -> ((s, d) => ops.Stats.heapsLaw(s, d)),
+    "q_simhash_precision_curve" -> ((s, d) => ops.Dedup.simhashPrecisionCurve(s, d)),
+    "q_dup_lang_pairs" -> ((s, d) => ops.Dedup.dupLangPairs(s, d)),
+    "q_source_quality_matrix" -> ((s, d) => ops.Corpus.sourceQualityMatrix(s, d)),
+    "q_supplier_leadtime" -> ((s, d) => ops.Analytics.supplierLeadtime(s, d)),
+    "q_brand_price_drift" -> ((s, d) => ops.Analytics.brandPriceDrift(s, d)),
     // per-source hapax-legomena vocabulary-tail profile
     "q_hapax_rate" -> ((s, d) => ops.TextOps.hapaxRate(s, d)),
     // per-user event-type diversity entropy (integer surrogate)
@@ -534,5 +546,9 @@ object SparkEntry {
   def newThisRound: Set[String] = Set(
     "q_q2_min_cost_supp", "q_q11_important_share", "q_q12_priority_ship",
     "q_q16_part_supplier_cnt", "q_q19_disc_revenue",
-    "q_q20_dominant_supplier", "q_q21_late_only_supplier")
+    "q_q20_dominant_supplier", "q_q21_late_only_supplier",
+    "q_ann_range_count", "q_readability", "q_token_doc_freq",
+    "q_heaps_law", "q_simhash_precision_curve", "q_dup_lang_pairs",
+    "q_source_quality_matrix", "q_supplier_leadtime",
+    "q_brand_price_drift")
 }

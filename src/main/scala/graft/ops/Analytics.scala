@@ -1276,4 +1276,72 @@ object Analytics {
   def priceQtyMoments(spark: SparkSession, dir: String): DataFrame =
     priceQtyMomentsOf(Feeds.table(spark, dir, "lineitem"),
                       Feeds.table(spark, dir, "part"))
+
+  /** Supplier lead-time profile: per supplier, the order→ship lag
+    * distribution (exact integer day sums, min/max, fast/slow bucket
+    * counts) — the fulfillment-SLA readout. Sums only, no per-supplier
+    * sort: lines-per-supplier grows with the corpus, so a discrete
+    * median would need an unbounded window; the moments don't.
+    *
+    * Scale shape: lineitem⨝orders equi-join (dates only), one
+    * partial-agg groupBy on suppkey, broadcast supplier⨝nation attach. */
+  def supplierLeadtimeOf(lineitem: DataFrame, orders: DataFrame,
+                         supplier: DataFrame, nation: DataFrame)
+      : DataFrame = {
+    val lag = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(orders.select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long").as("lag_days"))
+    val supp = supplier.select("s_suppkey", "s_name", "s_nationkey")
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+            col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "n_name")
+    lag.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name", "n_name")
+      .agg(count(lit(1)).as("n_lines"),
+           min("lag_days").as("min_days"),
+           max("lag_days").as("max_days"),
+           sum("lag_days").as("sum_days"),
+           sum(when(col("lag_days") <= 30, 1L).otherwise(0L)).as("n_30d"),
+           sum(when(col("lag_days") > 365, 1L).otherwise(0L))
+             .as("n_over_1y"))
+  }
+
+  def supplierLeadtime(spark: SparkSession, dir: String): DataFrame =
+    supplierLeadtimeOf(Feeds.table(spark, dir, "lineitem"),
+      Feeds.table(spark, dir, "orders"), Feeds.table(spark, dir, "supplier"),
+      Feeds.table(spark, dir, "nation"))
+
+  /** Brand unit-price drift: per (brand, ship month), the exact
+    * integer-cents unit price (total cents DIV total qty) and its
+    * month-over-month delta — the pricing-trend monitor. The lag window
+    * partitions by brand over the ~bounded month axis, never by line.
+    *
+    * Scale shape: one partial-agg groupBy on (brand, month) — lineitem's
+    * only scan; part broadcasts; the MoM lag runs over months-per-brand
+    * partitions (calendar-bounded). */
+  def brandPriceDriftOf(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val m = lineitem
+      .select(col("l_partkey"), col("l_shipdate"), col("l_quantity"),
+              col("l_extendedprice"))
+      .join(broadcast(part.select("p_partkey", "p_brand")),
+            col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), date_trunc("month", col("l_shipdate"))
+        .as("month"))
+      .agg((sum(col("l_extendedprice").cast(DecimalType(14, 2))) * lit(100))
+             .cast("long").as("cents"),
+           sum(col("l_quantity").cast("long")).as("qty"))
+    val byBrand = Window.partitionBy("p_brand").orderBy("month")
+    m.select(col("p_brand"), col("month"),
+        expr("CAST(cents DIV qty AS BIGINT)").as("unit_c"))
+      .withColumn("delta_c",
+        (col("unit_c") - lag("unit_c", 1).over(byBrand)).cast("long"))
+  }
+
+  def brandPriceDrift(spark: SparkSession, dir: String): DataFrame =
+    brandPriceDriftOf(Feeds.table(spark, dir, "lineitem"),
+                      Feeds.table(spark, dir, "part"))
+
 }

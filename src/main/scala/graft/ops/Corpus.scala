@@ -641,4 +641,40 @@ object Corpus {
   def dedupLengthShift(spark: SparkSession, dir: String): DataFrame =
     dedupLengthShiftOf(TextOps.textStats(spark, dir),
                        curatedV2(spark, dir))
+
+  /** Source × language quality/duplication matrix: per (source, lang)
+    * cell, the doc count, mean quality (exact ppm — per-doc scores floor
+    * to integers BEFORE summing, so the mean is order-independent), and
+    * the byte-exact-duplicate share — the one-page corpus-health grid a
+    * curation review starts from.
+    *
+    * Scale shape: the quality and fingerprint attaches are doc_id/fp
+    * equi-joins on corpus-sized frames (shuffle joins — all sides big);
+    * the rollup is one partial-agg groupBy on the |sources|×|langs| key. */
+  def sourceQualityMatrixOf(docs: DataFrame, quality: DataFrame,
+                            exact: DataFrame): DataFrame = {
+    val flags = docs
+      .select(col("doc_id"), col("source"), col("lang"),
+              md5(col("norm")).as("fp"))
+      .join(quality.select(col("doc_id"),
+        floor(col("quality") * lit(1000000)).cast("long").as("qppm")),
+        Seq("doc_id"))
+      .join(exact.select(col("fp"),
+        when(col("n_dups") > 1, 1L).otherwise(0L).as("is_dup")), Seq("fp"))
+    flags.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("qppm").as("sum_qppm"),
+           sum("is_dup").as("n_dup_docs"))
+      .select(col("source"), col("lang"), col("n_docs"),
+        expr("CAST(sum_qppm DIV n_docs AS BIGINT)").as("mean_quality_ppm"),
+        col("n_dup_docs"),
+        expr("CAST(n_dup_docs * 1000000 DIV n_docs AS BIGINT)")
+          .as("dup_ppm"))
+  }
+
+  def sourceQualityMatrix(spark: SparkSession, dir: String): DataFrame =
+    sourceQualityMatrixOf(TextOps.docs(spark, dir),
+      TextOps.qualityScore(spark, dir),
+      Dedup.exactOf(TextOps.docs(spark, dir)))
+
 }

@@ -1023,4 +1023,56 @@ object Dedup {
   def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame =
     dedupThresholdSweepOf(
       ngramJaccardFor(minhashPairs(spark, dir), TextOps.shingles(spark, dir)))
+
+  /** SimHash precision-by-distance curve: for each hamming distance the
+    * banding emits (0..maxHamming), the candidate-pair count and how many
+    * of those pairs are BYTE-EXACT duplicates — the calibration that
+    * tells a pipeline which distance cutoff trades recall for precision.
+    *
+    * Scale shape: composes the banded candidate list (collision-bounded,
+    * never all-pairs) with two broadcast-free fp equi-joins on doc_id
+    * (the fp frame is corpus-sized but the pair side is candidates-only),
+    * then a ≤(maxHamming+1)-row rollup. */
+  def simhashPrecisionCurveOf(pairs: DataFrame, docsNorm: DataFrame)
+      : DataFrame = {
+    val fps = docsNorm.select(col("doc_id"), md5(col("norm")).as("fp"))
+    pairs
+      .join(fps.select(col("doc_id").as("doc_a"), col("fp").as("fp_a")),
+            Seq("doc_a"))
+      .join(fps.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")),
+            Seq("doc_b"))
+      .groupBy("hamming")
+      .agg(count(lit(1)).as("n_pairs"),
+           sum(when(col("fp_a") === col("fp_b"), 1L).otherwise(0L))
+             .as("n_exact"))
+  }
+
+  def simhashPrecisionCurve(spark: SparkSession, dir: String): DataFrame =
+    simhashPrecisionCurveOf(simhashPairs(spark, dir),
+                            TextOps.docs(spark, dir))
+
+  /** Cross-language near-dup matrix: the guarded MinHash candidate pairs
+    * rolled up by canonical (lang_a ≤ lang_b) language pair — the
+    * translated-boilerplate / mislabeled-language readout of a multilingual
+    * corpus.
+    *
+    * Scale shape: reuses the memoized guarded pair list (collision- and
+    * guard-bounded); two doc_id equi-joins attach languages; the rollup
+    * key is |langs|² at most. */
+  def dupLangPairsOf(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val langs = docs.select(col("doc_id"), col("lang"))
+    pairs
+      .join(langs.select(col("doc_id").as("doc_a"), col("lang").as("la")),
+            Seq("doc_a"))
+      .join(langs.select(col("doc_id").as("doc_b"), col("lang").as("lb")),
+            Seq("doc_b"))
+      .groupBy(least(col("la"), col("lb")).as("lang_a"),
+               greatest(col("la"), col("lb")).as("lang_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  def dupLangPairs(spark: SparkSession, dir: String): DataFrame =
+    dupLangPairsOf(minhashPairs(spark, dir),
+                   graft.etl.Feeds.table(spark, dir, "documents"))
+
 }

@@ -282,4 +282,50 @@ object Stats {
 
   def shardSkew(spark: SparkSession, dir: String): DataFrame =
     shardSkewOf(Sampling.shuffleShards(spark, dir))
+
+  /** Document-frequency histogram: vocabulary words bucketed by
+    * ⌊log₂ df⌋ (bin-string-length trick — exact integers), with the word
+    * and posting counts per bucket — the IDF-side readout that sizes
+    * stopword cutoffs and inverted-index tiers.
+    *
+    * Scale shape: one vocab-sized partial-agg groupBy over the distinct
+    * (doc, word) postings, then a constant-size (≤~40 buckets) rollup —
+    * no vocab-wide window anywhere. */
+  def tokenDocFreqOf(wordsDist: DataFrame): DataFrame =
+    wordsDist
+      .groupBy("w").agg(count(lit(1)).as("df"))
+      .select(expr("CAST(length(bin(greatest(df, 1))) - 1 AS BIGINT)")
+                .as("bucket"), col("df"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_words"), sum("df").as("sum_df"))
+
+  def tokenDocFreq(spark: SparkSession, dir: String): DataFrame =
+    tokenDocFreqOf(TextOps.docsWords(spark, dir)
+      .select(col("doc_id"), explode(col("words")).as("w")).distinct())
+
+  /** Heaps-law vocabulary growth curve: per ⌊log₂ doc_id⌋ ingestion
+    * bucket, how many NEW words first appear there, plus the cumulative
+    * vocabulary — the sublinear vocab-vs-corpus readout every tokenizer
+    * budget reads. First occurrence = min(doc_id) per word (doc_id is
+    * the ingestion order of the synthetic corpus).
+    *
+    * Scale shape: one vocab-sized groupBy (min doc per word), a
+    * constant-size bucket rollup, and a cumulative window over the ≤~40
+    * bucket rows — bounded frame, no vocab-wide window. */
+  def heapsLawOf(wordsDist: DataFrame): DataFrame = {
+    val buckets = wordsDist
+      .groupBy("w").agg(min("doc_id").as("min_doc"))
+      .select(expr("CAST(length(bin(greatest(min_doc, 1))) - 1 AS BIGINT)")
+                .as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("new_words"))
+    buckets.withColumn("cum_vocab",
+      sum("new_words").over(Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  def heapsLaw(spark: SparkSession, dir: String): DataFrame =
+    heapsLawOf(TextOps.docsWords(spark, dir)
+      .select(col("doc_id"), explode(col("words")).as("w")).distinct())
+
 }

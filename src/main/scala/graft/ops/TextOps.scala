@@ -1060,4 +1060,36 @@ object TextOps {
 
   def hapaxRate(spark: SparkSession, dir: String): DataFrame =
     hapaxRateOf(docsWords(spark, dir))
+
+  /** Per-language readability profile: characters-per-word and
+    * words-per-sentence (sentences ≈ period count + 1), as exact
+    * integer centiratios — the Flesch-style complexity readout a corpus
+    * card ships per language.
+    *
+    * Scale shape: per-doc counters fuse into the normalize scan
+    * (map-side), then one partial-agg groupBy on the |langs|-sized key.
+    * Ratios are integer cross-divisions of exact sums — no float sums
+    * to reorder. */
+  def readabilityOf(docsWords: DataFrame): DataFrame =
+    docsWords
+      .select(col("lang"),
+        length(col("norm")).cast("long").as("n_chars_n"),
+        size(col("words")).cast("long").as("n_tok"),
+        (length(col("norm")) -
+          length(regexp_replace(col("norm"), "\\.", "")) + 1)
+          .cast("long").as("n_sent"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_chars_n").as("sum_chars"),
+           sum("n_tok").as("sum_tok"),
+           sum("n_sent").as("sum_sent"))
+      .select(col("lang"), col("n_docs"),
+        expr("CAST(sum_chars * 100 DIV sum_tok AS BIGINT)")
+          .as("chars_per_word_c"),
+        expr("CAST(sum_tok * 100 DIV sum_sent AS BIGINT)")
+          .as("words_per_sent_c"))
+
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    readabilityOf(docsWords(spark, dir))
+
 }

@@ -1310,4 +1310,35 @@ object Vectors {
   def knnComponents(spark: SparkSession, dir: String): DataFrame =
     // k = 5 to match the oracle's exact-top-k CTE (see knnMutual)
     knnComponentsOf(annCosineTopK(spark, dir))
+
+  /** Cosine RANGE search count: per eval query, how many corpus vectors
+    * sit within cosine ≥ τ — the radius-neighbor census behind
+    * density-based dedup thresholds and epsilon-graph construction
+    * (top-k asks "the best k"; range asks "how crowded is the ball").
+    * The score is the SAME IEEE expression tree as the exact top-k
+    * oracle CTE, so the ≥ τ cut decides identically on both engines.
+    *
+    * Scale shape: eval queries broadcast (QueryMod-bounded) against one
+    * corpus scan with the codegen dot kernel; the rollup is a
+    * queries-sized partial agg. Queries with an empty ball emit no row
+    * (mirrored in the oracle). At corpus scale the same count composes
+    * on the IVF-blocked scorer instead of the exact scan. */
+  def annRangeCountOf(quantized: DataFrame, tau: Double): DataFrame = {
+    val q = broadcast(quantized.where(isQuery(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+              col("n2").as("qa2")))
+    val c = quantized.select(col("vec_id").as("cand_id"),
+                             col("qv").as("c_qv"), col("n2").as("ca2"))
+    q.join(c, col("cand_id") =!= col("query_id"))
+      .withColumn("dot", dotCol)
+      .withColumn("score", expr(scoreExpr))
+      .where(col("score") >= tau)
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_in_range"))
+  }
+
+  def annRangeCount(spark: SparkSession, dir: String,
+                    tau: Double = 0.25): DataFrame =
+    annRangeCountOf(quantizedCached(spark, dir), tau)
+
 }

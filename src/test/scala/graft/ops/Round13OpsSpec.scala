@@ -98,6 +98,45 @@ class Round13OpsSpec extends SparkSpec {
     assert(dom == Set(("S100", 1L)))
   }
 
+  test("readability: integer centiratios per language") {
+    // en: norm "ab cd. ef" -> 9 chars, 3 tokens, 2 sentences
+    val docs = Seq((1L, "ab cd. ef", "en"), (2L, "x y", "de"))
+      .toDF("doc_id", "text", "lang")
+    val r = TextOps.readabilityOf(TextOps.withWords(TextOps.normalize(docs)))
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(r("en") == ((1L, 300L, 150L))) // 9*100/3, 3*100/2
+    assert(r("de") == ((1L, 150L, 200L))) // 3*100/2, 2*100/1
+  }
+
+  test("heaps law: first-occurrence buckets and cumulative vocab") {
+    // words: a first at doc 1 (bucket 0), b at doc 2 (bucket 1),
+    // c at doc 5 (bucket 2)
+    val wd = Seq((1L, "a"), (2L, "a"), (2L, "b"), (5L, "c"), (5L, "a"))
+      .toDF("doc_id", "w")
+    val r = Stats.heapsLawOf(wd).as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r == Map(0L -> ((1L, 1L)), 1L -> ((1L, 2L)), 2L -> ((1L, 3L))))
+  }
+
+  test("token doc-freq: log2 df buckets over distinct postings") {
+    // dfs: a=4 (bucket 2), b=1, c=1 (bucket 0)
+    val wd = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"), (1L, "b"),
+                 (2L, "c")).toDF("doc_id", "w")
+    val r = Stats.tokenDocFreqOf(wd).as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r == Map(2L -> ((1L, 4L)), 0L -> ((2L, 2L))))
+  }
+
+  test("simhash precision curve: exact-dup share per hamming distance") {
+    val pairs = Seq((1L, 2L, 0L), (1L, 3L, 2L)).toDF("doc_a", "doc_b", "hamming")
+    val docsNorm = Seq((1L, "same"), (2L, "same"), (3L, "other"))
+      .toDF("doc_id", "norm")
+    val r = Dedup.simhashPrecisionCurveOf(pairs, docsNorm)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r == Map(0L -> ((1L, 1L)), 2L -> ((1L, 0L))))
+  }
+
   test("dense-pair gate: compliant corpus output is unchanged") {
     val bands = bandsOf(
       (1L to 5L).map(i => (i, 0, "h0")) ++ Seq((6L, 1, "h1"), (7L, 1, "h1")))
