@@ -1875,6 +1875,73 @@ cust_gini AS (
                   OVER (PARTITION BY p_brand ORDER BY month) AS BIGINT)
                AS delta_c
       FROM m""",
+    // round-13 batch 3
+    "q_degree_assortativity" -> """
+      WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      pairs AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      sym AS (SELECT u AS a, v AS b FROM pairs
+              UNION ALL SELECT v, u FROM pairs),
+      deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+              FROM sym GROUP BY 1),
+      s AS (SELECT CAST(count(*) AS BIGINT) AS n_endpoints,
+                   CAST(sum(da.deg) AS BIGINT) AS s_deg,
+                   CAST(sum(da.deg * da.deg) AS BIGINT) AS s_deg2,
+                   CAST(sum(da.deg * db.deg) AS BIGINT) AS s_prod
+            FROM sym JOIN deg da ON da.node = sym.a
+            JOIN deg db ON db.node = sym.b)
+      SELECT n_endpoints, s_deg, s_deg2, s_prod,
+             (CAST(n_endpoints AS DOUBLE) * CAST(s_prod AS DOUBLE)
+              - CAST(s_deg AS DOUBLE) * CAST(s_deg AS DOUBLE))
+             / (CAST(n_endpoints AS DOUBLE) * CAST(s_deg2 AS DOUBLE)
+              - CAST(s_deg AS DOUBLE) * CAST(s_deg AS DOUBLE))
+               AS assortativity
+      FROM s""",
+    "q_cos_score_hist" -> (docsPrelude + """
+      SELECT CAST(floor(CAST(dot AS DOUBLE)
+               / sqrt(CAST(qa2 AS DOUBLE) * CAST(ca2 AS DOUBLE)) * 20)
+               AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM ann_scores GROUP BY 1"""),
+    "q_value_sigma_outliers" -> """
+      WITH vals AS (SELECT event_type,
+                           CAST(floor(value * 100) AS BIGINT) AS v_c
+                    FROM events),
+      m AS (SELECT event_type AS m_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(v_c) AS BIGINT) AS s1,
+                   CAST(sum(v_c * v_c) AS BIGINT) AS s2
+            FROM vals GROUP BY 1)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN
+                    pow(CAST(n AS DOUBLE) * CAST(v_c AS DOUBLE)
+                        - CAST(s1 AS DOUBLE), 2)
+                    > 9.0 * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             CAST(CAST(sum(CASE WHEN
+                    pow(CAST(n AS DOUBLE) * CAST(v_c AS DOUBLE)
+                        - CAST(s1 AS DOUBLE), 2)
+                    > 9.0 * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                    THEN 1 ELSE 0 END) AS BIGINT)
+                  * 1000000 // count(*) AS BIGINT) AS outlier_ppm
+      FROM vals JOIN m ON m_type = event_type
+      GROUP BY 1""",
+    "q_partition_planner" -> """
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CAST(octet_length(encode(text)) AS BIGINT)) AS BIGINT)
+               AS sum_bytes,
+             CAST(sum(CAST(octet_length(encode(text)) AS BIGINT))
+                  // count(*) AS BIGINT) AS avg_row_bytes,
+             CAST((sum(CAST(octet_length(encode(text)) AS BIGINT))
+                   + 134217727) // 134217728 AS BIGINT) AS n_files_128mb,
+             CAST(134217728 // greatest(
+                    sum(CAST(octet_length(encode(text)) AS BIGINT))
+                    // count(*), 1) AS BIGINT) AS rows_per_file
+      FROM documents GROUP BY 1""",
     // per-source hapax-legomena vocabulary-tail profile
     "q_hapax_rate" -> fromDocs("hapax_rate"),
     // per-user event-type diversity entropy (ilog2 integer surrogate —

@@ -175,7 +175,9 @@ object ScaleProbe {
     "q_ann_range_count", "q_readability", "q_token_doc_freq",
     "q_heaps_law", "q_simhash_precision_curve", "q_dup_lang_pairs",
     "q_source_quality_matrix", "q_supplier_leadtime",
-    "q_brand_price_drift")
+    "q_brand_price_drift",
+    "q_degree_assortativity", "q_cos_score_hist",
+    "q_value_sigma_outliers", "q_partition_planner")
 
   def makeBig(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     // the embedding rotation below is the identity at i = 64 (reintroducing

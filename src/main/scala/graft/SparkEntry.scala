@@ -462,6 +462,12 @@ object SparkEntry {
     "q_source_quality_matrix" -> ((s, d) => ops.Corpus.sourceQualityMatrix(s, d)),
     "q_supplier_leadtime" -> ((s, d) => ops.Analytics.supplierLeadtime(s, d)),
     "q_brand_price_drift" -> ((s, d) => ops.Analytics.brandPriceDrift(s, d)),
+    // round-13 batch 3: graph assortativity, cosine score mass curve,
+    // 3-sigma telemetry outliers, partition-layout planner card
+    "q_degree_assortativity" -> ((s, d) => ops.Basket.degreeAssortativity(s, d)),
+    "q_cos_score_hist" -> ((s, d) => ops.Vectors.cosScoreHist(s, d)),
+    "q_value_sigma_outliers" -> ((s, d) => ops.Sessions.valueSigmaOutliers(s, d)),
+    "q_partition_planner" -> ((s, d) => ops.Layout.partitionPlanner(s, d)),
     // per-source hapax-legomena vocabulary-tail profile
     "q_hapax_rate" -> ((s, d) => ops.TextOps.hapaxRate(s, d)),
     // per-user event-type diversity entropy (integer surrogate)
@@ -550,5 +556,6 @@ object SparkEntry {
     "q_ann_range_count", "q_readability", "q_token_doc_freq",
     "q_heaps_law", "q_simhash_precision_curve", "q_dup_lang_pairs",
     "q_source_quality_matrix", "q_supplier_leadtime",
-    "q_brand_price_drift")
+    "q_brand_price_drift", "q_degree_assortativity", "q_cos_score_hist",
+    "q_value_sigma_outliers", "q_partition_planner")
 }

@@ -303,4 +303,39 @@ object Basket {
 
   def graphHops(spark: SparkSession, dir: String): DataFrame =
     graphHopsOf(coPurchaseEdgesOf(Feeds.table(spark, dir, "lineitem")))
+
+  /** Degree assortativity of the co-purchase graph: Pearson correlation
+    * of endpoint degrees over the symmetrized edge list — positive means
+    * hubs link to hubs (one giant dense core; mining gets quadratic-ish),
+    * negative means hub-and-spoke. The sums are exact BIGINTs; the final
+    * Pearson arithmetic runs in DOUBLE on the one-row fold (identical
+    * expression tree in the oracle, and double avoids the n·Σxy int64
+    * overflow a web-scale graph would hit).
+    *
+    * Scale shape: one degree groupBy, two degree attach joins keyed on
+    * the edge endpoints, one global partial-agg fold to a single row. */
+  def degreeAssortativityOf(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(edges.select(col("v").as("a"), col("u").as("b")))
+    val deg = sym.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    sym
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .agg(count(lit(1)).as("n_endpoints"),
+           sum("da").as("s_deg"),
+           sum(col("da") * col("da")).as("s_deg2"),
+           sum(col("da") * col("db")).as("s_prod"))
+      .select(col("n_endpoints"), col("s_deg"), col("s_deg2"), col("s_prod"),
+        expr("""(CAST(n_endpoints AS DOUBLE) * CAST(s_prod AS DOUBLE)
+                 - CAST(s_deg AS DOUBLE) * CAST(s_deg AS DOUBLE))
+                / (CAST(n_endpoints AS DOUBLE) * CAST(s_deg2 AS DOUBLE)
+                 - CAST(s_deg AS DOUBLE) * CAST(s_deg AS DOUBLE))""")
+          .as("assortativity"))
+  }
+
+  def degreeAssortativity(spark: SparkSession, dir: String): DataFrame =
+    degreeAssortativityOf(coPurchaseEdgesOf(
+      Feeds.table(spark, dir, "lineitem")))
+
 }

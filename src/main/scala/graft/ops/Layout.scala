@@ -49,4 +49,32 @@ object Layout {
       .agg(sum(col("dx").cast("double") * col("dy").cast("double")))
       .collect()(0).getDouble(0)
   }
+
+  /** Partition-layout planner card: per source, the document count, total
+    * text bytes, mean row bytes, and the file count / rows-per-file a
+    * 128 MiB-target writer should use — the numbers that size
+    * `spark.sql.files.maxPartitionBytes` / `maxRecordsPerFile` before a
+    * big write instead of after a small-files incident. All exact
+    * integer arithmetic (ceil via (a + t - 1) DIV t).
+    *
+    * Scale shape: map-side byte counters fused into the scan, one
+    * partial-agg groupBy on the |sources| key. */
+  def partitionPlannerOf(documents: DataFrame,
+                         targetBytes: Long = 128L * 1024 * 1024)
+      : DataFrame =
+    documents
+      .select(col("source"),
+              octet_length(col("text")).cast("long").as("bytes"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("bytes").as("sum_bytes"))
+      .select(col("source"), col("n_docs"), col("sum_bytes"),
+        expr("CAST(sum_bytes DIV n_docs AS BIGINT)").as("avg_row_bytes"),
+        expr(s"CAST((sum_bytes + ${targetBytes - 1}) DIV $targetBytes " +
+          "AS BIGINT)").as("n_files_128mb"),
+        expr(s"CAST($targetBytes DIV greatest(sum_bytes DIV n_docs, 1) " +
+          "AS BIGINT)").as("rows_per_file"))
+
+  def partitionPlanner(spark: SparkSession, dir: String): DataFrame =
+    partitionPlannerOf(graft.etl.Feeds.table(spark, dir, "documents"))
+
 }

@@ -548,4 +548,38 @@ object Sessions {
 
   def eventValueWeekly(spark: SparkSession, dir: String): DataFrame =
     eventValueWeeklyOf(Feeds.events(spark, dir))
+
+  /** Three-sigma value outliers per event type: share of events whose
+    * telemetry value sits beyond mean ± 3σ of its type — the robust-DQ
+    * monitor that flags instrumented-unit regressions (a client shipping
+    * millis into a seconds field). Values quantize to integer cents;
+    * mean/variance come from exact integer sums and the 3σ test is the
+    * cross-multiplied form (n·v − Σ)² > 9·(n·Σv² − Σ²) evaluated in
+    * DOUBLE on exact integer operands (identical tree in the oracle;
+    * double because the squared terms overflow int64 at corpus scale).
+    *
+    * Scale shape: one partial-agg groupBy on the |types| key for the
+    * moments, a broadcast join back over the same scan, one rollup. */
+  def valueSigmaOutliersOf(events: DataFrame): DataFrame = {
+    val vals = events.select(col("event_type"),
+      floor(col("value") * lit(100)).cast("long").as("v_c"))
+    val moments = vals.groupBy(col("event_type").as("m_type"))
+      .agg(count(lit(1)).as("n"), sum("v_c").as("s1"),
+           sum(col("v_c") * col("v_c")).as("s2"))
+    vals.join(broadcast(moments), col("event_type") === col("m_type"))
+      .select(col("event_type"), col("n"),
+        when(expr("""pow(CAST(n AS DOUBLE) * CAST(v_c AS DOUBLE)
+                       - CAST(s1 AS DOUBLE), 2)
+                     > 9.0 * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))"""),
+          1L).otherwise(0L).as("is_out"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("is_out").as("n_outliers"))
+      .withColumn("outlier_ppm",
+        expr("CAST(n_outliers * 1000000 DIV n_events AS BIGINT)"))
+  }
+
+  def valueSigmaOutliers(spark: SparkSession, dir: String): DataFrame =
+    valueSigmaOutliersOf(Feeds.events(spark, dir))
+
 }

@@ -1341,4 +1341,31 @@ object Vectors {
                     tau: Double = 0.25): DataFrame =
     annRangeCountOf(quantizedCached(spark, dir), tau)
 
+
+  /** Cosine score histogram of the eval-query pair scores (5%-wide
+    * buckets, floor(score·20)) — the similarity-mass profile that sizes
+    * range/dedup thresholds BEFORE running them: where [[annRangeCountOf]]
+    * answers "how crowded is the τ-ball", this shows the whole mass
+    * curve. Bucketing floors an IEEE-identical double, so bucket
+    * boundaries decide identically on both engines.
+    *
+    * Scale shape: same broadcast eval × one corpus scan as the exact
+    * baseline; the rollup is a ≤41-bucket partial agg. */
+  def cosScoreHistOf(quantized: DataFrame): DataFrame = {
+    val q = broadcast(quantized.where(isQuery(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+              col("n2").as("qa2")))
+    val c = quantized.select(col("vec_id").as("cand_id"),
+                             col("qv").as("c_qv"), col("n2").as("ca2"))
+    q.join(c, col("cand_id") =!= col("query_id"))
+      .withColumn("dot", dotCol)
+      .withColumn("score", expr(scoreExpr))
+      .select(floor(col("score") * lit(20)).cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  def cosScoreHist(spark: SparkSession, dir: String): DataFrame =
+    cosScoreHistOf(quantizedCached(spark, dir))
+
 }
