@@ -1942,6 +1942,41 @@ cust_gini AS (
                     sum(CAST(octet_length(encode(text)) AS BIGINT))
                     // count(*), 1) AS BIGINT) AS rows_per_file
       FROM documents GROUP BY 1""",
+    "q_dedup_pairs_cosine" -> (docsPrelude + """
+      , tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+               FROM words_flat GROUP BY 1, 2),
+      nn AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
+             FROM tf GROUP BY 1)
+      SELECT p.doc_a, p.doc_b, CAST(sum(ta.tf * tb.tf) AS BIGINT) AS dot,
+             na.n2 AS na2, nb.n2 AS nb2
+      FROM minhash_pairs_guarded p
+      JOIN tf ta ON ta.doc_id = p.doc_a
+      JOIN tf tb ON tb.doc_id = p.doc_b AND tb.w = ta.w
+      JOIN nn na ON na.doc_id = p.doc_a
+      JOIN nn nb ON nb.doc_id = p.doc_b
+      GROUP BY 1, 2, na.n2, nb.n2
+      HAVING 25.0 * CAST(CAST(sum(ta.tf * tb.tf) AS BIGINT) AS DOUBLE)
+                  * CAST(CAST(sum(ta.tf * tb.tf) AS BIGINT) AS DOUBLE)
+             >= 16.0 * CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)"""),
+    "q_lsh_recall_sampled" -> (docsPrelude + """
+      SELECT CAST(count(*) AS BIGINT) AS n_truth,
+             CAST(sum(CASE WHEN g.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_captured,
+             CAST(CAST(sum(CASE WHEN g.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) * 1000000 // NULLIF(count(*), 0) AS BIGINT)
+               AS recall_ppm
+      FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS inter
+        FROM docs_sh_d a JOIN docs_sh_d b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 0
+        GROUP BY 1, 2) i
+      JOIN sh_sizes sa ON sa.doc_id = i.doc_a
+      JOIN sh_sizes sb ON sb.doc_id = i.doc_b
+      LEFT JOIN minhash_pairs_guarded g
+        ON g.doc_a = i.doc_a AND g.doc_b = i.doc_b
+      WHERE 4 * inter >= sa.n_sh + sb.n_sh"""),
     // per-source hapax-legomena vocabulary-tail profile
     "q_hapax_rate" -> fromDocs("hapax_rate"),
     // per-user event-type diversity entropy (ilog2 integer surrogate —

@@ -177,7 +177,8 @@ object ScaleProbe {
     "q_source_quality_matrix", "q_supplier_leadtime",
     "q_brand_price_drift",
     "q_degree_assortativity", "q_cos_score_hist",
-    "q_value_sigma_outliers", "q_partition_planner")
+    "q_value_sigma_outliers", "q_partition_planner",
+    "q_dedup_pairs_cosine", "q_lsh_recall_sampled")
 
   def makeBig(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     // the embedding rotation below is the identity at i = 64 (reintroducing

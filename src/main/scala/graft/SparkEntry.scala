@@ -468,6 +468,9 @@ object SparkEntry {
     "q_cos_score_hist" -> ((s, d) => ops.Vectors.cosScoreHist(s, d)),
     "q_value_sigma_outliers" -> ((s, d) => ops.Sessions.valueSigmaOutliers(s, d)),
     "q_partition_planner" -> ((s, d) => ops.Layout.partitionPlanner(s, d)),
+    // bag-cosine verify tier + sampled LSH recall
+    "q_dedup_pairs_cosine" -> ((s, d) => ops.Dedup.bagCosinePairs(s, d)),
+    "q_lsh_recall_sampled" -> ((s, d) => ops.Dedup.lshRecallSampled(s, d)),
     // per-source hapax-legomena vocabulary-tail profile
     "q_hapax_rate" -> ((s, d) => ops.TextOps.hapaxRate(s, d)),
     // per-user event-type diversity entropy (integer surrogate)
@@ -557,5 +560,6 @@ object SparkEntry {
     "q_heaps_law", "q_simhash_precision_curve", "q_dup_lang_pairs",
     "q_source_quality_matrix", "q_supplier_leadtime",
     "q_brand_price_drift", "q_degree_assortativity", "q_cos_score_hist",
-    "q_value_sigma_outliers", "q_partition_planner")
+    "q_value_sigma_outliers", "q_partition_planner",
+    "q_dedup_pairs_cosine", "q_lsh_recall_sampled")
 }

@@ -1075,4 +1075,77 @@ object Dedup {
     dupLangPairsOf(minhashPairs(spark, dir),
                    graft.etl.Feeds.table(spark, dir, "documents"))
 
+
+  /** Term-frequency BAG-COSINE verify tier over the guarded candidates —
+    * the multiset-aware sibling of the Jaccard verifiers (Jaccard ignores
+    * repetition; cosine catches near-dups that differ mainly in token
+    * counts). The τ = 0.8 cut is the cross-multiplied form
+    * 25·dot² ≥ 16·‖a‖²·‖b‖² evaluated in DOUBLE on exact integer
+    * operands (identical tree in the oracle; double because ‖a‖²·‖b‖²
+    * overflows int64 for book-length documents).
+    *
+    * Scale shape: tf vectors come from one (doc, word) groupBy; the dot
+    * products join only the CANDIDATE pairs through their shared words —
+    * never all-pairs; norms attach doc-keyed. */
+  def bagCosinePairsOf(pairs: DataFrame, wordsFlat: DataFrame): DataFrame = {
+    val tf = wordsFlat.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val nn = tf.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
+    pairs.select("doc_a", "doc_b")
+      .join(tf.select(col("doc_id").as("doc_a"), col("w"),
+                      col("tf").as("tfa")), Seq("doc_a"))
+      .join(tf.select(col("doc_id").as("doc_b"), col("w"),
+                      col("tf").as("tfb")), Seq("doc_b", "w"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(col("tfa") * col("tfb")).as("dot"))
+      .join(nn.select(col("doc_id").as("doc_a"), col("n2").as("na2")),
+            Seq("doc_a"))
+      .join(nn.select(col("doc_id").as("doc_b"), col("n2").as("nb2")),
+            Seq("doc_b"))
+      .where(expr("""25.0 * CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)
+                     >= 16.0 * CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE)"""))
+      .select("doc_a", "doc_b", "dot", "na2", "nb2")
+  }
+
+  def bagCosinePairs(spark: SparkSession, dir: String): DataFrame =
+    bagCosinePairsOf(minhashPairs(spark, dir),
+      TextOps.docsWords(spark, dir)
+        .select(col("doc_id"), explode(col("words")).as("w")))
+
+  /** LSH RECALL on a sampled subset — the measurement the candidate-side
+    * monitors can't give: est-err/threshold-sweep grade the pairs LSH
+    * FOUND; this grades what it MISSED. Ground truth = exact 3-gram
+    * Jaccard ≥ 1/3 over all pairs of the doc_id % `mod` sample (the
+    * integer form 4·inter ≥ |A|+|B|), captured = present in the guarded
+    * band candidates. One row: truth/captured counts + recall ppm.
+    *
+    * Scale shape: the truth join is SHINGLE-keyed over the sample (pairs
+    * only form through shared shingles — never an all-pairs product),
+    * and the sample keeps the quadratic worst case mod²-bounded; the
+    * capture check is one pair-keyed left join. */
+  def lshRecallSampledOf(shingles: DataFrame, captured: DataFrame,
+                         mod: Int = 2): DataFrame = {
+    val s = shingles.where(col("doc_id") % mod === 0)
+    val sizes = s.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = s.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(s.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")),
+            Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")),
+            Seq("doc_b"))
+      .where(col("inter") * 4 >= col("na") + col("nb"))
+      .join(captured.select(col("doc_a"), col("doc_b"),
+              lit(1L).as("hit")), Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_truth"),
+           sum(coalesce(col("hit"), lit(0L))).as("n_captured"))
+      .withColumn("recall_ppm",
+        expr("CAST(n_captured * 1000000 DIV NULLIF(n_truth, 0) AS BIGINT)"))
+  }
+
+  def lshRecallSampled(spark: SparkSession, dir: String): DataFrame =
+    lshRecallSampledOf(TextOps.shingles(spark, dir), minhashPairs(spark, dir))
+
 }
