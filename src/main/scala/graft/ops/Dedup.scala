@@ -1084,12 +1084,20 @@ object Dedup {
     * operands (identical tree in the oracle; double because ‖a‖²·‖b‖²
     * overflows int64 for book-length documents).
     *
-    * Scale shape: tf vectors come from one (doc, word) groupBy; the dot
+    * Scale shape: tf vectors come from one (doc, word) groupBy — the
+    * (spark, dir) wrapper feeds the MEMOIZED [[TextOps.tf]] frame, since
+    * the frame appears in four plan positions (both dot sides + both
+    * norm attaches) and would otherwise plan four docs scans; the dot
     * products join only the CANDIDATE pairs through their shared words —
     * never all-pairs; norms attach doc-keyed. */
   def bagCosinePairsOf(pairs: DataFrame, wordsFlat: DataFrame): DataFrame = {
     val tf = wordsFlat.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
     val nn = tf.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
+    pairsCosine(pairs, tf, nn)
+  }
+
+  private def pairsCosine(pairs: DataFrame, tf: DataFrame,
+                          nn: DataFrame): DataFrame =
     pairs.select("doc_a", "doc_b")
       .join(tf.select(col("doc_id").as("doc_a"), col("w"),
                       col("tf").as("tfa")), Seq("doc_a"))
@@ -1104,12 +1112,15 @@ object Dedup {
       .where(expr("""25.0 * CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)
                      >= 16.0 * CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE)"""))
       .select("doc_a", "doc_b", "dot", "na2", "nb2")
-  }
 
   def bagCosinePairs(spark: SparkSession, dir: String): DataFrame =
-    bagCosinePairsOf(minhashPairs(spark, dir),
-      TextOps.docsWords(spark, dir)
-        .select(col("doc_id"), explode(col("words")).as("w")))
+    bagCosinePairsWithTf(minhashPairs(spark, dir), TextOps.tf(spark, dir))
+
+  /** [[bagCosinePairsOf]] with a precomputed (doc_id, w, tf) frame. */
+  def bagCosinePairsWithTf(pairs: DataFrame, tf: DataFrame): DataFrame = {
+    val nn = tf.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
+    pairsCosine(pairs, tf, nn)
+  }
 
   /** LSH RECALL on a sampled subset — the measurement the candidate-side
     * monitors can't give: est-err/threshold-sweep grade the pairs LSH

@@ -192,19 +192,44 @@ object TextOps {
       { case (s, d) => shinglesOf(docsWords(s, d))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) })
 
-  /** Drop the memoized shingle frame for (session, dir) — REQUIRED before
-    * re-reading a dir whose files changed (see [[graft.ops.Dedup.invalidate]]). */
-  def invalidate(spark: SparkSession, dir: String): Unit =
-    Option(shinglesCache.remove((spark, dir))).foreach(_.unpersist(false))
+  // The (doc, word) term-frequency frame feeds four plan positions in the
+  // bag-cosine verify tier alone (both dot sides + both norm attaches) —
+  // without the memo Catalyst plans FOUR full docs scans+explodes per
+  // query (plan-audited, round 13). Same contract as shinglesCache.
+  private val tfCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
 
-  /** Drop and unpersist EVERY memoized shingle frame of `spark` — same
+  /** Memoized (doc_id, w, tf) term frequencies over the whitespace
+    * tokens. */
+  def tf(spark: SparkSession, dir: String): DataFrame =
+    tfCache.computeIfAbsent((spark, dir),
+      { case (s, d) => docsWords(s, d)
+          .select(col("doc_id"), explode(col("words")).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) })
+
+  /** Drop the memoized shingle/tf frames for (session, dir) — REQUIRED
+    * before re-reading a dir whose files changed (see
+    * [[graft.ops.Dedup.invalidate]]). */
+  def invalidate(spark: SparkSession, dir: String): Unit = {
+    Option(shinglesCache.remove((spark, dir))).foreach(_.unpersist(false))
+    Option(tfCache.remove((spark, dir))).foreach(_.unpersist(false))
+  }
+
+  /** Drop and unpersist EVERY memoized shingle/tf frame of `spark` — same
     * session-teardown hook as [[graft.ops.Vectors.invalidateAll]]. */
-  def invalidateAll(spark: SparkSession): Unit =
+  def invalidateAll(spark: SparkSession): Unit = {
     shinglesCache.entrySet.removeIf { e =>
       val hit = e.getKey._1 eq spark
       if (hit) e.getValue.unpersist(false)
       hit
     }
+    tfCache.entrySet.removeIf { e =>
+      val hit = e.getKey._1 eq spark
+      if (hit) e.getValue.unpersist(false)
+      hit
+    }
+  }
 
   /** Entry count of this session in the memo map (spec hook). */
   private[graft] def cacheSize(spark: SparkSession): Int = {
