@@ -1977,6 +1977,43 @@ cust_gini AS (
       LEFT JOIN minhash_pairs_guarded g
         ON g.doc_a = i.doc_a AND g.doc_b = i.doc_b
       WHERE 4 * inter >= sa.n_sh + sb.n_sh"""),
+    "q_multimodal_near_dup" -> """
+      WITH chunks AS (
+        SELECT doc_id, ci AS chunk_idx,
+               substr(text, CAST(ci * 256 + 1 AS INTEGER), 256) AS c
+        FROM (SELECT doc_id, text, unnest(range(0,
+                1 + (greatest(length(text), 1) - 1) // 256)) AS ci
+              FROM documents)),
+      grams AS (
+        SELECT DISTINCT doc_id, chunk_idx,
+               CASE WHEN length(c) >= 4
+                    THEN substr(c, CAST(i + 1 AS INTEGER), 4) ELSE c END AS g
+        FROM chunks, range(0, 1000) t(i)
+        WHERE i < greatest(length(c) - 3, 1)),
+      bits AS (
+        SELECT doc_id, chunk_idx, bit,
+               sum(CASE WHEN ((strpos('0123456789abcdef',
+                          substr(md5(g), 1 + CAST(bit // 4 AS INTEGER), 1))
+                          - 1) >> (bit % 4)) & 1 = 1
+                   THEN 1 ELSE -1 END) AS s
+        FROM grams, range(0, 32) b(bit) GROUP BY 1, 2, 3),
+      fsh AS (
+        SELECT doc_id * 100000 + chunk_idx AS fid, doc_id,
+               CAST(sum(CASE WHEN s > 0
+                        THEN CAST(1 AS BIGINT) << CAST(bit AS INTEGER)
+                        ELSE 0 END) AS BIGINT) AS sh
+        FROM bits GROUP BY 1, 2),
+      banded AS (SELECT fid, doc_id, sh, band,
+                        (sh >> CAST(band * 8 AS INTEGER)) & 255 AS chunk
+                 FROM fsh, range(0, 4) t(band)),
+      fpairs AS (
+        SELECT DISTINCT a.fid AS fa, b.fid AS fb,
+               a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.chunk = b.chunk AND a.fid < b.fid
+        WHERE bit_count(xor(a.sh, b.sh)) <= 3 AND a.doc_id <> b.doc_id)
+      SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_near_frames
+      FROM fpairs GROUP BY 1, 2""",
     // per-source hapax-legomena vocabulary-tail profile
     "q_hapax_rate" -> fromDocs("hapax_rate"),
     // per-user event-type diversity entropy (ilog2 integer surrogate —

@@ -178,7 +178,8 @@ object ScaleProbe {
     "q_brand_price_drift",
     "q_degree_assortativity", "q_cos_score_hist",
     "q_value_sigma_outliers", "q_partition_planner",
-    "q_dedup_pairs_cosine", "q_lsh_recall_sampled")
+    "q_dedup_pairs_cosine", "q_lsh_recall_sampled",
+    "q_multimodal_near_dup")
 
   def makeBig(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     // the embedding rotation below is the identity at i = 64 (reintroducing
@@ -236,6 +237,14 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(8)
+    // optional subset: `ScaleProbe 64 only q_a q_b ...` probes just those
+    // queries (skips the warehouse/guard/cust phases) — the fast path for
+    // a deeper-tier (e.g. 64x) run over the heaviest plans or for giving
+    // late-added queries their queries_index.json probe row
+    val only: Set[String] = {
+      val i = args.indexOf("only")
+      if (i >= 0) args.drop(i + 1).toSet else Set.empty
+    }
     val src = "/root/testdata/sf0.1"
     val dst = s"/tmp/graft_sf_x$copies"
     val spark = SparkSession.builder().master("local[32]")
@@ -266,21 +275,24 @@ object ScaleProbe {
       // costs and the ratio measures the plans, not cache luck
       spark.catalog.clearCache()
       Caches.invalidateAll(spark)
-      probeQueries.map { q =>
-        val t0 = System.nanoTime()
-        SparkEntry.queries(q)(spark, dir).count()
-        q -> (System.nanoTime() - t0) / 1e9
-      }.toMap
+      probeQueries
+        .filter(q => only.isEmpty || only(q))
+        .map { q =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(q)(spark, dir).count()
+          q -> (System.nanoTime() - t0) / 1e9
+        }.toMap
     }
     runAll(src) // warm code paths
     val t1 = runAll(src)
     val tN = runAll(dst)
     println(f"[scale] ${"query"}%-28s 1x(s)   ${copies}x(s)  ratio")
-    probeQueries.foreach { q =>
+    probeQueries.filter(q => only.isEmpty || only(q)).foreach { q =>
       println(f"[scale] $q%-28s ${t1(q)}%6.2f ${tN(q)}%7.2f ${tN(q) / t1(q)}%6.1f")
     }
     val s1 = t1.values.sum; val sN = tN.values.sum
     println(f"[scale] TOTAL 1x=$s1%.1fs ${copies}x=$sN%.1fs ratio=${sN / s1}%.1f (ideal ≤ $copies)")
+    if (only.nonEmpty) { spark.stop(); return } // subset run: queries only
 
     // ---- warehouse series: materialize + w_* read-backs at 1x and Nx ----
     // (exactly where the r5 small-file regression hid: the pipeline probes

@@ -471,6 +471,8 @@ object SparkEntry {
     // bag-cosine verify tier + sampled LSH recall
     "q_dedup_pairs_cosine" -> ((s, d) => ops.Dedup.bagCosinePairs(s, d)),
     "q_lsh_recall_sampled" -> ((s, d) => ops.Dedup.lshRecallSampled(s, d)),
+    // near-dup FRAME pairs (4-gram simhash + hamming banding over chunks)
+    "q_multimodal_near_dup" -> ((s, d) => ops.Multimodal.frameNearDup(s, d)),
     // per-source hapax-legomena vocabulary-tail profile
     "q_hapax_rate" -> ((s, d) => ops.TextOps.hapaxRate(s, d)),
     // per-user event-type diversity entropy (integer surrogate)
@@ -561,5 +563,6 @@ object SparkEntry {
     "q_source_quality_matrix", "q_supplier_leadtime",
     "q_brand_price_drift", "q_degree_assortativity", "q_cos_score_hist",
     "q_value_sigma_outliers", "q_partition_planner",
-    "q_dedup_pairs_cosine", "q_lsh_recall_sampled")
+    "q_dedup_pairs_cosine", "q_lsh_recall_sampled",
+    "q_multimodal_near_dup")
 }

@@ -180,4 +180,45 @@ object Multimodal {
 
   def sizeHist(spark: SparkSession, dir: String): DataFrame =
     sizeHistOf(meta(spark, dir))
+
+  /** NEAR-dup frame pairs via 4-gram SimHash + pigeonhole banding — the
+    * tolerance tier above [[frameDedupPairsOf]]'s exact-chunk match:
+    * catches re-encoded/slightly-edited frames whose bytes differ but
+    * whose content fingerprint sits within 3 bit flips (the video
+    * re-upload / transcode case; here exercised on the synthesized text
+    * payload slices, with the real codec decode an environment stub).
+    * Output grain: (doc_a, doc_b, n_near_frames) over DISTINCT document
+    * pairs, intra-document frame echoes excluded.
+    *
+    * Scale shape: per-frame SimHash is the map-side codegen kernel over
+    * the frame's distinct 4-grams; candidate pairs reuse the dedup
+    * stack's hamming banding ([[Dedup.simhashPairsOf]] — distinct-value
+    * buckets, never all-pairs); the rollup is one partial-agg groupBy.
+    * The frame key packs (doc_id, chunk_idx) as doc_id·10⁵ + idx —
+    * collision-free for the ≤10⁵-frame payloads here; a production run
+    * keys frames by a struct instead. */
+  def frameNearDupOf(documents: DataFrame): DataFrame = {
+    val frames = documents
+      .select(col("doc_id"), col("text"),
+        expr("1 + (greatest(length(text), 1) - 1) DIV 256").as("n_chunks"))
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(0, CAST(n_chunks - 1 AS INT))")).as("ci"))
+      .select(
+        (col("doc_id") * lit(100000L) + col("ci").cast("long")).as("fid"),
+        expr("substring(text, CAST(ci * 256 + 1 AS INT), 256)").as("c"))
+    val fsh = frames.select(col("fid").as("doc_id"),
+      graft.expr.SimHashN(
+        expr("transform(sequence(1, greatest(length(c) - 3, 1)), " +
+             "i -> substring(c, i, 4))"), 32).as("simhash"))
+    Dedup.simhashPairsOf(fsh)
+      .select(expr("CAST(doc_a DIV 100000 AS BIGINT)").as("doc_a"),
+              expr("CAST(doc_b DIV 100000 AS BIGINT)").as("doc_b"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_near_frames"))
+  }
+
+  def frameNearDup(spark: SparkSession, dir: String): DataFrame =
+    frameNearDupOf(Feeds.table(spark, dir, "documents"))
+
 }

@@ -137,6 +137,20 @@ class Round13OpsSpec extends SparkSpec {
     assert(r == Map(0L -> ((1L, 1L)), 2L -> ((1L, 0L))))
   }
 
+  test("frame near-dup: cross-doc near frames counted, intra-doc excluded") {
+    // docs 1 and 2 share an identical REPEATING 300-char payload (2
+    // chunks each): the repetition makes every chunk near every other,
+    // so all 4 cross-doc frame combos land within hamming 3 — while the
+    // same-similarity INTRA-doc combos (1.0~1.1, 2.0~2.1) must be
+    // excluded. Doc 3 is unrelated noise.
+    val payload = ("lorem ipsum dolor sit amet consectetur " * 8).take(300)
+    val docs = Seq((1L, payload), (2L, payload),
+                   (3L, "zq" * 150)).toDF("doc_id", "text")
+    val r = Multimodal.frameNearDupOf(docs)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(r == Set((1L, 2L, 4L)))
+  }
+
   test("dense-pair gate: compliant corpus output is unchanged") {
     val bands = bandsOf(
       (1L to 5L).map(i => (i, 0, "h0")) ++ Seq((6L, 1, "h1"), (7L, 1, "h1")))
