@@ -3,10 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** One teardown hook over every (session, dir)-keyed memo map in the
-  * library. Five objects memoize persisted frames per session —
+  * library. Six objects memoize persisted frames per session —
   * [[graft.etl.Pipeline]] (staging subplans), [[graft.ops.Dedup]]
   * (bands/pairs/cluster labels), [[graft.ops.TextOps]] (shingles),
-  * [[graft.ops.Vectors]] (quantized/IVF/LSH/PQ frames), [[graft.Ids]]
+  * [[graft.ops.Vectors]] (quantized/IVF/LSH/PQ frames), [[graft.ops.Basket]]
+  * (graph edges/degrees + memoized graph-query results), [[graft.Ids]]
   * (dense-sort frames) — and none can
   * know when a session is done with ALL of them, so a long-lived
   * multi-session JVM (a shared driver serving per-tenant sessions) must
@@ -28,11 +29,13 @@ object Caches {
     ops.Dedup.invalidateAll(spark)
     ops.TextOps.invalidateAll(spark)
     ops.Vectors.invalidateAll(spark)
+    ops.Basket.invalidateAll(spark)
     Ids.invalidateAll(spark)
   }
 
   /** Total memo entries held for `spark` (spec hook). */
   private[graft] def size(spark: SparkSession): Int =
     etl.Pipeline.cacheSize(spark) + ops.Dedup.cacheSize(spark) +
-      ops.TextOps.cacheSize(spark) + ops.Vectors.cacheSize(spark)
+      ops.TextOps.cacheSize(spark) + ops.Vectors.cacheSize(spark) +
+      ops.Basket.cacheSize(spark)
 }

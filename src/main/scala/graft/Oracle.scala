@@ -1732,7 +1732,8 @@ cust_gini AS (
       WHERE p_brand <> 'Brand#1'
         AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
         AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-                              WHERE s_acctbal < 0)
+                              WHERE s_acctbal < 0
+                                AND s_suppkey IS NOT NULL)
       GROUP BY 1, 2, 3""",
     "q_q19_disc_revenue" -> """
       SELECT CAST(count(*) AS BIGINT) AS n_lines,
@@ -1896,8 +1897,8 @@ cust_gini AS (
       SELECT n_endpoints, s_deg, s_deg2, s_prod,
              (CAST(n_endpoints AS DOUBLE) * CAST(s_prod AS DOUBLE)
               - CAST(s_deg AS DOUBLE) * CAST(s_deg AS DOUBLE))
-             / (CAST(n_endpoints AS DOUBLE) * CAST(s_deg2 AS DOUBLE)
-              - CAST(s_deg AS DOUBLE) * CAST(s_deg AS DOUBLE))
+             / nullif(CAST(n_endpoints AS DOUBLE) * CAST(s_deg2 AS DOUBLE)
+              - CAST(s_deg AS DOUBLE) * CAST(s_deg AS DOUBLE), 0.0)
                AS assortativity
       FROM s""",
     "q_cos_score_hist" -> (docsPrelude + """
@@ -1912,7 +1913,8 @@ cust_gini AS (
                     FROM events),
       m AS (SELECT event_type AS m_type, CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(v_c) AS BIGINT) AS s1,
-                   CAST(sum(v_c * v_c) AS BIGINT) AS s2
+                   sum(CAST(v_c AS DECIMAL(19,0))
+                       * CAST(v_c AS DECIMAL(19,0))) AS s2
             FROM vals GROUP BY 1)
       SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
              CAST(sum(CASE WHEN
@@ -2014,6 +2016,86 @@ cust_gini AS (
         WHERE bit_count(xor(a.sh, b.sh)) <= 3 AND a.doc_id <> b.doc_id)
       SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_near_frames
       FROM fpairs GROUP BY 1, 2""",
+    // guarded clustered sibling: spanning edges (within-hash-group stars +
+    // one rep edge per near-hash value pair, maxBucket=256 value-space star
+    // degradation) -> min-label CC -> (cluster, n_docs). Components equal
+    // the exact pair list's whenever no bucket exceeds the guard (true at
+    // every driver SF; the degradation is deterministic and mirrored).
+    "q_multimodal_near_dup_clusters" -> """
+      WITH RECURSIVE chunks AS (
+        SELECT doc_id, ci AS chunk_idx,
+               substr(text, CAST(ci * 256 + 1 AS INTEGER), 256) AS c
+        FROM (SELECT doc_id, text, unnest(range(0,
+                1 + (greatest(length(text), 1) - 1) // 256)) AS ci
+              FROM documents)),
+      grams AS (
+        SELECT DISTINCT doc_id, chunk_idx,
+               CASE WHEN length(c) >= 4
+                    THEN substr(c, CAST(i + 1 AS INTEGER), 4) ELSE c END AS g
+        FROM chunks, range(0, 1000) t(i)
+        WHERE i < greatest(length(c) - 3, 1)),
+      bits AS (
+        SELECT doc_id, chunk_idx, bit,
+               sum(CASE WHEN ((strpos('0123456789abcdef',
+                          substr(md5(g), 1 + CAST(bit // 4 AS INTEGER), 1))
+                          - 1) >> (bit % 4)) & 1 = 1
+                   THEN 1 ELSE -1 END) AS s
+        FROM grams, range(0, 32) b(bit) GROUP BY 1, 2, 3),
+      fsh AS (
+        SELECT doc_id * 100000 + chunk_idx AS fid, doc_id,
+               CAST(sum(CASE WHEN s > 0
+                        THEN CAST(1 AS BIGINT) << CAST(bit AS INTEGER)
+                        ELSE 0 END) AS BIGINT) AS sh
+        FROM bits GROUP BY 1, 2),
+      vals AS (SELECT DISTINCT sh FROM fsh),
+      vbanded AS (
+        SELECT sh, band, (sh >> CAST(band * 8 AS INTEGER)) & 255 AS chunk
+        FROM vals, range(0, 4) t(band)),
+      bstat AS (
+        SELECT band, chunk, CAST(count(*) AS BIGINT) AS bsz, min(sh) AS bmin
+        FROM vbanded GROUP BY 1, 2),
+      vpairs AS (
+        SELECT DISTINCT sa, sb FROM (
+          SELECT a.sh AS sa, b.sh AS sb
+          FROM vbanded a
+          JOIN vbanded b ON a.band = b.band AND a.chunk = b.chunk
+                         AND a.sh < b.sh
+          JOIN bstat s ON s.band = a.band AND s.chunk = a.chunk
+          WHERE s.bsz <= 256
+          UNION ALL
+          SELECT least(s.bmin, v.sh), greatest(s.bmin, v.sh)
+          FROM vbanded v
+          JOIN bstat s ON s.band = v.band AND s.chunk = v.chunk
+          WHERE s.bsz > 256 AND v.sh <> s.bmin) t
+        WHERE bit_count(xor(sa, sb)) <= 3),
+      reps AS (SELECT sh, min(fid) AS rep FROM fsh GROUP BY 1),
+      span_f AS (
+        SELECT r.rep AS fa, f.fid AS fb
+        FROM fsh f JOIN reps r ON r.sh = f.sh
+        WHERE f.fid <> r.rep
+        UNION ALL
+        SELECT ra.rep, rb.rep
+        FROM vpairs JOIN reps ra ON ra.sh = sa JOIN reps rb ON rb.sh = sb),
+      dedges AS (
+        SELECT DISTINCT least(fa // 100000, fb // 100000) AS doc_a,
+                        greatest(fa // 100000, fb // 100000) AS doc_b
+        FROM span_f WHERE fa // 100000 <> fb // 100000),
+      dnodes AS (
+        SELECT doc_a AS doc_id FROM dedges
+        UNION SELECT doc_b FROM dedges),
+      sym_d AS (
+        SELECT doc_a AS src, doc_b AS dst FROM dedges
+        UNION ALL SELECT doc_b, doc_a FROM dedges),
+      reach_d AS (
+        SELECT doc_id AS node, doc_id AS label FROM dnodes
+        UNION
+        SELECT e.dst AS node, r.label FROM reach_d r
+        JOIN sym_d e ON e.src = r.node),
+      dclusters AS (
+        SELECT node AS doc_id, min(label) AS cluster FROM reach_d
+        GROUP BY node)
+      SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs
+      FROM dclusters GROUP BY 1""",
     // per-source hapax-legomena vocabulary-tail profile
     "q_hapax_rate" -> fromDocs("hapax_rate"),
     // per-user event-type diversity entropy (ilog2 integer surrogate —

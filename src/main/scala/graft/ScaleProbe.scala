@@ -13,173 +13,20 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
-  val probeQueries: Seq[String] = Seq(
-    "q_user_order_log_v2", "q_d_calendar", "q_d_customer", "q_f_sales",
-    "q_d_calendar_weeks", "q_new_customers_compact", "q_refunded_customers",
-    "q_retention_compact", "q_dedup_exact", "q_dedup_minhash_pairs",
-    "q_dedup_simhash", "q_dedup_simhash64_pairs", "q_dedup_clusters",
-    "q_corpus_curated", "q_text_stats", "q_quality_score",
-    "q_multimodal_meta",
-    "q_sessionize", "q_sales_rolling_7d", "q_tfidf_top",
-    "q_dedup_pairs_inc", "q_contamination", "q_repetition",
-    // round-4/5 additions: sketches, grouping sets, rank marts, layout,
-    // funnel, SCD2, as-of and the banded interval join
-    "q_bloom_join", "q_heavy_hitters", "q_sales_cube", "q_sales_rollup",
-    "q_sales_pivot", "q_top_items_per_city", "q_customer_deciles",
-    "q_customer_cumrev", "q_zorder_key", "q_funnel", "q_d_customer_scd",
-    "q_asof_latest_order", "q_ann_recall", "q_event_pairs",
-    // round-5 additions: salted agg/join, passage dedup, PQ encode + ADC,
-    // IVF-PQ composition, verified LSH pairs
-    "q_priority_sales_salted", "q_brand_qty_salted", "q_dedup_passages",
-    "q_passage_dup_ratio", "q_pq_codes", "q_pq_adc_topk", "q_ivfpq_topk",
-    "q_dedup_pairs_verified", "q_corpus_stats",
-    "q_dedup_clusters_verified",
-    // round-6 additions: IVF-PQ recall monitor, sketch-quantile contract,
-    // two-stage shortlist+rerank serving
-    "q_ivfpq_recall", "q_profile_quantiles_sketch", "q_ivfpq_rerank",
-    // round-7 additions: multi-probe payoff + ingest-drift monitor (the
-    // latter is O(|Q|·N) exact ground truth BY DESIGN — a recall monitor
-    // pays brute force on its query sample; the probe checks the constant)
-    "q_ivf_probe_recall", "q_ivf_ingest_recall",
-    // round-11: the remaining 49 queries — the probe now covers ALL of
-    // SparkEntry.queries, so the "no query is super-linear" claim is
-    // exhaustive rather than representative. Expected >N ratios are the
-    // documented flat-scan/quadratic-by-construction baselines that
-    // exist as exactness references beside their blocked/grained
-    // production siblings: q_ann_cosine_topk[_fast] (brute force),
-    // q_f_customer_retention (faithful period-only join, N6 quirk;
-    // *_grain is the scale path), q_dedup_embedding (label-blocked
-    // candidates grow quadratically within a label as copies share the
-    // label set; the IVF/LSH siblings are the scale path).
-    "q_ann_cosine_topk", "q_ann_cosine_topk_fast", "q_ann_ivf_assign",
-    "q_ann_ivf_topk", "q_ann_ivf_topk_probe2", "q_ann_kmeans_assign",
-    "q_bigram_freq", "q_corpus_curated_v2", "q_customer_research",
-    "q_d_calendar_inc", "q_d_item", "q_dedup_clusters_fast",
-    "q_dedup_embedding", "q_dedup_embedding_ivf", "q_dedup_embedding_lsh",
-    "q_dedup_minhash_lsh", "q_dedup_minhash_pairs_guarded",
-    "q_dedup_ngram_jaccard", "q_dedup_simhash64", "q_dedup_simhash_pairs",
-    "q_doc_fingerprint", "q_event_type_stats", "q_f_customer_retention",
-    "q_f_customer_retention_grain", "q_f_sales_inc", "q_f_sales_v2",
-    "q_fk_audit", "q_histogram_totalprice", "q_lang_id", "q_lang_id_ngram",
-    "q_multimodal_frames", "q_new_customers", "q_pii_scan", "q_price_log",
-    "q_pricing_summary", "q_profile_orders", "q_profile_quantiles",
-    "q_quantiles_by_flag", "q_refunded_customers_compact",
-    "q_returned_customers", "q_returned_customers_compact",
-    "q_sample_stratified", "q_shipping_priority", "q_split_train_val_test",
-    "q_top_customers", "q_user_activity_log", "q_user_order_log",
-    "q_user_order_log_inc", "q_word_freq",
-    // round-11b additions: KMV distinct sketch, Markov transitions, BM25
-    "q_kmv_users", "q_event_transitions", "q_bm25_top",
-    // round-11c: basket mining, rolling actives, blocked fuzzy match,
-    // sequence packing, rolling anomaly, SCD2 point-in-time
-    "q_basket_pairs", "q_rolling_active_users", "q_fuzzy_part_pairs",
-    "q_pack_sequences", "q_revenue_anomaly", "q_scd_pit",
-    "q_triangle_stats", "q_vocab_coverage", "q_quality_pct_rank",
-    "q_order_gaps", "q_rrf_fusion", "q_d_customer_scd_inc",
-    "q_basket_components",
-    // round-11f: JSON props extraction, cohort matrix, domain quota,
-    // keep-best canonical, doc-length histogram, snapshot diff, PageRank
-    "q_props_json", "q_cohort_retention", "q_domain_quota",
-    "q_dedup_keep_best", "q_doclen_hist", "q_snapshot_diff", "q_pagerank",
-    // round-11g: sketch calibration, degree distribution, revenue HHI,
-    // one-scan DQ profile
-    "q_minhash_est_err", "q_degree_dist", "q_revenue_hhi", "q_dq_profile",
-    // round-11h: language confusion matrix, join-key skew report,
-    // last-touch attribution, incremental cluster maintenance
-    "q_lang_confusion", "q_skew_report", "q_attribution",
-    "q_dedup_clusters_inc",
-    // round-11i: consensus dedup tier, PMI collocations, mixture weights
-    "q_dedup_consensus", "q_colloc_pmi", "q_mix_weights",
-    // round-11j: bag dedup, deterministic shuffle, fertility, surprisal,
-    // cross-source vocab overlap, telemetry debounce
-    "q_dedup_bag", "q_shuffle_shards", "q_token_fertility",
-    "q_unigram_logprob", "q_source_vocab_overlap", "q_event_debounce",
-    // round-11k: MoM growth, event-rate hist, norm hist, char entropy,
-    // neighbor Jaccard
-    "q_sales_mom", "q_event_rate_hist", "q_emb_norm_hist",
-    "q_char_entropy", "q_copurchase_jaccard",
-    // round-11l: Q5 snowflake anchor, edit-distance dedup tier, dup-rate
-    // attribution, packing fill factor
-    "q_local_supplier_volume", "q_dedup_pairs_editdist",
-    "q_dup_rate_by_source", "q_pack_efficiency",
-    // round-11m: filtered ANN, IVF balance, band stats, token drift
-    "q_ann_filtered_topk", "q_ivf_cell_balance",
-    "q_minhash_band_stats", "q_token_freq_drift",
-    // round-11n: prefix dedup, near-dup/contamination attribution,
-    // hour-of-day seasonality
-    "q_dedup_prefix", "q_near_dup_rate_by_source",
-    "q_contam_rate_by_source", "q_events_hour_profile",
-    // round-11o: showcase top-k, syndication overlap, label agreement
-    "q_top_docs_per_source", "q_cross_source_dup_pairs",
-    "q_ann_label_agreement",
-    // round-12: containment tier, novelty, budget/curriculum/weighted
-    // curation, bucketed packing, embedding health
-    "q_minhash_containment", "q_ngram_novelty", "q_token_budget_select",
-    "q_curriculum_order", "q_weighted_sample", "q_pack_buckets",
-    "q_emb_dim_profile", "q_emb_anisotropy",
-    // round-12b: calibration, jaccard hist, incremental novelty,
-    // charset profile, label cohesion, user lifecycle
-    "q_quality_dup_calibration", "q_jaccard_hist", "q_ngram_novelty_inc",
-    "q_charset_profile", "q_emb_label_cohesion", "q_user_lifecycle",
-    // round-12c: PQ distortion, cluster sizes, pair degrees, mix epochs
-    "q_pq_distortion", "q_dedup_cluster_sizes", "q_pair_degree_dist",
-    "q_mix_epochs",
-    // round-12d: Benford profile, IQR fences, BFS hops, frame dedup,
-    // bigram surprisal, lexical diversity, token Gini, cluster purity
-    "q_benford_totalprice", "q_price_outliers_iqr", "q_graph_hops",
-    "q_multimodal_frame_dedup", "q_bigram_surprisal", "q_lexical_diversity",
-    "q_token_gini", "q_cluster_purity",
-    // round-12e: split leakage, threshold sweep, length trim, bigram
-    // diversity, session concurrency
-    "q_split_leakage", "q_dedup_threshold_sweep", "q_length_trim",
-    "q_source_bigram_diversity", "q_session_concurrency",
-    // round-12f: Q4 semi-join, Q13 outer-join distribution, RFM cube
-    "q_late_orders", "q_cust_order_dist", "q_customer_rfm",
-    // round-12g: contrastive keywords, ANN MRR, funnel latency
-    "q_contrastive_terms", "q_ann_mrr", "q_funnel_time",
-    // round-12h additions: the TPC-H classic shapes (Q7/Q8/Q10/Q14/Q18/
-    // Q22) + hapax vocabulary tail + per-user event-type entropy
-    "q_q7_volume", "q_q8_market_share", "q_q10_returned_top",
-    "q_q14_promo_share", "q_q18_bulk_orders", "q_q22_idle_balance",
-    "q_hapax_rate", "q_event_entropy",
-    // round-12i additions: Q6/Q15/Q17 classics + curation funnel,
-    // length-shift card and kNN mutuality monitor
-    "q_q6_forecast", "q_q15_top_supplier", "q_q17_small_qty",
-    "q_curation_funnel", "q_dedup_length_shift", "q_knn_mutual",
-    // round-12j additions: asymmetric grouping sets, SCD churn rate,
-    // session-duration/media-size histograms, principal-direction dims
-    "q_sales_grouping_sets", "q_scd_change_rate",
-    "q_session_duration_hist", "q_multimodal_size_hist",
-    "q_emb_principal_dims",
-    // round-12k additions: corpus-health statistics (Zipf fit, KS
-    // source drift, length/token moments, SimHash bit balance,
-    // boilerplate shingles), mutual-kNN components, cohort LTV, Q9
-    // profit shape, event burstiness + Markov surprisal
-    "q_zipf_fit", "q_ks_source_drift", "q_length_token_moments",
-    "q_simhash_bit_balance", "q_boilerplate_shingles", "q_knn_components",
-    "q_cohort_ltv", "q_q9_profit", "q_user_burstiness",
-    "q_event_seq_surprisal",
-    // round-12l additions: stopword profile, dup token inflation,
-    // day-of-week seasonality, monthly customer-revenue Gini
-    "q_stopword_profile", "q_dup_inflation", "q_sales_dow_profile",
-    "q_customer_gini_monthly",
-    // round-12m additions: token byte-length histogram, shard-size
-    // skew, order backlog curve, price/qty moments, weekly event-value
-    // drift card
-    "q_token_len_hist", "q_shard_skew_profile", "q_order_backlog",
-    "q_price_qty_moments", "q_event_value_weekly",
-    // round-13 additions: the remaining TPC-H classic shapes
-    "q_q2_min_cost_supp", "q_q11_important_share", "q_q12_priority_ship",
-    "q_q16_part_supplier_cnt", "q_q19_disc_revenue",
-    "q_q20_dominant_supplier", "q_q21_late_only_supplier",
-    "q_ann_range_count", "q_readability", "q_token_doc_freq",
-    "q_heaps_law", "q_simhash_precision_curve", "q_dup_lang_pairs",
-    "q_source_quality_matrix", "q_supplier_leadtime",
-    "q_brand_price_drift",
-    "q_degree_assortativity", "q_cos_score_hist",
-    "q_value_sigma_outliers", "q_partition_planner",
-    "q_dedup_pairs_cosine", "q_lsh_recall_sampled",
-    "q_multimodal_near_dup")
+  /** Probe list = the FULL live registry, derived (alphabetical), never
+    * hand-maintained: r13 verdict task 5 — round additions were duplicated
+    * here and in [[SparkEntry.newThisRound]], a drift risk every round.
+    * BenchLineSpec pins probe ≡ registry; deriving makes drift impossible.
+    * Expected >N ratios are the documented flat-scan/quadratic-by-design
+    * exactness baselines beside their blocked/grained production siblings:
+    * q_ann_cosine_topk[_fast] (brute force), q_f_customer_retention
+    * (faithful N6 period-only join; *_grain is the scale path),
+    * q_dedup_embedding (label-blocked; IVF/LSH siblings are the scale
+    * path), and the pair-list monitors whose OUTPUT is quadratic in clone
+    * group size (q_knn_components, q_ann_kmeans_assign,
+    * q_multimodal_near_dup — guarded sibling q_multimodal_near_dup_clusters
+    * is the production entry). */
+  val probeQueries: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
 
   def makeBig(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     // the embedding rotation below is the identity at i = 64 (reintroducing

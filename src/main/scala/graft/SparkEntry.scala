@@ -472,7 +472,13 @@ object SparkEntry {
     "q_dedup_pairs_cosine" -> ((s, d) => ops.Dedup.bagCosinePairs(s, d)),
     "q_lsh_recall_sampled" -> ((s, d) => ops.Dedup.lshRecallSampled(s, d)),
     // near-dup FRAME pairs (4-gram simhash + hamming banding over chunks)
+    // — exact pair list, the oracle baseline (output quadratic in clone
+    // group size BY DESIGN; gate raises on oversized value buckets)
     "q_multimodal_near_dup" -> ((s, d) => ops.Multimodal.frameNearDup(s, d)),
+    // guarded clustered sibling — the production entry: spanning edges +
+    // CC, linear output, maxBucket star degradation (r13 verdict task 1)
+    "q_multimodal_near_dup_clusters" -> ((s, d) =>
+      ops.Multimodal.frameNearDupClusters(s, d)),
     // per-source hapax-legomena vocabulary-tail profile
     "q_hapax_rate" -> ((s, d) => ops.TextOps.hapaxRate(s, d)),
     // per-user event-type diversity entropy (integer surrogate)
@@ -555,14 +561,5 @@ object SparkEntry {
     * committed CORRECTNESS_multi.json (VerifyMultiSpec pins it); reset to
     * the new additions at the start of each round. */
   def newThisRound: Set[String] = Set(
-    "q_q2_min_cost_supp", "q_q11_important_share", "q_q12_priority_ship",
-    "q_q16_part_supplier_cnt", "q_q19_disc_revenue",
-    "q_q20_dominant_supplier", "q_q21_late_only_supplier",
-    "q_ann_range_count", "q_readability", "q_token_doc_freq",
-    "q_heaps_law", "q_simhash_precision_curve", "q_dup_lang_pairs",
-    "q_source_quality_matrix", "q_supplier_leadtime",
-    "q_brand_price_drift", "q_degree_assortativity", "q_cos_score_hist",
-    "q_value_sigma_outliers", "q_partition_planner",
-    "q_dedup_pairs_cosine", "q_lsh_recall_sampled",
-    "q_multimodal_near_dup")
+    "q_multimodal_near_dup_clusters")
 }

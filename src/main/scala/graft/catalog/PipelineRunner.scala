@@ -36,19 +36,29 @@ object PipelineRunner {
   private def inParallel(tasks: Seq[(String, () => Unit)]): Unit = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
+    import scala.util.{Failure, Try}
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(8, tasks.size))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val trace = sys.env.contains("SPARK_GRAFT_MAT_TRACE")
-    try Await.result(Future.sequence(tasks.map { case (name, t) =>
-      Future {
-        val t0 = System.nanoTime()
-        t()
-        if (trace) println(
-          f"[mat] $name%-24s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
-      }
-    }), Duration.Inf)
-    finally pool.shutdown()
+    // Each task is Try-wrapped so the Await drains the WHOLE wave even
+    // when one write fails: a fail-fast Future.sequence would rethrow
+    // while sibling overwrite jobs keep mutating the warehouse in the
+    // background — a caller that catches and retries would race those
+    // zombie writes. The first failure is rethrown only after every
+    // submitted task has completed (pool.shutdown() alone neither cancels
+    // nor waits).
+    try {
+      val results = Await.result(Future.sequence(tasks.map { case (name, t) =>
+        Future(Try {
+          val t0 = System.nanoTime()
+          t()
+          if (trace) println(
+            f"[mat] $name%-24s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        })
+      }), Duration.Inf)
+      results.collectFirst { case Failure(e) => e }.foreach(throw _)
+    } finally pool.shutdown()
   }
 
   def run(spark: SparkSession, sfDir: String, warehouseRoot: String): Warehouse = {

@@ -21,6 +21,47 @@ import org.apache.spark.sql.functions._
   */
 object Basket {
 
+  // Per-session registry of every frame this object persists. The graph
+  // ops persist per-call intermediates (edge lists, degree tables) whose
+  // consumers are lazy, so the frames cannot be unpersisted before return
+  // ([[graphHopsOf]]'s bounded-output collect trick doesn't apply to
+  // node-/pair-sized outputs); routing them through this registry makes
+  // [[graft.Caches.invalidateAll]] reclaim them — the same teardown
+  // contract as Dedup/TextOps/Vectors' memo maps. Query-level entry
+  // points additionally memoize their RESULT per (session, dir), so a
+  // long-lived session re-running a query reuses the first call's
+  // persisted intermediates instead of accreting new ones.
+  private val tracked = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]
+  private val resultCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]
+
+  private def persistTracked(df: DataFrame): DataFrame = {
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tracked.computeIfAbsent(df.sparkSession,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]).add(df)
+    df
+  }
+
+  private def cached(spark: SparkSession, dir: String, name: String)
+                    (build: => DataFrame): DataFrame =
+    resultCache.computeIfAbsent((spark, dir, name), _ => build)
+
+  /** Unpersist every frame `spark` persisted through this object and drop
+    * its memoized results — the [[graft.Caches.invalidateAll]] hook. */
+  def invalidateAll(spark: SparkSession): Unit = {
+    Option(tracked.remove(spark)).foreach { q =>
+      q.forEach(df => df.unpersist(false))
+    }
+    resultCache.keySet.removeIf(_._1 eq spark)
+  }
+
+  import scala.jdk.CollectionConverters._
+  /** Memo entries held for `spark` (spec hook). */
+  private[graft] def cacheSize(spark: SparkSession): Int =
+    resultCache.keySet.asScala.count(_._1 eq spark) +
+      Option(tracked.get(spark)).map(_.size).getOrElse(0)
+
   /** Distinct (order, part) pairs — basket semantics are set-based: a part
     * listed on two lines of one order counts once. */
   def itemsOf(lineitem: DataFrame): DataFrame =
@@ -34,9 +75,10 @@ object Basket {
     // items feeds FIVE plan positions (both join sides, two lift
     // denominators, the order total) — persist so the scan+distinct runs
     // once (CacheManager dedupes the canonicalized subplan; the house
-    // shared-subplan pattern, see Dedup.minhashPairsOf)
-    val items = itemsOf(lineitem)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // shared-subplan pattern, see Dedup.minhashPairsOf). Tracked: the
+    // lazy result frame references it, so Caches.invalidateAll is the
+    // reclaim point (r13 verdict task 2).
+    val items = persistTracked(itemsOf(lineitem))
     val nOrders = items.select(countDistinct("l_orderkey").as("n_orders"))
     val freq = items.groupBy("l_partkey").agg(count(lit(1)).as("n"))
 
@@ -59,7 +101,9 @@ object Basket {
   }
 
   def partPairs(spark: SparkSession, dir: String): DataFrame =
-    partPairsOf(Feeds.table(spark, dir, "lineitem"))
+    cached(spark, dir, "partPairs") {
+      partPairsOf(Feeds.table(spark, dir, "lineitem"))
+    }
 
   /** Undirected co-purchase edges (support ≥ `minSupport` basket pairs). */
   def coPurchaseEdgesOf(lineitem: DataFrame, minSupport: Int = 2): DataFrame =
@@ -81,20 +125,19 @@ object Basket {
     * double division.
     */
   def triangleStatsOf(edges0: DataFrame): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = edges0.persist(MEMORY_AND_DISK) // feeds degrees + orient + close
-    val deg = edges.select(col("u").as("node"))
+    val edges = persistTracked(edges0) // feeds degrees + orient + close
+    val deg = persistTracked(edges.select(col("u").as("node"))
       .unionAll(edges.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-      .persist(MEMORY_AND_DISK) // feeds both orient sides + wedge/node aggs
+    ) // feeds both orient sides + wedge/node aggs
     val higher = col("deg_u") < col("deg_v") ||
       (col("deg_u") === col("deg_v") && col("u") < col("v"))
-    val oriented = edges
+    val oriented = persistTracked(edges
       .join(deg.select(col("node").as("u"), col("deg").as("deg_u")), Seq("u"))
       .join(deg.select(col("node").as("v"), col("deg").as("deg_v")), Seq("v"))
       .select(when(higher, col("u")).otherwise(col("v")).as("src"),
               when(higher, col("v")).otherwise(col("u")).as("dst"))
-      .persist(MEMORY_AND_DISK) // feeds both path sides + the closing join
+    ) // feeds both path sides + the closing join
     val paths = oriented.select(col("src"), col("dst").as("v1"))
       .join(oriented.select(col("src"), col("dst").as("v2")), Seq("src"))
       .where(col("v1") =!= col("v2")) // both (v1,v2) orders; only one closes
@@ -115,7 +158,9 @@ object Basket {
   }
 
   def triangleStats(spark: SparkSession, dir: String): DataFrame =
-    triangleStatsOf(coPurchaseEdgesOf(Feeds.table(spark, dir, "lineitem")))
+    cached(spark, dir, "triangleStats") {
+      triangleStatsOf(coPurchaseEdgesOf(Feeds.table(spark, dir, "lineitem")))
+    }
 
   /** Connected components of the co-purchase graph (component id = min
     * part id), rolled up to (component, size) — the category-discovery
@@ -133,8 +178,10 @@ object Basket {
   }
 
   def coPurchaseComponents(spark: SparkSession, dir: String): DataFrame =
-    coPurchaseComponentsOf(
-      coPurchaseEdgesOf(Feeds.table(spark, dir, "lineitem")))
+    cached(spark, dir, "coPurchaseComponents") {
+      coPurchaseComponentsOf(
+        coPurchaseEdgesOf(Feeds.table(spark, dir, "lineitem")))
+    }
 
   /** PageRank over the co-purchase graph — `iters` power iterations in
     * EXACT INTEGER fixed-point (ranks in parts-per-million; damping
@@ -154,12 +201,11 @@ object Basket {
     * round — the fixed-round form is what production topic-rank jobs
     * run). */
   def pageRankOf(edges0: DataFrame, iters: Int = 3): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val sym = edges0.select(col("u").as("src"), col("v").as("dst"))
-      .unionAll(edges0.select(col("v").as("src"), col("u").as("dst")))
-      .persist(MEMORY_AND_DISK)
-    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
-      .persist(MEMORY_AND_DISK)
+    val sym = persistTracked(
+      edges0.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(edges0.select(col("v").as("src"), col("u").as("dst"))))
+    val deg = persistTracked(
+      sym.groupBy("src").agg(count(lit(1)).as("deg")))
     var rank = deg.select(col("src").as("node"),
       lit(1000000L).as("rank_ppm"))
     for (_ <- 1 to iters) {
@@ -175,7 +221,9 @@ object Basket {
   }
 
   def pageRank(spark: SparkSession, dir: String): DataFrame =
-    pageRankOf(coPurchaseEdgesOf(Feeds.table(spark, dir, "lineitem")))
+    cached(spark, dir, "pageRank") {
+      pageRankOf(coPurchaseEdgesOf(Feeds.table(spark, dir, "lineitem")))
+    }
 
   /** Degree distribution of the co-purchase graph — the power-law readout
     * that sizes every downstream graph decision (is a hub guard needed?
@@ -203,18 +251,16 @@ object Basket {
     * edges (bounded ×3) into a partial-agg rollup and one left join onto
     * the edge list. Never a neighbor-list crossJoin on a hub. */
   def neighborJaccardOf(edges0: DataFrame): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = edges0.persist(MEMORY_AND_DISK)
-    val deg = edges.select(col("u").as("node"))
+    val edges = persistTracked(edges0)
+    val deg = persistTracked(edges.select(col("u").as("node"))
       .unionAll(edges.select(col("v").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
-      .persist(MEMORY_AND_DISK)
+      .groupBy("node").agg(count(lit(1)).as("deg")))
     val higher = col("deg_u") < col("deg_v") ||
       (col("deg_u") === col("deg_v") && col("u") < col("v"))
-    val withDeg = edges
+    val withDeg = persistTracked(edges
       .join(deg.select(col("node").as("u"), col("deg").as("deg_u")), Seq("u"))
       .join(deg.select(col("node").as("v"), col("deg").as("deg_v")), Seq("v"))
-      .persist(MEMORY_AND_DISK) // feeds orientation AND the final output
+    ) // feeds orientation AND the final output
     val oriented = withDeg
       .select(when(higher, col("u")).otherwise(col("v")).as("src"),
               when(higher, col("v")).otherwise(col("u")).as("dst"))
@@ -242,7 +288,9 @@ object Basket {
   }
 
   def neighborJaccard(spark: SparkSession, dir: String): DataFrame =
-    neighborJaccardOf(coPurchaseEdgesOf(Feeds.table(spark, dir, "lineitem")))
+    cached(spark, dir, "neighborJaccard") {
+      neighborJaccardOf(coPurchaseEdgesOf(Feeds.table(spark, dir, "lineitem")))
+    }
 
   /** Multi-hop reachability histogram: BFS from the hub (highest-degree
     * node, ties to the smaller id) over the co-purchase graph, min-hop
@@ -310,7 +358,11 @@ object Basket {
     * negative means hub-and-spoke. The sums are exact BIGINTs; the final
     * Pearson arithmetic runs in DOUBLE on the one-row fold (identical
     * expression tree in the oracle, and double avoids the n·Σxy int64
-    * overflow a web-scale graph would hit).
+    * overflow a web-scale graph would hit). The variance denominator is
+    * wrapped in nullif(·, 0): a degree-regular graph makes it exactly 0,
+    * where Spark's Divide returns NULL but DuckDB (IEEE float division)
+    * returns NaN/inf — nullif pins BOTH engines to NULL (assortativity is
+    * genuinely undefined at zero degree variance).
     *
     * Scale shape: one degree groupBy, two degree attach joins keyed on
     * the edge endpoints, one global partial-agg fold to a single row. */
@@ -329,8 +381,8 @@ object Basket {
       .select(col("n_endpoints"), col("s_deg"), col("s_deg2"), col("s_prod"),
         expr("""(CAST(n_endpoints AS DOUBLE) * CAST(s_prod AS DOUBLE)
                  - CAST(s_deg AS DOUBLE) * CAST(s_deg AS DOUBLE))
-                / (CAST(n_endpoints AS DOUBLE) * CAST(s_deg2 AS DOUBLE)
-                 - CAST(s_deg AS DOUBLE) * CAST(s_deg AS DOUBLE))""")
+                / nullif(CAST(n_endpoints AS DOUBLE) * CAST(s_deg2 AS DOUBLE)
+                 - CAST(s_deg AS DOUBLE) * CAST(s_deg AS DOUBLE), 0.0D)""")
           .as("assortativity"))
   }
 

@@ -306,6 +306,18 @@ object Dedup {
     (SparkSession, String), DataFrame]
   private val pairsCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Int), DataFrame]
+  // FINAL-round checkpoints of the CC loops: each backs its returned
+  // (lazy) labels, so it cannot be released at construction — registered
+  // here and drained by invalidateAll (superseded per-round checkpoints
+  // are released eagerly inside the loops)
+  private val checkpoints = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]
+
+  private def trackCheckpoint(df: DataFrame): DataFrame = {
+    checkpoints.computeIfAbsent(df.sparkSession,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]).add(df)
+    df
+  }
 
   private def bandsCached(spark: SparkSession, dir: String): DataFrame =
     bandsCache.computeIfAbsent((spark, dir),
@@ -342,9 +354,15 @@ object Dedup {
     * was built from — same session-teardown hook as
     * [[graft.ops.Vectors.invalidateAll]] (a stopped session's entries
     * would otherwise stay pinned for the JVM lifetime). Cluster-label
-    * entries are dropped without unpersist, as in [[invalidate]]: their
-    * backing data is a checkpoint, not a persisted plan. */
+    * entries are dropped from the memo without Dataset.unpersist (their
+    * backing data is a checkpoint, not a CacheManager plan); the
+    * checkpoint BLOCKS themselves are released through the tracked
+    * final-round registry below — a released checkpoint cannot be
+    * recomputed, which is exactly the retire-the-session contract. */
   def invalidateAll(spark: SparkSession): Unit = {
+    Option(checkpoints.remove(spark)).foreach { q =>
+      q.forEach(df => graft.etl.Catchup.releaseLocalCheckpoint(df))
+    }
     bandsCache.entrySet.removeIf { e =>
       val hit = e.getKey._1 eq spark
       if (hit) e.getValue.unpersist(false)
@@ -466,18 +484,145 @@ object Dedup {
     * the 32-bit parity hash; at corpus scale use [[simhash64PairsOf]]
     * (64-bit hash, 16-bit chunks) so buckets stay small — candidate volume
     * per bucket is (N/buckets)² per band. The banding algebra is shared. */
-  def simhashPairsOf(simhash: DataFrame, maxHamming: Int = 3): DataFrame =
-    hammingPairs(simhash, "simhash", chunkBits = 8, maxHamming)
+  def simhashPairsOf(simhash: DataFrame, maxHamming: Int = 3,
+                     maxBucket: Int = Int.MaxValue,
+                     denseGate: Int = DenseBucketGate): DataFrame =
+    hammingPairs(simhash, "simhash", chunkBits = 8, maxHamming,
+                 maxBucket, denseGate)
 
   /** 16-bit-chunk banding over the 64-bit hash — the corpus-scale shape. */
-  def simhash64PairsOf(simhash64: DataFrame, maxHamming: Int = 3): DataFrame =
-    hammingPairs(simhash64, "simhash64", chunkBits = 16, maxHamming)
+  def simhash64PairsOf(simhash64: DataFrame, maxHamming: Int = 3,
+                       maxBucket: Int = Int.MaxValue,
+                       denseGate: Int = DenseBucketGate): DataFrame =
+    hammingPairs(simhash64, "simhash64", chunkBits = 16, maxHamming,
+                 maxBucket, denseGate)
 
-  private def hammingPairs(hashes0: DataFrame, hashCol: String,
-                           chunkBits: Int, maxHamming: Int): DataFrame = {
+  /** SPANNING edge set of the hamming candidate graph — the guarded
+    * clustered form's input (r13 verdict task 1): component-identical to
+    * [[simhashPairsOf]]'s pair graph at a LINEAR output size, never
+    * quadratic in clone-group size. Within each same-hash group the
+    * group's min doc stars to every member (a group is a clique — the
+    * star spans it); between near-hash value pairs one edge connects the
+    * two groups' min docs (every member already reaches its rep through
+    * the star, so the single rep-rep edge merges the components exactly
+    * as the full bipartite expansion would). Value pairs ride the
+    * guarded (`maxBucket` star) bucket join, so no stage of the plan is
+    * quadratic in anything but the distinct-value bucket bound.
+    *
+    * Contract: connected components over this edge set EQUAL components
+    * over the exact pair list whenever no (band, chunk) bucket exceeds
+    * `maxBucket` distinct values; over the gate the value-space star
+    * degradation applies (deterministic, oracle-mirrored). The pair
+    * LIST itself is not reproduced — that output is quadratic in clone
+    * group size by definition and stays the documented exact baseline. */
+  def hammingSpanningEdgesOf(hashes0: DataFrame, hashCol: String,
+                             chunkBits: Int, maxHamming: Int = 3,
+                             maxBucket: Int = 256): DataFrame = {
+    // hashes feeds three consumers (distinct values, reps, star sides)
+    val hashes = hashes0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vals = hashes.select(col(hashCol).as("sh")).distinct()
+    val valPairs = hammingValuePairs(vals, chunkBits, maxHamming,
+                                     maxBucket, denseGate = Int.MaxValue)
+    // one independent rep groupBy per plan position (CacheManager dedupes
+    // the canonicalized subplan over the persisted `hashes`); a single
+    // shared `reps` frame trips Spark 4's union-constraint rewrite when
+    // this edge list later feeds a Union-based consumer (clustersFastOf)
+    def reps(shCol: String, repCol: String) =
+      hashes.groupBy(col(hashCol).as(shCol)).agg(min("doc_id").as(repCol))
+    val within = hashes
+      .select(col("doc_id"), col(hashCol).as("sh"))
+      .join(reps("sh", "rep"), "sh")
+      .where(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    val crossRep = valPairs
+      .join(reps("sh_a", "doc_a"), "sh_a")
+      .join(reps("sh_b", "doc_b"), "sh_b")
+      .select("doc_a", "doc_b")
+    val out = within.unionAll(crossRep)
+    // Row-RDD rebuild = constraint barrier: this plan's constraint set
+    // trips Spark 4.1's UnionBase.rewriteConstraints (key-not-found on a
+    // downstream union attribute) when the edge list feeds the CC loop's
+    // star unions — see Round14OpsSpec "spanning edges". The barrier is a
+    // 2-column linear edge list consumed once by clustersFastOf's initial
+    // eager checkpoint, so the row conversion is a one-pass constant.
+    hashes0.sparkSession.createDataFrame(out.rdd, out.schema)
+  }
+
+  /** STRICT (sh_a < sh_b) near-hash value pairs within `maxHamming`, from
+    * the pigeonhole (band, chunk) bucket join over DISTINCT hash values.
+    *
+    * Giant-bucket guard (r13 verdict task 1 — the same two-mode treatment
+    * as [[minhashPairsOf]]): `maxBucket = Int.MaxValue` is the EXACT dense
+    * bucket join, additionally gated in-plan — a (band, chunk) bucket with
+    * more than `denseGate` distinct values raises loudly instead of paying
+    * the O(bucket²) join silently (a 32-bit hash space saturates as the
+    * corpus grows — the fix at that scale is the 64-bit/16-bit-chunk
+    * banding, not a bigger gate). Any finite `maxBucket` degrades buckets
+    * over it to a linear STAR against the bucket's min value. Unlike the
+    * minhash star (whose bucket is a clique by construction), star value
+    * pairs still pass the hamming filter, so a pathological bucket loses
+    * value pairs both far from the bucket min — candidates whose EVERY
+    * shared chunk is degenerate-common, the boilerplate tier by
+    * definition (documented recall contract, mirrored deterministically
+    * in the oracle). */
+  private def hammingValuePairs(vals: DataFrame, chunkBits: Int,
+                                maxHamming: Int, maxBucket: Int,
+                                denseGate: Int): DataFrame = {
     import org.apache.spark.sql.functions.{greatest, least}
     val nBands = maxHamming + 1
     val mask = (1L << chunkBits) - 1
+    val banded = vals
+      .withColumn("band", explode(expr(s"sequence(0, ${nBands - 1})")))
+      .withColumn("chunk",
+        expr(s"shiftright(sh, CAST(band * $chunkBits AS INT)) & $mask"))
+    def hammingOk(p: DataFrame): DataFrame = p
+      .select(col("sh_a"), col("sh_b"),
+              expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+    val candidates =
+      if (maxBucket == Int.MaxValue) {
+        // exact dense bucket join, gated in-plan (the window reuses the
+        // join's own (band, chunk) partitioning — no extra exchange)
+        val byBucket = org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "chunk")
+        val a = banded.select(col("sh").as("sh_a"), col("band"), col("chunk"))
+          .withColumn("_bsz", count(lit(1)).over(byBucket))
+          .where(when(col("_bsz") > lit(denseGate.toLong),
+            raise_error(concat(
+              lit("dense hamming pair list: bucket size "),
+              col("_bsz").cast("string"),
+              lit(s" distinct values exceeds denseGate=$denseGate — the " +
+                "exact dense form is O(bucket²); use the guarded form " +
+                "(maxBucket=256) or the wider 64-bit/16-bit-chunk banding"))))
+            .otherwise(lit(true)))
+          .drop("_bsz")
+        val b = banded.select(col("sh").as("sh_b"), col("band"), col("chunk"))
+        a.join(b, Seq("band", "chunk")).where(col("sh_a") < col("sh_b"))
+      } else {
+        val stats = banded.groupBy("band", "chunk")
+          .agg(count(lit(1)).as("bsz"), min("sh").as("bmin"))
+        val tagged = banded.join(stats, Seq("band", "chunk"))
+        val small = tagged.where(col("bsz") <= maxBucket)
+        val dense = small
+          .select(col("sh").as("sh_a"), col("band"), col("chunk"))
+          .join(small.select(col("sh").as("sh_b"), col("band"), col("chunk")),
+                Seq("band", "chunk"))
+          .where(col("sh_a") < col("sh_b"))
+        val star = tagged.where(col("bsz") > maxBucket)
+          .where(col("sh") =!= col("bmin"))
+          .select(least(col("bmin"), col("sh")).as("sh_a"),
+                  greatest(col("bmin"), col("sh")).as("sh_b"))
+        dense.select("sh_a", "sh_b").unionAll(star)
+      }
+    hammingOk(candidates).distinct()
+  }
+
+  private def hammingPairs(hashes0: DataFrame, hashCol: String,
+                           chunkBits: Int, maxHamming: Int,
+                           maxBucket: Int = Int.MaxValue,
+                           denseGate: Int = DenseBucketGate): DataFrame = {
+    import org.apache.spark.sql.functions.{greatest, least}
     // the hash frame feeds THREE scans (distinct values + both doc-expansion
     // sides) — persist so the per-doc hash expression evaluates once, not 3×
     val hashes = hashes0
@@ -489,32 +634,24 @@ object Dedup {
     // hamming filter.
     val vals = hashes.select(col(hashCol).as("sh")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = vals
-      .withColumn("band", explode(expr(s"sequence(0, ${nBands - 1})")))
-      .withColumn("chunk",
-        expr(s"shiftright(sh, CAST(band * $chunkBits AS INT)) & $mask"))
-    val a = banded.select(col("sh").as("sh_a"), col("band"), col("chunk"))
-    val b = banded.select(col("sh").as("sh_b"), col("band"), col("chunk"))
-    val valPairs = a.join(b, Seq("band", "chunk"))
-      .where(col("sh_a") <= col("sh_b")) // keep equal: same-hash doc groups
-      .select(col("sh_a"), col("sh_b"),
-              expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)").as("hamming"))
-      .where(col("hamming") <= maxHamming)
-      .distinct()
+    val valPairs =
+      hammingValuePairs(vals, chunkBits, maxHamming, maxBucket, denseGate)
     val d1 = hashes.select(col("doc_id").as("da"), col(hashCol).as("sh_a"))
     val d2 = hashes.select(col("doc_id").as("db"), col(hashCol).as("sh_b"))
     // duplicate-free expansion — no global distinct over the (large) output:
     // distinct value pairs u<v produce each cross combo once; the u==v case
-    // pairs within one hash group with an ordering filter instead.
-    val cross = valPairs.where(col("sh_a") < col("sh_b"))
+    // (same-hash doc groups, hamming 0 — always candidates, any guard
+    // level) pairs within one hash group with an ordering filter instead.
+    val cross = valPairs
       .join(d1, "sh_a").join(d2, "sh_b")
       .select(least(col("da"), col("db")).as("doc_a"),
               greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
-    val same = valPairs.where(col("sh_a") === col("sh_b"))
-      .join(d1, "sh_a")
-      .join(d2.withColumnRenamed("sh_b", "sh_a"), "sh_a")
+    val same = hashes.select(col("doc_id").as("da"), col(hashCol).as("sh"))
+      .join(hashes.select(col("doc_id").as("db"), col(hashCol).as("sh")),
+            "sh")
       .where(col("da") < col("db"))
-      .select(col("da").as("doc_a"), col("db").as("doc_b"), col("hamming"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+              lit(0L).as("hamming"))
     cross.unionAll(same)
   }
 
@@ -584,10 +721,13 @@ object Dedup {
         .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
         .where(col("cluster") =!= col("prev")).count()
+      // prev labels' checkpoint blocks are dead once `changed` is counted
+      graft.etl.Catchup.releaseLocalCheckpoint(labels)
       labels = next
       iter += 1
     }
     edges.unpersist()
+    trackCheckpoint(labels) // final checkpoint backs the returned labels
     // Silent non-convergence would return WRONG cluster labels (components
     // with diameter > maxIters) while still matching row counts — fail loudly.
     if (changed > 0) throw new IllegalStateException(
@@ -754,6 +894,11 @@ object Dedup {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       val nextSig = sig(next)
       converged = nextSig == cur
+      // `next` is fully materialized (eager checkpoint) and its lineage
+      // does not reference the previous round — release the superseded
+      // round's blocks NOW instead of accreting one checkpoint per round
+      // for the session lifetime (r13 verdict task 2's hygiene class)
+      graft.etl.Catchup.releaseLocalCheckpoint(edges)
       edges = next
       cur = nextSig
       iter += 1
@@ -761,6 +906,9 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"clustersFastOf: star contraction did not converge in $maxIters " +
       "rounds (theoretical bound is O(log n) — raise maxIters)")
+    // the FINAL round's checkpoint backs the returned (lazy) labels — it
+    // cannot be released here; register it so invalidateAll reclaims it
+    trackCheckpoint(edges)
     docIds.join(edges.select(col("u").as("doc_id"), col("v").as("cluster")),
                 Seq("doc_id"), "left_outer")
       .select(col("doc_id"),

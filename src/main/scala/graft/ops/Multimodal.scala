@@ -197,8 +197,19 @@ object Multimodal {
     * The frame key packs (doc_id, chunk_idx) as doc_id·10⁵ + idx —
     * collision-free for the ≤10⁵-frame payloads here; a production run
     * keys frames by a struct instead. */
-  def frameNearDupOf(documents: DataFrame): DataFrame = {
-    val frames = documents
+  def frameNearDupOf(documents: DataFrame): DataFrame =
+    Dedup.simhashPairsOf(frameSimhashOf(documents))
+      .select(expr("CAST(doc_a DIV 100000 AS BIGINT)").as("doc_a"),
+              expr("CAST(doc_b DIV 100000 AS BIGINT)").as("doc_b"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_near_frames"))
+
+  /** Per-frame 4-gram SimHash32 — shared by the exact pair list and the
+    * guarded clustered form. Column names follow the dedup stack's
+    * (doc_id = frame key, simhash). */
+  private[ops] def frameSimhashOf(documents: DataFrame): DataFrame =
+    documents
       .select(col("doc_id"), col("text"),
         expr("1 + (greatest(length(text), 1) - 1) DIV 256").as("n_chunks"))
       .select(col("doc_id"), col("text"),
@@ -206,19 +217,46 @@ object Multimodal {
       .select(
         (col("doc_id") * lit(100000L) + col("ci").cast("long")).as("fid"),
         expr("substring(text, CAST(ci * 256 + 1 AS INT), 256)").as("c"))
-    val fsh = frames.select(col("fid").as("doc_id"),
-      graft.expr.SimHashN(
-        expr("transform(sequence(1, greatest(length(c) - 3, 1)), " +
-             "i -> substring(c, i, 4))"), 32).as("simhash"))
-    Dedup.simhashPairsOf(fsh)
-      .select(expr("CAST(doc_a DIV 100000 AS BIGINT)").as("doc_a"),
-              expr("CAST(doc_b DIV 100000 AS BIGINT)").as("doc_b"))
-      .where(col("doc_a") =!= col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_near_frames"))
-  }
+      .select(col("fid").as("doc_id"),
+        graft.expr.SimHashN(
+          expr("transform(sequence(1, greatest(length(c) - 3, 1)), " +
+               "i -> substring(c, i, 4))"), 32).as("simhash"))
 
   def frameNearDup(spark: SparkSession, dir: String): DataFrame =
     frameNearDupOf(Feeds.table(spark, dir, "documents"))
+
+  /** GUARDED frame-near-dup CLUSTERS — the production entry the exact
+    * pair list ([[frameNearDupOf]]) is the oracle baseline for (r13
+    * verdict task 1). The pair list's output is quadratic in clone-group
+    * size BY DEFINITION (a group of B re-uploads is C(B,2) pairs — the
+    * 64× probe measured ratio 63 on it); what a curation pipeline
+    * actually consumes is the clone GROUPS, which are linear. This form
+    * rides [[Dedup.hammingSpanningEdgesOf]] — within-hash-group stars +
+    * one rep edge per near-hash value pair, `maxBucket` star degradation
+    * in value space — then star-contraction CC, emitting (cluster,
+    * n_docs) per near-dup document family. Components are EXACTLY the
+    * exact pair list's (spanning-edge contract in the Scaladoc there);
+    * only the pair enumeration is dropped.
+    *
+    * Scale shape: every stage is collision-bounded (distinct-value
+    * buckets capped at `maxBucket`) or linear (stars, rep edges, CC
+    * rounds over the spanning set) — nothing grows with clone-group². */
+  def frameNearDupClustersOf(documents: DataFrame,
+                             maxBucket: Int = 256): DataFrame = {
+    val edges = Dedup.hammingSpanningEdgesOf(
+        frameSimhashOf(documents), "simhash", chunkBits = 8,
+        maxHamming = 3, maxBucket = maxBucket)
+      .select(expr("CAST(doc_a DIV 100000 AS BIGINT)").as("doc_a"),
+              expr("CAST(doc_b DIV 100000 AS BIGINT)").as("doc_b"))
+      .where(col("doc_a") =!= col("doc_b"))
+    val nodes = edges.select(col("doc_a").as("doc_id"))
+      .unionAll(edges.select(col("doc_b").as("doc_id"))).distinct()
+    Dedup.clustersFastOf(nodes, edges)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  def frameNearDupClusters(spark: SparkSession, dir: String): DataFrame =
+    frameNearDupClustersOf(Feeds.table(spark, dir, "documents"))
 
 }

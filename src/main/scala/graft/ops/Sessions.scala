@@ -557,6 +557,10 @@ object Sessions {
     * cross-multiplied form (n·v − Σ)² > 9·(n·Σv² − Σ²) evaluated in
     * DOUBLE on exact integer operands (identical tree in the oracle;
     * double because the squared terms overflow int64 at corpus scale).
+    * Σv² itself accumulates in DECIMAL(38,0), not BIGINT: n·v_c² passes
+    * int64 at ~9.2e18, where Spark (non-ANSI) would wrap silently while
+    * the DuckDB oracle errors — a silent-vs-loud divergence. DECIMAL
+    * moves the bound to 1e38 and keeps both engines exact/equal up to it.
     *
     * Scale shape: one partial-agg groupBy on the |types| key for the
     * moments, a broadcast join back over the same scan, one rollup. */
@@ -565,7 +569,8 @@ object Sessions {
       floor(col("value") * lit(100)).cast("long").as("v_c"))
     val moments = vals.groupBy(col("event_type").as("m_type"))
       .agg(count(lit(1)).as("n"), sum("v_c").as("s1"),
-           sum(col("v_c") * col("v_c")).as("s2"))
+           sum(col("v_c").cast("decimal(19,0)") *
+               col("v_c").cast("decimal(19,0)")).as("s2"))
     vals.join(broadcast(moments), col("event_type") === col("m_type"))
       .select(col("event_type"), col("n"),
         when(expr("""pow(CAST(n AS DOUBLE) * CAST(v_c AS DOUBLE)

@@ -130,7 +130,11 @@ object TpchShapes {
     * suppliers observed shipping each (brand, type, size) combination,
     * excluding one brand and suppliers with negative balances (the
     * "complaints" exclusion). Exclusion is a left-anti join, not NOT IN —
-    * null-safe and broadcastable.
+    * null-safe and broadcastable. The oracle keeps SQL NOT IN but pins
+    * the subquery with `s_suppkey IS NOT NULL`: a NULL in a NOT IN list
+    * empties the whole result under three-valued logic while the
+    * anti-join keeps unmatched rows — the pin makes the two forms
+    * equivalent by construction, not by the accident of a non-null key.
     *
     * Scale shape: part prunes on brand+size then broadcasts into
     * lineitem; the anti side is supplier-sized and broadcasts; one
