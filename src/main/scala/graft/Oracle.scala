@@ -2096,6 +2096,179 @@ cust_gini AS (
         GROUP BY node)
       SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs
       FROM dclusters GROUP BY 1""",
+    // --- round 14 ---
+    "q_copurchase_partners" -> """
+      WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(count(*) AS BIGINT) AS n_both
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      sym AS (SELECT part_a AS part, part_b AS partner, n_both FROM pairs
+              UNION ALL SELECT part_b, part_a, n_both FROM pairs)
+      SELECT part, partner, n_both, CAST(rn AS BIGINT) AS rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY part
+                    ORDER BY n_both DESC, partner) AS rn FROM sym) t
+      WHERE rn <= 3""",
+    "q_local_cc_hist" -> """
+      WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      pairs AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      sym AS (SELECT u AS a, v AS b FROM pairs
+              UNION ALL SELECT v, u FROM pairs),
+      deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+              FROM sym GROUP BY 1),
+      tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM pairs e1 JOIN pairs e2 ON e2.u = e1.v
+        JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v),
+      node_tri AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+          SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri) t
+        GROUP BY 1)
+      SELECT CAST(least(coalesce(n_tri, 0) * 2 * 10
+                   // (deg * (deg - 1)), 10) AS BIGINT) AS cc_decile,
+             CAST(count(*) AS BIGINT) AS n_nodes
+      FROM deg LEFT JOIN node_tri USING (node)
+      WHERE deg >= 2
+      GROUP BY 1""",
+    "q_frame_dup_ratio" -> (docsPrelude + """
+      , mm_fp_docs AS (
+        SELECT chunk_fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+        FROM mm_chunks GROUP BY 1)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+             CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_frames,
+             CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1000000
+                  // count(*) AS BIGINT) AS dup_ppm
+      FROM mm_chunks JOIN mm_fp_docs USING (chunk_fp)
+      GROUP BY 1"""),
+    "q_quality_len_corr" -> (docsPrelude + """
+      , qlc AS (
+        SELECT q.doc_id, CAST(floor(q.quality * 1000000) AS BIGINT) AS qppm,
+               CAST(length(bin(greatest(t.n_tokens, 1))) - 1 AS BIGINT)
+                 AS lbits
+        FROM quality_score q JOIN text_stats t ON t.doc_id = q.doc_id),
+      qlm AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(qppm) AS BIGINT) AS s_q,
+               CAST(sum(lbits) AS BIGINT) AS s_l,
+               sum(CAST(qppm AS DECIMAL(19,0))
+                   * CAST(qppm AS DECIMAL(19,0))) AS s_qq,
+               CAST(sum(lbits * lbits) AS BIGINT) AS s_ll,
+               sum(CAST(qppm AS DECIMAL(19,0))
+                   * CAST(lbits AS DECIMAL(19,0))) AS s_ql
+        FROM qlc)
+      SELECT n, s_q, s_l, s_ll,
+             (CAST(n AS DOUBLE) * CAST(s_ql AS DOUBLE)
+              - CAST(s_q AS DOUBLE) * CAST(s_l AS DOUBLE))
+             / nullif(
+                 sqrt(CAST(n AS DOUBLE) * CAST(s_qq AS DOUBLE)
+                      - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+               * sqrt(CAST(n AS DOUBLE) * CAST(s_ll AS DOUBLE)
+                      - CAST(s_l AS DOUBLE) * CAST(s_l AS DOUBLE)), 0.0)
+               AS corr
+      FROM qlm"""),
+    "q_seasonal_index" -> """
+      WITH ym AS (
+        SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2),
+      per_m AS (SELECT m, CAST(sum(cents) // count(*) AS BIGINT) AS mean_c,
+                       CAST(count(*) AS BIGINT) AS n_years FROM ym
+                GROUP BY 1),
+      overall AS (SELECT CAST(sum(cents) // count(*) AS BIGINT) AS o_mean
+                  FROM ym)
+      SELECT CAST(m AS BIGINT) AS month_num, n_years, mean_c,
+             CAST(mean_c * 1000000 // o_mean AS BIGINT) AS index_ppm
+      FROM per_m, overall""",
+    "q_churn_by_segment" -> """
+      WITH cut AS (SELECT max(o_orderdate) - INTERVAL 90 DAY AS cutoff
+                   FROM orders),
+      last_o AS (
+        SELECT o_custkey, max(o_orderdate) AS last_dt,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100
+                    AS BIGINT) AS ltv_c
+        FROM orders GROUP BY 1)
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_churned,
+             CAST(sum(ltv_c) AS BIGINT) AS churned_ltv_c
+      FROM last_o JOIN customer ON c_custkey = o_custkey, cut
+      WHERE last_dt < cutoff
+      GROUP BY 1""",
+    "q_priority_transitions" -> """
+      WITH tr AS (
+        SELECT o_custkey,
+               lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS prev_pr,
+               o_orderpriority AS pr
+        FROM orders)
+      SELECT prev_pr, pr, CAST(count(*) AS BIGINT) AS n
+      FROM tr WHERE prev_pr IS NOT NULL GROUP BY 1, 2""",
+    "q_ewma_revenue" -> """
+      WITH w AS (
+        SELECT date_trunc('week', o_orderdate) AS week,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1)
+      SELECT CAST(week AS TIMESTAMP) AS week, cents,
+             CAST((coalesce(lag(cents, 0) OVER wk, 0) * 128
+                 + coalesce(lag(cents, 1) OVER wk, 0) * 64
+                 + coalesce(lag(cents, 2) OVER wk, 0) * 32
+                 + coalesce(lag(cents, 3) OVER wk, 0) * 16
+                 + coalesce(lag(cents, 4) OVER wk, 0) * 8
+                 + coalesce(lag(cents, 5) OVER wk, 0) * 4
+                 + coalesce(lag(cents, 6) OVER wk, 0) * 2
+                 + coalesce(lag(cents, 7) OVER wk, 0)) // 255 AS BIGINT)
+               AS ewma_c
+      FROM w WINDOW wk AS (ORDER BY week)""",
+    "q_gap_hist_by_type" -> """
+      WITH ev AS (
+        SELECT CAST(user_id AS BIGINT) AS u, event_type,
+               date_trunc('second', CAST(ts AS TIMESTAMP)) AS t,
+               CAST(event_id AS BIGINT) AS eid
+        FROM events),
+      gaps AS (
+        SELECT event_type,
+               CAST(epoch(t) - epoch(lag(t) OVER (
+                 PARTITION BY u, event_type ORDER BY t, eid)) AS BIGINT)
+                 AS gap_s
+        FROM ev)
+      SELECT event_type,
+             CAST(length(bin(greatest(gap_s, 1))) - 1 AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_gaps
+      FROM gaps WHERE gap_s IS NOT NULL
+      GROUP BY 1, 2""",
+    "q_ann_rank_stability" -> (docsPrelude + """
+      , rs_common AS (
+        SELECT e.query_id, e.cand_id, e.rnk AS e_rnk, a.rnk AS a_rnk
+        FROM ann_cosine_topk e
+        JOIN pq_adc_topk a ON a.query_id = e.query_id
+                          AND a.cand_id = e.cand_id)
+      SELECT c1.query_id, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN (c1.e_rnk < c2.e_rnk)
+                             <> (c1.a_rnk < c2.a_rnk)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_discordant
+      FROM rs_common c1 JOIN rs_common c2
+        ON c2.query_id = c1.query_id AND c2.cand_id > c1.cand_id
+      GROUP BY 1"""),
+    "q_minhash_band_entropy" -> (docsPrelude + """
+      , be_bsz AS (
+        SELECT band, band_hash, CAST(count(*) AS BIGINT) AS s
+        FROM minhash_bands GROUP BY 1, 2)
+      SELECT band, CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(sum(s) AS BIGINT) AS n_sigs,
+             CAST(max(s) AS BIGINT) AS max_bucket,
+             CAST(CAST(sum(s) AS BIGINT)
+                    * (length(bin(CAST(sum(s) AS BIGINT))) - 1)
+                  - sum(s * (length(bin(s)) - 1)) AS BIGINT)
+               AS entropy_surr
+      FROM be_bsz GROUP BY 1"""),
     // per-source hapax-legomena vocabulary-tail profile
     "q_hapax_rate" -> fromDocs("hapax_rate"),
     // per-user event-type diversity entropy (ilog2 integer surrogate —

@@ -550,7 +550,33 @@ object SparkEntry {
     // per-product-line exact (quantity, price) moments
     "q_price_qty_moments" -> ((s, d) => ops.Analytics.priceQtyMoments(s, d)),
     // weekly telemetry-value drift card
-    "q_event_value_weekly" -> ((s, d) => ops.Sessions.eventValueWeekly(s, d)))
+    "q_event_value_weekly" -> ((s, d) => ops.Sessions.eventValueWeekly(s, d)),
+    // --- round 14: recommender/graph serving tables, media dup ratio,
+    //     corpus-health correlation, order seasonality/churn/sequence,
+    //     ANN rank stability, LSH banding entropy ---
+    // per-part top-3 co-purchase partners (integer-tiebreak rank)
+    "q_copurchase_partners" -> ((s, d) => ops.Basket.topPartners(s, d)),
+    // local clustering-coefficient decile histogram (community shape)
+    "q_local_cc_hist" -> ((s, d) => ops.Basket.localCcHist(s, d)),
+    // per-media duplicated-frame share (re-upload detector tier)
+    "q_frame_dup_ratio" -> ((s, d) => ops.Multimodal.frameDupRatio(s, d)),
+    // quality-vs-log-length Pearson (is quality just length?)
+    "q_quality_len_corr" -> ((s, d) => ops.Stats.qualityLenCorr(s, d)),
+    // month-of-year revenue seasonal index (integer ppm)
+    "q_seasonal_index" -> ((s, d) => ops.Analytics.seasonalIndex(s, d)),
+    // churned customers (>=90d inactive) per market segment
+    "q_churn_by_segment" -> ((s, d) => ops.Analytics.churnBySegment(s, d)),
+    // consecutive order-priority Markov transitions per customer
+    "q_priority_transitions" -> ((s, d) =>
+      ops.Analytics.priorityTransitions(s, d)),
+    // power-of-2-weighted trailing-8-week revenue trend (integer EWMA)
+    "q_ewma_revenue" -> ((s, d) => ops.Analytics.ewmaRevenue(s, d)),
+    // per-event-type log2 inter-event-gap histogram (debounce sizing)
+    "q_gap_hist_by_type" -> ((s, d) => ops.Sessions.gapHistByType(s, d)),
+    // exact-vs-ADC top-k inversion count (quantization rank drift)
+    "q_ann_rank_stability" -> ((s, d) => ops.Vectors.rankStability(s, d)),
+    // per-band bucket-occupancy entropy (banding health, one row per band)
+    "q_minhash_band_entropy" -> ((s, d) => ops.Dedup.bandEntropy(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -561,5 +587,9 @@ object SparkEntry {
     * committed CORRECTNESS_multi.json (VerifyMultiSpec pins it); reset to
     * the new additions at the start of each round. */
   def newThisRound: Set[String] = Set(
-    "q_multimodal_near_dup_clusters")
+    "q_multimodal_near_dup_clusters", "q_copurchase_partners",
+    "q_local_cc_hist", "q_frame_dup_ratio", "q_quality_len_corr",
+    "q_seasonal_index", "q_churn_by_segment", "q_priority_transitions",
+    "q_ewma_revenue", "q_gap_hist_by_type", "q_ann_rank_stability",
+    "q_minhash_band_entropy")
 }

@@ -1344,4 +1344,110 @@ object Analytics {
     brandPriceDriftOf(Feeds.table(spark, dir, "lineitem"),
                       Feeds.table(spark, dir, "part"))
 
+  /** Month-of-year revenue seasonality index: mean (year, month) revenue
+    * per calendar month over the overall (year, month) mean, in exact
+    * integer ppm (both means are integer DIVs of exact cent sums — no
+    * float crosses an engine boundary). Index 1.2e6 ≈ "Decembers run 20%
+    * hot"; the capacity-planning twin of the day-of-week profile.
+    *
+    * Scale shape: one partial-agg groupBy to the (year, month) grain
+    * (≤ ~100 keys), then 12-key and 1-row folds — broadcast scalars. */
+  def seasonalIndexOf(orders: DataFrame): DataFrame = {
+    val ym = orders
+      .groupBy(year(col("o_orderdate")).as("y"),
+               month(col("o_orderdate")).as("m"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(14, 2))) * lit(100))
+        .cast("long").as("cents"))
+    val perM = ym.groupBy("m")
+      .agg(expr("CAST(sum(cents) DIV count(1) AS BIGINT)").as("mean_c"),
+           count(lit(1)).as("n_years"))
+    val overall = ym
+      .agg(expr("CAST(sum(cents) DIV count(1) AS BIGINT)").as("o_mean"))
+    perM.crossJoin(broadcast(overall))
+      .select(col("m").cast("long").as("month_num"), col("n_years"),
+        col("mean_c"),
+        expr("CAST(mean_c * 1000000 DIV o_mean AS BIGINT)").as("index_ppm"))
+  }
+
+  def seasonalIndex(spark: SparkSession, dir: String): DataFrame =
+    seasonalIndexOf(Feeds.table(spark, dir, "orders"))
+
+  /** Churn candidates per market segment: customers whose LAST order
+    * predates the dataset horizon by ≥ 90 days, with their lifetime
+    * revenue in exact cents — the retention-campaign sizing card. The
+    * cutoff is a 1-row broadcast fold (no driver action).
+    *
+    * Scale shape: one per-customer partial agg over orders, broadcast
+    * scalar filter, one dimension join, 5-key rollup. */
+  def churnBySegmentOf(orders: DataFrame, customer: DataFrame,
+                       days: Int = 90): DataFrame = {
+    val cut = orders
+      .agg(expr(s"max(o_orderdate) - INTERVAL '$days' DAY").as("cutoff"))
+    val lastO = orders.groupBy("o_custkey")
+      .agg(max("o_orderdate").as("last_dt"),
+           (sum(col("o_totalprice").cast(DecimalType(14, 2))) * lit(100))
+             .cast("long").as("ltv_c"))
+    lastO.crossJoin(broadcast(cut))
+      .where(col("last_dt") < col("cutoff"))
+      .join(customer.select("c_custkey", "c_mktsegment"),
+            col("c_custkey") === col("o_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_churned"),
+           sum("ltv_c").as("churned_ltv_c"))
+  }
+
+  def churnBySegment(spark: SparkSession, dir: String): DataFrame =
+    churnBySegmentOf(Feeds.table(spark, dir, "orders"),
+                     Feeds.table(spark, dir, "customer"))
+
+  /** Consecutive order-priority transition counts per customer — the
+    * first-order Markov matrix over the ORDER stream (the event-stream
+    * twin is [[graft.ops.Sessions.eventTransitionsOf]]): does an urgent
+    * order predict another urgent order? Ties pinned by order key.
+    *
+    * Scale shape: one per-customer lag window (partition = a customer's
+    * order history, the bounded grain every retention query already
+    * uses), one ≤25-key rollup. */
+  def priorityTransitionsOf(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+    orders
+      .select(col("o_custkey"), col("o_orderpriority").as("pr"),
+              col("o_orderdate"), col("o_orderkey"))
+      .withColumn("prev_pr", lag("pr", 1).over(w))
+      .where(col("prev_pr").isNotNull)
+      .groupBy("prev_pr", "pr")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  def priorityTransitions(spark: SparkSession, dir: String): DataFrame =
+    priorityTransitionsOf(Feeds.table(spark, dir, "orders"))
+
+  /** Exponentially-weighted weekly revenue trend: weights 2⁷..2⁰ over the
+    * trailing 8 weeks (α = 1/2 as exact powers of two, normalized by
+    * 255 = Σ2^i), all-integer — the float-free EWMA that hash-matches
+    * cross-engine. Missing leading weeks weigh in as 0 (the honest
+    * cold-start: the trend ramps with the window).
+    *
+    * Scale shape: one partial-agg groupBy to the weeks grain, then a
+    * bounded 8-lag window over the ~weeks-sized frame (same bounded-grain
+    * stance as the backlog curve's month window). */
+  def ewmaRevenueOf(orders: DataFrame): DataFrame = {
+    val w = orders
+      .groupBy(date_trunc("week", col("o_orderdate")).as("week"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(14, 2))) * lit(100))
+        .cast("long").as("cents"))
+    val wk = Window.orderBy("week")
+    val weighted = (0 to 7)
+      .map(i => coalesce(lag(col("cents"), i).over(wk), lit(0L)) *
+        lit(1L << (7 - i)))
+      .reduce(_ + _)
+    w.withColumn("wsum", weighted)
+      .select(col("week"), col("cents"),
+        expr("CAST(wsum DIV 255 AS BIGINT)").as("ewma_c"))
+  }
+
+  def ewmaRevenue(spark: SparkSession, dir: String): DataFrame =
+    ewmaRevenueOf(Feeds.table(spark, dir, "orders"))
+
 }

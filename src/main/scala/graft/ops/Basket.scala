@@ -43,9 +43,21 @@ object Basket {
     df
   }
 
+  // get-then-putIfAbsent, NOT computeIfAbsent: memoized queries compose
+  // (topPartners builds on partPairs), and a nested computeIfAbsent on
+  // the same map throws "Recursive update". A racy double build is
+  // harmless — both frames are identical plans, one wins the putIfAbsent.
   private def cached(spark: SparkSession, dir: String, name: String)
-                    (build: => DataFrame): DataFrame =
-    resultCache.computeIfAbsent((spark, dir, name), _ => build)
+                    (build: => DataFrame): DataFrame = {
+    val key = (spark, dir, name)
+    val hit = resultCache.get(key)
+    if (hit != null) hit
+    else {
+      val built = build
+      val prev = resultCache.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
 
   /** Unpersist every frame `spark` persisted through this object and drop
     * its memoized results — the [[graft.Caches.invalidateAll]] hook. */
@@ -389,5 +401,83 @@ object Basket {
   def degreeAssortativity(spark: SparkSession, dir: String): DataFrame =
     degreeAssortativityOf(coPurchaseEdgesOf(
       Feeds.table(spark, dir, "lineitem")))
+
+  /** Per-part top-k co-purchase PARTNERS — the "frequently bought
+    * together" serving table a recommender materializes. Ranked by
+    * co-occurrence count with the partner id as the deterministic
+    * tiebreak (exact integers only; lift's double stays out of the
+    * ordering so the rank is bit-stable cross-engine).
+    *
+    * Scale shape: the symmetrized pair list is collision-bounded
+    * (baskets ≤ ~7 items), and the rank window is partitioned per part —
+    * partition size = the part's candidate degree, never global. */
+  def topPartnersOf(lineitem: DataFrame, k: Int = 3): DataFrame =
+    topPartnersOfPairs(partPairsOf(lineitem), k)
+
+  private def topPartnersOfPairs(pairs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = pairs
+      .select(col("part_a").as("part"), col("part_b").as("partner"),
+              col("n_both"))
+      .unionAll(pairs.select(col("part_b").as("part"),
+                             col("part_a").as("partner"), col("n_both")))
+    sym
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("part")
+          .orderBy(col("n_both").desc, col("partner"))).cast("long"))
+      .where(col("rn") <= k)
+      .select("part", "partner", "n_both", "rn")
+  }
+
+  def topPartners(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "topPartners") {
+      topPartnersOfPairs(partPairs(spark, dir), 3)
+    }
+
+  /** LOCAL clustering-coefficient decile histogram: per node with
+    * degree ≥ 2, cc = triangles(v) / C(deg(v), 2), bucketed into integer
+    * deciles (exact: 2·10·tri DIV deg·(deg−1), capped at 10) — the
+    * community-structure readout that says whether the graph is cliquey
+    * (recommendations transfer) or stringy (they don't).
+    *
+    * Scale shape: triangles enumerate ONCE through the degree-ordered
+    * wedge join ([[triangleStatsOf]]'s O(m^1.5) bound), fan back to
+    * their three corners (×3), one partial-agg per-node rollup, one
+    * ~11-key histogram groupBy. */
+  def localCcHistOf(edges0: DataFrame): DataFrame = {
+    val edges = persistTracked(edges0)
+    val deg = persistTracked(edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg")))
+    val higher = col("deg_u") < col("deg_v") ||
+      (col("deg_u") === col("deg_v") && col("u") < col("v"))
+    val oriented = persistTracked(edges
+      .join(deg.select(col("node").as("u"), col("deg").as("deg_u")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("deg_v")), Seq("v"))
+      .select(when(higher, col("u")).otherwise(col("v")).as("src"),
+              when(higher, col("v")).otherwise(col("u")).as("dst")))
+    val paths = oriented.select(col("src"), col("dst").as("v1"))
+      .join(oriented.select(col("src"), col("dst").as("v2")), Seq("src"))
+      .where(col("v1") =!= col("v2"))
+    val tri = paths
+      .join(oriented.select(col("src").as("v1"), col("dst").as("v2")),
+            Seq("v1", "v2"))
+      .select(col("src"), col("v1"), col("v2"))
+    val nodeTri = tri.select(col("src").as("node"))
+      .unionAll(tri.select(col("v1").as("node")))
+      .unionAll(tri.select(col("v2").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.where(col("deg") >= 2)
+      .join(nodeTri, Seq("node"), "left_outer")
+      .select(expr("""CAST(least(coalesce(n_tri, 0) * 2 * 10
+                      DIV (deg * (deg - 1)), 10) AS BIGINT)""")
+        .as("cc_decile"))
+      .groupBy("cc_decile").agg(count(lit(1)).as("n_nodes"))
+  }
+
+  def localCcHist(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "localCcHist") {
+      localCcHistOf(coPurchaseEdgesOf(Feeds.table(spark, dir, "lineitem")))
+    }
 
 }

@@ -1307,4 +1307,31 @@ object Dedup {
   def lshRecallSampled(spark: SparkSession, dir: String): DataFrame =
     lshRecallSampledOf(TextOps.shingles(spark, dir), minhashPairs(spark, dir))
 
+  /** Per-band bucket-occupancy ENTROPY surrogate: n·⌊log2 n⌋ − Σ s·⌊log2 s⌋
+    * over the band's bucket sizes (the house integer-entropy formula, see
+    * charEntropy) plus count/max — one number per band saying whether the
+    * hash spreads signatures (entropy near n·log2(buckets)) or collapses
+    * them (entropy → 0 ⇒ the band is one giant bucket and the pair join
+    * under it is quadratic). The SUMMARY tier above
+    * [[minhashBandStatsOf]]'s size histogram: a monitor alert thresholds
+    * one number, then pulls the histogram.
+    *
+    * Scale shape: one partial-agg groupBy per (band, hash) over the
+    * memoized bands, one |bands|-key fold. */
+  def bandEntropyOf(bands: DataFrame): DataFrame =
+    bands
+      .groupBy("band", "band_hash").agg(count(lit(1)).as("s"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_buckets"),
+           sum("s").as("n_sigs"),
+           max("s").as("max_bucket"),
+           sum(expr("s * (length(bin(s)) - 1)")).as("sum_slog"))
+      .select(col("band"), col("n_buckets"), col("n_sigs"),
+        col("max_bucket"),
+        expr("""CAST(n_sigs * (length(bin(n_sigs)) - 1) - sum_slog
+                AS BIGINT)""").as("entropy_surr"))
+
+  def bandEntropy(spark: SparkSession, dir: String): DataFrame =
+    bandEntropyOf(bandsCached(spark, dir))
+
 }

@@ -118,14 +118,17 @@ object Multimodal {
     * The payload is UTF-8-encoded ASCII text here, so char slices ≡ byte
     * slices and the oracle can mirror with substr — a real codec would
     * swap the slicer only. */
-  def chunkFrames(spark: SparkSession, dir: String): DataFrame =
-    Feeds.table(spark, dir, "documents")
+  def chunkFramesOf(documents: DataFrame): DataFrame =
+    documents
       .select(col("doc_id"), col("text"),
         expr("1 + (greatest(length(text), 1) - 1) DIV 256").as("n_chunks"))
       .select(col("doc_id"), col("text"),
         explode(expr("sequence(0, CAST(n_chunks - 1 AS INT))")).as("ci"))
       .select(col("doc_id"), col("ci").cast("long").as("chunk_idx"),
         md5(expr("substring(text, ci * 256 + 1, 256)")).as("chunk_fp"))
+
+  def chunkFrames(spark: SparkSession, dir: String): DataFrame =
+    chunkFramesOf(Feeds.table(spark, dir, "documents"))
 
   /** Frame-level near-dup pairs: media whose payloads share ≥ `minShared`
     * content-chunk fingerprints — mirrored transcodes, re-uploads with
@@ -158,6 +161,28 @@ object Multimodal {
 
   def frameDedupPairs(spark: SparkSession, dir: String): DataFrame =
     frameDedupPairsOf(chunkFrames(spark, dir))
+
+  /** Per-media duplicated-frame RATIO: the share of a payload's content
+    * chunks whose fingerprint also appears in at least one OTHER document
+    * — the per-asset media twin of [[graft.ops.TextOps.passageDupRatioOf]]
+    * (a 90%-duplicated video is a re-upload with a new intro; 5% is a
+    * shared title card). ppm is an exact integer DIV.
+    *
+    * Scale shape: one fp-keyed partial-agg distinct-doc count, one join
+    * back on the fp key (collision-bounded), one per-doc rollup. */
+  def frameDupRatioOf(chunks: DataFrame): DataFrame = {
+    val fpDocs = chunks.groupBy("chunk_fp")
+      .agg(countDistinct("doc_id").as("nd"))
+    chunks.join(fpDocs, Seq("chunk_fp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+           sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_frames"))
+      .withColumn("dup_ppm",
+        expr("CAST(n_dup_frames * 1000000 DIV n_frames AS BIGINT)"))
+  }
+
+  def frameDupRatio(spark: SparkSession, dir: String): DataFrame =
+    frameDupRatioOf(chunkFrames(spark, dir))
 
   /** Media SIZE histogram: payload bytes in power-of-2 buckets with
     * doc/byte/frame totals per bucket — the storage-planning card a

@@ -587,4 +587,32 @@ object Sessions {
   def valueSigmaOutliers(spark: SparkSession, dir: String): DataFrame =
     valueSigmaOutliersOf(Feeds.events(spark, dir))
 
+  /** Per-event-type ⌊log2⌋ inter-event-gap histogram over same-(user,
+    * type) streams — the latency-shape card behind debounce/session
+    * thresholds (a bimodal gap distribution says one timeout cannot fit
+    * both modes). Gaps in whole seconds from the second-truncated ts
+    * (the event stack's shared rule), ties pinned by event id.
+    *
+    * Scale shape: one per-(user, type) lag window — the bounded grain
+    * every session op uses — then a (|types| × ~40)-key rollup. */
+  def gapHistByTypeOf(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("u", "event_type").orderBy("t", "eid")
+    events
+      .select(col("event_type"), col("user_id").cast("long").as("u"),
+              date_trunc("second", col("ts")).as("t"),
+              col("event_id").cast("long").as("eid"))
+      .withColumn("gap_s",
+        (unix_timestamp(col("t")) - unix_timestamp(lag("t", 1).over(w)))
+          .cast("long"))
+      .where(col("gap_s").isNotNull)
+      .groupBy(col("event_type"),
+        expr("CAST(length(bin(greatest(gap_s, 1))) - 1 AS BIGINT)")
+          .as("bucket"))
+      .agg(count(lit(1)).as("n_gaps"))
+  }
+
+  def gapHistByType(spark: SparkSession, dir: String): DataFrame =
+    gapHistByTypeOf(Feeds.events(spark, dir))
+
 }

@@ -328,4 +328,45 @@ object Stats {
     heapsLawOf(TextOps.docsWords(spark, dir)
       .select(col("doc_id"), explode(col("words")).as("w")).distinct())
 
+  /** Quality-vs-length Pearson correlation (one row): does the quality
+    * score just proxy document length? Computed from exact integer
+    * moments — quality quantized to ppm, length as ⌊log2 tokens⌋ — with
+    * the squared-term sums in DECIMAL(38,0) (ppm² overflows int64 at
+    * ~10⁷ docs) and the final Pearson arithmetic in DOUBLE on the one-row
+    * fold, denominator nullif-pinned (zero variance ⇒ NULL on both
+    * engines). A |corr| near 1 says the curation thresholds should bind
+    * on residual quality, not raw quality.
+    *
+    * Scale shape: one map-side projection over the memoized stats frame,
+    * one global partial-agg fold to a single row. */
+  def qualityLenCorrOf(quality: DataFrame, stats: DataFrame): DataFrame = {
+    val qv = quality
+      .select(col("doc_id"), floor(col("quality") * lit(1000000))
+        .cast("long").as("qppm"))
+      .join(stats.select(col("doc_id"),
+        expr("CAST(length(bin(greatest(n_tokens, 1))) - 1 AS BIGINT)")
+          .as("lbits")), Seq("doc_id"))
+    qv.agg(count(lit(1)).as("n"),
+           sum("qppm").as("s_q"),
+           sum("lbits").as("s_l"),
+           sum(col("qppm").cast("decimal(19,0)") *
+               col("qppm").cast("decimal(19,0)")).as("s_qq"),
+           sum(col("lbits") * col("lbits")).as("s_ll"),
+           sum(col("qppm").cast("decimal(19,0)") *
+               col("lbits").cast("decimal(19,0)")).as("s_ql"))
+      .select(col("n"), col("s_q"), col("s_l"), col("s_ll"),
+        expr("""(CAST(n AS DOUBLE) * CAST(s_ql AS DOUBLE)
+                 - CAST(s_q AS DOUBLE) * CAST(s_l AS DOUBLE))
+                / nullif(
+                    sqrt(CAST(n AS DOUBLE) * CAST(s_qq AS DOUBLE)
+                         - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE) * CAST(s_ll AS DOUBLE)
+                         - CAST(s_l AS DOUBLE) * CAST(s_l AS DOUBLE)),
+                    0.0D)""").as("corr"))
+  }
+
+  def qualityLenCorr(spark: SparkSession, dir: String): DataFrame =
+    qualityLenCorrOf(TextOps.qualityScore(spark, dir),
+                     TextOps.textStats(spark, dir))
+
 }

@@ -1368,4 +1368,35 @@ object Vectors {
   def cosScoreHist(spark: SparkSession, dir: String): DataFrame =
     cosScoreHistOf(quantizedCached(spark, dir))
 
+  /** RANK-stability monitor: per query, discordant pairs between the
+    * exact cosine top-k order and the PQ-ADC top-k order, over the
+    * candidates BOTH lists retain — the Kendall-tau-style readout that
+    * separates "quantization drops items" (small intersection, see
+    * [[ivfPqRecall]]) from "quantization reorders items" (inversions
+    * inside the intersection, which reranking fixes and recall@k never
+    * sees). Ranks on both sides are tie-pinned integers, so the
+    * inversion count is bit-stable.
+    *
+    * Scale shape: both inputs are k-row-per-query frames; the pair join
+    * is per-query C(|∩|,2) ≤ C(k,2) — constant per query. */
+  def rankStabilityOf(exactTopK: DataFrame, adcTopK: DataFrame): DataFrame = {
+    val common = exactTopK.select(col("query_id"), col("cand_id"),
+        col("rnk").as("e_rnk"))
+      .join(adcTopK.select(col("query_id"), col("cand_id"),
+        col("rnk").as("a_rnk")), Seq("query_id", "cand_id"))
+    val c1 = common.select(col("query_id"), col("cand_id").as("ca"),
+      col("e_rnk").as("ea"), col("a_rnk").as("aa"))
+    val c2 = common.select(col("query_id"), col("cand_id").as("cb"),
+      col("e_rnk").as("eb"), col("a_rnk").as("ab"))
+    c1.join(c2, Seq("query_id"))
+      .where(col("cb") > col("ca"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_pairs"),
+           sum(when((col("ea") < col("eb")) =!= (col("aa") < col("ab")),
+             1L).otherwise(0L)).as("n_discordant"))
+  }
+
+  def rankStability(spark: SparkSession, dir: String): DataFrame =
+    rankStabilityOf(annCosineTopK(spark, dir), pqAdcTopK(spark, dir))
+
 }

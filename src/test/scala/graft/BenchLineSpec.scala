@@ -220,6 +220,14 @@ class BenchLineSpec extends AnyFunSuite {
       s"unknown: ${(probe.toSet -- all).mkString(",")}")
   }
 
+  test("contamination preflight: stamped above threshold, silent below") {
+    // r13 verdict task 6: a loaded-host start must self-mark the artifact
+    assert(Bench.contaminated(6.14))       // the r13 driver-run shape
+    assert(!Bench.contaminated(0.31))      // quiet box
+    assert(!Bench.contaminated(2.0))       // boundary: strictly above
+    assert(!Bench.contaminated(-1.0))      // unreadable /proc/loadavg
+  }
+
   test("suspect flags: warm>>cold and vs-prev regression") {
     val s = Seq(
       "q_loaded"  -> Seq(0.8, 20.5, 18.0),  // warm 25x cold: host load

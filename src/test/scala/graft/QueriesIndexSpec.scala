@@ -26,6 +26,29 @@ class QueriesIndexSpec extends AnyFunSuite {
         (indexed -- live).toSeq.sorted.mkString(", "))
   }
 
+  test("probe coverage is total: ratio or explicit exemption per query") {
+    // r13 verdict task 4: queries_index.json carried exactly one silent
+    // probe_ratio_8x null. A query must have a measured ratio, a
+    // documented PROBE_EXEMPT marker (probe_exempt field), or be inside
+    // the current round's newThisRound window (its probe runs at round
+    // close) — a null outside those reads as coverage that isn't there.
+    val text = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("queries_index.json"))
+    val gaps = "\"(q_\\w+)\"\\s*:\\s*\\{([^}]*)\\}".r
+      .findAllMatchIn(text)
+      .filter { m =>
+        val name = m.group(1)
+        val body = m.group(2)
+        body.contains("\"probe_ratio_8x\": null") &&
+          !body.contains("\"probe_exempt\":") &&
+          !SparkEntry.newThisRound.contains(name)
+      }
+      .map(_.group(1)).toSeq.sorted
+    assert(gaps.isEmpty,
+      s"silent probe gaps (no ratio, no exemption, not new this round): " +
+        gaps.mkString(", "))
+  }
+
   test("every index row carries entry, impl and oracle anchors") {
     val text = java.nio.file.Files.readString(
       java.nio.file.Paths.get("queries_index.json"))
