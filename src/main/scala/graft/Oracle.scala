@@ -2021,6 +2021,10 @@ cust_gini AS (
     // degradation) -> min-label CC -> (cluster, n_docs). Components equal
     // the exact pair list's whenever no bucket exceeds the guard (true at
     // every driver SF; the degradation is deterministic and mirrored).
+    // MATERIALIZED on the shared CTEs is load-bearing: inside a WITH
+    // RECURSIVE block DuckDB re-inlines multiply-referenced CTEs, so the
+    // md5-gram SimHash pipeline would re-execute per reference chain
+    // (measured: >90 min at sf0.1 inlined vs 9 s materialized).
     "q_multimodal_near_dup_clusters" -> """
       WITH RECURSIVE chunks AS (
         SELECT doc_id, ci AS chunk_idx,
@@ -2041,14 +2045,14 @@ cust_gini AS (
                           - 1) >> (bit % 4)) & 1 = 1
                    THEN 1 ELSE -1 END) AS s
         FROM grams, range(0, 32) b(bit) GROUP BY 1, 2, 3),
-      fsh AS (
+      fsh AS MATERIALIZED (
         SELECT doc_id * 100000 + chunk_idx AS fid, doc_id,
                CAST(sum(CASE WHEN s > 0
                         THEN CAST(1 AS BIGINT) << CAST(bit AS INTEGER)
                         ELSE 0 END) AS BIGINT) AS sh
         FROM bits GROUP BY 1, 2),
-      vals AS (SELECT DISTINCT sh FROM fsh),
-      vbanded AS (
+      vals AS MATERIALIZED (SELECT DISTINCT sh FROM fsh),
+      vbanded AS MATERIALIZED (
         SELECT sh, band, (sh >> CAST(band * 8 AS INTEGER)) & 255 AS chunk
         FROM vals, range(0, 4) t(band)),
       bstat AS (
@@ -2068,7 +2072,7 @@ cust_gini AS (
           JOIN bstat s ON s.band = v.band AND s.chunk = v.chunk
           WHERE s.bsz > 256 AND v.sh <> s.bmin) t
         WHERE bit_count(xor(sa, sb)) <= 3),
-      reps AS (SELECT sh, min(fid) AS rep FROM fsh GROUP BY 1),
+      reps AS MATERIALIZED (SELECT sh, min(fid) AS rep FROM fsh GROUP BY 1),
       span_f AS (
         SELECT r.rep AS fa, f.fid AS fb
         FROM fsh f JOIN reps r ON r.sh = f.sh

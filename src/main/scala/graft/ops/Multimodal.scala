@@ -222,8 +222,16 @@ object Multimodal {
     * The frame key packs (doc_id, chunk_idx) as doc_id·10⁵ + idx —
     * collision-free for the ≤10⁵-frame payloads here; a production run
     * keys frames by a struct instead. */
-  def frameNearDupOf(documents: DataFrame): DataFrame =
-    Dedup.simhashPairsOf(frameSimhashOf(documents))
+  /** denseGate 8192, not the doc-level default 4096: frame-hash buckets
+    * count distinct VALUES (632 at sf0.1, ~5k at the 8× probe tier — the
+    * 32-bit space fills linearly with frames), and the gate's job is to
+    * stop O(bucket²) value-pair work one binary order above the measured
+    * probe tier, not to fail the probe itself. Past it, the answer is
+    * the guarded clustered sibling ([[frameNearDupClustersOf]]) or wider
+    * hashing — the raise says so. */
+  def frameNearDupOf(documents: DataFrame,
+                     denseGate: Int = 8192): DataFrame =
+    Dedup.simhashPairsOf(frameSimhashOf(documents), denseGate = denseGate)
       .select(expr("CAST(doc_a DIV 100000 AS BIGINT)").as("doc_a"),
               expr("CAST(doc_b DIV 100000 AS BIGINT)").as("doc_b"))
       .where(col("doc_a") =!= col("doc_b"))
@@ -259,9 +267,13 @@ object Multimodal {
     * rides [[Dedup.hammingSpanningEdgesOf]] — within-hash-group stars +
     * one rep edge per near-hash value pair, `maxBucket` star degradation
     * in value space — then star-contraction CC, emitting (cluster,
-    * n_docs) per near-dup document family. Components are EXACTLY the
-    * exact pair list's (spanning-edge contract in the Scaladoc there);
-    * only the pair enumeration is dropped.
+    * n_docs) per near-dup document family. Components equal the exact
+    * pair list's whenever no (band, chunk) bucket exceeds `maxBucket`
+    * distinct values (spanning-edge contract in the Scaladoc there);
+    * over it the deterministic value-space star degradation applies —
+    * live at sf0.1, where 14 of the 1024 buckets exceed 256 and the
+    * oracle mirrors the same degradation (195 families vs the exact
+    * graph's 166). Only the pair enumeration is dropped either way.
     *
     * Scale shape: every stage is collision-bounded (distinct-value
     * buckets capped at `maxBucket`) or linear (stars, rep edges, CC
