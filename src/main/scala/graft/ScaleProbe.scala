@@ -110,6 +110,11 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (args.contains("graph-only")) { // fast path: just the partkey probe
+      graphProbe(spark, src, copies)
+      spark.stop()
+      return
+    }
     makeBig(spark, src, dst, copies)
     println(s"[scale] built ${copies}x dataset at $dst")
 
@@ -196,6 +201,7 @@ object ScaleProbe {
 
     guardProbe(spark, src, dst, copies)
     custProbe(spark, src, copies)
+    graphProbe(spark, src, copies)
     spark.stop()
   }
 
@@ -234,6 +240,50 @@ object ScaleProbe {
     println(f"[scale-cust] q_order_gaps (o_custkey shifted) 1x=$t1%.2fs " +
       f"${copies}x=$tN%.2fs ratio=${tN / t1}%.1f (ideal ≤ $copies; " +
       "constant per-customer depth)")
+  }
+
+  /** Partkey-shifted probe variant (round 14). The default builder shifts
+    * l_orderkey but NOT l_partkey, so every copy repeats the same part
+    * pairs: co-purchase support grows ×N, edges that missed minSupport
+    * at 1× cross it at N×, degrees grow ×N and the wedge set ×N² — the
+    * graph DENSIFIES super-linearly, which is why the wedge-join family
+    * (triangle census, local cc) reads far above N on the default probe.
+    * Real catalog growth adds PARTS at roughly constant co-purchase
+    * degree; this variant shifts l_partkey per copy exactly like the
+    * doc/event/cust keys (orderkeys shift too, so baskets stay
+    * size-constant and disjoint): the graph becomes N disjoint copies of
+    * the 1× graph and the wedge family must probe ~linear there. */
+  def graphProbe(spark: SparkSession, src: String, copies: Int): Unit = {
+    val dst = s"/tmp/graft_sf_part_x$copies"
+    val K = 100000000L
+    val base = spark.read.parquet(s"$src/lineitem.parquet")
+    (0 until copies)
+      .map(i => base
+        .withColumn("l_orderkey", col("l_orderkey") + lit(i * K))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * K)))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+    val graphQs = Seq("q_basket_pairs", "q_triangle_stats",
+      "q_local_cc_hist", "q_copurchase_partners", "q_pagerank",
+      "q_basket_components", "q_degree_dist")
+    def time(dir: String): Map[String, Double] = {
+      spark.catalog.clearCache()
+      Caches.invalidateAll(spark)
+      graphQs.map { q =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, dir).count()
+        q -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    }
+    time(src) // warm code paths
+    val t1 = time(src)
+    val tN = time(dst)
+    println(f"[scale-part] ${"query"}%-24s 1x(s)   ${copies}x(s)  ratio " +
+      "(l_partkey shifted: constant per-part co-purchase degree)")
+    graphQs.foreach { q =>
+      println(f"[scale-part] $q%-24s ${t1(q)}%6.2f ${tN(q)}%7.2f " +
+        f"${tN(q) / t1(q)}%6.1f")
+    }
   }
 
   /** Measured (not asserted) payoff of the giant-bucket star guard: seed
