@@ -345,6 +345,30 @@ object Bench {
                                   threshold: Double = 2.0): Boolean =
     loadStart > threshold
 
+  /** Self-healing load preflight (r14 verdict task 6: four straight
+    * driver rounds were contaminated — the stamp made it visible, this
+    * gives the round a second shot at a clean band without a human).
+    * When the first reading trips [[contaminated]], wait ONE bounded
+    * interval and re-read; every reading is recorded and lands in the
+    * artifact as `loadavg_attempts`, so a reader sees both the trip and
+    * the retry outcome. Exactly one retry — a loaded host that stays
+    * loaded should produce a stamped-contaminated artifact promptly, not
+    * stall the driver. The reader/sleeper are injectable for specs. */
+  private[graft] def loadPreflight(read: () => Double = () => loadAvg1(),
+                                   waitMs: Long = 60000L,
+                                   sleep: Long => Unit = Thread.sleep)
+      : Seq[Double] = {
+    val first = read()
+    if (!contaminated(first)) Seq(first)
+    else {
+      System.err.println(f"[bench] loadavg $first%.2f trips the " +
+        f"contamination preflight — waiting ${waitMs / 1000}s and " +
+        "retrying once")
+      sleep(waitMs)
+      Seq(first, read())
+    }
+  }
+
   /** Flat `"name":number` map out of `section` of a previous BENCH_full
     * line — a 20-line scanner, not a JSON library: the maps Bench itself
     * writes are flat and regular, and a parse miss just disables the
@@ -494,7 +518,12 @@ object Bench {
     // but keeps interactive runs readable
     spark.sparkContext.setLogLevel("ERROR")
 
-    val loadStart = loadAvg1() // host-load label, read before any work
+    // host-load label, read before any work; a tripped preflight waits a
+    // bounded interval and re-reads once (both attempts recorded)
+    val loadAttempts = loadPreflight(
+      waitMs = sys.env.get("SPARK_GRAFT_LOAD_RETRY_MS")
+        .map(_.toLong).getOrElse(60000L))
+    val loadStart = loadAttempts.last
 
     val errors = scala.collection.mutable.LinkedHashSet[String]()
 
@@ -704,6 +733,7 @@ object Bench {
       s""""vs_prev":"$vsPrev",""" +
       s""""pass_spread_gt5":$spread,"warm_spread_gt5":$warmSpread,""" +
       s""""loadavg_start":${r2(loadStart)},"loadavg_end":${r2(loadEnd)},""" +
+      s""""loadavg_attempts":${loadAttempts.map(r2).mkString("[", ",", "]")},""" +
       s""""contaminated":${contaminated(loadStart)},""" +
       s""""suspect":$susJson,"errors":$errJson}"""
     // sf tag alone ("sf0.1"), not the full path: compact-line byte budget

@@ -350,6 +350,52 @@ ann_kmeans_assign AS (
              CAST(list_sum(list_transform(list_zip(e.qv, c.cqv), x -> x[1] * x[2])) AS DOUBLE)
              / sqrt(CAST(e.n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)) DESC, c.cell) AS rn
     FROM emb_n e, km_c2 c) t WHERE rn = 1),
+kms_samp AS (
+  SELECT vec_id, qv, n2 FROM emb_n
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4096),
+kms_c0 AS (
+  SELECT vec_id AS cell, qv AS cqv, n2 AS cn2 FROM kms_samp WHERE vec_id % 40 = 0),
+kms_a1 AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             CAST(list_sum(list_transform(list_zip(e.qv, c.cqv), x -> x[1] * x[2])) AS DOUBLE)
+             / sqrt(CAST(e.n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)) DESC, c.cell) AS rn
+    FROM kms_samp e, kms_c0 c) t WHERE rn = 1),
+kms_s1 AS (
+  SELECT cell, dim, sum(val) AS s, count(*) AS n FROM (
+    SELECT a.cell, unnest(e.qv) AS val, unnest(range(0, len(e.qv))) AS dim
+    FROM kms_a1 a JOIN kms_samp e ON e.vec_id = a.vec_id) z
+  GROUP BY 1, 2),
+kms_c1 AS (
+  SELECT cell, cqv, CAST(list_sum(list_transform(cqv, x -> x * x)) AS BIGINT) AS cn2 FROM (
+    SELECT cell, array_agg(CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) ORDER BY dim) AS cqv
+    FROM kms_s1 GROUP BY 1) g),
+kms_a2 AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             CAST(list_sum(list_transform(list_zip(e.qv, c.cqv), x -> x[1] * x[2])) AS DOUBLE)
+             / sqrt(CAST(e.n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)) DESC, c.cell) AS rn
+    FROM kms_samp e, kms_c1 c) t WHERE rn = 1),
+kms_s2 AS (
+  SELECT cell, dim, sum(val) AS s, count(*) AS n FROM (
+    SELECT a.cell, unnest(e.qv) AS val, unnest(range(0, len(e.qv))) AS dim
+    FROM kms_a2 a JOIN kms_samp e ON e.vec_id = a.vec_id) z
+  GROUP BY 1, 2),
+kms_c2 AS (
+  SELECT cell, cqv, CAST(list_sum(list_transform(cqv, x -> x * x)) AS BIGINT) AS cn2 FROM (
+    SELECT cell, array_agg(CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) ORDER BY dim) AS cqv
+    FROM kms_s2 GROUP BY 1) g),
+ann_kmeans_assign_sampled AS (
+  SELECT vec_id, cell, score FROM (
+    SELECT e.vec_id, c.cell,
+           CAST(list_sum(list_transform(list_zip(e.qv, c.cqv), x -> x[1] * x[2])) AS DOUBLE)
+             / sqrt(CAST(e.n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)) AS score,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             CAST(list_sum(list_transform(list_zip(e.qv, c.cqv), x -> x[1] * x[2])) AS DOUBLE)
+             / sqrt(CAST(e.n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)) DESC, c.cell) AS rn
+    FROM emb_n e, kms_c2 c) t WHERE rn = 1),
 sym_edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM minhash_pairs
   UNION ALL SELECT doc_b AS src, doc_a AS dst FROM minhash_pairs),
@@ -471,6 +517,34 @@ pass_stats AS (
 dedup_passages AS (
   SELECT passage_hash, n_docs, n_occ, keeper_doc_id
   FROM pass_stats WHERE n_docs >= 2),
+span_sh AS (
+  SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.sh FROM (
+    SELECT doc_id,
+           unnest([{'pos': i,
+                    'sh': md5(words[i+1] || ' ' || words[i+2] || ' ' || words[i+3])}
+                   for i in range(0, len(words)-2)]) AS u
+    FROM docs_words WHERE len(words) >= 3) t),
+span_rare AS (
+  SELECT doc_id, pos, sh FROM span_sh
+  WHERE sh IN (SELECT sh FROM span_sh GROUP BY 1 HAVING count(*) <= 64)),
+span_matches AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b,
+         a.pos - b.pos AS diag
+  FROM span_rare a JOIN span_rare b
+    ON a.sh = b.sh AND a.doc_id < b.doc_id),
+span_runs AS (
+  SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS run_len
+  FROM (SELECT doc_a, doc_b, diag,
+               pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                          ORDER BY pos_a) AS isl
+        FROM span_matches) m
+  GROUP BY doc_a, doc_b, diag, isl
+  HAVING count(*) >= 8),
+dedup_substring_spans AS (
+  SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(max(run_len + 2) AS BIGINT) AS max_span_words,
+         CAST(sum(run_len + 2) AS BIGINT) AS sum_span_words
+  FROM span_runs GROUP BY 1, 2),
 passage_dup_ratio AS (
   SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_passages,
          CAST(sum(CASE WHEN s.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
@@ -1494,6 +1568,37 @@ knn_components AS (
   SELECT CAST(cluster AS BIGINT) AS cluster,
          CAST(count(*) AS BIGINT) AS n_members
   FROM (SELECT node, min(label) AS cluster FROM knn_reach GROUP BY 1) c
+  GROUP BY 1),
+knn_s AS (
+  SELECT vec_id, qv, n2 FROM emb_n WHERE vec_id % 50 = 0
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1024),
+knn_s_topk AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY CAST(list_sum(list_transform(list_zip(q.qv, c.qv), x -> x[1] * x[2])) AS DOUBLE)
+                      / sqrt(CAST(q.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE)) DESC,
+                      c.vec_id) AS rnk
+    FROM knn_s q JOIN knn_s c ON c.vec_id != q.vec_id) s
+  WHERE rnk <= 5),
+knn_s_edges AS (
+  SELECT e.query_id AS doc_a, e.cand_id AS doc_b
+  FROM knn_s_topk e
+  JOIN knn_s_topk m
+    ON m.query_id = e.cand_id AND m.cand_id = e.query_id
+  WHERE e.query_id < e.cand_id),
+knn_s_sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM knn_s_edges
+  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM knn_s_edges),
+knn_s_reach AS (
+  SELECT DISTINCT query_id AS node, query_id AS label FROM knn_s_topk
+  UNION
+  SELECT e.dst AS node, r.label FROM knn_s_reach r
+  JOIN knn_s_sym e ON e.src = r.node),
+knn_components_sampled AS (
+  SELECT CAST(cluster AS BIGINT) AS cluster,
+         CAST(count(*) AS BIGINT) AS n_members
+  FROM (SELECT node, min(label) AS cluster FROM knn_s_reach GROUP BY 1) c
   GROUP BY 1),
 stopword_profile AS (
   SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,

@@ -489,6 +489,8 @@ cust_gini AS (
     "q_ann_ivf_topk"        -> fromDocs("ivf_topk"),
     "q_ann_ivf_topk_probe2" -> fromDocs("ivf_topk_probe2"),
     "q_ann_kmeans_assign"   -> fromDocs("ann_kmeans_assign"),
+    // fixed-budget (md5-ranked 4096) sampled Lloyd trainer, 1 full assign
+    "q_ann_kmeans_assign_sampled" -> fromDocs("ann_kmeans_assign_sampled"),
     "q_dedup_clusters"      -> fromDocs("dedup_clusters"),
     "q_dedup_clusters_fast" -> fromDocs("dedup_clusters"),
     // guard degradation is deterministic (bucket > cap ⇒ member↔bucket-min
@@ -771,6 +773,8 @@ cust_gini AS (
              CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
       FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1""",
     "q_dedup_passages"    -> fromDocs("dedup_passages"),
+    // substring tier: maximal duplicated word spans at arbitrary offsets
+    "q_dedup_substring_spans" -> fromDocs("dedup_substring_spans"),
     "q_passage_dup_ratio" -> fromDocs("passage_dup_ratio"),
     "q_pq_codes"          -> fromDocs("pq_codes"),
     "q_pq_adc_topk"       -> fromDocs("pq_adc_topk"),
@@ -2399,6 +2403,8 @@ cust_gini AS (
     "q_boilerplate_shingles" -> fromDocs("boilerplate_shingles"),
     // connected components over the mutual-kNN reciprocity graph
     "q_knn_components" -> fromDocs("knn_components"),
+    // fixed-budget (md5-ranked 1024) sampled sibling — exact in-sample
+    "q_knn_components_sampled" -> fromDocs("knn_components_sampled"),
     // cohort lifetime value: cumulative revenue per signup-month cohort
     "q_cohort_ltv" -> from("cohort_ltv"),
     // TPC-H Q9 shape adapted (no partsupp): nation x product line x year

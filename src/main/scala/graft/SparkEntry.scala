@@ -121,6 +121,9 @@ object SparkEntry {
     "q_ann_ivf_topk_probe2" -> ((s, d) => ops.Vectors.ivfTopKProbed(s, d)),
     // IVF centroid training: 2 Lloyd rounds, exact integer centroids
     "q_ann_kmeans_assign"   -> ((s, d) => ops.Vectors.kmeansAssign(s, d)),
+    // fixed-budget (md5-ranked 4096) sampled Lloyd trainer, 1 full assign
+    "q_ann_kmeans_assign_sampled" ->
+      ((s, d) => ops.Vectors.kmeansAssignSampled(s, d)),
     // event-stream analytics: gap sessionization (batch twin of the
     // streaming sessionizer) + per-type stats with exact distinct users
     "q_sessionize"       -> ((s, d) => ops.Sessions.sessions(s, d)),
@@ -192,6 +195,8 @@ object SparkEntry {
     // passage-level exact dedup: cross-doc duplicated k-word windows and
     // the per-doc duplicated-passage ratio (sub-document boilerplate signal)
     "q_dedup_passages"    -> ((s, d) => ops.TextOps.dedupPassages(s, d)),
+    // substring tier: maximal duplicated word spans at arbitrary offsets
+    "q_dedup_substring_spans" -> ((s, d) => ops.Dedup.substringSpans(s, d)),
     "q_passage_dup_ratio" -> ((s, d) => ops.TextOps.passageDupRatio(s, d)),
     // product quantization: per-subspace encode + ADC table-lookup top-k,
     // and the IVF-PQ composition (cell-blocked candidates, ADC scoring)
@@ -522,6 +527,9 @@ object SparkEntry {
     "q_boilerplate_shingles" -> ((s, d) => ops.Stats.boilerplateShingles(s, d)),
     // connected components over the mutual-kNN reciprocity graph
     "q_knn_components" -> ((s, d) => ops.Vectors.knnComponents(s, d)),
+    // fixed-budget (md5-ranked 1024) sampled sibling — exact in-sample
+    "q_knn_components_sampled" ->
+      ((s, d) => ops.Vectors.knnComponentsSampled(s, d)),
     // cohort lifetime value: cumulative revenue per signup-month cohort
     "q_cohort_ltv" -> ((s, d) =>
       ops.Analytics.cohortLtvOf(Pipeline.of(s, d).uol)),
@@ -587,9 +595,6 @@ object SparkEntry {
     * committed CORRECTNESS_multi.json (VerifyMultiSpec pins it); reset to
     * the new additions at the start of each round. */
   def newThisRound: Set[String] = Set(
-    "q_multimodal_near_dup_clusters", "q_copurchase_partners",
-    "q_local_cc_hist", "q_frame_dup_ratio", "q_quality_len_corr",
-    "q_seasonal_index", "q_churn_by_segment", "q_priority_transitions",
-    "q_ewma_revenue", "q_gap_hist_by_type", "q_ann_rank_stability",
-    "q_minhash_band_entropy")
+    "q_knn_components_sampled", "q_dedup_substring_spans",
+    "q_ann_kmeans_assign_sampled")
 }

@@ -10,8 +10,12 @@ import java.nio.file.{Files, Paths}
   * smaller top-k lists), so every NEW query must carry a committed
   * three-SF record before it ships.
   *
-  * Usage: `runMain graft.VerifyMulti <outRoot> [query ...]` — queries
-  * default to [[SparkEntry.newThisRound]]. One output dir per SF
+  * Usage: `runMain graft.VerifyMulti <outRoot> [query ... | ALL]` —
+  * queries default to [[SparkEntry.newThisRound]]; the literal `ALL`
+  * selects the ENTIRE registry (the r14-verdict full-registry gate:
+  * rounds 1–12's queries were only ever correctness-checked at sf0.01,
+  * so the whole surface runs the three-SF gate once and the artifact —
+  * CORRECTNESS_multi_full.json — is committed). One output dir per SF
   * (`<outRoot>/sf0.001` …), each in tools/check.py's expected layout, so
   * `python3 tools/check_multi.py <outRoot> CORRECTNESS_multi.json` can run
   * the DuckDB compare per SF and merge the per-query statuses into the
@@ -29,7 +33,8 @@ object VerifyMulti {
     val outRoot = args.headOption.getOrElse(
       sys.error("usage: VerifyMulti <outRoot> [query ...]"))
     val names =
-      if (args.length > 1) args.drop(1).toSet
+      if (args.length == 2 && args(1) == "ALL") SparkEntry.queries.keySet
+      else if (args.length > 1) args.drop(1).toSet
       else SparkEntry.newThisRound
     require(names.nonEmpty,
       "no queries to verify: pass names or populate SparkEntry.newThisRound")
@@ -60,6 +65,10 @@ object VerifyMulti {
             .foreach { _ => failures += 1 }
         }
       Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson)
+      // drop this SF dir's memoized frames before the next SF — a full-
+      // registry run would otherwise carry three dirs' persisted frames
+      // simultaneously for no reuse benefit (each dir is visited once)
+      Caches.invalidateAll(spark)
       println(s"[verify-multi] $sf: ${names.size} queries dumped to $outDir")
     }
     spark.stop()

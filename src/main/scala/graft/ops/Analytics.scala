@@ -1424,10 +1424,18 @@ object Analytics {
     priorityTransitionsOf(Feeds.table(spark, dir, "orders"))
 
   /** Exponentially-weighted weekly revenue trend: weights 2⁷..2⁰ over the
-    * trailing 8 weeks (α = 1/2 as exact powers of two, normalized by
-    * 255 = Σ2^i), all-integer — the float-free EWMA that hash-matches
-    * cross-engine. Missing leading weeks weigh in as 0 (the honest
-    * cold-start: the trend ramps with the window).
+    * trailing 8 OBSERVED weeks (α = 1/2 as exact powers of two,
+    * normalized by 255 = Σ2^i), all-integer — the float-free EWMA that
+    * hash-matches cross-engine. Missing leading weeks weigh in as 0 (the
+    * honest cold-start: the trend ramps with the window).
+    *
+    * Row-based lag semantics, NOT calendar-based (r14 advice): a
+    * calendar week with zero orders produces no row at the weeks grain,
+    * so the 8-lag window slides over observed weeks and skips the gap —
+    * the oracle mirrors the same row semantics, so cross-engine parity
+    * holds by construction. TPC-H order streams have no empty weeks; a
+    * sparse stream wanting strict calendar decay would densify the week
+    * spine (sequence over min..max week, zero-fill) before the lags.
     *
     * Scale shape: one partial-agg groupBy to the weeks grain, then a
     * bounded 8-lag window over the ~weeks-sized frame (same bounded-grain

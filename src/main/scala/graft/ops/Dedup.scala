@@ -543,10 +543,18 @@ object Dedup {
     // Row-RDD rebuild = constraint barrier: this plan's constraint set
     // trips Spark 4.1's UnionBase.rewriteConstraints (key-not-found on a
     // downstream union attribute) when the edge list feeds the CC loop's
-    // star unions — see Round14OpsSpec "spanning edges". The barrier is a
-    // 2-column linear edge list consumed once by clustersFastOf's initial
-    // eager checkpoint, so the row conversion is a one-pass constant.
-    hashes0.sparkSession.createDataFrame(out.rdd, out.schema)
+    // star unions — see Round14OpsSpec "spanning edges".
+    val barrier = hashes0.sparkSession.createDataFrame(out.rdd, out.schema)
+    // Eager tracked checkpoint: (a) materializes the linear edge list
+    // ONCE, so multi-consumer callers (frameNearDupClustersOf derives
+    // both `nodes` and the CC input from it) re-read blocks instead of
+    // re-running the banded bucket join; (b) lets the input persist be
+    // released HERE instead of leaking for the session lifetime (r14
+    // advice) — the checkpoint itself is registered in the tracked
+    // queue, so Caches.invalidateAll reclaims its blocks.
+    val edges = trackCheckpoint(barrier.localCheckpoint(true))
+    hashes.unpersist(false)
+    edges
   }
 
   /** STRICT (sh_a < sh_b) near-hash value pairs within `maxHamming`, from
@@ -1306,6 +1314,66 @@ object Dedup {
 
   def lshRecallSampled(spark: SparkSession, dir: String): DataFrame =
     lshRecallSampledOf(TextOps.shingles(spark, dir), minhashPairs(spark, dir))
+
+  /** SUBSTRING-tier dedup: maximal duplicated word SPANS at arbitrary
+    * offsets between doc pairs (r14 verdict task 4) — the "50-token
+    * verbatim quote inside an otherwise unique doc" case the rest of the
+    * ladder misses: exact dedup needs the whole doc equal, passage dedup
+    * needs the quote to align with the fixed k-word passage grid, and
+    * MinHash/SimHash need whole-doc similarity. Here any run of ≥
+    * `minRun` consecutive shared 3-word shingles is found regardless of
+    * offset.
+    *
+    * Shingle-chain algorithm: positional shingle hashes
+    * ([[TextOps.posShinglesOf]]) equi-join on the hash (doc_a < doc_b);
+    * each match (pos_a, pos_b) lies on diagonal pos_a − pos_b, and a
+    * verbatim span is a gap-free run along one diagonal — coalesced with
+    * the standard gaps-and-islands trick (island = pos_a − row_number
+    * within (doc_a, doc_b, diag)). Runs ≥ `minRun` shingles (= minRun+2
+    * words) roll up per pair: span count, longest and total span words.
+    *
+    * Giant-bucket guard (the ladder's existing treatment): shingles with
+    * more than `maxOcc` total occurrences are dropped BEFORE the pair
+    * join — the boilerplate tier by definition (a shingle in hundreds of
+    * docs is template text, and its C(occ,2) match volume is the
+    * quadratic surface). Documented recall contract: a span whose every
+    * shingle is over-cap is invisible; one mid-quote over-cap shingle
+    * splits the run in two. The oracle mirrors the same cap, so the
+    * contract is checked, not asserted.
+    *
+    * Scale shape: positional shingling is map-side-linear in corpus
+    * words; the occurrence census is one partial-agg groupBy on 32-byte
+    * hashes; the match join emits ≤ C(maxOcc,2) rows per shingle value
+    * (bucket-bounded, never all-pairs); islands/rollups are windows and
+    * partial aggs on the (doc_a, doc_b[, diag]) grain. */
+  def substringSpansOf(posShingles: DataFrame, minRun: Int = 8,
+                       maxOcc: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rare = posShingles
+      .join(posShingles.groupBy("sh").agg(count(lit(1)).as("occ"))
+              .where(col("occ") <= maxOcc).select("sh"),
+            Seq("sh"))
+    val matches = rare
+      .select(col("sh"), col("doc_id").as("doc_a"), col("pos").as("pos_a"))
+      .join(rare.select(col("sh"), col("doc_id").as("doc_b"),
+                        col("pos").as("pos_b")), Seq("sh"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pos_a"), col("pos_b"),
+              (col("pos_a") - col("pos_b")).as("diag"))
+    val runs = matches
+      .withColumn("isl", col("pos_a") - row_number().over(
+        Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")))
+      .groupBy("doc_a", "doc_b", "diag", "isl")
+      .agg(count(lit(1)).as("run_len"))
+      .where(col("run_len") >= minRun)
+    runs.groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_spans"),
+           max(col("run_len") + lit(2)).cast("long").as("max_span_words"),
+           sum(col("run_len") + lit(2)).cast("long").as("sum_span_words"))
+  }
+
+  def substringSpans(spark: SparkSession, dir: String): DataFrame =
+    substringSpansOf(TextOps.posShingles(spark, dir))
 
   /** Per-band bucket-occupancy ENTROPY surrogate: n·⌊log2 n⌋ − Σ s·⌊log2 s⌋
     * over the band's bucket sizes (the house integer-entropy formula, see

@@ -280,6 +280,11 @@ object Multimodal {
     * rounds over the spanning set) — nothing grows with clone-group². */
   def frameNearDupClustersOf(documents: DataFrame,
                              maxBucket: Int = 256): DataFrame = {
+    // hammingSpanningEdgesOf returns an eagerly-checkpointed edge list
+    // (tracked, reclaimed by Caches.invalidateAll), so BOTH consumers
+    // below — the nodes derivation and clustersFastOf's canonical-edge
+    // checkpoint — re-read its blocks through this cheap projection; the
+    // banded bucket join runs exactly once (r14 advice).
     val edges = Dedup.hammingSpanningEdgesOf(
         frameSimhashOf(documents), "simhash", chunkBits = 8,
         maxHamming = 3, maxBucket = maxBucket)

@@ -179,6 +179,26 @@ object TextOps {
              ELSE array(norm) END""")).as("shingle"))
       .distinct()
 
+  /** POSITIONAL word-3-gram shingle hashes — (doc_id, pos, sh) with the
+    * 0-based word offset kept and NO per-doc dedup: the substring-tier
+    * dedup input ([[Dedup.substringSpansOf]]), where runs of consecutive
+    * positions are the signal the distinct-set shingles erase. Hashed at
+    * the source (md5) so every downstream shuffle moves 32-byte keys,
+    * never shingle strings; docs under 3 words emit no row (a sub-3-word
+    * doc has no 3-gram span by definition). Map-side explode — scales
+    * like [[shinglesOf]]. */
+  def posShinglesOf(docsWords: DataFrame): DataFrame =
+    docsWords
+      .where(expr("size(words) >= 3"))
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, size(words) - 3),
+             i -> md5(concat_ws(' ', words[i], words[i+1], words[i+2])))"""))
+        .as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("sh"))
+
+  def posShingles(spark: SparkSession, dir: String): DataFrame =
+    posShinglesOf(docsWords(spark, dir))
+
   // The distinct-shingle set feeds five query families (jaccard,
   // fingerprint, contamination, repetition, curation v2) — memoize and
   // persist one instance per (session, dir) so the explode+distinct

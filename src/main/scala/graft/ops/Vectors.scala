@@ -177,6 +177,8 @@ object Vectors {
     (SparkSession, String), DataFrame]
   private val pqCbCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]
+  private val kmSampleCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
 
   private def mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
@@ -191,7 +193,7 @@ object Vectors {
   /** Drop this (session, dir)'s memoized ANN frames and unpersist them —
     * REQUIRED before re-reading a dir whose files changed. */
   def invalidate(spark: SparkSession, dir: String): Unit =
-    Seq(quantizedCache, cellsCache, lshCache, pqCbCache).foreach { c =>
+    Seq(quantizedCache, cellsCache, lshCache, pqCbCache, kmSampleCache).foreach { c =>
       Option(c.remove((spark, dir))).foreach(_.unpersist(false))
     }
 
@@ -201,7 +203,7 @@ object Vectors {
     * require enumerating every dir ever touched (entries of a stopped
     * session would otherwise stay pinned for the JVM lifetime). */
   def invalidateAll(spark: SparkSession): Unit =
-    Seq(quantizedCache, cellsCache, lshCache, pqCbCache).foreach { c =>
+    Seq(quantizedCache, cellsCache, lshCache, pqCbCache, kmSampleCache).foreach { c =>
       val it = c.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
@@ -212,7 +214,7 @@ object Vectors {
   /** Entry count of this session across the ANN memo maps (spec hook). */
   private[graft] def cacheSize(spark: SparkSession): Int = {
     import scala.jdk.CollectionConverters._
-    Seq(quantizedCache, cellsCache, lshCache, pqCbCache)
+    Seq(quantizedCache, cellsCache, lshCache, pqCbCache, kmSampleCache)
       .map(_.keySet.asScala.count(_._1 eq spark)).sum
   }
 
@@ -223,8 +225,11 @@ object Vectors {
 
   /** Brute-force cosine top-5 for the deterministic query subset
     * (vec_id % 50 == 0). */
-  def annCosineTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val emb = quantizedCached(spark, dir)
+  def annCosineTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    annCosineTopKOf(quantizedCached(spark, dir), k)
+
+  /** Frame-based core of [[annCosineTopK]] (fixture-testable). */
+  def annCosineTopKOf(emb: DataFrame, k: Int = 5): DataFrame = {
     val q = broadcast(emb.where(isQuery(col("vec_id")))
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
               col("n2").as("qa2")))
@@ -340,6 +345,58 @@ object Vectors {
       val assign = assignTo(emb, cents).select("vec_id", "cell")
       val sums = assign
         .join(emb.select(col("vec_id"), col("qv")), "vec_id")
+        .select(col("cell"), posexplode(col("qv")).as(Seq("dim", "v")))
+        .groupBy("cell", "dim")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      cents = sums
+        .withColumn("c",
+          expr("CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)"))
+        .groupBy("cell")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, c))), x -> x.c)")
+          .as("c_qv"))
+        .withColumn("ca2", graft.expr.VecDotQ(col("c_qv"), col("c_qv")))
+    }
+    assignTo(emb, cents)
+  }
+
+  /** SAMPLED-training k-means assignment — the production shape of
+    * [[kmeansAssign]] (r14 verdict task 5). The full trainer's Lloyd
+    * rounds assign the WHOLE corpus against a centroid set that itself
+    * grows with the corpus (seed = vec_id % 40), so training cost is
+    * quadratic in N (64× probe: 65.9) — it stays as the documented exact
+    * baseline. Production trains on a FIXED budget: the `sampleN`
+    * vectors with the smallest md5(vec_id) (the same deterministic draw
+    * as the sampled kNN monitor), seeds from the sample's % 40 members
+    * (bounded by the budget), runs the SAME exact-integer Lloyd rounds
+    * on the sample, then assigns the full corpus ONCE against the
+    * trained centroids. Per-round cost is |sample|·k (constant in N);
+    * the only corpus-sized stage is the final broadcast-centroid
+    * assignment — one linear map-side pass.
+    *
+    * Determinism: identical integer-centroid arithmetic as
+    * [[kmeansAssign]] (exact int sums, one IEEE division + round per
+    * dim), over a sample both engines select identically — oracle-green
+    * by the same argument, no float drift surface. The sample frame is
+    * memoized per (session, dir) (reclaimed via [[invalidateAll]]) so
+    * the Lloyd rounds' repeated consumption reads cached blocks. */
+  def kmeansAssignSampled(spark: SparkSession, dir: String,
+                          iters: Int = LloydIters,
+                          sampleN: Int = 4096): DataFrame = {
+    val emb = quantizedCached(spark, dir)
+    val samp = kmSampleCache.computeIfAbsent((spark, dir),
+      { case (s, d) => quantizedCached(s, d)
+          .select(col("vec_id"), col("qv"), col("n2"),
+                  md5(col("vec_id").cast("string")).as("h"))
+          .orderBy(col("h"), col("vec_id")).limit(sampleN)
+          .select("vec_id", "qv", "n2")
+          .persist(mem) })
+    var cents = samp.where(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("cell"), col("qv").as("c_qv"),
+              col("n2").as("ca2"))
+    for (_ <- 1 to iters) {
+      val assign = assignTo(samp, cents).select("vec_id", "cell")
+      val sums = assign
+        .join(samp.select(col("vec_id"), col("qv")), "vec_id")
         .select(col("cell"), posexplode(col("qv")).as(Seq("dim", "v")))
         .groupBy("cell", "dim")
         .agg(sum("v").as("s"), count(lit(1)).as("n"))
@@ -1310,6 +1367,46 @@ object Vectors {
   def knnComponents(spark: SparkSession, dir: String): DataFrame =
     // k = 5 to match the oracle's exact-top-k CTE (see knnMutual)
     knnComponentsOf(annCosineTopK(spark, dir))
+
+  /** SAMPLED kNN components — the production monitor sibling of
+    * [[knnComponentsOf]] (r14 verdict task 2, mirroring
+    * q_lsh_recall_sampled's treatment). The full exact form is the
+    * eval×corpus brute-force ground truth — quadratic by definition (64×
+    * probe: 93) and kept as the documented baseline; a monitor that runs
+    * per-ingest instead takes a FIXED eval budget: the `sampleN` eval
+    * vectors with the smallest md5(vec_id) (a deterministic, order-free,
+    * cross-engine-stable draw — both engines render the bigint and hash
+    * it identically), computes the exact mutual-kNN graph WITHIN the
+    * sample, and clusters it. Work is |sample|²·d — CONSTANT in corpus
+    * size; the only corpus-sized stages are the eval-subset scan and the
+    * md5 top-N (one TakeOrdered, no full sort).
+    *
+    * Semantics: exact within the sample — neighbor lists are computed
+    * against sampled candidates only, so components are the mutual-kNN
+    * structure of the sampled subspace (the standard fixed-budget eval
+    * protocol), not a subset of the full graph's. */
+  def knnComponentsSampledOf(emb: DataFrame, k: Int = 5,
+                             sampleN: Int = 1024): DataFrame = {
+    val s = emb.where(isQuery(col("vec_id")))
+      .select(col("vec_id"), col("qv"), col("n2"),
+              md5(col("vec_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(sampleN)
+    val q = broadcast(s.select(col("vec_id").as("query_id"),
+      col("qv").as("q_qv"), col("n2").as("qa2")))
+    val c = s.select(col("vec_id").as("cand_id"), col("qv").as("c_qv"),
+                     col("n2").as("ca2"))
+    val topk = scored(q, c)
+      .select("query_id", "cand_id", "score") // shed vectors pre-window
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("cand_id"))).cast("long"))
+      .where(col("rnk") <= k)
+      .select("query_id", "cand_id", "score", "rnk")
+    knnComponentsOf(topk)
+  }
+
+  def knnComponentsSampled(spark: SparkSession, dir: String): DataFrame =
+    knnComponentsSampledOf(quantizedCached(spark, dir))
 
   /** Cosine RANGE search count: per eval query, how many corpus vectors
     * sit within cosine ≥ τ — the radius-neighbor census behind

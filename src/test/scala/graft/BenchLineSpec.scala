@@ -131,6 +131,29 @@ class BenchLineSpec extends AnyFunSuite {
       Seq("pipeline:q_x:p1", "preflight:events.ts")) == 11.0)
   }
 
+  test("load preflight: clean first reading -> one attempt, no wait") {
+    var slept = 0L
+    val attempts = Bench.loadPreflight(read = () => 0.5,
+      waitMs = 60000L, sleep = ms => slept += ms)
+    assert(attempts == Seq(0.5) && slept == 0L)
+  }
+
+  test("load preflight: tripped reading waits the bounded interval and " +
+       "retries exactly once, recording both attempts") {
+    val readings = Iterator(7.0, 0.8)
+    var slept = 0L
+    val attempts = Bench.loadPreflight(read = () => readings.next(),
+      waitMs = 1234L, sleep = ms => slept += ms)
+    assert(attempts == Seq(7.0, 0.8) && slept == 1234L)
+    assert(!Bench.contaminated(attempts.last)) // self-healed run
+    // a host that STAYS loaded: second attempt recorded, still stamped
+    // contaminated, and never a third read (one bounded retry only)
+    val stuck = Iterator(7.0, 6.5)
+    val a2 = Bench.loadPreflight(read = () => stuck.next(),
+      waitMs = 1L, sleep = _ => ())
+    assert(a2 == Seq(7.0, 6.5) && Bench.contaminated(a2.last))
+  }
+
   test("loadAvg1 reads the host 1-minute load average") {
     // /proc/loadavg exists on every Linux host this bench runs on; the
     // -1 fallback is for non-proc filesystems only

@@ -104,6 +104,12 @@ class Round14OpsSpec extends SparkSpec {
     Basket.pageRankOf(edges).count()
     Basket.neighborJaccardOf(edges).count()
     Basket.coPurchaseComponentsOf(edges).count()
+    // + the r14-advice path: the spanning-edge clustered rollup must not
+    // leave its input hash persist behind (hammingSpanningEdgesOf now
+    // releases it after the tracked eager checkpoint)
+    val payload = ("lorem ipsum dolor sit amet consectetur " * 8).take(300)
+    Multimodal.frameNearDupClustersOf(
+      Seq((1L, payload), (2L, payload)).toDF("doc_id", "text")).count()
     assert(graft.Caches.size(spark) > 0, "ops should register tracked frames")
     graft.Caches.invalidateAll(spark)
     val after = spark.sparkContext.getPersistentRDDs.keySet

@@ -1,14 +1,31 @@
 #!/usr/bin/env python3
 """Generate queries_index.json — the machine-readable coverage index.
 
-Usage: python3 tools/gen_index.py [--probe <scaleprobe.log> ...]
+Usage: python3 tools/gen_index.py [--probe <scaleprobe8.log> ...]
+                                  [--probe64 <scaleprobe64.log> ...]
+                                  [--probe-shifted <scaleprobe.log> ...]
 
 One row per SparkEntry.queries entry:
     {"q_x": {"entry": "src/main/scala/graft/SparkEntry.scala:244",
              "impl": "src/main/scala/graft/ops/Analytics.scala:333",
              "oracle": "src/main/scala/graft/Oracle.scala:87",
              "spec": "src/test/scala/graft/ops/AnalyticsSpec.scala",
-             "probe_ratio_8x": 1.2}}
+             "probe_ratio_8x": 1.2,
+             "probe_ratio_64x": 2.1,          # top-50 covered set only
+             "probe_ratio_8x_shifted": 1.3}}  # graph family + q_order_gaps
+
+probe_ratio_64x (r14 verdict task 3) comes from `ScaleProbe 64 only ...`
+logs over the most expensive plans; it is emitted ONLY for queries the 64x
+runs covered — never null (QueriesIndexSpec pins coverage size and
+no-null). probe_ratio_8x_shifted (task 7) carries the shifted-builder
+adjudications — the [scale-part] graph-family rows and the [scale-cust]
+q_order_gaps row — so the densification-artifact-vs-plan verdicts travel
+with the index instead of living in prose.
+
+Probe fields MERGE with the committed index: a regeneration without probe
+logs (mid-round, after adding a query) keeps the previous round's measured
+ratios instead of nulling total coverage; logs passed on the command line
+always win.
 
 - entry: the registration line in SparkEntry.scala (always present).
 - impl: the definition site of the first graft method the entry's lambda
@@ -134,42 +151,79 @@ def find_spec(name, impl_loc, rhs, test_texts):
                 return path
     return None
 
-def parse_probe_logs(paths):
-    """Cross-run MIN ratio per query over `[scale] q_x  t1 tN ratio` rows."""
+def parse_probe_logs(paths, tag="scale"):
+    """Cross-run MIN ratio per query over `[<tag>] q_x  t1 tN ratio` rows."""
     ratios = {}
     for p in paths:
         with open(p) as f:
             for l in f:
-                m = re.match(r"\[scale\]\s+(q_\w+)\s+([\d.]+)\s+([\d.]+)\s+([\d.]+)", l)
+                m = re.match(r"\[" + tag + r"\]\s+(q_\w+)\s+([\d.]+)\s+([\d.]+)\s+([\d.]+)", l)
                 if m:
                     name, r = m.group(1), float(m.group(4))
                     ratios[name] = min(r, ratios.get(name, float("inf")))
     return ratios
 
+def parse_shifted_logs(paths):
+    """Shifted-builder adjudication rows: the [scale-part] per-query table
+    plus the [scale-cust] one-liner (`... ratio=R`)."""
+    ratios = parse_probe_logs(paths, tag="scale-part")
+    for p in paths:
+        with open(p) as f:
+            for l in f:
+                m = re.match(r"\[scale-cust\]\s+(q_\w+)\s.*ratio=([\d.]+)", l)
+                if m:
+                    name, r = m.group(1), float(m.group(2))
+                    ratios[name] = min(r, ratios.get(name, float("inf")))
+    return ratios
+
+def load_existing():
+    """Previously committed per-query probe fields (merge source)."""
+    path = os.path.join(ROOT, "queries_index.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f).get("queries", {})
+
 def main():
-    probe_logs = []
+    probe_logs, probe64_logs, shifted_logs = [], [], []
     args = sys.argv[1:]
     while args:
         if args[0] == "--probe":
             probe_logs.append(args[1]); args = args[2:]
+        elif args[0] == "--probe64":
+            probe64_logs.append(args[1]); args = args[2:]
+        elif args[0] == "--probe-shifted":
+            shifted_logs.append(args[1]); args = args[2:]
         else:
             sys.exit(f"unknown arg {args[0]}")
     entries = parse_entries()
     decl = build_decl_index()
     oracle = parse_oracle_lines()
+    existing = load_existing()
     ratios = parse_probe_logs(probe_logs)
+    ratios64 = parse_probe_logs(probe64_logs)
+    shifted = parse_shifted_logs(shifted_logs)
     test_texts = [(p, read(p)) for p in scala_sources("src/test/scala")]
     index = {}
     for name, (line, rhs) in sorted(entries.items()):
         entry_loc = f"{ENTRY_FILE}:{line}"
         impl = resolve_impl(rhs, decl, entry_loc)
+        prev = existing.get(name, {})
         index[name] = {
             "entry": entry_loc,
             "impl": impl,
             "oracle": oracle.get(name),
             "spec": find_spec(name, impl, rhs, test_texts),
-            "probe_ratio_8x": ratios.get(name),
+            "probe_ratio_8x": ratios.get(name, prev.get("probe_ratio_8x")),
         }
+        # 64x / shifted fields: emitted only where measured (fresh log or
+        # committed value) — no nulls, so absence = outside the covered set
+        r64 = ratios64.get(name, prev.get("probe_ratio_64x"))
+        if r64 is not None:
+            index[name]["probe_ratio_64x"] = r64
+        rsh = shifted.get(name, prev.get("probe_ratio_8x_shifted"))
+        if rsh is not None:
+            index[name]["probe_ratio_8x_shifted"] = rsh
         if name in PROBE_EXEMPT:
             index[name]["probe_exempt"] = PROBE_EXEMPT[name]
     doc = {"n_queries": len(index), "queries": index}
