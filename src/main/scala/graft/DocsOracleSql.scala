@@ -396,6 +396,14 @@ ann_kmeans_assign_sampled AS (
              CAST(list_sum(list_transform(list_zip(e.qv, c.cqv), x -> x[1] * x[2])) AS DOUBLE)
              / sqrt(CAST(e.n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)) DESC, c.cell) AS rn
     FROM emb_n e, kms_c2 c) t WHERE rn = 1),
+kmeans_sample_drift AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(sum(CASE WHEN f.cell = s.cell THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_same,
+         CAST(CAST(sum(CASE WHEN f.cell = s.cell THEN 1 ELSE 0 END)
+                   AS BIGINT) * 1000000 // count(*) AS BIGINT) AS same_ppm
+  FROM ann_kmeans_assign f
+  JOIN ann_kmeans_assign_sampled s USING (vec_id)),
 sym_edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM minhash_pairs
   UNION ALL SELECT doc_b AS src, doc_a AS dst FROM minhash_pairs),
@@ -545,6 +553,25 @@ dedup_substring_spans AS (
          CAST(max(run_len + 2) AS BIGINT) AS max_span_words,
          CAST(sum(run_len + 2) AS BIGINT) AS sum_span_words
   FROM span_runs GROUP BY 1, 2),
+substring_span_hist AS (
+  SELECT CAST(length(bin(w)) - 1 AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(count(DISTINCT pair) AS BIGINT) AS n_pairs,
+         CAST(max(w) AS BIGINT) AS max_words
+  FROM (SELECT run_len + 2 AS w,
+               CAST(doc_a AS VARCHAR) || '_' || CAST(doc_b AS VARCHAR) AS pair
+        FROM span_runs) s
+  GROUP BY 1),
+quote_heavy_docs AS (
+  SELECT p.doc_id, p.n_spans, p.dup_words, t.n_tokens,
+         CAST(p.dup_words * 1000000 // t.n_tokens AS BIGINT) AS dup_ppm
+  FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(w) AS BIGINT) AS dup_words
+        FROM (SELECT doc_a AS doc_id, run_len + 2 AS w FROM span_runs
+              UNION ALL
+              SELECT doc_b AS doc_id, run_len + 2 AS w FROM span_runs) u
+        GROUP BY 1) p
+  JOIN text_stats t USING (doc_id)),
 passage_dup_ratio AS (
   SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_passages,
          CAST(sum(CASE WHEN s.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,

@@ -491,6 +491,8 @@ cust_gini AS (
     "q_ann_kmeans_assign"   -> fromDocs("ann_kmeans_assign"),
     // fixed-budget (md5-ranked 4096) sampled Lloyd trainer, 1 full assign
     "q_ann_kmeans_assign_sampled" -> fromDocs("ann_kmeans_assign_sampled"),
+    // sampled-vs-full trainer cell-agreement monitor (ppm)
+    "q_kmeans_sample_drift" -> fromDocs("kmeans_sample_drift"),
     "q_dedup_clusters"      -> fromDocs("dedup_clusters"),
     "q_dedup_clusters_fast" -> fromDocs("dedup_clusters"),
     // guard degradation is deterministic (bucket > cap ⇒ member↔bucket-min
@@ -775,6 +777,10 @@ cust_gini AS (
     "q_dedup_passages"    -> fromDocs("dedup_passages"),
     // substring tier: maximal duplicated word spans at arbitrary offsets
     "q_dedup_substring_spans" -> fromDocs("dedup_substring_spans"),
+    // corpus-level span-length histogram (power-of-2 word buckets)
+    "q_substring_span_hist" -> fromDocs("substring_span_hist"),
+    // per-doc duplicated-span words vs token count (quote-heavy filter)
+    "q_quote_heavy_docs" -> fromDocs("quote_heavy_docs"),
     "q_passage_dup_ratio" -> fromDocs("passage_dup_ratio"),
     "q_pq_codes"          -> fromDocs("pq_codes"),
     "q_pq_adc_topk"       -> fromDocs("pq_adc_topk"),

@@ -124,6 +124,9 @@ object SparkEntry {
     // fixed-budget (md5-ranked 4096) sampled Lloyd trainer, 1 full assign
     "q_ann_kmeans_assign_sampled" ->
       ((s, d) => ops.Vectors.kmeansAssignSampled(s, d)),
+    // sampled-vs-full trainer cell-agreement monitor (ppm)
+    "q_kmeans_sample_drift" ->
+      ((s, d) => ops.Vectors.kmeansSampleDrift(s, d)),
     // event-stream analytics: gap sessionization (batch twin of the
     // streaming sessionizer) + per-type stats with exact distinct users
     "q_sessionize"       -> ((s, d) => ops.Sessions.sessions(s, d)),
@@ -197,6 +200,10 @@ object SparkEntry {
     "q_dedup_passages"    -> ((s, d) => ops.TextOps.dedupPassages(s, d)),
     // substring tier: maximal duplicated word spans at arbitrary offsets
     "q_dedup_substring_spans" -> ((s, d) => ops.Dedup.substringSpans(s, d)),
+    // corpus-level span-length histogram (power-of-2 word buckets)
+    "q_substring_span_hist" -> ((s, d) => ops.Dedup.substringSpanHist(s, d)),
+    // per-doc duplicated-span words vs token count (quote-heavy filter)
+    "q_quote_heavy_docs" -> ((s, d) => ops.Dedup.quoteHeavyDocs(s, d)),
     "q_passage_dup_ratio" -> ((s, d) => ops.TextOps.passageDupRatio(s, d)),
     // product quantization: per-subspace encode + ADC table-lookup top-k,
     // and the IVF-PQ composition (cell-blocked candidates, ADC scoring)
@@ -596,5 +603,6 @@ object SparkEntry {
     * the new additions at the start of each round. */
   def newThisRound: Set[String] = Set(
     "q_knn_components_sampled", "q_dedup_substring_spans",
-    "q_ann_kmeans_assign_sampled")
+    "q_ann_kmeans_assign_sampled", "q_substring_span_hist",
+    "q_quote_heavy_docs", "q_kmeans_sample_drift")
 }

@@ -1346,8 +1346,11 @@ object Dedup {
     * hashes; the match join emits ≤ C(maxOcc,2) rows per shingle value
     * (bucket-bounded, never all-pairs); islands/rollups are windows and
     * partial aggs on the (doc_a, doc_b[, diag]) grain. */
-  def substringSpansOf(posShingles: DataFrame, minRun: Int = 8,
-                       maxOcc: Int = 64): DataFrame = {
+  /** The run grain under [[substringSpansOf]]: one row per maximal
+    * duplicated span (doc_a, doc_b, run_len in shingles) — shared by the
+    * per-pair rollup and the corpus-level span-length histogram. */
+  private[ops] def substringRunsOf(posShingles: DataFrame, minRun: Int,
+                                   maxOcc: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val rare = posShingles
       .join(posShingles.groupBy("sh").agg(count(lit(1)).as("occ"))
@@ -1360,20 +1363,83 @@ object Dedup {
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("pos_a"), col("pos_b"),
               (col("pos_a") - col("pos_b")).as("diag"))
-    val runs = matches
+    matches
       .withColumn("isl", col("pos_a") - row_number().over(
         Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")))
       .groupBy("doc_a", "doc_b", "diag", "isl")
       .agg(count(lit(1)).as("run_len"))
       .where(col("run_len") >= minRun)
-    runs.groupBy("doc_a", "doc_b")
+      .select("doc_a", "doc_b", "run_len")
+  }
+
+  def substringSpansOf(posShingles: DataFrame, minRun: Int = 8,
+                       maxOcc: Int = 64): DataFrame =
+    substringRunsOf(posShingles, minRun, maxOcc)
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_spans"),
            max(col("run_len") + lit(2)).cast("long").as("max_span_words"),
            sum(col("run_len") + lit(2)).cast("long").as("sum_span_words"))
-  }
 
   def substringSpans(spark: SparkSession, dir: String): DataFrame =
     substringSpansOf(TextOps.posShingles(spark, dir))
+
+  /** Corpus-level duplicated-span LENGTH histogram in power-of-2 word
+    * buckets (bucket = ⌊log₂ span_words⌋, bin-length trick) — the one-page
+    * quote-contamination readout over [[substringRunsOf]]: a long tail of
+    * big buckets says whole passages circulate verbatim (trim or dedup at
+    * the span tier); mass at the minimum bucket says short-quote noise.
+    * Pair spread counted on a string key so both engines hash the same
+    * rendering. Same bucket-bounded scale shape as the span rollup; the
+    * histogram itself is a ≤~16-key partial agg. */
+  def substringSpanHistOf(posShingles: DataFrame, minRun: Int = 8,
+                          maxOcc: Int = 64): DataFrame =
+    substringRunsOf(posShingles, minRun, maxOcc)
+      .select((col("run_len") + lit(2)).as("w"),
+              concat_ws("_", col("doc_a"), col("doc_b")).as("pair"))
+      .select(expr("CAST(length(bin(w)) - 1 AS BIGINT)").as("bucket"),
+              col("w"), col("pair"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_spans"),
+           countDistinct(col("pair")).as("n_pairs"),
+           max("w").as("max_words"))
+
+  def substringSpanHist(spark: SparkSession, dir: String): DataFrame =
+    substringSpanHistOf(TextOps.posShingles(spark, dir))
+
+  /** QUOTE-HEAVY docs: per document, the total duplicated-span words
+    * (both pair sides of [[substringRunsOf]]) against its token count —
+    * the per-doc filter signal of the substring tier, the way
+    * passageDupRatio is for the passage tier: a doc mostly made of spans
+    * that exist verbatim elsewhere is aggregation/boilerplate even when
+    * its full text and its passages are unique. `dup_ppm` is an
+    * UPPER-BOUND surrogate: spans against different partners may overlap
+    * inside the doc and are summed, not unioned (can exceed 10⁶ for
+    * heavily-requoted docs — the signal saturates exactly where the doc
+    * should be dropped anyway; exact per-word union would need a
+    * positional bitmap join that buys nothing at the decision boundary).
+    * Docs with zero qualifying spans emit no row.
+    *
+    * Scale shape: rides the bucket-bounded run grain + one partial-agg
+    * groupBy on doc_id + one equi-join to the per-doc stats frame. */
+  def quoteHeavyDocsOf(posShingles: DataFrame, textStats: DataFrame,
+                       minRun: Int = 8, maxOcc: Int = 64): DataFrame = {
+    val runs = substringRunsOf(posShingles, minRun, maxOcc)
+    val perDoc = runs
+      .select(col("doc_a").as("doc_id"), (col("run_len") + lit(2)).as("w"))
+      .unionAll(runs.select(col("doc_b").as("doc_id"),
+                            (col("run_len") + lit(2)).as("w")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum("w").cast("long").as("dup_words"))
+    perDoc.join(textStats.select("doc_id", "n_tokens"), Seq("doc_id"))
+      .select(col("doc_id"), col("n_spans"), col("dup_words"),
+              col("n_tokens"),
+        expr("CAST(dup_words * 1000000 DIV n_tokens AS BIGINT)")
+          .as("dup_ppm"))
+  }
+
+  def quoteHeavyDocs(spark: SparkSession, dir: String): DataFrame =
+    quoteHeavyDocsOf(TextOps.posShingles(spark, dir),
+                     TextOps.textStats(spark, dir))
 
   /** Per-band bucket-occupancy ENTROPY surrogate: n·⌊log2 n⌋ − Σ s·⌊log2 s⌋
     * over the band's bucket sizes (the house integer-entropy formula, see

@@ -411,6 +411,29 @@ object Vectors {
     assignTo(emb, cents)
   }
 
+  /** Sampled-vs-full TRAINER drift: the fraction of the corpus the
+    * sampled-training assignment ([[kmeansAssignSampled]]) routes to the
+    * same cell as the full trainer ([[kmeansAssign]]) — the monitor that
+    * justifies shipping the sampled path: production swaps trainers only
+    * while agreement stays high, and a drop below the house bar says the
+    * sample stopped representing the corpus (distribution shift) before
+    * any downstream recall metric moves. One vec_id equi-join over two
+    * assignment frames + a 1-row integer fold; all the cost is in the
+    * assignments themselves. ppm-exact integers, so bit-stable
+    * cross-engine. */
+  def kmeansSampleDrift(spark: SparkSession, dir: String): DataFrame = {
+    val full = kmeansAssign(spark, dir)
+      .select(col("vec_id"), col("cell").as("cell_full"))
+    val samp = kmeansAssignSampled(spark, dir)
+      .select(col("vec_id"), col("cell").as("cell_samp"))
+    full.join(samp, "vec_id")
+      .agg(count(lit(1)).as("n_vecs"),
+           sum(when(col("cell_full") === col("cell_samp"), lit(1L))
+             .otherwise(lit(0L))).as("n_same"))
+      .select(col("n_vecs"), col("n_same"),
+        expr("CAST(n_same * 1000000 DIV n_vecs AS BIGINT)").as("same_ppm"))
+  }
+
   /** Multi-probe IVF: each query searches its `nprobe` nearest cells
     * instead of one — the standard recall/cost dial (recall lost to
     * boundary effects comes back at ~nprobe× candidate cost). Candidates

@@ -49,6 +49,41 @@ class QueriesIndexSpec extends AnyFunSuite {
         gaps.mkString(", "))
   }
 
+  test("64x probe tier is machine-readable: probe_ratio_64x on the " +
+       "covered top-50 set, never null (r14 verdict task 3)") {
+    val text = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("queries_index.json"))
+    // the generator emits the field ONLY where measured — absence marks
+    // a query outside the 64x covered set; an explicit null would be the
+    // silent-coverage smell the 8x field's discipline exists to prevent
+    assert(!text.contains("\"probe_ratio_64x\": null"),
+      "probe_ratio_64x must be omitted, not null, outside the covered set")
+    val covered = "\"probe_ratio_64x\":\\s*[0-9]".r
+      .findAllMatchIn(text).size
+    assert(covered >= 50,
+      s"64x covered set shrank below the top-50 contract: $covered rows")
+  }
+
+  test("shifted-builder adjudications travel with the index: " +
+       "probe_ratio_8x_shifted on the graph family + q_order_gaps " +
+       "(r14 verdict task 7)") {
+    val text = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("queries_index.json"))
+    // the queries whose default-builder ratios are densification
+    // artifacts (the N x builder repeats part/customer keys); the
+    // key-shifted probe is the real-growth adjudication and must be a
+    // committed number, not ARCHITECTURE prose
+    val adjudicated = Seq("q_basket_pairs", "q_triangle_stats",
+      "q_local_cc_hist", "q_copurchase_partners", "q_pagerank",
+      "q_basket_components", "q_degree_dist", "q_order_gaps")
+    val missing = adjudicated.filterNot { n =>
+      ("\"" + n + "\"\\s*:\\s*\\{[^}]*\"probe_ratio_8x_shifted\":\\s*[0-9]").r
+        .findFirstIn(text).isDefined
+    }
+    assert(missing.isEmpty,
+      s"shifted-probe adjudication missing from the index: $missing")
+  }
+
   test("every index row carries entry, impl and oracle anchors") {
     val text = java.nio.file.Files.readString(
       java.nio.file.Paths.get("queries_index.json"))

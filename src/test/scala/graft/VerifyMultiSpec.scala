@@ -18,6 +18,33 @@ class VerifyMultiSpec extends AnyFunSuite {
     assert(unknown.isEmpty, s"newThisRound lists unregistered queries: $unknown")
   }
 
+  test("the FULL registry carries a committed three-SF green row " +
+       "(CORRECTNESS_multi_full.json, r14 verdict task 1)") {
+    // rounds 1-12's queries were only ever correctness-checked at sf0.01
+    // (the driver gate); this artifact is the one-time full-registry
+    // three-SF run, kept in lockstep with the registry from round 15 on:
+    // `runMain graft.VerifyMulti /tmp/vmulti_full ALL` +
+    // `python3 tools/check_multi.py /tmp/vmulti_full CORRECTNESS_multi_full.json <round>`
+    val path = java.nio.file.Paths.get("CORRECTNESS_multi_full.json")
+    assert(java.nio.file.Files.exists(path),
+      "CORRECTNESS_multi_full.json missing: run VerifyMulti ALL + check_multi")
+    val text = java.nio.file.Files.readString(path)
+    val rows = "\"(q_\\w+)\"\\s*:\\s*\\{([^}]*)\\}".r
+      .findAllMatchIn(text).map(m => m.group(1) -> m.group(2)).toMap
+    val live = SparkEntry.queries.keySet
+    val missing = (live -- rows.keySet).toSeq.sorted
+    assert(missing.isEmpty,
+      s"registry queries without a full three-SF row: $missing " +
+        "(new queries may ride CORRECTNESS_multi until the next full run; " +
+        "merge their rows into CORRECTNESS_multi_full.json at round close)")
+    val stale = (rows.keySet -- live).toSeq.sorted
+    assert(stale.isEmpty, s"stale CORRECTNESS_multi_full.json rows: $stale")
+    val sfs = Seq("sf0.001", "sf0.01", "sf0.1")
+    val red = rows.collect { case (n, body)
+        if sfs.exists(sf => !body.contains(s""""$sf": "ok"""")) => n }
+    assert(red.isEmpty, s"non-green three-SF rows: ${red.toSeq.sorted}")
+  }
+
   test("every new query has a committed three-SF green row") {
     val fresh = SparkEntry.newThisRound
     if (fresh.isEmpty) cancel("no additions registered yet this round")

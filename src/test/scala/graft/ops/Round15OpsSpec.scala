@@ -87,6 +87,41 @@ class Round15OpsSpec extends SparkSpec {
     assert(sampled == full && sampled.nonEmpty)
   }
 
+  test("span histogram buckets the planted quote by ⌊log2 words⌋") {
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $quote z1 z2"),
+      (2L, s"b1 $quote y1 y2 y3")).toDF("doc_id", "text")
+    val hist = Dedup.substringSpanHistOf(
+      TextOps.posShinglesOf(TextOps.withWords(TextOps.normalize(docs))))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // one 20-word span: bucket ⌊log2 20⌋ = 4, 1 span, 1 pair, max 20
+    assert(hist == Seq((4L, 1L, 1L, 20L)))
+  }
+
+  test("quote-heavy docs: dup words over token count, per doc") {
+    // doc 1 = quote + 20 filler, doc 2 = quote + 5 filler: same dup_words
+    // (20), different token counts -> different ppm
+    val docs = Seq(
+      (1L, s"$quote ${(1 to 20).map(i => s"f$i").mkString(" ")}"),
+      (2L, s"${(1 to 5).map(i => s"g$i").mkString(" ")} $quote"))
+      .toDF("doc_id", "text")
+    val dw = TextOps.withWords(TextOps.normalize(docs))
+    val out = Dedup.quoteHeavyDocsOf(
+      TextOps.posShinglesOf(dw), TextOps.textStatsOf(dw))
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 1L, 20L, 40L, 500000L),   // 20 dup words of 40
+      (2L, 1L, 20L, 25L, 800000L)))  // 20 of 25
+  }
+
+  test("trainer drift monitor reads 100% agreement when the sample " +
+       "covers the corpus") {
+    val out = Vectors.kmeansSampleDrift(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.size == 1 && out.head._1 == out.head._2 &&
+      out.head._3 == 1000000L)
+  }
+
   test("sampled k-means == full trainer when the budget covers the corpus") {
     val dir = "/root/testdata/sf0.001"
     val a = Vectors.kmeansAssignSampled(spark, dir)
