@@ -562,6 +562,17 @@ substring_span_hist AS (
                CAST(doc_a AS VARCHAR) || '_' || CAST(doc_b AS VARCHAR) AS pair
         FROM span_runs) s
   GROUP BY 1),
+span_source_matrix AS (
+  SELECT da.source AS source_a, db.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(count(DISTINCT CAST(r.doc_a AS VARCHAR) || '_'
+                             || CAST(r.doc_b AS VARCHAR)) AS BIGINT)
+           AS n_pairs,
+         CAST(sum(r.run_len + 2) AS BIGINT) AS span_words
+  FROM span_runs r
+  JOIN docs da ON da.doc_id = r.doc_a
+  JOIN docs db ON db.doc_id = r.doc_b
+  GROUP BY 1, 2),
 quote_heavy_docs AS (
   SELECT p.doc_id, p.n_spans, p.dup_words, t.n_tokens,
          CAST(p.dup_words * 1000000 // t.n_tokens AS BIGINT) AS dup_ppm

@@ -781,6 +781,8 @@ cust_gini AS (
     "q_substring_span_hist" -> fromDocs("substring_span_hist"),
     // per-doc duplicated-span words vs token count (quote-heavy filter)
     "q_quote_heavy_docs" -> fromDocs("quote_heavy_docs"),
+    // cross-source quote-flow matrix over the substring-span grain
+    "q_span_source_matrix" -> fromDocs("span_source_matrix"),
     "q_passage_dup_ratio" -> fromDocs("passage_dup_ratio"),
     "q_pq_codes"          -> fromDocs("pq_codes"),
     "q_pq_adc_topk"       -> fromDocs("pq_adc_topk"),

@@ -204,6 +204,8 @@ object SparkEntry {
     "q_substring_span_hist" -> ((s, d) => ops.Dedup.substringSpanHist(s, d)),
     // per-doc duplicated-span words vs token count (quote-heavy filter)
     "q_quote_heavy_docs" -> ((s, d) => ops.Dedup.quoteHeavyDocs(s, d)),
+    // cross-source quote-flow matrix over the substring-span grain
+    "q_span_source_matrix" -> ((s, d) => ops.Dedup.spanSourceMatrix(s, d)),
     "q_passage_dup_ratio" -> ((s, d) => ops.TextOps.passageDupRatio(s, d)),
     // product quantization: per-subspace encode + ADC table-lookup top-k,
     // and the IVF-PQ composition (cell-blocked candidates, ADC scoring)
@@ -604,5 +606,6 @@ object SparkEntry {
   def newThisRound: Set[String] = Set(
     "q_knn_components_sampled", "q_dedup_substring_spans",
     "q_ann_kmeans_assign_sampled", "q_substring_span_hist",
-    "q_quote_heavy_docs", "q_kmeans_sample_drift")
+    "q_quote_heavy_docs", "q_kmeans_sample_drift",
+    "q_span_source_matrix")
 }

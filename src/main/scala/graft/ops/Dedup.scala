@@ -1441,6 +1441,36 @@ object Dedup {
     quoteHeavyDocsOf(TextOps.posShingles(spark, dir),
                      TextOps.textStats(spark, dir))
 
+  /** Cross-SOURCE quote-flow matrix: duplicated spans rolled to the
+    * (source_a, source_b) grain — WHERE verbatim text circulates, the
+    * provenance readout over the substring tier (the span-tier sibling of
+    * the near-dup/contamination source attributions): a heavy diagonal
+    * cell says a source re-publishes itself (syndication/mirrors), a
+    * heavy off-diagonal says quote flow between feeds — the pair to
+    * dedup FIRST at ingest. Pair orientation follows the ladder's
+    * doc_a < doc_b id order (not source-canonical), mirrored exactly in
+    * the oracle. Scale shape: the bucket-bounded run grain + two
+    * broadcast-sized dimension joins + a |sources|²-key partial agg. */
+  def spanSourceMatrixOf(posShingles: DataFrame, documents: DataFrame,
+                         minRun: Int = 8, maxOcc: Int = 64): DataFrame = {
+    val runs = substringRunsOf(posShingles, minRun, maxOcc)
+    val src = documents.select(col("doc_id"), col("source"))
+    runs
+      .join(src.select(col("doc_id").as("doc_a"),
+                       col("source").as("source_a")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"),
+                       col("source").as("source_b")), Seq("doc_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_spans"),
+           countDistinct(concat_ws("_", col("doc_a"), col("doc_b")))
+             .as("n_pairs"),
+           sum(col("run_len") + lit(2)).cast("long").as("span_words"))
+  }
+
+  def spanSourceMatrix(spark: SparkSession, dir: String): DataFrame =
+    spanSourceMatrixOf(TextOps.posShingles(spark, dir),
+                       graft.etl.Feeds.table(spark, dir, "documents"))
+
   /** Per-band bucket-occupancy ENTROPY surrogate: n·⌊log2 n⌋ − Σ s·⌊log2 s⌋
     * over the band's bucket sizes (the house integer-entropy formula, see
     * charEntropy) plus count/max — one number per band saying whether the

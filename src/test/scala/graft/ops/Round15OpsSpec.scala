@@ -70,6 +70,24 @@ class Round15OpsSpec extends SparkSpec {
     assert(spansOf(docs).count() == 40L * 39 / 2)
   }
 
+  test("span source matrix attributes quote flow by (source_a, source_b)") {
+    // quote flows wiki->blog (docs 1->2) and wiki->wiki (docs 1->3):
+    // pair orientation is doc-id order, so cells are (src(min), src(max))
+    val docs = Seq(
+      (1L, s"$quote ${(1 to 10).map(i => s"a$i").mkString(" ")}", "wiki"),
+      (2L, s"${(1 to 7).map(i => s"b$i").mkString(" ")} $quote", "blog"),
+      (3L, s"$quote ${(1 to 10).map(i => s"c$i").mkString(" ")}", "wiki"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.spanSourceMatrixOf(
+      TextOps.posShinglesOf(TextOps.withWords(TextOps.normalize(docs))),
+      docs, maxOcc = 64)
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("wiki", "blog", 1L, 1L, 20L),   // 1->2
+      ("wiki", "wiki", 1L, 1L, 20L),   // 1->3
+      ("blog", "wiki", 1L, 1L, 20L)))  // 2->3 (quote shared transitively)
+  }
+
   test("sampled kNN components == full components when the budget covers " +
        "the whole eval set and candidates are all queries") {
     // every vec_id % 50 == 0 -> eval set = corpus = sample; the sampled
