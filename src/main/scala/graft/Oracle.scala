@@ -2273,6 +2273,26 @@ cust_gini AS (
       FROM rs_common c1 JOIN rs_common c2
         ON c2.query_id = c1.query_id AND c2.cand_id > c1.cand_id
       GROUP BY 1"""),
+    // fixed-budget sampled sibling: per-query ranks are unchanged by the
+    // query-set restriction, so the oracle IS the full monitor filtered
+    // to the md5-ranked sample
+    "q_ann_rank_stability_sampled" -> (docsPrelude + """
+      , rss_q AS (
+        SELECT vec_id FROM emb_n WHERE vec_id % 50 = 0
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 256),
+      rss_common AS (
+        SELECT e.query_id, e.cand_id, e.rnk AS e_rnk, a.rnk AS a_rnk
+        FROM ann_cosine_topk e
+        JOIN pq_adc_topk a ON a.query_id = e.query_id
+                          AND a.cand_id = e.cand_id
+        WHERE e.query_id IN (SELECT vec_id FROM rss_q))
+      SELECT c1.query_id, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN (c1.e_rnk < c2.e_rnk)
+                             <> (c1.a_rnk < c2.a_rnk)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_discordant
+      FROM rss_common c1 JOIN rss_common c2
+        ON c2.query_id = c1.query_id AND c2.cand_id > c1.cand_id
+      GROUP BY 1"""),
     "q_minhash_band_entropy" -> (docsPrelude + """
       , be_bsz AS (
         SELECT band, band_hash, CAST(count(*) AS BIGINT) AS s

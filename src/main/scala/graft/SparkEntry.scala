@@ -592,6 +592,9 @@ object SparkEntry {
     "q_gap_hist_by_type" -> ((s, d) => ops.Sessions.gapHistByType(s, d)),
     // exact-vs-ADC top-k inversion count (quantization rank drift)
     "q_ann_rank_stability" -> ((s, d) => ops.Vectors.rankStability(s, d)),
+    // fixed-budget (md5-ranked 256) sampled sibling of the monitor
+    "q_ann_rank_stability_sampled" ->
+      ((s, d) => ops.Vectors.rankStabilitySampled(s, d)),
     // per-band bucket-occupancy entropy (banding health, one row per band)
     "q_minhash_band_entropy" -> ((s, d) => ops.Dedup.bandEntropy(s, d)))
 
@@ -607,5 +610,5 @@ object SparkEntry {
     "q_knn_components_sampled", "q_dedup_substring_spans",
     "q_ann_kmeans_assign_sampled", "q_substring_span_hist",
     "q_quote_heavy_docs", "q_kmeans_sample_drift",
-    "q_span_source_matrix")
+    "q_span_source_matrix", "q_ann_rank_stability_sampled")
 }

@@ -1519,4 +1519,44 @@ object Vectors {
   def rankStability(spark: SparkSession, dir: String): DataFrame =
     rankStabilityOf(annCosineTopK(spark, dir), pqAdcTopK(spark, dir))
 
+  /** SAMPLED rank-stability — the fixed-budget production shape of
+    * [[rankStability]], whose full form COMPOSES the two quadratic
+    * exactness baselines (brute-force exact top-k × flat-ADC top-k; 64×
+    * probe: 300) and stays the documented monitor-of-record. Here the
+    * md5-ranked `sampleN` eval queries (the same deterministic draw as
+    * the sampled kNN/k-means siblings) restrict BOTH sides at the
+    * source: the exact scorer broadcasts only sampled queries, and the
+    * ADC distance table keeps only sampled-query rows before the code
+    * join — so each side is |sample|·corpus, linear in N. Per-query
+    * output is IDENTICAL to filtering the full monitor to the sample
+    * (top-k and ADC ranks are per-query), which is exactly how the
+    * oracle expresses it. */
+  def rankStabilitySampled(spark: SparkSession, dir: String,
+                           sampleN: Int = 256): DataFrame = {
+    val emb = quantizedCached(spark, dir)
+    val squery = emb.where(isQuery(col("vec_id")))
+      .select(col("vec_id"), col("qv"), col("n2"),
+              md5(col("vec_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(sampleN)
+      .select("vec_id", "qv", "n2")
+    val q = broadcast(squery.select(col("vec_id").as("query_id"),
+      col("qv").as("q_qv"), col("n2").as("qa2")))
+    val c = emb.select(col("vec_id").as("cand_id"), col("qv").as("c_qv"),
+                       col("n2").as("ca2"))
+    val exact = scored(q, c)
+      .select("query_id", "cand_id", "score")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("cand_id"))).cast("long"))
+      .where(col("rnk") <= 5)
+    val sub = pqSubOf(emb)
+    val cb = pqCbCached(spark, dir)
+    val codes = pqEncode(sub, cb)
+      .select(col("vec_id").as("cand_id"), col("m").as("cm"), col("code"))
+    val sdtab = pqDtabOf(sub, cb)
+      .join(broadcast(squery.select(col("vec_id").as("query_id"))),
+            Seq("query_id"))
+    rankStabilityOf(exact, adcRank(codes, sdtab, 5))
+  }
+
 }

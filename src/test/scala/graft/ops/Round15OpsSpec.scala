@@ -140,6 +140,16 @@ class Round15OpsSpec extends SparkSpec {
       out.head._3 == 1000000L)
   }
 
+  test("sampled rank-stability == full monitor when the budget covers " +
+       "the eval set (per-query ranks unchanged by the restriction)") {
+    val dir = "/root/testdata/sf0.001"
+    val a = Vectors.rankStabilitySampled(spark, dir)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val b = Vectors.rankStability(spark, dir)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq && a.nonEmpty)
+  }
+
   test("sampled k-means == full trainer when the budget covers the corpus") {
     val dir = "/root/testdata/sf0.001"
     val a = Vectors.kmeansAssignSampled(spark, dir)
