@@ -351,21 +351,34 @@ object Bench {
     * When the first reading trips [[contaminated]], wait ONE bounded
     * interval and re-read; every reading is recorded and lands in the
     * artifact as `loadavg_attempts`, so a reader sees both the trip and
-    * the retry outcome. Exactly one retry — a loaded host that stays
-    * loaded should produce a stamped-contaminated artifact promptly, not
-    * stall the driver. The reader/sleeper are injectable for specs. */
+    * the retry outcome. One retry, plus ONE extra bounded retry when the
+    * post-wait reading lands marginally over the threshold (within 25% —
+    * r15 saw a driver run stamp contaminated at 2.03 vs the 2.0 bar, a
+    * decaying load one more minute would have cleared): a borderline host
+    * gets a second shot at a clean artifact, while a genuinely loaded
+    * host (well over the bar after the first wait) still fails promptly
+    * rather than stalling the driver. The reader/sleeper are injectable
+    * for specs. */
   private[graft] def loadPreflight(read: () => Double = () => loadAvg1(),
                                    waitMs: Long = 60000L,
-                                   sleep: Long => Unit = Thread.sleep)
+                                   sleep: Long => Unit = Thread.sleep,
+                                   threshold: Double = 2.0)
       : Seq[Double] = {
     val first = read()
-    if (!contaminated(first)) Seq(first)
+    if (!contaminated(first, threshold)) Seq(first)
     else {
       System.err.println(f"[bench] loadavg $first%.2f trips the " +
         f"contamination preflight — waiting ${waitMs / 1000}s and " +
         "retrying once")
       sleep(waitMs)
-      Seq(first, read())
+      val second = read()
+      if (contaminated(second, threshold) && second <= threshold * 1.25) {
+        System.err.println(f"[bench] loadavg $second%.2f is borderline " +
+          f"(within 25%% of the $threshold%.1f bar) — one more " +
+          f"${waitMs / 1000}s wait")
+        sleep(waitMs)
+        Seq(first, second, read())
+      } else Seq(first, second)
     }
   }
 
@@ -520,9 +533,11 @@ object Bench {
 
     // host-load label, read before any work; a tripped preflight waits a
     // bounded interval and re-reads once (both attempts recorded)
+    // malformed env falls back to the default instead of killing the run
+    // before any work or artifact stamping
     val loadAttempts = loadPreflight(
       waitMs = sys.env.get("SPARK_GRAFT_LOAD_RETRY_MS")
-        .map(_.toLong).getOrElse(60000L))
+        .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(60000L))
     val loadStart = loadAttempts.last
 
     val errors = scala.collection.mutable.LinkedHashSet[String]()

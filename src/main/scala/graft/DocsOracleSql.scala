@@ -583,6 +583,29 @@ quote_heavy_docs AS (
               SELECT doc_b AS doc_id, run_len + 2 AS w FROM span_runs) u
         GROUP BY 1) p
   JOIN text_stats t USING (doc_id)),
+dedup_substring_inc AS (
+  SELECT s.doc_a, s.doc_b, s.n_spans, s.max_span_words, s.sum_span_words
+  FROM dedup_substring_spans s, inc_cut WHERE s.doc_b > cutoff),
+substring_index_stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN occ > 64 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_overcap,
+         CAST(sum(occ) AS BIGINT) AS pos_total,
+         CAST(sum(CASE WHEN occ <= 64 THEN occ ELSE 0 END) AS BIGINT)
+           AS pos_kept,
+         CAST(max(occ) AS BIGINT) AS max_occ
+  FROM (SELECT sh, count(*) AS occ FROM span_sh GROUP BY 1) c),
+tier_overlap AS (
+  SELECT CAST(sum(CASE WHEN has_m THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_minhash,
+         CAST(sum(CASE WHEN has_s THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_substring,
+         CAST(sum(CASE WHEN has_m AND has_s THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_both
+  FROM (SELECT m.doc_a IS NOT NULL AS has_m, s.doc_a IS NOT NULL AS has_s
+        FROM minhash_pairs_guarded m
+        FULL OUTER JOIN dedup_substring_spans s
+          ON m.doc_a = s.doc_a AND m.doc_b = s.doc_b) t),
 passage_dup_ratio AS (
   SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_passages,
          CAST(sum(CASE WHEN s.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,

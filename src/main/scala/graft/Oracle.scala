@@ -783,6 +783,14 @@ cust_gini AS (
     "q_quote_heavy_docs" -> fromDocs("quote_heavy_docs"),
     // cross-source quote-flow matrix over the substring-span grain
     "q_span_source_matrix" -> fromDocs("span_source_matrix"),
+    // incremental substring check: the oracle IS the restricted rebuild
+    // (full span table filtered to pairs with a new-batch side), so the
+    // compare PROVES the engine's index-vs-increment plan equals it
+    "q_dedup_substring_inc" -> fromDocs("dedup_substring_inc"),
+    // substring index-build audit: what the occurrence cap removed
+    "q_substring_index_stats" -> fromDocs("substring_index_stats"),
+    // cross-tier pair overlap census (guarded minhash vs substring spans)
+    "q_dedup_tier_overlap" -> fromDocs("tier_overlap"),
     "q_passage_dup_ratio" -> fromDocs("passage_dup_ratio"),
     "q_pq_codes"          -> fromDocs("pq_codes"),
     "q_pq_adc_topk"       -> fromDocs("pq_adc_topk"),

@@ -214,32 +214,51 @@ object ScaleProbe {
     * history depth; this variant shifts o_custkey per copy exactly like
     * the doc/event keys, keeping per-group depth constant, and measures
     * q_order_gaps there — pinning the "linear at real growth" claim.
-    * Only the orders table is synthesized (the customer dim is copied
-    * unshifted by the main builder, so custkey JOINS would miss by
-    * construction — q_order_gaps reads orders alone). */
+    * Since round 16 the synthesized dir carries the whole feed-side star
+    * (orders with o_orderkey+o_custkey shifted, lineitem with l_orderkey
+    * shifted, customer with c_custkey shifted, nation/part copied), so
+    * the per-customer-depth family beyond q_order_gaps — q_cohort_ltv,
+    * whose default-builder 64× ratio (30.3) is the densification
+    * artifact — gets its shifted adjudication row too (r15 verdict
+    * task 3). */
   def custProbe(spark: SparkSession, src: String, copies: Int): Unit = {
     val dstCust = s"/tmp/graft_sf_cust_x$copies"
     val K = 100000000L
-    val base = spark.read.parquet(s"$src/orders.parquet")
-    (0 until copies)
-      .map(i => base
-        .withColumn("o_orderkey", col("o_orderkey") + lit(i * K))
-        .withColumn("o_custkey", col("o_custkey") + lit(i * K)))
-      .reduce(_ unionAll _)
-      .write.mode("overwrite").parquet(s"$dstCust/orders.parquet")
-    def time(dir: String): Double = {
+    def nCopies(table: String, shiftCols: String*): Unit = {
+      val base = spark.read.parquet(s"$src/$table.parquet")
+      (0 until copies)
+        .map(i => shiftCols.foldLeft(base)((df, c) =>
+          df.withColumn(c, col(c) + lit(i * K))))
+        .reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$dstCust/$table.parquet")
+    }
+    nCopies("orders", "o_orderkey", "o_custkey")
+    nCopies("lineitem", "l_orderkey")
+    nCopies("customer", "c_custkey")
+    // dimension tables the feed joins on UNSHIFTED keys: exactly one
+    // copy, or every feed row would match `copies` duplicate dim rows
+    Seq("nation", "part").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dstCust/$t.parquet")
+    }
+    val custQs = Seq("q_order_gaps", "q_cohort_ltv")
+    def time(dir: String): Map[String, Double] = {
       spark.catalog.clearCache()
       Caches.invalidateAll(spark)
-      val t0 = System.nanoTime()
-      SparkEntry.queries("q_order_gaps")(spark, dir).count()
-      (System.nanoTime() - t0) / 1e9
+      custQs.map { q =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, dir).count()
+        q -> (System.nanoTime() - t0) / 1e9
+      }.toMap
     }
     time(src) // warm code paths
     val t1 = time(src)
     val tN = time(dstCust)
-    println(f"[scale-cust] q_order_gaps (o_custkey shifted) 1x=$t1%.2fs " +
-      f"${copies}x=$tN%.2fs ratio=${tN / t1}%.1f (ideal ≤ $copies; " +
-      "constant per-customer depth)")
+    custQs.foreach { q =>
+      println(f"[scale-cust] $q (o_custkey shifted) 1x=${t1(q)}%.2fs " +
+        f"${copies}x=${tN(q)}%.2fs ratio=${tN(q) / t1(q)}%.1f " +
+        f"(ideal ≤ $copies; constant per-customer depth)")
+    }
   }
 
   /** Partkey-shifted probe variant (round 14). The default builder shifts

@@ -206,6 +206,14 @@ object SparkEntry {
     "q_quote_heavy_docs" -> ((s, d) => ops.Dedup.quoteHeavyDocs(s, d)),
     // cross-source quote-flow matrix over the substring-span grain
     "q_span_source_matrix" -> ((s, d) => ops.Dedup.spanSourceMatrix(s, d)),
+    // incremental substring check: new-batch spans vs the capped
+    // positional shingle index (restriction-equivalent to the rebuild)
+    "q_dedup_substring_inc" -> ((s, d) => ops.Dedup.dedupSubstringInc(s, d)),
+    // index-build audit: what the occurrence cap removed (no silent caps)
+    "q_substring_index_stats" ->
+      ((s, d) => ops.Dedup.substringIndexStats(s, d)),
+    // cross-tier pair overlap: guarded minhash vs substring-span pairs
+    "q_dedup_tier_overlap" -> ((s, d) => ops.Dedup.dedupTierOverlap(s, d)),
     "q_passage_dup_ratio" -> ((s, d) => ops.TextOps.passageDupRatio(s, d)),
     // product quantization: per-subspace encode + ADC table-lookup top-k,
     // and the IVF-PQ composition (cell-blocked candidates, ADC scoring)
@@ -607,8 +615,6 @@ object SparkEntry {
     * committed CORRECTNESS_multi.json (VerifyMultiSpec pins it); reset to
     * the new additions at the start of each round. */
   def newThisRound: Set[String] = Set(
-    "q_knn_components_sampled", "q_dedup_substring_spans",
-    "q_ann_kmeans_assign_sampled", "q_substring_span_hist",
-    "q_quote_heavy_docs", "q_kmeans_sample_drift",
-    "q_span_source_matrix", "q_ann_rank_stability_sampled")
+    "q_dedup_substring_inc", "q_substring_index_stats",
+    "q_dedup_tier_overlap")
 }

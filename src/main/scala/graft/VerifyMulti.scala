@@ -32,9 +32,18 @@ object VerifyMulti {
   def main(args: Array[String]): Unit = {
     val outRoot = args.headOption.getOrElse(
       sys.error("usage: VerifyMulti <outRoot> [query ...]"))
+    val rest = args.drop(1)
+    // ALL anywhere in the args selects the whole registry; combining it
+    // with explicit names is a usage error, not a query lookup — the
+    // sentinel must never silently demote to a (missing) query name
     val names =
-      if (args.length == 2 && args(1) == "ALL") SparkEntry.queries.keySet
-      else if (args.length > 1) args.drop(1).toSet
+      if (rest.contains("ALL")) {
+        require(rest.length == 1,
+          "ALL selects the entire registry and cannot be combined with " +
+            s"query names (got: ${rest.mkString(" ")})")
+        SparkEntry.queries.keySet
+      }
+      else if (rest.nonEmpty) rest.toSet
       else SparkEntry.newThisRound
     require(names.nonEmpty,
       "no queries to verify: pass names or populate SparkEntry.newThisRound")

@@ -306,6 +306,15 @@ object Dedup {
     (SparkSession, String), DataFrame]
   private val pairsCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Int), DataFrame]
+  // The substring-tier run grain (maximal duplicated spans) feeds FOUR
+  // queries — per-pair rollup, span histogram, quote-heavy docs, source
+  // matrix — which without a memo each re-run the whole explode → census
+  // → match join → islands pipeline (r15's four most expensive bench
+  // plans, ~12.7 s combined at sf0.1). Pinned at the production defaults
+  // (minRun=8, maxOcc=64); parameterized callers go through
+  // substringRunsOf directly.
+  private val runsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
   // FINAL-round checkpoints of the CC loops: each backs its returned
   // (lazy) labels, so it cannot be released at construction — registered
   // here and drained by invalidateAll (superseded per-round checkpoints
@@ -340,6 +349,7 @@ object Dedup {
     * partitions — REQUIRED before re-reading a dir whose files changed. */
   def invalidate(spark: SparkSession, dir: String): Unit = {
     Option(bandsCache.remove((spark, dir))).foreach(_.unpersist(false))
+    Option(runsCache.remove((spark, dir))).foreach(_.unpersist(false))
     Option(containmentCache.remove((spark, dir)))
       .foreach(_.unpersist(false))
     pairsCache.entrySet.removeIf { e =>
@@ -368,6 +378,11 @@ object Dedup {
       if (hit) e.getValue.unpersist(false)
       hit
     }
+    runsCache.entrySet.removeIf { e =>
+      val hit = e.getKey._1 eq spark
+      if (hit) e.getValue.unpersist(false)
+      hit
+    }
     pairsCache.entrySet.removeIf { e =>
       val hit = e.getKey._1 eq spark
       if (hit) e.getValue.unpersist(false)
@@ -384,6 +399,7 @@ object Dedup {
   /** Entry count of this session across the memo maps (spec hook). */
   private[graft] def cacheSize(spark: SparkSession): Int =
     bandsCache.keySet.asScala.count(_._1 eq spark) +
+      runsCache.keySet.asScala.count(_._1 eq spark) +
       pairsCache.keySet.asScala.count(_._1 eq spark) +
       containmentCache.keySet.asScala.count(_._1 eq spark) +
       clustersCache.keySet.asScala.count(_._1 eq spark)
@@ -518,9 +534,17 @@ object Dedup {
   def hammingSpanningEdgesOf(hashes0: DataFrame, hashCol: String,
                              chunkBits: Int, maxHamming: Int = 3,
                              maxBucket: Int = 256): DataFrame = {
-    // hashes feeds three consumers (distinct values, reps, star sides)
-    val hashes = hashes0
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // hashes feeds three consumers (distinct values, reps, star sides).
+    // Persist only when the caller hasn't: clobbering an already-persisted
+    // input's registration would silently un-cache a memoized frame for
+    // every other consumer (latent today — the sole caller passes a fresh
+    // frame — but the ownership check costs nothing).
+    val owned =
+      hashes0.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val hashes =
+      if (owned)
+        hashes0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else hashes0
     val vals = hashes.select(col(hashCol).as("sh")).distinct()
     val valPairs = hammingValuePairs(vals, chunkBits, maxHamming,
                                      maxBucket, denseGate = Int.MaxValue)
@@ -553,7 +577,7 @@ object Dedup {
     // advice) — the checkpoint itself is registered in the tracked
     // queue, so Caches.invalidateAll reclaims its blocks.
     val edges = trackCheckpoint(barrier.localCheckpoint(true))
-    hashes.unpersist(false)
+    if (owned) hashes.unpersist(false)
     edges
   }
 
@@ -1351,7 +1375,6 @@ object Dedup {
     * per-pair rollup and the corpus-level span-length histogram. */
   private[ops] def substringRunsOf(posShingles: DataFrame, minRun: Int,
                                    maxOcc: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val rare = posShingles
       .join(posShingles.groupBy("sh").agg(count(lit(1)).as("occ"))
               .where(col("occ") <= maxOcc).select("sh"),
@@ -1361,8 +1384,17 @@ object Dedup {
       .join(rare.select(col("sh"), col("doc_id").as("doc_b"),
                         col("pos").as("pos_b")), Seq("sh"))
       .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("pos_a"), col("pos_b"),
+      .select(col("doc_a"), col("doc_b"), col("pos_a"),
               (col("pos_a") - col("pos_b")).as("diag"))
+    runsFromMatches(matches, minRun)
+  }
+
+  /** Gaps-and-islands run coalescing over a (doc_a, doc_b, pos_a, diag)
+    * match grain — shared by the full rebuild ([[substringRunsOf]]) and
+    * the incremental check ([[substringSpansIncOf]]). The window is
+    * partitioned by (pair, diagonal) — never global. */
+  private def runsFromMatches(matches: DataFrame, minRun: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     matches
       .withColumn("isl", col("pos_a") - row_number().over(
         Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")))
@@ -1372,16 +1404,28 @@ object Dedup {
       .select("doc_a", "doc_b", "run_len")
   }
 
-  def substringSpansOf(posShingles: DataFrame, minRun: Int = 8,
-                       maxOcc: Int = 64): DataFrame =
-    substringRunsOf(posShingles, minRun, maxOcc)
+  /** Memoized run grain at the production defaults — the shared upstream
+    * of all four substring-tier queries (same stale-read/invalidate
+    * contract as [[bandsCache]]). */
+  private[ops] def substringRunsCached(spark: SparkSession,
+                                       dir: String): DataFrame =
+    runsCache.computeIfAbsent((spark, dir),
+      { case (s, d) => substringRunsOf(TextOps.posShingles(s, d), 8, 64)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) })
+
+  private def spansFromRuns(runs: DataFrame): DataFrame =
+    runs
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_spans"),
            max(col("run_len") + lit(2)).cast("long").as("max_span_words"),
            sum(col("run_len") + lit(2)).cast("long").as("sum_span_words"))
 
+  def substringSpansOf(posShingles: DataFrame, minRun: Int = 8,
+                       maxOcc: Int = 64): DataFrame =
+    spansFromRuns(substringRunsOf(posShingles, minRun, maxOcc))
+
   def substringSpans(spark: SparkSession, dir: String): DataFrame =
-    substringSpansOf(TextOps.posShingles(spark, dir))
+    spansFromRuns(substringRunsCached(spark, dir))
 
   /** Corpus-level duplicated-span LENGTH histogram in power-of-2 word
     * buckets (bucket = ⌊log₂ span_words⌋, bin-length trick) — the one-page
@@ -1391,9 +1435,8 @@ object Dedup {
     * Pair spread counted on a string key so both engines hash the same
     * rendering. Same bucket-bounded scale shape as the span rollup; the
     * histogram itself is a ≤~16-key partial agg. */
-  def substringSpanHistOf(posShingles: DataFrame, minRun: Int = 8,
-                          maxOcc: Int = 64): DataFrame =
-    substringRunsOf(posShingles, minRun, maxOcc)
+  private def spanHistFromRuns(runs: DataFrame): DataFrame =
+    runs
       .select((col("run_len") + lit(2)).as("w"),
               concat_ws("_", col("doc_a"), col("doc_b")).as("pair"))
       .select(expr("CAST(length(bin(w)) - 1 AS BIGINT)").as("bucket"),
@@ -1403,8 +1446,12 @@ object Dedup {
            countDistinct(col("pair")).as("n_pairs"),
            max("w").as("max_words"))
 
+  def substringSpanHistOf(posShingles: DataFrame, minRun: Int = 8,
+                          maxOcc: Int = 64): DataFrame =
+    spanHistFromRuns(substringRunsOf(posShingles, minRun, maxOcc))
+
   def substringSpanHist(spark: SparkSession, dir: String): DataFrame =
-    substringSpanHistOf(TextOps.posShingles(spark, dir))
+    spanHistFromRuns(substringRunsCached(spark, dir))
 
   /** QUOTE-HEAVY docs: per document, the total duplicated-span words
     * (both pair sides of [[substringRunsOf]]) against its token count —
@@ -1422,8 +1469,12 @@ object Dedup {
     * Scale shape: rides the bucket-bounded run grain + one partial-agg
     * groupBy on doc_id + one equi-join to the per-doc stats frame. */
   def quoteHeavyDocsOf(posShingles: DataFrame, textStats: DataFrame,
-                       minRun: Int = 8, maxOcc: Int = 64): DataFrame = {
-    val runs = substringRunsOf(posShingles, minRun, maxOcc)
+                       minRun: Int = 8, maxOcc: Int = 64): DataFrame =
+    quoteHeavyFromRuns(substringRunsOf(posShingles, minRun, maxOcc),
+                       textStats)
+
+  private def quoteHeavyFromRuns(runs: DataFrame,
+                                 textStats: DataFrame): DataFrame = {
     val perDoc = runs
       .select(col("doc_a").as("doc_id"), (col("run_len") + lit(2)).as("w"))
       .unionAll(runs.select(col("doc_b").as("doc_id"),
@@ -1438,8 +1489,8 @@ object Dedup {
   }
 
   def quoteHeavyDocs(spark: SparkSession, dir: String): DataFrame =
-    quoteHeavyDocsOf(TextOps.posShingles(spark, dir),
-                     TextOps.textStats(spark, dir))
+    quoteHeavyFromRuns(substringRunsCached(spark, dir),
+                       TextOps.textStats(spark, dir))
 
   /** Cross-SOURCE quote-flow matrix: duplicated spans rolled to the
     * (source_a, source_b) grain — WHERE verbatim text circulates, the
@@ -1452,8 +1503,12 @@ object Dedup {
     * the oracle. Scale shape: the bucket-bounded run grain + two
     * broadcast-sized dimension joins + a |sources|²-key partial agg. */
   def spanSourceMatrixOf(posShingles: DataFrame, documents: DataFrame,
-                         minRun: Int = 8, maxOcc: Int = 64): DataFrame = {
-    val runs = substringRunsOf(posShingles, minRun, maxOcc)
+                         minRun: Int = 8, maxOcc: Int = 64): DataFrame =
+    sourceMatrixFromRuns(substringRunsOf(posShingles, minRun, maxOcc),
+                         documents)
+
+  private def sourceMatrixFromRuns(runs: DataFrame,
+                                   documents: DataFrame): DataFrame = {
     val src = documents.select(col("doc_id"), col("source"))
     runs
       .join(src.select(col("doc_id").as("doc_a"),
@@ -1468,8 +1523,153 @@ object Dedup {
   }
 
   def spanSourceMatrix(spark: SparkSession, dir: String): DataFrame =
-    spanSourceMatrixOf(TextOps.posShingles(spark, dir),
-                       graft.etl.Feeds.table(spark, dir, "documents"))
+    sourceMatrixFromRuns(substringRunsCached(spark, dir),
+                         graft.etl.Feeds.table(spark, dir, "documents"))
+
+  /** Per-shingle occurrence CENSUS over an indexed corpus's positional
+    * shingles — the substring index's companion artifact. Kept for ALL
+    * shingle values (over-cap ones included): the incremental check needs
+    * the indexed count even where the position rows were capped away,
+    * because a shingle's combined (index + increment) occurrence decides
+    * admissibility and an over-cap-in-index shingle must stay blocked for
+    * new×new matches too. One partial-agg groupBy on 32-byte hashes; in
+    * production a warehouse table bucketed on `sh` (one row per distinct
+    * shingle value — tiny next to the position index). */
+  def substringCensusOf(posShingles: DataFrame): DataFrame =
+    posShingles.groupBy("sh").agg(count(lit(1)).as("occ_i"))
+
+  /** Occurrence-capped positional shingle INDEX — the substring tier's
+    * serving artifact (r15 verdict task 4), the span-tier sibling of the
+    * minhash band index: position rows whose shingle value is at or under
+    * `maxOcc` in the indexed corpus. Over-cap values are template text by
+    * the tier's definition AND can never come back under the cap as the
+    * corpus grows, so dropping their positions at index-build time is
+    * lossless for every future incremental check. In production both
+    * artifacts land bucketed on `sh` (`Warehouse.bucketedOverwrite`), so
+    * the check-time joins run co-located with NO shuffle on the index
+    * side (Round16OpsSpec plan assertion). */
+  def substringIndexOf(posShingles: DataFrame, census: DataFrame,
+                       maxOcc: Int = 64): DataFrame =
+    posShingles.join(
+      census.where(col("occ_i") <= maxOcc).select("sh"), Seq("sh"))
+
+  /** INCREMENTAL substring-tier match grain — the crawler re-run shape:
+    * a new batch of docs is checked for duplicated spans against the
+    * indexed corpus WITHOUT re-shingling or re-joining the corpus
+    * against itself. Admissibility uses the COMBINED occurrence count
+    * (index census + increment census ≤ `maxOcc`), which is exactly the
+    * full rebuild's corpus-wide cap restricted to shingle values the
+    * increment touches — so the output equals the rebuild's match grain
+    * restricted to pairs with a new side (equivalence-tested, and the
+    * oracle IS the restricted rebuild). Inputs must be doc-disjoint
+    * (caller contract).
+    *
+    * Scale shape: the increment's census and self-join are
+    * increment-sized; the index is touched by exactly two equi-joins on
+    * `sh` (census lookup restricted to the increment's shingle values,
+    * then position matches), both co-located when the index artifacts
+    * are bucketed on `sh` — the whole match grain builds with no
+    * corpus-sized shuffle. Match volume stays ≤ C(maxOcc,2) per shingle
+    * value, bucket-bounded like the rebuild. */
+  def substringIncMatchesOf(index: DataFrame, census: DataFrame,
+                            newShingles: DataFrame,
+                            maxOcc: Int = 64): DataFrame = {
+    val newCensus = newShingles.groupBy("sh").agg(count(lit(1)).as("occ_n"))
+    val adm = newCensus
+      .join(census, Seq("sh"), "left")
+      .where(col("occ_n") + coalesce(col("occ_i"), lit(0L))
+               <= lit(maxOcc.toLong))
+      .select("sh")
+    val n = newShingles.join(adm, Seq("sh"))
+      .select(col("sh"), col("doc_id").as("doc_n"), col("pos").as("pos_n"))
+    val vsIdx = n.join(
+      index.select(col("sh"), col("doc_id").as("doc_o"),
+                   col("pos").as("pos_o")), Seq("sh"))
+    val vsNew = n.join(
+      n.select(col("sh"), col("doc_n").as("doc_o"),
+               col("pos_n").as("pos_o")), Seq("sh"))
+      .where(col("doc_n") < col("doc_o"))
+    vsIdx.unionAll(vsNew).select(
+      least(col("doc_n"), col("doc_o")).as("doc_a"),
+      greatest(col("doc_n"), col("doc_o")).as("doc_b"),
+      when(col("doc_n") < col("doc_o"), col("pos_n"))
+        .otherwise(col("pos_o")).as("pos_a"),
+      when(col("doc_n") < col("doc_o"), col("pos_n") - col("pos_o"))
+        .otherwise(col("pos_o") - col("pos_n")).as("diag"))
+  }
+
+  /** Incremental [[substringSpansOf]]: per-pair span rollup of every pair
+    * touching the increment, off the incremental match grain (same
+    * islands window and rollup as the rebuild — restriction-equivalence
+    * is inherited from the match grain). */
+  def substringSpansIncOf(index: DataFrame, census: DataFrame,
+                          newShingles: DataFrame, minRun: Int = 8,
+                          maxOcc: Int = 64): DataFrame =
+    spansFromRuns(runsFromMatches(
+      substringIncMatchesOf(index, census, newShingles, maxOcc), minRun))
+
+  /** Query form: the top decile of doc_ids plays the "new batch" (the
+    * minhash tier's [[minhashPairsIncremental]] treatment — deterministic
+    * cutoff broadcast as a 1-row cross join, no driver-side action). */
+  def dedupSubstringInc(spark: SparkSession, dir: String): DataFrame = {
+    val ps = TextOps.posShingles(spark, dir)
+    val cut = graft.etl.Feeds.table(spark, dir, "documents")
+      .agg(expr("CAST(max(doc_id) * 9 DIV 10 AS BIGINT)").as("cutoff"))
+    val tagged = ps.crossJoin(broadcast(cut))
+    val idx = tagged.where(col("doc_id") <= col("cutoff"))
+      .select("doc_id", "pos", "sh")
+    val inc = tagged.where(col("doc_id") > col("cutoff"))
+      .select("doc_id", "pos", "sh")
+    val census = substringCensusOf(idx)
+    substringSpansIncOf(substringIndexOf(idx, census), census, inc)
+  }
+
+  /** Index-build audit view — the substring tier's "no silent caps"
+    * readout ([[minhashGiantBuckets]]'s sibling): ONE row saying how much
+    * the occurrence cap removed — distinct shingle values vs over-cap
+    * values, total position rows vs rows kept in the index — plus the
+    * hottest shingle's occurrence count (how degenerate the worst
+    * template run is). A capped index that silently dropped half the
+    * corpus would be invisible without this; with it the drop is a
+    * committed number per ingest. */
+  def substringIndexStatsOf(posShingles: DataFrame,
+                            maxOcc: Int = 64): DataFrame =
+    substringCensusOf(posShingles)
+      .agg(count(lit(1)).as("n_shingles"),
+           sum(when(col("occ_i") > maxOcc, lit(1L)).otherwise(lit(0L)))
+             .as("n_overcap"),
+           sum(col("occ_i")).cast("long").as("pos_total"),
+           sum(when(col("occ_i") <= maxOcc, col("occ_i"))
+             .otherwise(lit(0L))).cast("long").as("pos_kept"),
+           max(col("occ_i")).as("max_occ"))
+
+  def substringIndexStats(spark: SparkSession, dir: String): DataFrame =
+    substringIndexStatsOf(TextOps.posShingles(spark, dir))
+
+  /** Cross-TIER pair overlap census: the guarded minhash near-dup pairs
+    * against the substring-span quote pairs, ONE row — how much of the
+    * quote tier the whole-doc tier already catches (n_both vs
+    * n_substring) and vice versa. The number that justifies running BOTH
+    * tiers at ingest: near-dup finds documents that are mostly the same,
+    * the span tier finds verbatim quotes inside otherwise-unique docs,
+    * and a small intersection here is the measured form of that claim.
+    * Scale shape: both pair lists are already bucket-bounded; the full
+    * outer join keys on the pair and the census is a 1-row fold. */
+  def dedupTierOverlapOf(minhashPairs: DataFrame,
+                         spans: DataFrame): DataFrame =
+    minhashPairs.select(col("doc_a"), col("doc_b"), lit(true).as("has_m"))
+      .join(spans.select(col("doc_a"), col("doc_b"), lit(true).as("has_s")),
+            Seq("doc_a", "doc_b"), "full_outer")
+      .agg(sum(when(col("has_m"), lit(1L)).otherwise(lit(0L)))
+             .as("n_minhash"),
+           sum(when(col("has_s"), lit(1L)).otherwise(lit(0L)))
+             .as("n_substring"),
+           sum(when(col("has_m") && col("has_s"), lit(1L)).otherwise(lit(0L)))
+             .as("n_both"))
+
+  def dedupTierOverlap(spark: SparkSession, dir: String): DataFrame =
+    dedupTierOverlapOf(minhashPairs(spark, dir),
+                       spansFromRuns(substringRunsCached(spark, dir)))
 
   /** Per-band bucket-occupancy ENTROPY surrogate: n·⌊log2 n⌋ − Σ s·⌊log2 s⌋
     * over the band's bucket sizes (the house integer-entropy formula, see

@@ -177,8 +177,10 @@ object Vectors {
     (SparkSession, String), DataFrame]
   private val pqCbCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]
+  // keyed by sampleN too (the pairsCache treatment): the memoized frame
+  // IS the sample, so two budgets must not alias to one entry
   private val kmSampleCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]
+    (SparkSession, String, Int), DataFrame]
 
   private def mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
@@ -192,30 +194,43 @@ object Vectors {
 
   /** Drop this (session, dir)'s memoized ANN frames and unpersist them —
     * REQUIRED before re-reading a dir whose files changed. */
-  def invalidate(spark: SparkSession, dir: String): Unit =
-    Seq(quantizedCache, cellsCache, lshCache, pqCbCache, kmSampleCache).foreach { c =>
+  def invalidate(spark: SparkSession, dir: String): Unit = {
+    Seq(quantizedCache, cellsCache, lshCache, pqCbCache).foreach { c =>
       Option(c.remove((spark, dir))).foreach(_.unpersist(false))
     }
+    kmSampleCache.entrySet.removeIf { e =>
+      val hit = e.getKey._1 == spark && e.getKey._2 == dir
+      if (hit) e.getValue.unpersist(false)
+      hit
+    }
+  }
 
   /** Drop and unpersist EVERY memoized ANN frame of `spark`, whatever dir
     * it was built from — the session-teardown hook for long-lived
     * multi-session/multi-dir JVMs, where per-dir [[invalidate]] would
     * require enumerating every dir ever touched (entries of a stopped
     * session would otherwise stay pinned for the JVM lifetime). */
-  def invalidateAll(spark: SparkSession): Unit =
-    Seq(quantizedCache, cellsCache, lshCache, pqCbCache, kmSampleCache).foreach { c =>
+  def invalidateAll(spark: SparkSession): Unit = {
+    Seq(quantizedCache, cellsCache, lshCache, pqCbCache).foreach { c =>
       val it = c.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
         if (e.getKey._1 eq spark) { e.getValue.unpersist(false); it.remove() }
       }
     }
+    kmSampleCache.entrySet.removeIf { e =>
+      val hit = e.getKey._1 eq spark
+      if (hit) e.getValue.unpersist(false)
+      hit
+    }
+  }
 
   /** Entry count of this session across the ANN memo maps (spec hook). */
   private[graft] def cacheSize(spark: SparkSession): Int = {
     import scala.jdk.CollectionConverters._
-    Seq(quantizedCache, cellsCache, lshCache, pqCbCache, kmSampleCache)
-      .map(_.keySet.asScala.count(_._1 eq spark)).sum
+    Seq(quantizedCache, cellsCache, lshCache, pqCbCache)
+      .map(_.keySet.asScala.count(_._1 eq spark)).sum +
+      kmSampleCache.keySet.asScala.count(_._1 eq spark)
   }
 
   private def scored(q: DataFrame, c: DataFrame): DataFrame =
@@ -383,8 +398,8 @@ object Vectors {
                           iters: Int = LloydIters,
                           sampleN: Int = 4096): DataFrame = {
     val emb = quantizedCached(spark, dir)
-    val samp = kmSampleCache.computeIfAbsent((spark, dir),
-      { case (s, d) => quantizedCached(s, d)
+    val samp = kmSampleCache.computeIfAbsent((spark, dir, sampleN),
+      { case (s, d, _) => quantizedCached(s, d)
           .select(col("vec_id"), col("qv"), col("n2"),
                   md5(col("vec_id").cast("string")).as("h"))
           .orderBy(col("h"), col("vec_id")).limit(sampleN)

@@ -146,12 +146,33 @@ class BenchLineSpec extends AnyFunSuite {
       waitMs = 1234L, sleep = ms => slept += ms)
     assert(attempts == Seq(7.0, 0.8) && slept == 1234L)
     assert(!Bench.contaminated(attempts.last)) // self-healed run
-    // a host that STAYS loaded: second attempt recorded, still stamped
-    // contaminated, and never a third read (one bounded retry only)
+    // a host that STAYS loaded (well over the bar): second attempt
+    // recorded, still stamped contaminated, and never a third read
     val stuck = Iterator(7.0, 6.5)
     val a2 = Bench.loadPreflight(read = () => stuck.next(),
       waitMs = 1L, sleep = _ => ())
     assert(a2 == Seq(7.0, 6.5) && Bench.contaminated(a2.last))
+  }
+
+  test("load preflight: a BORDERLINE post-wait reading (within 25% of " +
+       "the bar) earns one extra bounded retry (r15: 2.03 vs 2.0)") {
+    // decaying load: 5.4 -> 2.03 (marginal trip) -> 1.1 (clean third)
+    val decaying = Iterator(5.4, 2.03, 1.1)
+    var slept = 0L
+    val a = Bench.loadPreflight(read = () => decaying.next(),
+      waitMs = 700L, sleep = ms => slept += ms)
+    assert(a == Seq(5.4, 2.03, 1.1) && slept == 1400L)
+    assert(!Bench.contaminated(a.last))
+    // the third reading is final even when still tripped: never a fourth
+    val stubborn = Iterator(5.4, 2.03, 2.4)
+    val b = Bench.loadPreflight(read = () => stubborn.next(),
+      waitMs = 1L, sleep = _ => ())
+    assert(b == Seq(5.4, 2.03, 2.4) && Bench.contaminated(b.last))
+    // 2.6 is beyond the 25% margin: no second retry, fail promptly
+    val loaded = Iterator(5.4, 2.6)
+    val c = Bench.loadPreflight(read = () => loaded.next(),
+      waitMs = 1L, sleep = _ => ())
+    assert(c == Seq(5.4, 2.6) && Bench.contaminated(c.last))
   }
 
   test("loadAvg1 reads the host 1-minute load average") {

@@ -84,6 +84,32 @@ class QueriesIndexSpec extends AnyFunSuite {
       s"shifted-probe adjudication missing from the index: $missing")
   }
 
+  test("exactness baselines carry a machine-readable scale_twin naming " +
+       "their bounded production sibling (r15 verdict task 2)") {
+    val text = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("queries_index.json"))
+    // the six deliberate quadratic/full-corpus monitors; the twin is the
+    // query a 100 TB deployment serves with ("by_design" marks the
+    // drift monitor whose job is paying both trainer paths)
+    val twins = Map(
+      "q_dedup_embedding" -> "q_dedup_embedding_ivf",
+      "q_ann_rank_stability" -> "q_ann_rank_stability_sampled",
+      "q_pq_adc_topk" -> "q_ivfpq_topk",
+      "q_ann_kmeans_assign" -> "q_ann_kmeans_assign_sampled",
+      "q_knn_components" -> "q_knn_components_sampled",
+      "q_kmeans_sample_drift" -> "by_design")
+    val missing = twins.filterNot { case (base, twin) =>
+      ("\"" + base + "\"\\s*:\\s*\\{[^}]*\"scale_twin\": \"" + twin + "\"")
+        .r.findFirstIn(text).isDefined
+    }
+    assert(missing.isEmpty,
+      s"scale_twin adjudication missing/wrong in the index: $missing")
+    // every named twin is itself a live registered query
+    twins.values.filter(_ != "by_design").foreach { t =>
+      assert(SparkEntry.queries.contains(t), s"twin $t not in registry")
+    }
+  }
+
   test("every index row carries entry, impl and oracle anchors") {
     val text = java.nio.file.Files.readString(
       java.nio.file.Paths.get("queries_index.json"))

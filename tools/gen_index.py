@@ -4,6 +4,8 @@
 Usage: python3 tools/gen_index.py [--probe <scaleprobe8.log> ...]
                                   [--probe64 <scaleprobe64.log> ...]
                                   [--probe-shifted <scaleprobe.log> ...]
+                                  [--probe-shifted64 <scaleprobe.log> ...]
+                                  [--fresh]
 
 One row per SparkEntry.queries entry:
     {"q_x": {"entry": "src/main/scala/graft/SparkEntry.scala:244",
@@ -25,7 +27,18 @@ with the index instead of living in prose.
 Probe fields MERGE with the committed index: a regeneration without probe
 logs (mid-round, after adding a query) keeps the previous round's measured
 ratios instead of nulling total coverage; logs passed on the command line
-always win.
+always win. `--fresh` disables the merge entirely — every probe field is
+rebuilt from the logs on THIS command line only, which is how a stale
+committed ratio (e.g. after a query's implementation changed) is cleared
+without hand-editing queries_index.json.
+
+Exactness baselines carry a `scale_twin` field (SCALE_TWINS below): the
+six queries that are deliberate quadratic/full-corpus monitors name their
+bounded production sibling, so an index reader separates "production
+path" from "exactness baseline" mechanically instead of via
+ARCHITECTURE prose. `probe_ratio_64x_shifted` rows (from
+--probe-shifted64 logs) carry the key-shifted adjudications at the 64x
+tier for the densification-artifact families.
 
 - entry: the registration line in SparkEntry.scala (always present).
 - impl: the definition site of the first graft method the entry's lambda
@@ -50,6 +63,20 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # task 4). Currently empty: the probe list is derived from the registry,
 # so every query gets a ratio at round close.
 PROBE_EXEMPT = {}
+
+# Exactness baselines -> their bounded production sibling (r15 verdict
+# task 2). These queries exist to MONITOR a scale path, so their own probe
+# ratios are quadratic/full-corpus by design; the twin is the query a
+# 100 TB deployment actually serves with. "by_design" marks a monitor
+# whose whole job is paying both sides (it licenses the trainer swap).
+SCALE_TWINS = {
+    "q_dedup_embedding": "q_dedup_embedding_ivf",
+    "q_ann_rank_stability": "q_ann_rank_stability_sampled",
+    "q_pq_adc_topk": "q_ivfpq_topk",
+    "q_ann_kmeans_assign": "q_ann_kmeans_assign_sampled",
+    "q_knn_components": "q_knn_components_sampled",
+    "q_kmeans_sample_drift": "by_design",
+}
 ENTRY_FILE = "src/main/scala/graft/SparkEntry.scala"
 ORACLE_FILE = "src/main/scala/graft/Oracle.scala"
 
@@ -185,7 +212,8 @@ def load_existing():
         return json.load(f).get("queries", {})
 
 def main():
-    probe_logs, probe64_logs, shifted_logs = [], [], []
+    probe_logs, probe64_logs, shifted_logs, shifted64_logs = [], [], [], []
+    fresh = False
     args = sys.argv[1:]
     while args:
         if args[0] == "--probe":
@@ -194,15 +222,26 @@ def main():
             probe64_logs.append(args[1]); args = args[2:]
         elif args[0] == "--probe-shifted":
             shifted_logs.append(args[1]); args = args[2:]
+        elif args[0] == "--probe-shifted64":
+            shifted64_logs.append(args[1]); args = args[2:]
+        elif args[0] == "--fresh":
+            fresh = True; args = args[1:]
         else:
             sys.exit(f"unknown arg {args[0]}")
     entries = parse_entries()
     decl = build_decl_index()
     oracle = parse_oracle_lines()
-    existing = load_existing()
+    existing = {} if fresh else load_existing()
     ratios = parse_probe_logs(probe_logs)
     ratios64 = parse_probe_logs(probe64_logs)
     shifted = parse_shifted_logs(shifted_logs)
+    shifted64 = parse_shifted_logs(shifted64_logs)
+    for twin in SCALE_TWINS.values():
+        if twin != "by_design" and twin not in entries:
+            sys.exit(f"SCALE_TWINS names unknown query {twin}")
+    for base in SCALE_TWINS:
+        if base not in entries:
+            sys.exit(f"SCALE_TWINS key {base} is not a registered query")
     test_texts = [(p, read(p)) for p in scala_sources("src/test/scala")]
     index = {}
     for name, (line, rhs) in sorted(entries.items()):
@@ -224,6 +263,11 @@ def main():
         rsh = shifted.get(name, prev.get("probe_ratio_8x_shifted"))
         if rsh is not None:
             index[name]["probe_ratio_8x_shifted"] = rsh
+        rsh64 = shifted64.get(name, prev.get("probe_ratio_64x_shifted"))
+        if rsh64 is not None:
+            index[name]["probe_ratio_64x_shifted"] = rsh64
+        if name in SCALE_TWINS:
+            index[name]["scale_twin"] = SCALE_TWINS[name]
         if name in PROBE_EXEMPT:
             index[name]["probe_exempt"] = PROBE_EXEMPT[name]
     doc = {"n_queries": len(index), "queries": index}
