@@ -115,6 +115,11 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (args.contains("ss-only")) { // fast path: substring ingest split
+      ssProbe(spark, src, copies)
+      spark.stop()
+      return
+    }
     makeBig(spark, src, dst, copies)
     println(s"[scale] built ${copies}x dataset at $dst")
 
@@ -303,6 +308,71 @@ object ScaleProbe {
       println(f"[scale-part] $q%-24s ${t1(q)}%6.2f ${tN(q)}%7.2f " +
         f"${tN(q) / t1(q)}%6.1f")
     }
+  }
+
+  /** Substring-ingest SPLIT probe (round 16): the production shape pays
+    * the index build (census + cap join + bucketed write) ONCE per
+    * ingest, then each increment check joins against the bucketed
+    * artifacts co-located. `q_dedup_substring_inc` folds both into one
+    * query (its 64× row is dominated by the in-query rebuild), so this
+    * probe measures the two phases separately — the daily-cycle
+    * treatment: the SAME byte-identical 1× top-decile increment is
+    * checked against a 1× and an N× index (index docs doc_id-shifted per
+    * copy, the main builder's treatment), so the check delta is pure
+    * index-side growth. The claim pinned: build tracks corpus size
+    * (scan + census shuffle + bucketed write); the check has NO
+    * corpus-sized shuffle — its growth is the co-located bucketed scan
+    * of the index side only, far below the build's ratio. */
+  def ssProbe(spark: SparkSession, src: String, copies: Int): Unit = {
+    import ops.{Dedup, TextOps}
+    val K = 100000000L
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val cut = docs.agg(expr("CAST(max(doc_id) * 9 DIV 10 AS BIGINT)")
+      .as("cutoff"))
+    val tagged = docs.crossJoin(broadcast(cut))
+    val idxDocs1 = tagged.where(col("doc_id") <= col("cutoff"))
+      .drop("cutoff")
+    // increment ids sit BELOW the shifted copies' id ranges (i*K), so
+    // doc-disjointness holds at both scales
+    val incDocs = tagged.where(col("doc_id") > col("cutoff")).drop("cutoff")
+    // the main builder's text treatment: word-suffix every copy so no
+    // shingle collides across copies (cloned text would just push every
+    // shingle over the combined cap and the check would measure an
+    // empty-match degenerate, not the plans)
+    val idxDocsN = (0 until copies)
+      .map(i => idxDocs1
+        .withColumn("doc_id", col("doc_id") + lit(i * K))
+        .withColumn("text",
+          if (i == 0) col("text")
+          else expr(s"array_join(transform(split(text, ' '), " +
+                    s"x -> concat(x, '_c$i')), ' ')")))
+      .reduce(_ unionAll _)
+    val newPs = TextOps.posShinglesOf(
+      TextOps.withWords(TextOps.normalize(incDocs)))
+    def run(tag: String, idxDocs: org.apache.spark.sql.DataFrame): Unit = {
+      spark.catalog.clearCache()
+      Caches.invalidateAll(spark)
+      val root = java.nio.file.Files.createTempDirectory("graft_ssp")
+      val wh = new catalog.Warehouse(spark, root.toString)
+      val ps = TextOps.posShinglesOf(
+        TextOps.withWords(TextOps.normalize(idxDocs)))
+      val t0 = System.nanoTime()
+      val census = Dedup.substringCensusOf(ps)
+      wh.bucketedOverwrite("ss", "census", census, "sh", 16)
+      wh.bucketedOverwrite("ss", "index",
+        Dedup.substringIndexOf(ps, wh.readTable("ss", "census")), "sh", 16)
+      val build = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val n = Dedup.substringSpansIncOf(wh.readTable("ss", "index"),
+        wh.readTable("ss", "census"), newPs).count()
+      val check = (System.nanoTime() - t1) / 1e9
+      println(f"[scale-ss] $tag%-4s index build=$build%6.2fs  " +
+        f"check=$check%6.2fs  (pairs=$n)")
+      Bench.deleteRecursively(root)
+    }
+    run("1x", idxDocs1) // warm code paths
+    run("1x", idxDocs1)
+    run(s"${copies}x", idxDocsN)
   }
 
   /** Measured (not asserted) payoff of the giant-bucket star guard: seed

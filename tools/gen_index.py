@@ -32,6 +32,12 @@ rebuilt from the logs on THIS command line only, which is how a stale
 committed ratio (e.g. after a query's implementation changed) is cleared
 without hand-editing queries_index.json.
 
+With `--round N`, every ratio measured from THIS command line's logs is
+stamped `probe_round_<tier>: N` (flat keys beside the ratio); merged
+ratios keep their previous stamp. A ratio whose stamp predates the query
+implementation's last change is the stale-adjudication smell the r15
+advice named — visible now instead of inferable.
+
 Exactness baselines carry a `scale_twin` field (SCALE_TWINS below): the
 six queries that are deliberate quadratic/full-corpus monitors name their
 bounded production sibling, so an index reader separates "production
@@ -214,6 +220,7 @@ def load_existing():
 def main():
     probe_logs, probe64_logs, shifted_logs, shifted64_logs = [], [], [], []
     fresh = False
+    rnd = None
     args = sys.argv[1:]
     while args:
         if args[0] == "--probe":
@@ -226,6 +233,8 @@ def main():
             shifted64_logs.append(args[1]); args = args[2:]
         elif args[0] == "--fresh":
             fresh = True; args = args[1:]
+        elif args[0] == "--round":
+            rnd = int(args[1]); args = args[2:]
         else:
             sys.exit(f"unknown arg {args[0]}")
     entries = parse_entries()
@@ -255,17 +264,29 @@ def main():
             "spec": find_spec(name, impl, rhs, test_texts),
             "probe_ratio_8x": ratios.get(name, prev.get("probe_ratio_8x")),
         }
+        def round_stamp(tier, fresh_hit):
+            """probe_round_<tier>: this round for fresh ratios, the prior
+            stamp for merged ones (flat keys — the spec's per-query body
+            regex stops at the first nested brace)."""
+            stamp = rnd if fresh_hit else prev.get(f"probe_round_{tier}")
+            if stamp is not None:
+                index[name][f"probe_round_{tier}"] = stamp
+        if index[name]["probe_ratio_8x"] is not None:
+            round_stamp("8x", name in ratios)
         # 64x / shifted fields: emitted only where measured (fresh log or
         # committed value) — no nulls, so absence = outside the covered set
         r64 = ratios64.get(name, prev.get("probe_ratio_64x"))
         if r64 is not None:
             index[name]["probe_ratio_64x"] = r64
+            round_stamp("64x", name in ratios64)
         rsh = shifted.get(name, prev.get("probe_ratio_8x_shifted"))
         if rsh is not None:
             index[name]["probe_ratio_8x_shifted"] = rsh
+            round_stamp("8x_shifted", name in shifted)
         rsh64 = shifted64.get(name, prev.get("probe_ratio_64x_shifted"))
         if rsh64 is not None:
             index[name]["probe_ratio_64x_shifted"] = rsh64
+            round_stamp("64x_shifted", name in shifted64)
         if name in SCALE_TWINS:
             index[name]["scale_twin"] = SCALE_TWINS[name]
         if name in PROBE_EXEMPT:
