@@ -595,6 +595,11 @@ substring_index_stats AS (
            AS pos_kept,
          CAST(max(occ) AS BIGINT) AS max_occ
   FROM (SELECT sh, count(*) AS occ FROM span_sh GROUP BY 1) c),
+corpus_curated_v3 AS (
+  SELECT c.doc_id, c.lang, c.quality, c.rep_ratio, c.n_dups, c.split
+  FROM corpus_curated_v2 c
+  WHERE c.doc_id NOT IN
+    (SELECT doc_id FROM quote_heavy_docs WHERE dup_ppm > 250000)),
 tier_overlap AS (
   SELECT CAST(sum(CASE WHEN has_m THEN 1 ELSE 0 END) AS BIGINT)
            AS n_minhash,

@@ -214,6 +214,8 @@ object SparkEntry {
       ((s, d) => ops.Dedup.substringIndexStats(s, d)),
     // cross-tier pair overlap: guarded minhash vs substring-span pairs
     "q_dedup_tier_overlap" -> ((s, d) => ops.Dedup.dedupTierOverlap(s, d)),
+    // v3 admission: v2 plus the substring-tier quote-heavy gate
+    "q_corpus_curated_v3" -> ((s, d) => ops.Corpus.curatedV3(s, d)),
     "q_passage_dup_ratio" -> ((s, d) => ops.TextOps.passageDupRatio(s, d)),
     // product quantization: per-subspace encode + ADC table-lookup top-k,
     // and the IVF-PQ composition (cell-blocked candidates, ADC scoring)
@@ -616,5 +618,5 @@ object SparkEntry {
     * the new additions at the start of each round. */
   def newThisRound: Set[String] = Set(
     "q_dedup_substring_inc", "q_substring_index_stats",
-    "q_dedup_tier_overlap")
+    "q_dedup_tier_overlap", "q_corpus_curated_v3")
 }

@@ -22,6 +22,10 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 class Warehouse(spark: SparkSession, root: String) {
 
+  /** This warehouse's filesystem root (streaming side-state, e.g. the
+    * substring-ingest high-water mark, lives under it). */
+  def rootDir: String = root
+
   private def path(db: String, table: String) = s"$root/$db/$table"
 
   /** Catalog identifier of a bucketed table. Bucketing metadata needs a
@@ -155,7 +159,17 @@ class Warehouse(spark: SparkSession, root: String) {
       .bucketBy(n, bucketCol, moreCols: _*)
       .sortBy(bucketCol, moreCols: _*)
       .saveAsTable(catalogName(db, table))
+    refreshOwnCatalog(db, table)
   }
+
+  /** Drop THIS session's cached relation for the table. The write above
+    * refreshes the catalog of `df`'s session — which inside a streaming
+    * foreachBatch is a CLONE, not this warehouse's session, so without
+    * this a readTable here would keep serving the pre-write file list
+    * (the round-16 substring-ingest stream read only its bootstrap batch
+    * until this fix; SubstringIngestSpec pins the multi-batch state). */
+  private def refreshOwnCatalog(db: String, table: String): Unit =
+    spark.catalog.refreshTable(catalogName(db, table))
 
   /** Bucketed APPEND — incremental ingest into a [[bucketedOverwrite]]
     * table: Spark validates the bucket spec against the catalog entry, so
@@ -172,6 +186,7 @@ class Warehouse(spark: SparkSession, root: String) {
       .bucketBy(n, bucketCol, moreCols: _*)
       .sortBy(bucketCol, moreCols: _*)
       .saveAsTable(catalogName(db, table))
+    refreshOwnCatalog(db, table)
   }
 
   def readTable(db: String, table: String): DataFrame =

@@ -80,6 +80,27 @@ object Corpus {
       TextOps.piiScan(spark, dir),
       TextOps.repetition(spark, dir))
 
+  /** Quote-ppm ceiling for v3 admission: a doc with more than a quarter
+    * of its words duplicated verbatim elsewhere (dup_ppm surrogate,
+    * see [[Dedup.quoteHeavyDocsOf]]) is aggregation/boilerplate even
+    * when whole-doc and passage tiers pass it. Oracle mirrors the
+    * literal. */
+  val quotePpmCeiling = 250000L
+
+  /** v3 admission — [[curatedV2Of]] plus the round-16 substring-tier
+    * quote gate: docs over [[quotePpmCeiling]] are rejected by a
+    * left-anti join on the (sparse) quote-heavy frame — docs with zero
+    * qualifying spans never appear there and pass untouched, so the
+    * gate adds one anti-join over a frame far smaller than the corpus
+    * (rides the memoized run grain like the other substring queries). */
+  def curatedV3Of(curatedV2: DataFrame, quoteHeavy: DataFrame): DataFrame =
+    curatedV2.join(
+      quoteHeavy.where(col("dup_ppm") > quotePpmCeiling).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+
+  def curatedV3(spark: SparkSession, dir: String): DataFrame =
+    curatedV3Of(curatedV2(spark, dir), Dedup.quoteHeavyDocs(spark, dir))
+
   /** The CORPUS CARD — the per-(lang, source) summary every dataset
     * release ships (doc/token/char counts, mean quality, PII incidence,
     * mean repetition): one hash-join chain on doc_id over the per-doc

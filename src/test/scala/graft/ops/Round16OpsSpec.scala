@@ -154,6 +154,22 @@ class Round16OpsSpec extends SparkSpec {
     assert(nM == wantM && nS == wantS && nM > 0 && nS > 0)
   }
 
+  test("curated v3: quote-heavy docs over the ppm ceiling are rejected; " +
+       "under-ceiling and span-free docs pass untouched") {
+    val curated = Seq(
+      (1L, "en", 0.9, 0.1, 1L, "train"),   // over ceiling -> dropped
+      (2L, "en", 0.8, 0.2, 1L, "val"),     // under ceiling -> kept
+      (3L, "de", 0.7, 0.3, 2L, "train"))   // no quote row   -> kept
+      .toDF("doc_id", "lang", "quality", "rep_ratio", "n_dups", "split")
+    val quoteHeavy = Seq(
+      (1L, 5L, 100L, 120L, Corpus.quotePpmCeiling + 1),
+      (2L, 1L, 10L, 100L, 100000L))
+      .toDF("doc_id", "n_spans", "dup_words", "n_tokens", "dup_ppm")
+    val kept = Corpus.curatedV3Of(curated, quoteHeavy)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 3L))
+  }
+
   test("run-grain memo: four substring queries share ONE cached frame, " +
        "reclaimed by Caches.invalidateAll (r15 verdict task 1)") {
     val d = "/root/testdata/sf0.001"
