@@ -223,6 +223,40 @@ object Bench {
   private[graft] def shortKey(name: String): String =
     keyTokens.foldLeft(name) { case (s, (from, to)) => s.replace(from, to) }
 
+  /** One streamed substring-ingest cycle (the `w_ss_ingest` grain): split
+    * `sfDir`'s documents into three ascending doc_id ranges, deliver each
+    * as one parquet file into a fresh watch dir, and drain per delivery
+    * ([[graft.streaming.SubstringIngest.runIngestAvailableNow]]) — the
+    * crawler's steady state: check batch against the committed bucketed
+    * index, fold its shingles in, commit. Shared with ScaleProbe's
+    * `ss-only` path, which probes the same cycle at 1× vs N× corpus. */
+  private[graft] def ssIngestCycle(spark: SparkSession, sfDir: String,
+                                   root: String): Unit = {
+    import org.apache.spark.sql.functions.{col, max}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val n = docs.agg(max("doc_id")).head().getLong(0)
+    val wh = new Warehouse(spark, s"$root/wh")
+    val watch = s"$root/watch"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(watch))
+    val cuts = Seq(n / 3, 2 * n / 3)
+    for (i <- 0 to 2) {
+      val b = i match {
+        case 0 => docs.where(col("doc_id") <= cuts(0))
+        case 1 => docs.where(col("doc_id") > cuts(0) &&
+                             col("doc_id") <= cuts(1))
+        case _ => docs.where(col("doc_id") > cuts(1))
+      }
+      val tmp = s"$root/.deliver_$i"
+      b.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(watch, s"crawl_$i.parquet"))
+      graft.streaming.SubstringIngest.runIngestAvailableNow(spark, sfDir,
+        watch, s"$root/ckpt", wh, s"$root/results")
+    }
+  }
+
   /** Recursive local temp-dir cleanup (shared with ScaleProbe's warehouse
     * probe — both materialize a throwaway warehouse per run). */
   private[graft] def deleteRecursively(root: java.nio.file.Path): Unit = {
@@ -624,7 +658,7 @@ object Bench {
     val dcWeeks = Seq(("1997-03-01", "1997-03-07"),
                       ("1997-04-01", "1997-04-07"),
                       ("1997-05-01", "1997-05-07"))
-    val (matPasses, wSeries, dcPasses) =
+    val (matPasses, wSeries, dcPasses, ssPasses) =
       try {
         val mats = scala.collection.mutable.ArrayBuffer[Double]()
         var p = 1
@@ -680,13 +714,27 @@ object Bench {
             if (!dcOk) errors += s"warehouse:daily_cycle:p$pn"
             if (dcOk) dc else -1.0
           }
-          (mats.toSeq, s, dcs)
-        } else (mats.toSeq, Nil, Seq(-1.0))
+          // streamed substring-tier ingest (w_ss_ingest): one fresh
+          // 3-batch AvailableNow drain per pass — 3 × (span check against
+          // the committed bucketed index + stamped append + manifest
+          // commit + results write). Stateful like the daily cycle, so
+          // each pass gets its own warehouse db / watch / checkpoint dirs
+          // and repeats are honest (no pass inherits another's index).
+          val sss = (1 to 3).map { pn =>
+            val (sec, ok) = time {
+              ssIngestCycle(spark, sfDir, s"$whRoot/.ss_p$pn")
+            }
+            if (!ok) errors += s"warehouse:ss_ingest:p$pn"
+            if (ok) sec else -1.0
+          }
+          (mats.toSeq, s, dcs, sss)
+        } else (mats.toSeq, Nil, Seq(-1.0), Seq(-1.0))
       } finally { // don't leak a full warehouse copy per bench run
         deleteRecursively(whRootPath)
       }
     val matSec = minOf(matPasses)
     val dailyCycleSec = minOf(dcPasses)
+    val ssIngestSec = minOf(ssPasses)
     val wMin = mins(wSeries)
 
     val loadEnd = loadAvg1() // after the last timed step
@@ -730,6 +778,8 @@ object Bench {
       .map(v => s""""materialize_partial_sec":${r3(v)},""").getOrElse("")
     val dcPartial = partialMin(dcPasses)
       .map(v => s""""daily_cycle_partial_sec":${r3(v)},""").getOrElse("")
+    val ssPartial = partialMin(ssPasses)
+      .map(v => s""""ss_ingest_partial_sec":${r3(v)},""").getOrElse("")
     def passesArr(ps: Seq[Double]): String =
       ps.map(r3).mkString("[", ",", "]")
     val fullLine =
@@ -743,7 +793,9 @@ object Bench {
       s""""median":${jmap(medians(wSeries), r3)},""" +
       s""""passes":${jmapArr(wSeries)},""" +
       s""""daily_cycle_sec":${r3(dailyCycleSec)},""" +
-      s"""$dcPartial"daily_cycle_passes":${passesArr(dcPasses)}},""" +
+      s"""$dcPartial"daily_cycle_passes":${passesArr(dcPasses)},""" +
+      s""""ss_ingest_sec":${r3(ssIngestSec)},""" +
+      s"""$ssPartial"ss_ingest_passes":${passesArr(ssPasses)}},""" +
       s""""dataset":$datasetJson,""" +
       s""""vs_prev":"$vsPrev",""" +
       s""""pass_spread_gt5":$spread,"warm_spread_gt5":$warmSpread,""" +
@@ -769,7 +821,7 @@ object Bench {
       qRest.map(_ + ",").getOrElse("") +
       s""""sf":"$sfTag",""" +
       s""""wh":{"mat":${r2(matSec)},"total":${r2(whTotal)},""" +
-      s""""dc":${r2(dailyCycleSec)}}""" +
+      s""""dc":${r2(dailyCycleSec)},"ssi":${r2(ssIngestSec)}}""" +
       // when the vs_prev check did NOT run, the compact line must not let
       // sus:0 read as "regression-checked, clean" — the full line carries
       // the reason ("vs_prev" field), the compact line just the fact

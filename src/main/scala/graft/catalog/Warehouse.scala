@@ -192,6 +192,71 @@ class Warehouse(spark: SparkSession, root: String) {
   def readTable(db: String, table: String): DataFrame =
     spark.table(catalogName(db, table))
 
+  /** Drop a table written through [[bucketedOverwrite]]/[[bucketedAppend]]:
+    * catalog entry (metadata only — the tables are external, so DROP TABLE
+    * never touches data), then the files. Generation cleanup after a
+    * streaming-state compaction; best-effort by design — a crash between
+    * the two steps leaves either a catalog entry over a missing path or
+    * orphan files, both healed by the next call. */
+  def dropTable(db: String, table: String): Unit = {
+    uncacheSchema(db, table)
+    val name = catalogName(db, table)
+    if (spark.catalog.tableExists(name))
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+    val p = hPath(path(db, table))
+    fsOf(p).delete(p, true)
+  }
+
+  /** Read a small control file (e.g. the streaming ingest's commit
+    * manifest), healing a crash that left only the `.__bak` copy from
+    * [[writeSmallFileAtomic]]'s swap. Hadoop FileSystem, same handle as
+    * the table paths — a java.io.File read would be always-missing on
+    * HDFS/object-store roots and silently reset the manifest (r16
+    * advice: the hwm file had exactly that defect). */
+  def readSmallFile(pathStr: String): Option[String] = {
+    val live = hPath(pathStr)
+    val fs = fsOf(live)
+    val bak = hPath(pathStr + ".__bak")
+    if (!fs.exists(live) && fs.exists(bak)) renameOrThrow(fs, bak, live)
+    if (!fs.exists(live)) None
+    else {
+      val in = fs.open(live)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(out.toByteArray, "UTF-8"))
+      } finally in.close()
+    }
+  }
+
+  /** Atomically replace a small control file: temp write, live → `.__bak`,
+    * temp → live, drop bak — the [[writeSwap]] idiom at file grain. The
+    * live rename is the single commit point: a crash mid-sequence leaves
+    * either the old content (possibly parked under `.__bak`, healed by
+    * [[readSmallFile]]) or the new, never a torn in-place write (the r16
+    * verdict's truncating-hwm defect). */
+  def writeSmallFileAtomic(pathStr: String, content: String): Unit = {
+    val live = hPath(pathStr)
+    val fs = fsOf(live)
+    val tmp = hPath(pathStr + ".__tmp")
+    val bak = hPath(pathStr + ".__bak")
+    fs.delete(tmp, true)
+    fs.mkdirs(live.getParent)
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    fs.delete(bak, true)
+    val had = fs.exists(live)
+    if (had) renameOrThrow(fs, live, bak)
+    if (!fs.rename(tmp, live)) {
+      if (had) fs.rename(bak, live)
+      throw new java.io.IOException(
+        s"atomic write: rename $tmp -> $live failed; original restored")
+    }
+    fs.delete(bak, true)
+  }
+
   /** Write `df` to a hidden temp path next to the table, then swap it into
     * place (current → `.bak`, temp → live, drop `.bak`). The merged data is
     * DURABLY on the filesystem before the live path is touched — unlike the

@@ -414,7 +414,9 @@ object Basket {
   def topPartnersOf(lineitem: DataFrame, k: Int = 3): DataFrame =
     topPartnersOfPairs(partPairsOf(lineitem), k)
 
-  private def topPartnersOfPairs(pairs: DataFrame, k: Int): DataFrame = {
+  /** graft-private (not bare private): ScaleProbe's copurchase split
+    * probe times this window phase separately from the pair build. */
+  private[graft] def topPartnersOfPairs(pairs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sym = pairs
       .select(col("part_a").as("part"), col("part_b").as("partner"),

@@ -306,6 +306,38 @@ class WarehouseSpec extends SparkSpec {
     assert(inc("user_order_log_inc").columns.contains("status"))
   }
 
+  test("small control files: atomic replace, and a crash that parked the " +
+       "old copy under .__bak heals on read") {
+    val root = tmp()
+    val wh = new Warehouse(spark, root)
+    val p = s"$root/ctl/manifest"
+    assert(wh.readSmallFile(p).isEmpty)
+    wh.writeSmallFileAtomic(p, "gen:0\n0:a")
+    assert(wh.readSmallFile(p).contains("gen:0\n0:a"))
+    wh.writeSmallFileAtomic(p, "gen:0\n0:a\n1:b") // replace, not append
+    assert(wh.readSmallFile(p).contains("gen:0\n0:a\n1:b"))
+    // simulate a crash between live→bak and tmp→live: only .__bak exists
+    java.nio.file.Files.move(java.nio.file.Paths.get(p),
+      java.nio.file.Paths.get(p + ".__bak"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    assert(wh.readSmallFile(p).contains("gen:0\n0:a\n1:b"),
+      "read must heal from the parked backup")
+    // healed IN PLACE: the live path is back
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+  }
+
+  test("dropTable removes a bucketed table's catalog entry and files") {
+    import spark.implicits._
+    val root = tmp()
+    val wh = new Warehouse(spark, root)
+    wh.bucketedOverwrite("db", "t", Seq((1L, "x")).toDF("k", "v"), "k", 4)
+    assert(wh.exists("db", "t"))
+    wh.dropTable("db", "t")
+    assert(!wh.exists("db", "t"))
+    assert(!spark.catalog.tableExists(wh.catalogName("db", "t")))
+    wh.dropTable("db", "t") // idempotent on a missing table
+  }
+
   test("materializing runner is idempotent across re-runs (sf0.001)") {
     val root = tmp()
     val sf = "/root/testdata/sf0.001"

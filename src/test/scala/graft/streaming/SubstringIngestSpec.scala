@@ -6,8 +6,10 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** The substring-tier ingest as a stream: per-batch span checks against
-  * the growing bucketed index equal the batch rebuild's restriction, and
-  * a foreachBatch replay cannot double the index state.
+  * the growing bucketed index equal the batch rebuild's restriction; the
+  * manifest is the single atomic commit point, so a crash at ANY point
+  * mid-window converges to the clean state on replay; and compaction
+  * folds the append-only state without changing any future result.
   */
 class SubstringIngestSpec extends SparkSpec {
   import spark.implicits._
@@ -17,13 +19,18 @@ class SubstringIngestSpec extends SparkSpec {
   private def ps(docs: DataFrame): DataFrame =
     TextOps.posShinglesOf(TextOps.withWords(TextOps.normalize(docs)))
 
+  private def freshWh() = new graft.catalog.Warehouse(spark,
+    java.nio.file.Files.createTempDirectory("graft_ssw").toString)
+
+  private def collectSpans(df: DataFrame): Seq[(Long, Long, Long, Long, Long)] =
+    df.as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+
   test("streamed ingest: each batch's spans equal a fresh-index batch " +
        "check, which equals the rebuild restricted to the batch") {
     val watch = java.nio.file.Files.createTempDirectory("graft_ssw").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ssc").toString
     val results = java.nio.file.Files.createTempDirectory("graft_ssr").toString
-    val whRoot = java.nio.file.Files.createTempDirectory("graft_ssh").toString
-    val wh = new graft.catalog.Warehouse(spark, whRoot)
+    val wh = freshWh()
     val docs = graft.etl.Feeds.table(spark, dir, "documents")
     val n = docs.agg(max("doc_id")).as[Long].head()
     val cuts = Seq(n / 3, 2 * n / 3) // 3 id-ranged batches, ascending
@@ -46,54 +53,185 @@ class SubstringIngestSpec extends SparkSpec {
       SubstringIngest.runIngestAvailableNow(spark, dir, watch, ckpt, wh,
                                             results)
     }
-    assert(SubstringIngest.highWaterMark(spark, wh) == 2L)
+    assert(SubstringIngest.highWaterMark(wh) == 2L)
     // batch 2's streamed result vs a fresh batch-built index of docs 0-1
-    val streamed = spark.read.parquet(s"$results/batch_id=2")
-      .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    val streamed = collectSpans(spark.read.parquet(s"$results/batch_id=2"))
     val idxPs = ps(batch(0).unionAll(batch(1)))
     val census = Dedup.substringCensusOf(idxPs)
-    val fresh = Dedup.substringSpansIncOf(
-        Dedup.substringIndexOf(idxPs, census), census, ps(batch(2)))
-      .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    val fresh = collectSpans(Dedup.substringSpansIncOf(
+        Dedup.substringIndexOf(idxPs, census), census, ps(batch(2))))
     assert(streamed == fresh && streamed.nonEmpty)
     // and the rebuild restriction: pairs of the full corpus whose high id
     // is in batch 2 (batches are ascending id ranges)
-    val rebuild = Dedup.substringSpansOf(ps(docs))
-      .where($"doc_b" > cuts(1))
-      .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    val rebuild = collectSpans(Dedup.substringSpansOf(ps(docs))
+      .where($"doc_b" > cuts(1)))
     assert(streamed == rebuild)
     // batch 1 the same way (guards the middle state, not just the last)
-    val streamed1 = spark.read.parquet(s"$results/batch_id=1")
-      .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
-    val rebuild01 = Dedup.substringSpansOf(ps(batch(0).unionAll(batch(1))))
-      .where($"doc_b" > cuts(0))
-      .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    val streamed1 = collectSpans(spark.read.parquet(s"$results/batch_id=1"))
+    val rebuild01 = collectSpans(
+      Dedup.substringSpansOf(ps(batch(0).unionAll(batch(1))))
+        .where($"doc_b" > cuts(0)))
     assert(streamed1 == rebuild01)
   }
 
-  test("foreachBatch replay: a batch id at/under the high-water mark " +
-       "re-checks but cannot double the census or index") {
-    val whRoot = java.nio.file.Files.createTempDirectory("graft_ssr2").toString
-    val wh = new graft.catalog.Warehouse(spark, whRoot)
+  test("foreachBatch replay of a COMMITTED batch: skipped entirely — no " +
+       "re-check (it would self-match), no state or results mutation") {
+    val wh = freshWh()
     val docs = graft.etl.Feeds.table(spark, dir, "documents")
     val b0 = docs.where($"doc_id" % 2 === 0)
     val b1 = docs.where($"doc_id" % 2 === 1)
-    SubstringIngest.ingestBatch(wh, b0, batchId = 0L)
-    val r1 = SubstringIngest.ingestBatch(wh, b1, batchId = 1L)
-      .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(SubstringIngest.ingestBatch(wh, b0, batchId = 0L).isDefined)
+    var sank = 0
+    val r1 = SubstringIngest.ingestBatch(wh, b1, batchId = 1L,
+      sink = _ => sank += 1)
+    assert(r1.isDefined && sank == 1)
     def state(): (Long, Long) = (
-      wh.readTable(SubstringIngest.Db, "ss_census")
-        .agg(sum("occ_i")).as[Long].head(),
-      wh.readTable(SubstringIngest.Db, "ss_index").count())
+      SubstringIngest.committedCensus(wh).agg(sum("occ_i")).as[Long].head(),
+      SubstringIngest.committedIndex(wh).count())
     val before = state()
-    // crash-replay of batch 1: same docs, same id
-    val replayed = SubstringIngest.ingestBatch(wh, b1, batchId = 1L)
-      .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    // crash-replay of batch 1: same docs, same id — already committed
+    val replayed = SubstringIngest.ingestBatch(wh, b1, batchId = 1L,
+      sink = _ => sank += 1)
+    assert(replayed.isEmpty, "replay of a committed batch must be skipped")
+    assert(sank == 1, "replay must not rewrite the results artifact")
     assert(state() == before, "replay mutated the index state")
-    // the replay re-runs the check against the POST-append state, so its
-    // rows are a superset shape — but the committed results sink is keyed
-    // by batch id (overwrite), so what persists is deterministic; here we
-    // only require the replay not to crash and the state to hold
-    assert(replayed.nonEmpty || r1.isEmpty)
+  }
+
+  test("crash injection mid-window: a crash after the results write, the " +
+       "census append, or the index append converges to the clean state " +
+       "on replay — orphan rows stay invisible") {
+    val docs = graft.etl.Feeds.table(spark, dir, "documents")
+    val b0 = docs.where($"doc_id" % 3 === 0)
+    val b1 = docs.where($"doc_id" % 3 === 1)
+    val probe = docs.where($"doc_id" % 3 === 2) // never ingested: pure check
+    def checkProbe(wh: graft.catalog.Warehouse) = collectSpans(
+      Dedup.substringSpansIncOf(SubstringIngest.committedIndex(wh),
+        SubstringIngest.committedCensus(wh), ps(probe)))
+    // the clean twin: no crashes
+    val whClean = freshWh()
+    SubstringIngest.ingestBatch(whClean, b0, batchId = 0L)
+    val spans1Clean = collectSpans(
+      SubstringIngest.ingestBatch(whClean, b1, batchId = 1L).get)
+    val cleanCensus = SubstringIngest.committedCensus(whClean)
+      .agg(sum("occ_i")).as[Long].head()
+    val cleanIndex = SubstringIngest.committedIndex(whClean).count()
+    val cleanProbe = checkProbe(whClean)
+    for (fp <- Seq("after_results", "after_census", "after_index")) {
+      val wh = freshWh()
+      SubstringIngest.ingestBatch(wh, b0, batchId = 0L)
+      val post0 = (SubstringIngest.committedCensus(wh)
+        .agg(sum("occ_i")).as[Long].head(),
+        SubstringIngest.committedIndex(wh).count())
+      intercept[IllegalStateException] {
+        SubstringIngest.ingestBatch(wh, b1, batchId = 1L, failpoint = fp)
+      }
+      // nothing committed: the manifest never moved, so reads still see
+      // exactly the post-batch-0 state (appended orphans are invisible)
+      assert(SubstringIngest.highWaterMark(wh) == 0L, fp)
+      assert((SubstringIngest.committedCensus(wh)
+        .agg(sum("occ_i")).as[Long].head(),
+        SubstringIngest.committedIndex(wh).count()) == post0, fp)
+      // replay (same batch id, > hwm): re-runs, converges to clean state
+      val replayed = SubstringIngest.ingestBatch(wh, b1, batchId = 1L)
+      assert(collectSpans(replayed.get) == spans1Clean, fp)
+      assert(SubstringIngest.committedCensus(wh)
+        .agg(sum("occ_i")).as[Long].head() == cleanCensus, fp)
+      assert(SubstringIngest.committedIndex(wh).count() == cleanIndex, fp)
+      // and a future batch's check sees identical state
+      assert(checkProbe(wh) == cleanProbe, fp)
+    }
+  }
+
+  test("compaction: future batch results identical, census consolidated " +
+       "to one row per shingle, dead/orphan index rows dropped") {
+    val docs = graft.etl.Feeds.table(spark, dir, "documents")
+    val parts = (0 to 2).map(i => docs.where($"doc_id" % 4 === i))
+    val probe = docs.where($"doc_id" % 4 === 3)
+    // a small cap forces shingles OVER the cap across batches: their
+    // index positions (appended while still under cap) become dead weight
+    val cap = 4
+    val wh = freshWh()
+    parts.zipWithIndex.foreach { case (b, i) =>
+      SubstringIngest.ingestBatch(wh, b, batchId = i.toLong, maxOcc = cap)
+    }
+    // plus one crashed attempt: its orphan rows must vanish physically
+    intercept[IllegalStateException] {
+      SubstringIngest.ingestBatch(wh, probe, batchId = 3L, maxOcc = cap,
+                                  failpoint = "after_index")
+    }
+    def probeSpans() = collectSpans(Dedup.substringSpansIncOf(
+      SubstringIngest.committedIndex(wh),
+      SubstringIngest.committedCensus(wh), ps(probe), maxOcc = cap))
+    val before = probeSpans()
+    val censusSumBefore = SubstringIngest.committedCensus(wh)
+      .agg(sum("occ_i")).as[Long].head()
+    // the MATCHABLE set: committed positions whose shingle's committed
+    // total is at/under the cap — committed rows of a shingle that went
+    // over in a later batch are dead weight (admissibility re-excludes
+    // them every check) and compaction is allowed to drop them
+    val liveIdxBefore = SubstringIngest.committedIndex(wh)
+      .join(SubstringIngest.committedCensus(wh)
+              .where($"occ_i" <= cap).select("sh"), Seq("sh"))
+      .count()
+    val physCensusBefore =
+      wh.readTable(SubstringIngest.Db, "ss_census").count()
+    val physIndexBefore = wh.readTable(SubstringIngest.Db, "ss_index").count()
+    // dead rows exist: positions in the physical index whose shingle's
+    // committed total is over the cap (went over in a later batch), plus
+    // the crashed attempt's orphans
+    assert(physIndexBefore > liveIdxBefore,
+      "test premise: dead/orphan index rows present before compaction")
+    SubstringIngest.compactState(wh, maxOcc = cap)
+    val st = SubstringIngest.state(wh)
+    assert(st.gen == 1 && st.commits.size == 1)
+    // old generation swept
+    assert(!wh.exists(SubstringIngest.Db, "ss_census") &&
+           !wh.exists(SubstringIngest.Db, "ss_index"))
+    val censusT = SubstringIngest.tableName("ss_census", 1)
+    val indexT = SubstringIngest.tableName("ss_index", 1)
+    // identical logical state ...
+    assert(probeSpans() == before && before.nonEmpty)
+    assert(SubstringIngest.committedCensus(wh)
+      .agg(sum("occ_i")).as[Long].head() == censusSumBefore)
+    assert(SubstringIngest.committedIndex(wh).count() == liveIdxBefore)
+    // ... on strictly less storage: one census row per shingle value,
+    // index rows = live set only
+    val physCensusAfter = wh.readTable(SubstringIngest.Db, censusT).count()
+    val physIndexAfter = wh.readTable(SubstringIngest.Db, indexT).count()
+    assert(physCensusAfter < physCensusBefore)
+    assert(physIndexAfter == liveIdxBefore && physIndexAfter < physIndexBefore)
+    // and the compacted state keeps ingesting: next batch commits cleanly
+    // at gen 1 (wired form: runIngestAvailableNow(compactEvery = n))
+    val r = SubstringIngest.ingestBatch(wh, probe, batchId = 3L, maxOcc = cap)
+    assert(collectSpans(r.get) == before)
+    assert(SubstringIngest.highWaterMark(wh) == 3L)
+  }
+
+  test("committed reads stay co-located: the manifest semi-join is a " +
+       "broadcast and the check's index side never shuffles") {
+    val wh = freshWh()
+    val docs = graft.etl.Feeds.table(spark, dir, "documents")
+    SubstringIngest.ingestBatch(wh, docs.where($"doc_id" % 2 === 0), 0L)
+    val newPs = ps(docs.where($"doc_id" % 2 === 1))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val matches = Dedup.substringIncMatchesOf(
+        SubstringIngest.committedIndex(wh),
+        SubstringIngest.committedCensus(wh), newPs)
+      val plan = matches.queryExecution.executedPlan
+      assert(plan.toString.contains("ss_"), plan.toString.take(800))
+      // the only Exchanges allowed are broadcasts (the manifest
+      // semi-join) and the increment side's own shuffles — a shuffle
+      // Exchange anywhere ABOVE a bucketed ss_ scan means the manifest
+      // filter broke the bucket layout's co-location
+      def noShuffleAboveBucketedScan(
+          p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          !e.child.toString.contains("ss_")
+        case other => other.children.forall(noShuffleAboveBucketedScan)
+      }
+      assert(noShuffleAboveBucketedScan(plan), plan.toString.take(1200))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }

@@ -38,7 +38,11 @@ def merge_full(full_path, rnd, queries):
         with open(full_path) as f:
             full = json.load(f)
     full["round"] = rnd if rnd is not None else full.get("round")
-    full["queries"].update(queries)
+    if full["round"] is None:
+        sys.exit(f"{full_path}: no round stamp — pass the round argument "
+                 "(a null round in the committed artifact hides which "
+                 "round last verified these rows)")
+    full.setdefault("queries", {}).update(queries)
     full["queries"] = dict(sorted(full["queries"].items()))
     n_green = sum(1 for v in full["queries"].values()
                   if all(v.get(sf) == "ok" for sf in SFS))

@@ -5,7 +5,17 @@ Usage: python3 tools/gen_index.py [--probe <scaleprobe8.log> ...]
                                   [--probe64 <scaleprobe64.log> ...]
                                   [--probe-shifted <scaleprobe.log> ...]
                                   [--probe-shifted64 <scaleprobe.log> ...]
+                                  [--probe-split64 <scaleprobe.log> ...]
+                                  [--probe-stream <scaleprobe.log> ...]
+                                  [--probe-stream64 <scaleprobe.log> ...]
                                   [--fresh]
+
+--probe-split64 files `[scale-split] q_x:phase ...` rows as flat
+probe_ratio_64x_shifted_<phase> keys on the query's row (the r16
+copurchase adjudication: which PHASE carries a shifted ratio's excess).
+--probe-stream/--probe-stream64 file `[scale-ss-w] w_x ...` rows into a
+top-level `stream_probes` object — wall-clock probes of non-registry
+surfaces (the streamed substring ingest), merged like query fields.
 
 One row per SparkEntry.queries entry:
     {"q_x": {"entry": "src/main/scala/graft/SparkEntry.scala:244",
@@ -197,9 +207,14 @@ def parse_probe_logs(paths, tag="scale"):
     return ratios
 
 def parse_shifted_logs(paths):
-    """Shifted-builder adjudication rows: the [scale-part] per-query table
-    plus the [scale-cust] one-liner (`... ratio=R`)."""
+    """Shifted-builder adjudication rows: the [scale-part] per-query table,
+    the [scale-cust] one-liner (`... ratio=R`), and the [scale-ss-q]
+    fixed-increment substring check row (r16 verdict task 5 — the
+    substring serving path's 'shifted' treatment holds the increment
+    fixed while the index grows N x)."""
     ratios = parse_probe_logs(paths, tag="scale-part")
+    for name, r in parse_probe_logs(paths, tag="scale-ss-q").items():
+        ratios[name] = min(r, ratios.get(name, float("inf")))
     for p in paths:
         with open(p) as f:
             for l in f:
@@ -209,16 +224,47 @@ def parse_shifted_logs(paths):
                     ratios[name] = min(r, ratios.get(name, float("inf")))
     return ratios
 
+def parse_split_logs(paths):
+    """Per-phase split rows (`[scale-split] q_x:phase t1 tN ratio`):
+    {(query, phase): min ratio}. The copurchase-split adjudication —
+    which PHASE of a two-phase plan carries a shifted ratio's excess."""
+    out = {}
+    for p in paths:
+        with open(p) as f:
+            for l in f:
+                m = re.match(r"\[scale-split\]\s+(q_\w+):(\w+)\s+([\d.]+)"
+                             r"\s+([\d.]+)\s+([\d.]+)", l)
+                if m:
+                    key, r = (m.group(1), m.group(2)), float(m.group(5))
+                    out[key] = min(r, out.get(key, float("inf")))
+    return out
+
+def parse_stream_logs(paths):
+    """Streamed-cycle probe rows (`[scale-ss-w] w_x t1 tN ratio`) — the
+    non-registry wall-clock probes (stream ingest drains) that land in
+    the top-level stream_probes object."""
+    out = {}
+    for p in paths:
+        with open(p) as f:
+            for l in f:
+                m = re.match(r"\[scale-ss-w\]\s+(w_\w+)\s+([\d.]+)\s+"
+                             r"([\d.]+)\s+([\d.]+)", l)
+                if m:
+                    name, r = m.group(1), float(m.group(4))
+                    out[name] = min(r, out.get(name, float("inf")))
+    return out
+
 def load_existing():
-    """Previously committed per-query probe fields (merge source)."""
+    """Previously committed index doc (probe-field merge source)."""
     path = os.path.join(ROOT, "queries_index.json")
     if not os.path.exists(path):
         return {}
     with open(path) as f:
-        return json.load(f).get("queries", {})
+        return json.load(f)
 
 def main():
     probe_logs, probe64_logs, shifted_logs, shifted64_logs = [], [], [], []
+    split64_logs, stream_logs, stream64_logs = [], [], []
     fresh = False
     rnd = None
     args = sys.argv[1:]
@@ -231,6 +277,12 @@ def main():
             shifted_logs.append(args[1]); args = args[2:]
         elif args[0] == "--probe-shifted64":
             shifted64_logs.append(args[1]); args = args[2:]
+        elif args[0] == "--probe-split64":
+            split64_logs.append(args[1]); args = args[2:]
+        elif args[0] == "--probe-stream":
+            stream_logs.append(args[1]); args = args[2:]
+        elif args[0] == "--probe-stream64":
+            stream64_logs.append(args[1]); args = args[2:]
         elif args[0] == "--fresh":
             fresh = True; args = args[1:]
         elif args[0] == "--round":
@@ -240,11 +292,15 @@ def main():
     entries = parse_entries()
     decl = build_decl_index()
     oracle = parse_oracle_lines()
-    existing = {} if fresh else load_existing()
+    existing_doc = {} if fresh else load_existing()
+    existing = existing_doc.get("queries", {})
     ratios = parse_probe_logs(probe_logs)
     ratios64 = parse_probe_logs(probe64_logs)
     shifted = parse_shifted_logs(shifted_logs)
     shifted64 = parse_shifted_logs(shifted64_logs)
+    split64 = parse_split_logs(split64_logs)
+    stream = parse_stream_logs(stream_logs)
+    stream64 = parse_stream_logs(stream64_logs)
     for twin in SCALE_TWINS.values():
         if twin != "by_design" and twin not in entries:
             sys.exit(f"SCALE_TWINS names unknown query {twin}")
@@ -287,11 +343,36 @@ def main():
         if rsh64 is not None:
             index[name]["probe_ratio_64x_shifted"] = rsh64
             round_stamp("64x_shifted", name in shifted64)
+        for (q, phase), r in sorted(split64.items()):
+            if q == name:
+                index[name][f"probe_ratio_64x_shifted_{phase}"] = r
+                round_stamp(f"64x_shifted_{phase}", True)
+        for k, v in prev.items():  # merged split rows from prior rounds
+            if k.startswith("probe_ratio_64x_shifted_") and k not in index[name]:
+                index[name][k] = v
+                stamp_key = "probe_round_" + k[len("probe_ratio_"):]
+                if stamp_key in prev:
+                    index[name][stamp_key] = prev[stamp_key]
         if name in SCALE_TWINS:
             index[name]["scale_twin"] = SCALE_TWINS[name]
         if name in PROBE_EXEMPT:
             index[name]["probe_exempt"] = PROBE_EXEMPT[name]
+    # non-registry wall-clock probes (streamed ingest drains): merged like
+    # the per-query fields — fresh logs win, committed values persist
+    streams = dict(existing_doc.get("stream_probes", {}))
+    for name, r in stream.items():
+        row = streams.setdefault(name, {})
+        row["probe_ratio_8x"] = r
+        if rnd is not None:
+            row["probe_round_8x"] = rnd
+    for name, r in stream64.items():
+        row = streams.setdefault(name, {})
+        row["probe_ratio_64x"] = r
+        if rnd is not None:
+            row["probe_round_64x"] = rnd
     doc = {"n_queries": len(index), "queries": index}
+    if streams:
+        doc["stream_probes"] = dict(sorted(streams.items()))
     out = os.path.join(ROOT, "queries_index.json")
     with open(out, "w") as f:
         json.dump(doc, f, indent=1)
