@@ -84,6 +84,35 @@ class QueriesIndexSpec extends AnyFunSuite {
       s"shifted-probe adjudication missing from the index: $missing")
   }
 
+  test("round-17 adjudications travel with the index: the copurchase " +
+       "per-phase split, the substring-inc shifted rows, and the " +
+       "streamed-ingest probe (r16 verdict tasks 3-5)") {
+    val text = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("queries_index.json"))
+    // q_copurchase_partners' shifted 64x (12.5) adjudicated per-phase:
+    // both split ratios must be committed numbers
+    for (phase <- Seq("pairs", "window")) {
+      assert(("\"q_copurchase_partners\"\\s*:\\s*\\{[^}]*" +
+        s""""probe_ratio_64x_shifted_$phase":\\s*[0-9]""").r
+        .findFirstIn(text).isDefined,
+        s"copurchase split row missing: $phase")
+    }
+    // the substring serving path's shifted treatment (fixed increment,
+    // grown index) at both tiers
+    for (tier <- Seq("8x", "64x")) {
+      assert(("\"q_dedup_substring_inc\"\\s*:\\s*\\{[^}]*" +
+        s""""probe_ratio_${tier}_shifted":\\s*[0-9]""").r
+        .findFirstIn(text).isDefined,
+        s"substring-inc shifted row missing: $tier")
+    }
+    // the streamed ingest's wall-clock probe (the w_ss_ingest bench row's
+    // scale adjudication) lives in the top-level stream_probes object
+    assert(("\"stream_probes\"\\s*:\\s*\\{[\\s\\S]*\"w_ss_ingest\"\\s*:" +
+      "\\s*\\{[^}]*\"probe_ratio_8x\":\\s*[0-9]").r
+      .findFirstIn(text).isDefined,
+      "stream_probes.w_ss_ingest probe row missing")
+  }
+
   test("exactness baselines carry a machine-readable scale_twin naming " +
        "their bounded production sibling (r15 verdict task 2)") {
     val text = java.nio.file.Files.readString(
