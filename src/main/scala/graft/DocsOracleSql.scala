@@ -600,6 +600,29 @@ corpus_curated_v3 AS (
   FROM corpus_curated_v2 c
   WHERE c.doc_id NOT IN
     (SELECT doc_id FROM quote_heavy_docs WHERE dup_ppm > 250000)),
+substring_ingest_debt AS (
+  SELECT CAST(batch AS BIGINT) AS batch,
+         CAST(sum(occ_b) AS BIGINT) AS n_pos,
+         CAST(sum(CASE WHEN cum <= 64 THEN occ_b ELSE 0 END) AS BIGINT)
+           AS n_appended,
+         CAST(sum(CASE WHEN total <= 64 THEN occ_b ELSE 0 END) AS BIGINT)
+           AS n_live,
+         CAST(sum(CASE WHEN cum <= 64 THEN occ_b ELSE 0 END)
+              - sum(CASE WHEN total <= 64 THEN occ_b ELSE 0 END) AS BIGINT)
+           AS n_dead
+  FROM (
+    SELECT sh, batch, occ_b,
+           sum(occ_b) OVER (PARTITION BY sh ORDER BY batch) AS cum,
+           sum(occ_b) OVER (PARTITION BY sh) AS total
+    FROM (
+      SELECT s.sh,
+             CASE WHEN s.doc_id <= m.mx // 3 THEN 0
+                  WHEN s.doc_id <= (2 * m.mx) // 3 THEN 1
+                  ELSE 2 END AS batch,
+             count(*) AS occ_b
+      FROM span_sh s, (SELECT max(doc_id) AS mx FROM docs) m
+      GROUP BY 1, 2) b) c
+  GROUP BY 1),
 tier_overlap AS (
   SELECT CAST(sum(CASE WHEN has_m THEN 1 ELSE 0 END) AS BIGINT)
            AS n_minhash,

@@ -212,6 +212,11 @@ object SparkEntry {
     // index-build audit: what the occurrence cap removed (no silent caps)
     "q_substring_index_stats" ->
       ((s, d) => ops.Dedup.substringIndexStats(s, d)),
+    // append-only ingest storage-debt ledger: per replayed batch, the
+    // admitted / still-live / stranded-dead index rows (what compaction
+    // reclaims, as an oracle-checked number)
+    "q_substring_ingest_debt" ->
+      ((s, d) => ops.Dedup.substringIngestDebt(s, d)),
     // cross-tier pair overlap: guarded minhash vs substring-span pairs
     "q_dedup_tier_overlap" -> ((s, d) => ops.Dedup.dedupTierOverlap(s, d)),
     // v3 admission: v2 plus the substring-tier quote-heavy gate
@@ -616,7 +621,5 @@ object SparkEntry {
     * Every name here must ship with a fully-green three-SF row in the
     * committed CORRECTNESS_multi.json (VerifyMultiSpec pins it); reset to
     * the new additions at the start of each round. */
-  def newThisRound: Set[String] = Set(
-    "q_dedup_substring_inc", "q_substring_index_stats",
-    "q_dedup_tier_overlap", "q_corpus_curated_v3")
+  def newThisRound: Set[String] = Set("q_substring_ingest_debt")
 }

@@ -1646,6 +1646,49 @@ object Dedup {
   def substringIndexStats(spark: SparkSession, dir: String): DataFrame =
     substringIndexStatsOf(TextOps.posShingles(spark, dir))
 
+  /** Storage-debt LEDGER of the append-only streamed substring ingest
+    * ([[graft.streaming.SubstringIngest]]) — the pure relational form of
+    * its batch-by-batch index math, so the compaction payoff is an
+    * oracle-checked number instead of a stream-spec side effect. The
+    * corpus replays as three ascending doc_id-range batches (the bench
+    * cycle's grain); per batch: `n_pos` position rows produced,
+    * `n_appended` rows the ingest admits (shingle's CUMULATIVE
+    * occurrence through this batch ≤ `maxOcc` — the post-batch combined
+    * cap), `n_live` rows still matchable at end of stream (TOTAL
+    * occurrence ≤ cap), and `n_dead` = appended − live — rows a later
+    * batch's cap crossing stranded, exactly what
+    * `SubstringIngest.compactState` reclaims.
+    *
+    * Scale shape: one partial-agg groupBy to the (sh, batch) grain
+    * (≤ 3 rows per shingle), windows partitioned by `sh` over those ≤ 3
+    * rows (bounded, never corpus-wide), and a 3-row final fold. */
+  def substringIngestDebtOf(posShingles: DataFrame,
+                            maxOcc: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mx = posShingles.agg(max("doc_id").as("mx"))
+    val perShBatch = posShingles.crossJoin(broadcast(mx))
+      .withColumn("batch",
+        when(col("doc_id") <= expr("mx DIV 3"), lit(0L))
+          .when(col("doc_id") <= expr("(2 * mx) DIV 3"), lit(1L))
+          .otherwise(lit(2L)))
+      .groupBy("sh", "batch").agg(count(lit(1)).as("occ_b"))
+    val cap = lit(maxOcc.toLong)
+    perShBatch
+      .withColumn("cum",
+        sum("occ_b").over(Window.partitionBy("sh").orderBy("batch")))
+      .withColumn("total", sum("occ_b").over(Window.partitionBy("sh")))
+      .groupBy("batch")
+      .agg(sum("occ_b").as("n_pos"),
+           sum(when(col("cum") <= cap, col("occ_b")).otherwise(lit(0L)))
+             .as("n_appended"),
+           sum(when(col("total") <= cap, col("occ_b")).otherwise(lit(0L)))
+             .as("n_live"))
+      .withColumn("n_dead", col("n_appended") - col("n_live"))
+  }
+
+  def substringIngestDebt(spark: SparkSession, dir: String): DataFrame =
+    substringIngestDebtOf(TextOps.posShingles(spark, dir))
+
   /** Cross-TIER pair overlap census: the guarded minhash near-dup pairs
     * against the substring-span quote pairs, ONE row — how much of the
     * quote tier the whole-doc tier already catches (n_both vs
