@@ -600,6 +600,39 @@ corpus_curated_v3 AS (
   FROM corpus_curated_v2 c
   WHERE c.doc_id NOT IN
     (SELECT doc_id FROM quote_heavy_docs WHERE dup_ppm > 250000)),
+span_runs_pos AS (
+  SELECT doc_a, doc_b, diag, CAST(min(pos_a) AS BIGINT) AS start_a,
+         CAST(count(*) AS BIGINT) AS run_len
+  FROM (SELECT doc_a, doc_b, diag, pos_a,
+               pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                          ORDER BY pos_a) AS isl
+        FROM span_matches) m
+  GROUP BY doc_a, doc_b, diag, isl
+  HAVING count(*) >= 8),
+span_mask_ranges AS (
+  SELECT doc_id, CAST(min(s) AS BIGINT) AS start_w,
+         CAST(max(e) AS BIGINT) AS end_w,
+         CAST(max(e) - min(s) + 1 AS BIGINT) AS masked_words
+  FROM (
+    SELECT doc_id, s, e,
+           CAST(sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                    THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY s, e
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS grp
+    FROM (
+      SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_max
+      FROM (
+        SELECT DISTINCT doc_id, s, e FROM (
+          SELECT doc_a AS doc_id, start_a AS s,
+                 start_a + run_len + 1 AS e
+          FROM span_runs_pos
+          UNION ALL
+          SELECT doc_b, start_a - diag, start_a - diag + run_len + 1
+          FROM span_runs_pos) u0) u) x) y
+  GROUP BY doc_id, grp),
 substring_ingest_debt AS (
   SELECT CAST(batch AS BIGINT) AS batch,
          CAST(sum(occ_b) AS BIGINT) AS n_pos,

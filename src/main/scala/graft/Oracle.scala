@@ -792,6 +792,7 @@ cust_gini AS (
     // cross-tier pair overlap census (guarded minhash vs substring spans)
     "q_dedup_tier_overlap" -> fromDocs("tier_overlap"),
     "q_substring_ingest_debt" -> fromDocs("substring_ingest_debt"),
+    "q_span_mask_ranges" -> fromDocs("span_mask_ranges"),
     // v3 admission: v2 plus the substring-tier quote-heavy gate
     "q_corpus_curated_v3" -> fromDocs("corpus_curated_v3"),
     "q_passage_dup_ratio" -> fromDocs("passage_dup_ratio"),

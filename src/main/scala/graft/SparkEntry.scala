@@ -217,6 +217,9 @@ object SparkEntry {
     // reclaims, as an oracle-checked number)
     "q_substring_ingest_debt" ->
       ((s, d) => ops.Dedup.substringIngestDebt(s, d)),
+    // the tier's APPLY step: per-doc merged word ranges covered by
+    // duplicated spans — what a training pipeline masks, overlap-free
+    "q_span_mask_ranges" -> ((s, d) => ops.Dedup.spanMaskRanges(s, d)),
     // cross-tier pair overlap: guarded minhash vs substring-span pairs
     "q_dedup_tier_overlap" -> ((s, d) => ops.Dedup.dedupTierOverlap(s, d)),
     // v3 admission: v2 plus the substring-tier quote-heavy gate
@@ -621,5 +624,6 @@ object SparkEntry {
     * Every name here must ship with a fully-green three-SF row in the
     * committed CORRECTNESS_multi.json (VerifyMultiSpec pins it); reset to
     * the new additions at the start of each round. */
-  def newThisRound: Set[String] = Set("q_substring_ingest_debt")
+  def newThisRound: Set[String] =
+    Set("q_substring_ingest_debt", "q_span_mask_ranges")
 }

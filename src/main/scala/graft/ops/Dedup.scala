@@ -1399,9 +1399,12 @@ object Dedup {
       .withColumn("isl", col("pos_a") - row_number().over(
         Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")))
       .groupBy("doc_a", "doc_b", "diag", "isl")
-      .agg(count(lit(1)).as("run_len"))
+      // start_a kept (one extra partial-agg min): the mask-range consumer
+      // needs each run's position, and carrying it lets ALL five
+      // substring-tier queries share one memoized run grain
+      .agg(count(lit(1)).as("run_len"), min("pos_a").as("start_a"))
       .where(col("run_len") >= minRun)
-      .select("doc_a", "doc_b", "run_len")
+      .select("doc_a", "doc_b", "diag", "start_a", "run_len")
   }
 
   /** Memoized run grain at the production defaults — the shared upstream
@@ -1688,6 +1691,62 @@ object Dedup {
 
   def substringIngestDebt(spark: SparkSession, dir: String): DataFrame =
     substringIngestDebtOf(TextOps.posShingles(spark, dir))
+
+  /** The APPLY step of the substring tier: per document, the merged word
+    * ranges covered by duplicated spans — exactly the byte ranges a
+    * training pipeline masks or drops before tokenization (the span
+    * rollup says which PAIRS quote; this says which WORDS of each doc
+    * are quoted, overlap-free, so masked-volume accounting never double
+    * counts a word two spans share). One row per merged range:
+    * (doc_id, start_w, end_w inclusive, masked_words).
+    *
+    * A run of L matched shingles starting at position s covers words
+    * s..s+L+1 on the a-side and (s−diag)..(s−diag)+L+1 on the b-side;
+    * both sides union into per-doc intervals, merged by the classic
+    * running-max island scan. Scale shape: the match grain is the same
+    * occurrence-capped bucket-bounded join as [[substringRunsOf]]; the
+    * merge windows are partitioned per doc over that doc's range list
+    * (bounded by its span count, never corpus-wide). ROWS frames are
+    * explicit on both engines — Spark's default RANGE frame would pool
+    * tied (start, end) peers into the indicator sum. */
+  def spanMaskRangesOf(posShingles: DataFrame, minRun: Int = 8,
+                       maxOcc: Int = 64): DataFrame =
+    maskRangesFromRuns(substringRunsOf(posShingles, minRun, maxOcc))
+
+  private def maskRangesFromRuns(runs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // DISTINCT before the merge scan: two pairs can contribute the same
+    // (doc, s, e) range, and exact-duplicate rows make the (s, e) sort
+    // non-total — the prev_max and grp windows are SEPARATE evaluations
+    // that may order tied peers differently, splitting one interval into
+    // two groups (caught by the sf0.001 oracle diff). Duplicates add
+    // nothing to an interval union; dropping them makes the order total.
+    val sides = runs
+      .select(col("doc_a").as("doc_id"), col("start_a").as("s"),
+              (col("start_a") + col("run_len") + lit(1L)).as("e"))
+      .unionAll(runs.select(col("doc_b").as("doc_id"),
+        (col("start_a") - col("diag")).as("s"),
+        (col("start_a") - col("diag") + col("run_len") + lit(1L)).as("e")))
+      .distinct()
+    val byDoc = Window.partitionBy("doc_id").orderBy("s", "e")
+    sides
+      .withColumn("prev_max", max("e").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("grp", sum(
+          when(col("prev_max").isNull || col("s") > col("prev_max"), lit(1L))
+            .otherwise(lit(0L)))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding,
+                                Window.currentRow)))
+      .groupBy("doc_id", "grp")
+      .agg(min("s").as("start_w"), max("e").as("end_w"))
+      .select(col("doc_id"), col("start_w"), col("end_w"),
+              (col("end_w") - col("start_w") + lit(1L)).as("masked_words"))
+  }
+
+  /** Query form rides the same memoized run grain as the other four
+    * substring-tier queries — the mask scan itself is range-list-sized. */
+  def spanMaskRanges(spark: SparkSession, dir: String): DataFrame =
+    maskRangesFromRuns(substringRunsCached(spark, dir))
 
   /** Cross-TIER pair overlap census: the guarded minhash near-dup pairs
     * against the substring-span quote pairs, ONE row — how much of the

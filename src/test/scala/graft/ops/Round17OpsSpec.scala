@@ -59,6 +59,63 @@ class Round17OpsSpec extends SparkSpec {
       == liveTotal)
   }
 
+  test("mask ranges: overlapping spans merge into one per-doc range " +
+       "(hand fixture)") {
+    // doc1 = 20 distinct words; doc2 quotes words 0-11, doc3 quotes
+    // words 8-19 -> doc1's two span ranges [0,11] and [8,19] must merge
+    // to [0,19]; doc2/doc3 are fully covered ([0,11] each). The doc2-doc3
+    // overlap (words 8-11, 2 shingles) is below minRun=8 -> no pair.
+    val w = (0 to 19).map(i => s"a$i")
+    val docs = Seq(
+      (1L, w.mkString(" ")),
+      (2L, w.slice(0, 12).mkString(" ")),
+      (3L, w.slice(8, 20).mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.spanMaskRangesOf(
+        TextOps.posShinglesOf(TextOps.withWords(TextOps.normalize(docs))))
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(got == Seq(
+      (1L, 0L, 19L, 20L),
+      (2L, 0L, 11L, 12L),
+      (3L, 0L, 11L, 12L)))
+  }
+
+  test("mask ranges on real docs: in-bounds, disjoint, and masked volume " +
+       "never exceeds the double-counting span rollup (sf0.001)") {
+    val d = "/root/testdata/sf0.001"
+    val ranges = Dedup.spanMaskRanges(spark, d)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(ranges.nonEmpty)
+    // in-bounds vs each doc's word count
+    val nWords = TextOps.withWords(
+        TextOps.normalize(graft.etl.Feeds.table(spark, d, "documents")))
+      .select($"doc_id", expr("size(words)").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    for ((doc, s, e, m) <- ranges) {
+      assert(s >= 0 && e < nWords(doc) && m == e - s + 1, s"doc $doc")
+    }
+    // per-doc ranges are sorted-disjoint (the merge's whole point)
+    ranges.groupBy(_._1).foreach { case (doc, rs) =>
+      val sorted = rs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Seq((_, _, e1, _), (_, s2, _, _)) =>
+          assert(s2 > e1, s"doc $doc: ranges overlap after merge")
+        case _ =>
+      }
+    }
+    // merged volume <= the span rollup's per-doc sum (which double
+    // counts words shared by two spans)
+    val rollup = Dedup.substringSpans(spark, d)
+      .select(explode(array(
+          struct($"doc_a".as("doc_id"), $"sum_span_words"),
+          struct($"doc_b".as("doc_id"), $"sum_span_words"))).as("s"))
+      .select("s.*").groupBy("doc_id")
+      .agg(sum("sum_span_words").as("v"))
+      .as[(Long, Long)].collect().toMap
+    ranges.groupBy(_._1).foreach { case (doc, rs) =>
+      assert(rs.map(_._4).sum <= rollup(doc), s"doc $doc")
+    }
+  }
+
   test("debt ledger on real docs: invariants hold at sf0.001") {
     val rows = Dedup.substringIngestDebt(spark, "/root/testdata/sf0.001")
       .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
