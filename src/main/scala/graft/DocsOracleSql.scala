@@ -633,6 +633,18 @@ span_mask_ranges AS (
           SELECT doc_b, start_a - diag, start_a - diag + run_len + 1
           FROM span_runs_pos) u0) u) x) y
   GROUP BY doc_id, grp),
+mask_savings_by_source AS (
+  SELECT d.source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(p.masked) AS BIGINT) AS n_quote_docs,
+         CAST(sum(len(d.words)) AS BIGINT) AS total_words,
+         CAST(coalesce(sum(p.masked), 0) AS BIGINT) AS masked_words,
+         CAST(coalesce(sum(p.masked), 0) * 1000000
+              // sum(len(d.words)) AS BIGINT) AS masked_ppm
+  FROM docs_words d
+  LEFT JOIN (SELECT doc_id, CAST(sum(masked_words) AS BIGINT) AS masked
+             FROM span_mask_ranges GROUP BY 1) p USING (doc_id)
+  GROUP BY 1),
 substring_ingest_debt AS (
   SELECT CAST(batch AS BIGINT) AS batch,
          CAST(sum(occ_b) AS BIGINT) AS n_pos,

@@ -220,6 +220,9 @@ object SparkEntry {
     // the tier's APPLY step: per-doc merged word ranges covered by
     // duplicated spans — what a training pipeline masks, overlap-free
     "q_span_mask_ranges" -> ((s, d) => ops.Dedup.spanMaskRanges(s, d)),
+    // per-source maskable volume (overlap-free ppm) — curation sizing
+    "q_mask_savings_by_source" ->
+      ((s, d) => ops.Dedup.maskSavingsBySource(s, d)),
     // cross-tier pair overlap: guarded minhash vs substring-span pairs
     "q_dedup_tier_overlap" -> ((s, d) => ops.Dedup.dedupTierOverlap(s, d)),
     // v3 admission: v2 plus the substring-tier quote-heavy gate
@@ -625,5 +628,6 @@ object SparkEntry {
     * committed CORRECTNESS_multi.json (VerifyMultiSpec pins it); reset to
     * the new additions at the start of each round. */
   def newThisRound: Set[String] =
-    Set("q_substring_ingest_debt", "q_span_mask_ranges")
+    Set("q_substring_ingest_debt", "q_span_mask_ranges",
+        "q_mask_savings_by_source")
 }

@@ -1748,6 +1748,35 @@ object Dedup {
   def spanMaskRanges(spark: SparkSession, dir: String): DataFrame =
     maskRangesFromRuns(substringRunsCached(spark, dir))
 
+  /** Per-SOURCE mask-savings rollup over [[spanMaskRangesOf]] — the
+    * curation sizing readout: how many words per source the span tier
+    * would mask (overlap-free, so the ppm is a true volume fraction,
+    * unlike the double-counting span rollup). One row per source:
+    * docs, quote-carrying docs, total words, maskable words, masked ppm.
+    * Scale shape: the range list folds per doc (range-list-sized), then
+    * a left join onto the doc grain and one partial-agg groupBy on the
+    * low-cardinality source key. */
+  def maskSavingsBySourceOf(docsWords: DataFrame,
+                            ranges: DataFrame): DataFrame = {
+    val perDoc = ranges.groupBy("doc_id")
+      .agg(sum("masked_words").as("masked"))
+    docsWords
+      .select(col("doc_id"), col("source"),
+              expr("CAST(size(words) AS BIGINT)").as("n_words"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           count(col("masked")).as("n_quote_docs"),
+           sum("n_words").as("total_words"),
+           coalesce(sum("masked"), lit(0L)).as("masked_words"))
+      .withColumn("masked_ppm",
+                  expr("masked_words * 1000000L div total_words"))
+  }
+
+  def maskSavingsBySource(spark: SparkSession, dir: String): DataFrame =
+    maskSavingsBySourceOf(TextOps.docsWords(spark, dir),
+      maskRangesFromRuns(substringRunsCached(spark, dir)))
+
   /** Cross-TIER pair overlap census: the guarded minhash near-dup pairs
     * against the substring-span quote pairs, ONE row — how much of the
     * quote tier the whole-doc tier already catches (n_both vs

@@ -116,6 +116,24 @@ class Round17OpsSpec extends SparkSpec {
     }
   }
 
+  test("mask savings by source: totals reconcile with the range list " +
+       "and the doc grain (sf0.001)") {
+    val d = "/root/testdata/sf0.001"
+    val rows = Dedup.maskSavingsBySource(spark, d)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    val ranges = Dedup.spanMaskRanges(spark, d)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // masked volume reconciles exactly across the two grains
+    assert(rows.map(_._5).sum == ranges.map(_._4).sum)
+    val docs = graft.etl.Feeds.table(spark, d, "documents")
+    assert(rows.map(_._2).sum == docs.count())
+    for ((src, nDocs, nQuote, total, masked, ppm) <- rows) {
+      assert(nQuote <= nDocs && masked <= total, src)
+      assert(ppm == masked * 1000000L / total, src)
+    }
+  }
+
   test("debt ledger on real docs: invariants hold at sf0.001") {
     val rows = Dedup.substringIngestDebt(spark, "/root/testdata/sf0.001")
       .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
