@@ -633,6 +633,9 @@ span_mask_ranges AS (
           SELECT doc_b, start_a - diag, start_a - diag + run_len + 1
           FROM span_runs_pos) u0) u) x) y
   GROUP BY doc_id, grp),
+span_mask_ranges_inc AS (
+  SELECT r.doc_id, r.start_w, r.end_w, r.masked_words
+  FROM span_mask_ranges r, inc_cut WHERE r.doc_id > cutoff),
 mask_savings_by_source AS (
   SELECT d.source,
          CAST(count(*) AS BIGINT) AS n_docs,

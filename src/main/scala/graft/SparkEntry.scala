@@ -223,6 +223,10 @@ object SparkEntry {
     // per-source maskable volume (overlap-free ppm) — curation sizing
     "q_mask_savings_by_source" ->
       ((s, d) => ops.Dedup.maskSavingsBySource(s, d)),
+    // ingest-time masking: new-batch docs' ranges off the incremental
+    // match grain (== the rebuild's ranges restricted to batch docs)
+    "q_span_mask_ranges_inc" ->
+      ((s, d) => ops.Dedup.spanMaskRangesInc(s, d)),
     // cross-tier pair overlap: guarded minhash vs substring-span pairs
     "q_dedup_tier_overlap" -> ((s, d) => ops.Dedup.dedupTierOverlap(s, d)),
     // v3 admission: v2 plus the substring-tier quote-heavy gate
@@ -629,5 +633,5 @@ object SparkEntry {
     * the new additions at the start of each round. */
   def newThisRound: Set[String] =
     Set("q_substring_ingest_debt", "q_span_mask_ranges",
-        "q_mask_savings_by_source")
+        "q_mask_savings_by_source", "q_span_mask_ranges_inc")
 }

@@ -1713,21 +1713,23 @@ object Dedup {
                        maxOcc: Int = 64): DataFrame =
     maskRangesFromRuns(substringRunsOf(posShingles, minRun, maxOcc))
 
-  private def maskRangesFromRuns(runs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // DISTINCT before the merge scan: two pairs can contribute the same
-    // (doc, s, e) range, and exact-duplicate rows make the (s, e) sort
-    // non-total — the prev_max and grp windows are SEPARATE evaluations
-    // that may order tied peers differently, splitting one interval into
-    // two groups (caught by the sf0.001 oracle diff). Duplicates add
-    // nothing to an interval union; dropping them makes the order total.
-    val sides = runs
+  // DISTINCT before the merge scan: two pairs can contribute the same
+  // (doc, s, e) range, and exact-duplicate rows make the (s, e) sort
+  // non-total — the prev_max and grp windows are SEPARATE evaluations
+  // that may order tied peers differently, splitting one interval into
+  // two groups (caught by the sf0.001 oracle diff). Duplicates add
+  // nothing to an interval union; dropping them makes the order total.
+  private def sidesFromRuns(runs: DataFrame): DataFrame =
+    runs
       .select(col("doc_a").as("doc_id"), col("start_a").as("s"),
               (col("start_a") + col("run_len") + lit(1L)).as("e"))
       .unionAll(runs.select(col("doc_b").as("doc_id"),
         (col("start_a") - col("diag")).as("s"),
         (col("start_a") - col("diag") + col("run_len") + lit(1L)).as("e")))
       .distinct()
+
+  private def mergeSides(sides: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy("doc_id").orderBy("s", "e")
     sides
       .withColumn("prev_max", max("e").over(
@@ -1742,6 +1744,9 @@ object Dedup {
       .select(col("doc_id"), col("start_w"), col("end_w"),
               (col("end_w") - col("start_w") + lit(1L)).as("masked_words"))
   }
+
+  private def maskRangesFromRuns(runs: DataFrame): DataFrame =
+    mergeSides(sidesFromRuns(runs))
 
   /** Query form rides the same memoized run grain as the other four
     * substring-tier queries — the mask scan itself is range-list-sized. */
@@ -1776,6 +1781,41 @@ object Dedup {
   def maskSavingsBySource(spark: SparkSession, dir: String): DataFrame =
     maskSavingsBySourceOf(TextOps.docsWords(spark, dir),
       maskRangesFromRuns(substringRunsCached(spark, dir)))
+
+  /** INGEST-TIME masking: merged mask ranges of the NEW batch's docs
+    * only, off the incremental match grain — quote-mask arriving docs
+    * against the corpus before admission, without re-shingling the
+    * corpus. Equals the full rebuild's [[spanMaskRangesOf]] restricted
+    * to batch docs: every pair touching a batch doc has a batch side,
+    * so the restriction inherits the match grain's combined-cap ≡
+    * corpus-cap equivalence — and the oracle IS that restriction. Sides
+    * are filtered to batch docs BEFORE the merge scan (old-side ranges
+    * are the already-ingested docs' concern, handled at their own
+    * ingest). Inputs doc-disjoint (caller contract, as
+    * [[substringIncMatchesOf]]). */
+  def spanMaskRangesIncOf(index: DataFrame, census: DataFrame,
+                          newShingles: DataFrame, minRun: Int = 8,
+                          maxOcc: Int = 64): DataFrame = {
+    val runs = runsFromMatches(
+      substringIncMatchesOf(index, census, newShingles, maxOcc), minRun)
+    val newDocs = newShingles.select("doc_id").distinct()
+    mergeSides(sidesFromRuns(runs).join(newDocs, Seq("doc_id"), "left_semi"))
+  }
+
+  /** Query form: top decile of doc_ids plays the new batch (the
+    * [[dedupSubstringInc]] convention — broadcast 1-row cutoff). */
+  def spanMaskRangesInc(spark: SparkSession, dir: String): DataFrame = {
+    val ps = TextOps.posShingles(spark, dir)
+    val cut = graft.etl.Feeds.table(spark, dir, "documents")
+      .agg(expr("CAST(max(doc_id) * 9 DIV 10 AS BIGINT)").as("cutoff"))
+    val tagged = ps.crossJoin(broadcast(cut))
+    val idx = tagged.where(col("doc_id") <= col("cutoff"))
+      .select("doc_id", "pos", "sh")
+    val inc = tagged.where(col("doc_id") > col("cutoff"))
+      .select("doc_id", "pos", "sh")
+    val census = substringCensusOf(idx)
+    spanMaskRangesIncOf(substringIndexOf(idx, census), census, inc)
+  }
 
   /** Cross-TIER pair overlap census: the guarded minhash near-dup pairs
     * against the substring-span quote pairs, ONE row — how much of the

@@ -134,6 +134,22 @@ class Round17OpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental mask ranges equal the rebuild's restriction to " +
+       "batch docs (sf0.001)") {
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.etl.Feeds.table(spark, d, "documents")
+    val cutoff = docs.agg(expr("CAST(max(doc_id) * 9 DIV 10 AS BIGINT)"))
+      .as[Long].head()
+    val inc = Dedup.spanMaskRangesInc(spark, d)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(inc.nonEmpty && inc.forall(_._1 > cutoff),
+      "inc ranges must cover batch docs only")
+    val rebuild = Dedup.spanMaskRanges(spark, d)
+      .where($"doc_id" > cutoff)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(inc == rebuild)
+  }
+
   test("debt ledger on real docs: invariants hold at sf0.001") {
     val rows = Dedup.substringIngestDebt(spark, "/root/testdata/sf0.001")
       .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
