@@ -132,6 +132,14 @@ object SubstringIngest {
     val newPs = TextOps.posShinglesOf(
         TextOps.withWords(TextOps.normalize(docs)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try ingestBody(wh, st, newPs, batchId, maxOcc, sink, failpoint)
+    finally newPs.unpersist(false) // also on a mid-window crash
+  }
+
+  private def ingestBody(wh: Warehouse, st: State, newPs: DataFrame,
+                         batchId: Long, maxOcc: Int,
+                         sink: DataFrame => Unit,
+                         failpoint: String): Option[DataFrame] = {
     val newCensus = newPs.groupBy("sh").agg(count(lit(1)).as("occ_i"))
     val fresh = st.commits.isEmpty
     // empty-but-typed stand-ins keep the first batch on the same plan
@@ -144,9 +152,13 @@ object SubstringIngest {
       if (fresh) newCensus.where(lit(false))
       else committedRows(wh, st, "ss_census")
         .groupBy("sh").agg(sum("occ_i").as("occ_i"))
-    // eager localCheckpoint: the rollup must MATERIALIZE before the
-    // appends mutate the tables it reads — a lazily-cached plan could be
-    // evicted and recomputed against the post-append state
+    // eager localCheckpoint, still REQUIRED despite the manifest filter:
+    // uncommitted appends are invisible to a lazy re-evaluation (the
+    // semi-join drops the new attempt), but once commitState runs the
+    // manifest INCLUDES this batch — a caller evaluating the returned
+    // frame after that would see the batch's own shingles in the index
+    // and self-match. Materialize while the committed state is still the
+    // pre-batch one.
     val spans = Dedup.substringSpansIncOf(index, censusRead, newPs,
                                           maxOcc = maxOcc)
       .localCheckpoint(true)
@@ -159,7 +171,14 @@ object SubstringIngest {
     def stamp(df: DataFrame): DataFrame = df
       .withColumn("batch_id", lit(batchId))
       .withColumn("attempt", lit(attempt))
-    // post-batch combined count per batch shingle: prior sum + delta
+    // post-batch combined count per batch shingle: prior sum + delta.
+    // LAZY read-after-append safety: keep is evaluated during the index
+    // write, AFTER the census append — the scan does see the new census
+    // files, but their rows carry this batch's not-yet-committed attempt
+    // and the manifest semi-join (bound to the pre-batch `st`) drops
+    // them, so admissibility is computed against exactly the committed
+    // pre-batch census (the r16 eager-checkpoint hazard, closed
+    // structurally by the manifest filter).
     val keep = newCensus.select(col("sh"), col("occ_i").as("occ_n"))
       .join(censusRead, Seq("sh"), "left")
       .where(col("occ_n") + coalesce(col("occ_i"), lit(0L))
@@ -179,7 +198,6 @@ object SubstringIngest {
     failAt(failpoint, "after_index")
     // the ONE commit point: manifest swap (temp + atomic rename)
     commitState(wh, State(st.gen, st.commits :+ (batchId -> attempt)))
-    newPs.unpersist(false)
     Some(spans)
   }
 
