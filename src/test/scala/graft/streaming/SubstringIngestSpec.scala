@@ -207,6 +207,81 @@ class SubstringIngestSpec extends SparkSpec {
     assert(SubstringIngest.highWaterMark(wh) == 3L)
   }
 
+  test("compactEvery wiring: a drain that crosses the threshold folds " +
+       "state into a fresh generation and later results are unchanged") {
+    val docs = graft.etl.Feeds.table(spark, dir, "documents")
+    def batch(i: Int) = docs.where($"doc_id" % 4 === i)
+    def drive(compactEvery: Int): (graft.catalog.Warehouse, String) = {
+      val watch = java.nio.file.Files.createTempDirectory("graft_cw").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_cc").toString
+      val results = java.nio.file.Files.createTempDirectory("graft_cr").toString
+      val wh = freshWh()
+      for (i <- 0 to 3) {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_cd").toString
+        batch(i).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(watch, s"crawl_$i.parquet"))
+        SubstringIngest.runIngestAvailableNow(spark, dir, watch, ckpt, wh,
+          results, compactEvery = compactEvery)
+      }
+      (wh, results)
+    }
+    val (whC, resC) = drive(compactEvery = 2)
+    val (whN, resN) = drive(compactEvery = 0)
+    // the compacting drain folded at least once and kept ingesting
+    assert(SubstringIngest.state(whC).gen >= 1)
+    assert(SubstringIngest.state(whN).gen == 0)
+    assert(SubstringIngest.highWaterMark(whC) == 3L)
+    // every batch's results artifact identical across the two drains
+    for (b <- 1 to 3) {
+      val c = collectSpans(spark.read.parquet(s"$resC/batch_id=$b"))
+      val n = collectSpans(spark.read.parquet(s"$resN/batch_id=$b"))
+      assert(c == n, s"batch $b diverged under compaction")
+    }
+    // and the final committed state agrees
+    assert(SubstringIngest.committedCensus(whC)
+      .agg(org.apache.spark.sql.functions.sum("occ_i")).as[Long].head() ==
+      SubstringIngest.committedCensus(whN)
+        .agg(org.apache.spark.sql.functions.sum("occ_i")).as[Long].head())
+  }
+
+  test("crash soak: a seeded random failpoint before every batch's " +
+       "commit, replayed, converges to the clean run at every step") {
+    val docs = graft.etl.Feeds.table(spark, dir, "documents")
+    def batch(i: Int) = docs.where($"doc_id" % 5 === i)
+    val whClean = freshWh()
+    val cleanSpans = (0 to 4).map { i =>
+      collectSpans(SubstringIngest.ingestBatch(whClean, batch(i),
+        batchId = i.toLong).get)
+    }
+    val points = Seq("after_results", "after_census", "after_index")
+    val rnd = new scala.util.Random(17) // seeded: deterministic replay
+    val wh = freshWh()
+    for (i <- 0 to 4) {
+      intercept[IllegalStateException] {
+        SubstringIngest.ingestBatch(wh, batch(i), batchId = i.toLong,
+          failpoint = points(rnd.nextInt(points.size)))
+      }
+      val replayed = collectSpans(
+        SubstringIngest.ingestBatch(wh, batch(i), batchId = i.toLong).get)
+      assert(replayed == cleanSpans(i), s"batch $i diverged after crash")
+    }
+    assert(SubstringIngest.committedIndex(wh).count() ==
+      SubstringIngest.committedIndex(whClean).count())
+    assert(SubstringIngest.committedCensus(wh)
+      .agg(org.apache.spark.sql.functions.sum("occ_i")).as[Long].head() ==
+      SubstringIngest.committedCensus(whClean)
+        .agg(org.apache.spark.sql.functions.sum("occ_i")).as[Long].head())
+    // every batch crashed once, so every table carries exactly one
+    // orphan attempt per batch — compaction drops them all
+    SubstringIngest.compactState(wh)
+    assert(SubstringIngest.committedIndex(wh).count() ==
+      wh.readTable(SubstringIngest.Db,
+        SubstringIngest.tableName("ss_index", 1)).count())
+  }
+
   test("committed reads stay co-located: the manifest semi-join is a " +
        "broadcast and the check's index side never shuffles") {
     val wh = freshWh()
