@@ -633,6 +633,34 @@ span_mask_ranges AS (
           SELECT doc_b, start_a - diag, start_a - diag + run_len + 1
           FROM span_runs_pos) u0) u) x) y
   GROUP BY doc_id, grp),
+mh_pairs_batched AS (
+  SELECT CASE WHEN doc_a <= m.mx // 3 THEN 0
+              WHEN doc_a <= (2 * m.mx) // 3 THEN 1 ELSE 2 END AS ba,
+         CASE WHEN doc_b <= m.mx // 3 THEN 0
+              WHEN doc_b <= (2 * m.mx) // 3 THEN 1 ELSE 2 END AS bb,
+         doc_a, doc_b
+  FROM minhash_pairs_guarded, (SELECT max(doc_id) AS mx FROM docs) m),
+docs_batched AS (
+  SELECT CASE WHEN doc_id <= m.mx // 3 THEN 0
+              WHEN doc_id <= (2 * m.mx) // 3 THEN 1 ELSE 2 END AS batch
+  FROM docs, (SELECT max(doc_id) AS mx FROM docs) m),
+dup_rate_by_batch AS (
+  SELECT CAST(b.batch AS BIGINT) AS batch,
+         CAST(b.n_docs AS BIGINT) AS n_docs,
+         CAST(coalesce(pr.n, 0) AS BIGINT) AS n_dup_prior,
+         CAST(coalesce(ii.n, 0) AS BIGINT) AS n_dup_intra,
+         CAST(coalesce(pr.n, 0) * 1000000 // b.n_docs AS BIGINT)
+           AS dup_prior_ppm
+  FROM (SELECT batch, count(*) AS n_docs FROM docs_batched GROUP BY 1) b
+  LEFT JOIN (SELECT bb AS batch, count(DISTINCT doc_b) AS n
+             FROM mh_pairs_batched WHERE ba < bb GROUP BY 1) pr
+    USING (batch)
+  LEFT JOIN (SELECT batch, count(DISTINCT d) AS n FROM (
+               SELECT ba AS batch, doc_a AS d FROM mh_pairs_batched
+               WHERE ba = bb
+               UNION ALL
+               SELECT bb, doc_b FROM mh_pairs_batched WHERE ba = bb) z
+             GROUP BY 1) ii USING (batch)),
 span_mask_ranges_inc AS (
   SELECT r.doc_id, r.start_w, r.end_w, r.masked_words
   FROM span_mask_ranges r, inc_cut WHERE r.doc_id > cutoff),

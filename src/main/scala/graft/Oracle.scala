@@ -795,6 +795,7 @@ cust_gini AS (
     "q_span_mask_ranges" -> fromDocs("span_mask_ranges"),
     "q_mask_savings_by_source" -> fromDocs("mask_savings_by_source"),
     "q_span_mask_ranges_inc" -> fromDocs("span_mask_ranges_inc"),
+    "q_dup_rate_by_batch" -> fromDocs("dup_rate_by_batch"),
     // v3 admission: v2 plus the substring-tier quote-heavy gate
     "q_corpus_curated_v3" -> fromDocs("corpus_curated_v3"),
     "q_passage_dup_ratio" -> fromDocs("passage_dup_ratio"),

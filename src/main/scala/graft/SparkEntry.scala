@@ -227,6 +227,9 @@ object SparkEntry {
     // match grain (== the rebuild's ranges restricted to batch docs)
     "q_span_mask_ranges_inc" ->
       ((s, d) => ops.Dedup.spanMaskRangesInc(s, d)),
+    // crawl-health trend: per replayed batch, docs near-duplicating an
+    // earlier batch (wasted crawl) vs within-batch dups
+    "q_dup_rate_by_batch" -> ((s, d) => ops.Dedup.dupRateByBatch(s, d)),
     // cross-tier pair overlap: guarded minhash vs substring-span pairs
     "q_dedup_tier_overlap" -> ((s, d) => ops.Dedup.dedupTierOverlap(s, d)),
     // v3 admission: v2 plus the substring-tier quote-heavy gate
@@ -633,5 +636,6 @@ object SparkEntry {
     * the new additions at the start of each round. */
   def newThisRound: Set[String] =
     Set("q_substring_ingest_debt", "q_span_mask_ranges",
-        "q_mask_savings_by_source", "q_span_mask_ranges_inc")
+        "q_mask_savings_by_source", "q_span_mask_ranges_inc",
+        "q_dup_rate_by_batch")
 }

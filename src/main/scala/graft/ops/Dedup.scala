@@ -1782,6 +1782,47 @@ object Dedup {
     maskSavingsBySourceOf(TextOps.docsWords(spark, dir),
       maskRangesFromRuns(substringRunsCached(spark, dir)))
 
+  /** Crawl-health TREND: the corpus replayed as three ascending
+    * doc_id-range batches (the ingest-debt grain), per batch the count
+    * of its docs that near-duplicate an EARLIER batch (the wasted-crawl
+    * signal a rising curve means re-crawling known content) and the
+    * count duplicating within the batch — over the guarded minhash pair
+    * grain, so the candidate volume is bucket-bounded. ppm on the
+    * prior-dup count: the number a crawl monitor alerts on.
+    * Scale shape: batch tags are arithmetic on a broadcast 1-row max
+    * (no join), then two partial-agg distinct-counts on the pair list
+    * and a 3-row assembly. */
+  def dupRateByBatch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.etl.Feeds.table(spark, dir, "documents")
+    val mx = docs.agg(max("doc_id").as("mx"))
+    def batchOf(c: String) =
+      when(col(c) <= expr("mx DIV 3"), lit(0L))
+        .when(col(c) <= expr("(2 * mx) DIV 3"), lit(1L))
+        .otherwise(lit(2L))
+    val p = minhashPairs(spark, dir).crossJoin(broadcast(mx))
+      .select(batchOf("doc_a").as("ba"), col("doc_a"),
+              batchOf("doc_b").as("bb"), col("doc_b"))
+    val prior = p.where(col("ba") < col("bb"))
+      .groupBy(col("bb").as("batch"))
+      .agg(countDistinct("doc_b").as("n_dup_prior"))
+    val intraPairs = p.where(col("ba") === col("bb"))
+    val intra = intraPairs
+      .select(col("ba").as("batch"), col("doc_a").as("d"))
+      .unionAll(intraPairs.select(col("bb").as("batch"),
+                                  col("doc_b").as("d")))
+      .groupBy("batch").agg(countDistinct("d").as("n_dup_intra"))
+    docs.crossJoin(broadcast(mx))
+      .select(batchOf("doc_id").as("batch"))
+      .groupBy("batch").agg(count(lit(1)).as("n_docs"))
+      .join(prior, Seq("batch"), "left")
+      .join(intra, Seq("batch"), "left")
+      .select(col("batch"), col("n_docs"),
+        coalesce(col("n_dup_prior"), lit(0L)).as("n_dup_prior"),
+        coalesce(col("n_dup_intra"), lit(0L)).as("n_dup_intra"))
+      .withColumn("dup_prior_ppm",
+                  expr("n_dup_prior * 1000000L div n_docs"))
+  }
+
   /** INGEST-TIME masking: merged mask ranges of the NEW batch's docs
     * only, off the incremental match grain — quote-mask arriving docs
     * against the corpus before admission, without re-shingling the

@@ -150,6 +150,32 @@ class Round17OpsSpec extends SparkSpec {
     assert(inc == rebuild)
   }
 
+  test("dup-rate-by-batch: batch 0 has no prior dups, counts bound by " +
+       "batch size, ppm math exact, and prior-dup docs reconcile with " +
+       "the guarded pair list (sf0.001)") {
+    val d = "/root/testdata/sf0.001"
+    val rows = Dedup.dupRateByBatch(spark, d)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(rows.map(_._1) == Seq(0L, 1L, 2L))
+    for ((b, nDocs, nPrior, nIntra, ppm) <- rows) {
+      assert(nPrior <= nDocs && nIntra <= nDocs, s"batch $b")
+      assert(ppm == nPrior * 1000000L / nDocs, s"batch $b")
+      if (b == 0L) assert(nPrior == 0L, "batch 0 cannot dup a prior batch")
+    }
+    // reconcile against the pair grain directly
+    val mx = graft.etl.Feeds.table(spark, d, "documents")
+      .agg(max("doc_id")).as[Long].head()
+    def batchOf(id: Long): Long =
+      if (id <= mx / 3) 0L else if (id <= 2 * mx / 3) 1L else 2L
+    val pairs = Dedup.minhashPairs(spark, d)
+      .as[(Long, Long)].collect().toSeq
+    val wantPrior = pairs.filter { case (a, b) => batchOf(a) < batchOf(b) }
+      .groupBy { case (_, b) => batchOf(b) }
+      .view.mapValues(_.map(_._2).distinct.size.toLong).toMap
+    for ((b, _, nPrior, _, _) <- rows)
+      assert(nPrior == wantPrior.getOrElse(b, 0L), s"batch $b prior count")
+  }
+
   test("debt ledger on real docs: invariants hold at sf0.001") {
     val rows = Dedup.substringIngestDebt(spark, "/root/testdata/sf0.001")
       .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
