@@ -699,6 +699,42 @@ substring_ingest_debt AS (
       FROM span_sh s, (SELECT max(doc_id) AS mx FROM docs) m
       GROUP BY 1, 2) b) c
   GROUP BY 1),
+corpus_curated_v4 AS (
+  SELECT c.doc_id, c.lang, c.quality, c.rep_ratio, c.n_dups, c.split,
+         CAST(len(d.words) AS BIGINT) AS n_words,
+         CAST(CASE WHEN q.doc_id IS NOT NULL
+                   THEN coalesce(p.masked, 0) ELSE 0 END AS BIGINT)
+           AS masked_words,
+         CAST(len(d.words)
+              - CASE WHEN q.doc_id IS NOT NULL
+                     THEN coalesce(p.masked, 0) ELSE 0 END AS BIGINT)
+           AS kept_words
+  FROM corpus_curated_v2 c
+  JOIN docs_words d USING (doc_id)
+  LEFT JOIN (SELECT doc_id FROM quote_heavy_docs
+             WHERE dup_ppm > 250000) q USING (doc_id)
+  LEFT JOIN (SELECT doc_id, CAST(sum(masked_words) AS BIGINT) AS masked
+             FROM span_mask_ranges GROUP BY 1) p USING (doc_id)),
+mask_vs_drop_yield AS (
+  SELECT v4.source,
+         CAST(coalesce(v3.v3_docs, 0) AS BIGINT) AS v3_docs,
+         CAST(v4.v4_docs AS BIGINT) AS v4_docs,
+         CAST(v4.v4_docs - coalesce(v3.v3_docs, 0) AS BIGINT)
+           AS gained_docs,
+         CAST(coalesce(v3.v3_words, 0) AS BIGINT) AS v3_words,
+         CAST(v4.v4_words AS BIGINT) AS v4_words,
+         CAST(v4.v4_words - coalesce(v3.v3_words, 0) AS BIGINT)
+           AS gained_words,
+         CAST(CASE WHEN coalesce(v3.v3_words, 0) > 0
+              THEN (v4.v4_words - v3.v3_words) * 1000000 // v3.v3_words
+              END AS BIGINT) AS gain_ppm
+  FROM (SELECT d.source, count(*) AS v4_docs, sum(c.kept_words) AS v4_words
+        FROM corpus_curated_v4 c JOIN docs_words d USING (doc_id)
+        GROUP BY 1) v4
+  LEFT JOIN (SELECT d.source, count(*) AS v3_docs,
+                    sum(len(d.words)) AS v3_words
+             FROM corpus_curated_v3 c JOIN docs_words d USING (doc_id)
+             GROUP BY 1) v3 USING (source)),
 tier_overlap AS (
   SELECT CAST(sum(CASE WHEN has_m THEN 1 ELSE 0 END) AS BIGINT)
            AS n_minhash,

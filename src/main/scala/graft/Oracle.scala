@@ -798,6 +798,11 @@ cust_gini AS (
     "q_dup_rate_by_batch" -> fromDocs("dup_rate_by_batch"),
     // v3 admission: v2 plus the substring-tier quote-heavy gate
     "q_corpus_curated_v3" -> fromDocs("corpus_curated_v3"),
+    // v4 admission: mask instead of drop (quote-heavy docs kept, span
+    // ranges excised from the token count)
+    "q_corpus_curated_v4" -> fromDocs("corpus_curated_v4"),
+    // per-source v4-vs-v3 token yield (the apply step's justification)
+    "q_mask_vs_drop_yield" -> fromDocs("mask_vs_drop_yield"),
     "q_passage_dup_ratio" -> fromDocs("passage_dup_ratio"),
     "q_pq_codes"          -> fromDocs("pq_codes"),
     "q_pq_adc_topk"       -> fromDocs("pq_adc_topk"),

@@ -234,6 +234,12 @@ object SparkEntry {
     "q_dedup_tier_overlap" -> ((s, d) => ops.Dedup.dedupTierOverlap(s, d)),
     // v3 admission: v2 plus the substring-tier quote-heavy gate
     "q_corpus_curated_v3" -> ((s, d) => ops.Corpus.curatedV3(s, d)),
+    // v4 admission: mask instead of drop — quote-heavy docs kept with
+    // their duplicated-span ranges excised from the token count
+    "q_corpus_curated_v4" -> ((s, d) => ops.Corpus.curatedV4(s, d)),
+    // per-source tokens retained v4 (mask) vs v3 (drop) — the yield
+    // readout that justifies the span tier's apply step
+    "q_mask_vs_drop_yield" -> ((s, d) => ops.Corpus.maskVsDropYield(s, d)),
     "q_passage_dup_ratio" -> ((s, d) => ops.TextOps.passageDupRatio(s, d)),
     // product quantization: per-subspace encode + ADC table-lookup top-k,
     // and the IVF-PQ composition (cell-blocked candidates, ADC scoring)
@@ -635,7 +641,5 @@ object SparkEntry {
     * committed CORRECTNESS_multi.json (VerifyMultiSpec pins it); reset to
     * the new additions at the start of each round. */
   def newThisRound: Set[String] =
-    Set("q_substring_ingest_debt", "q_span_mask_ranges",
-        "q_mask_savings_by_source", "q_span_mask_ranges_inc",
-        "q_dup_rate_by_batch")
+    Set("q_corpus_curated_v4", "q_mask_vs_drop_yield")
 }

@@ -26,6 +26,10 @@ class Warehouse(spark: SparkSession, root: String) {
     * substring-ingest high-water mark, lives under it). */
   def rootDir: String = root
 
+  /** The owning session — for callers (the streaming ingest) that need
+    * typed empty stand-ins before any table of theirs exists. */
+  private[graft] def session: SparkSession = spark
+
   private def path(db: String, table: String) = s"$root/$db/$table"
 
   /** Catalog identifier of a bucketed table. Bucketing metadata needs a
@@ -212,7 +216,10 @@ class Warehouse(spark: SparkSession, root: String) {
     * [[writeSmallFileAtomic]]'s swap. Hadoop FileSystem, same handle as
     * the table paths — a java.io.File read would be always-missing on
     * HDFS/object-store roots and silently reset the manifest (r16
-    * advice: the hwm file had exactly that defect). */
+    * advice: the hwm file had exactly that defect). Shares
+    * [[writeSmallFileAtomic]]'s SINGLE-WRITER contract: the `.__bak` heal
+    * must never race a live swap, so only the writing process may call
+    * this, between (not during) its own writes. */
   def readSmallFile(pathStr: String): Option[String] = {
     val live = hPath(pathStr)
     val fs = fsOf(live)
@@ -236,7 +243,16 @@ class Warehouse(spark: SparkSession, root: String) {
     * live rename is the single commit point: a crash mid-sequence leaves
     * either the old content (possibly parked under `.__bak`, healed by
     * [[readSmallFile]]) or the new, never a torn in-place write (the r16
-    * verdict's truncating-hwm defect). */
+    * verdict's truncating-hwm defect).
+    *
+    * SINGLE-WRITER contract: exactly one process may write a given path,
+    * and concurrent [[readSmallFile]] calls must come from that same
+    * process's threads only AFTER the write returns (the streamed ingest
+    * satisfies both — one driver, reads and writes serialized per batch).
+    * A foreign reader racing the swap could heal `.__bak` back to live
+    * between the two renames and defeat the tmp → live commit; that race
+    * is outside this contract, and the recovery below reports rather than
+    * assumes its own success. */
   def writeSmallFileAtomic(pathStr: String, content: String): Unit = {
     val live = hPath(pathStr)
     val fs = fsOf(live)
@@ -250,9 +266,16 @@ class Warehouse(spark: SparkSession, root: String) {
     val had = fs.exists(live)
     if (had) renameOrThrow(fs, live, bak)
     if (!fs.rename(tmp, live)) {
-      if (had) fs.rename(bak, live)
+      // recovery is itself a rename that can fail (e.g. something already
+      // re-created live) — report what actually happened, don't claim
+      // "restored" unconditionally (r17 advice)
+      val restored = had && fs.rename(bak, live)
+      val state =
+        if (restored) "original restored"
+        else if (had) "RECOVERY RENAME ALSO FAILED; original at " + bak
+        else "no prior content existed"
       throw new java.io.IOException(
-        s"atomic write: rename $tmp -> $live failed; original restored")
+        s"atomic write: rename $tmp -> $live failed; $state")
     }
     fs.delete(bak, true)
   }

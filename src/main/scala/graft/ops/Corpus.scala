@@ -101,6 +101,83 @@ object Corpus {
   def curatedV3(spark: SparkSession, dir: String): DataFrame =
     curatedV3Of(curatedV2(spark, dir), Dedup.quoteHeavyDocs(spark, dir))
 
+  /** v4 admission — MASK instead of DROP at the quote gate: the docs v3
+    * rejects wholesale (dup_ppm over [[quotePpmCeiling]]) are KEPT with
+    * their duplicated-span word ranges ([[Dedup.spanMaskRangesOf]])
+    * excised from the token count; docs under the ceiling keep all their
+    * words in both versions, so the v3→v4 delta is purely the
+    * drop-vs-mask decision. One row per admitted doc: the v2 admission
+    * columns plus `n_words` (pre-mask), `masked_words` (0 unless
+    * quote-heavy) and `kept_words` = n_words − masked_words — the count
+    * a tokenizer sees after the apply step runs.
+    *
+    * Scale shape: the mask ranges fold per doc (range-list-sized), then
+    * doc_id hash equi-joins onto the v2 grain — no new corpus-wide
+    * shuffle beyond the joins v3 already pays; rides the same memoized
+    * run grain as the other substring-tier queries. */
+  def curatedV4Of(curatedV2: DataFrame, quoteHeavy: DataFrame,
+                  maskRanges: DataFrame, docsWords: DataFrame): DataFrame = {
+    val heavy = quoteHeavy.where(col("dup_ppm") > quotePpmCeiling)
+      .select(col("doc_id"), lit(true).as("is_heavy"))
+    val masked = maskRanges.groupBy("doc_id")
+      .agg(sum("masked_words").as("masked"))
+    curatedV2
+      .join(docsWords.select(col("doc_id"),
+              expr("CAST(size(words) AS BIGINT)").as("n_words")), "doc_id")
+      .join(heavy, Seq("doc_id"), "left")
+      .join(masked, Seq("doc_id"), "left")
+      .withColumn("masked_words",
+        when(col("is_heavy"), coalesce(col("masked"), lit(0L)))
+          .otherwise(lit(0L)))
+      .select(col("doc_id"), col("lang"), col("quality"), col("rep_ratio"),
+              col("n_dups"), col("split"), col("n_words"),
+              col("masked_words"),
+              (col("n_words") - col("masked_words")).as("kept_words"))
+  }
+
+  def curatedV4(spark: SparkSession, dir: String): DataFrame =
+    curatedV4Of(curatedV2(spark, dir), Dedup.quoteHeavyDocs(spark, dir),
+                Dedup.spanMaskRanges(spark, dir),
+                TextOps.docsWords(spark, dir))
+
+  /** The number that justifies the span tier's apply step: per source,
+    * tokens retained under v4 (mask) vs v3 (drop) — v4 ⊇ v3 by
+    * construction, so `gained_docs`/`gained_words` are the quote-heavy
+    * docs' unmasked remainders that the drop policy throws away, and
+    * `gain_ppm` states them as a fraction of the v3 corpus. Scale shape:
+    * two partial-agg groupBys on the low-cardinality source key over
+    * frames the curation queries already build, joined source-to-source
+    * (dimension-sized). */
+  def maskVsDropYieldOf(curatedV3: DataFrame, curatedV4: DataFrame,
+                        docsWords: DataFrame): DataFrame = {
+    val src = docsWords.select(col("doc_id"), col("source"),
+      expr("CAST(size(words) AS BIGINT)").as("n_words"))
+    val v3 = curatedV3.select("doc_id").join(src, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("v3_docs"), sum("n_words").as("v3_words"))
+    val v4 = curatedV4.select("doc_id", "kept_words")
+      .join(src.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("v4_docs"), sum("kept_words").as("v4_words"))
+    v4.join(v3, Seq("source"), "left")
+      .select(col("source"), col("v4_docs"),
+              coalesce(col("v3_docs"), lit(0L)).as("v3_docs"),
+              col("v4_words"),
+              coalesce(col("v3_words"), lit(0L)).as("v3_words"))
+      .withColumn("gained_docs", col("v4_docs") - col("v3_docs"))
+      .withColumn("gained_words", col("v4_words") - col("v3_words"))
+      .withColumn("gain_ppm",
+        when(col("v3_words") > 0,
+             expr("gained_words * 1000000L div v3_words"))
+          .otherwise(lit(null).cast("long")))
+      .select("source", "v3_docs", "v4_docs", "gained_docs", "v3_words",
+              "v4_words", "gained_words", "gain_ppm")
+  }
+
+  def maskVsDropYield(spark: SparkSession, dir: String): DataFrame =
+    maskVsDropYieldOf(curatedV3(spark, dir), curatedV4(spark, dir),
+                      TextOps.docsWords(spark, dir))
+
   /** The CORPUS CARD — the per-(lang, source) summary every dataset
     * release ships (doc/token/char counts, mean quality, PII incidence,
     * mean repetition): one hash-join chain on doc_id over the per-doc

@@ -1416,7 +1416,7 @@ object Dedup {
       { case (s, d) => substringRunsOf(TextOps.posShingles(s, d), 8, 64)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) })
 
-  private def spansFromRuns(runs: DataFrame): DataFrame =
+  private[graft] def spansFromRuns(runs: DataFrame): DataFrame =
     runs
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_spans"),
@@ -1601,6 +1601,19 @@ object Dedup {
         .otherwise(col("pos_o") - col("pos_n")).as("diag"))
   }
 
+  /** The incremental RUN grain — islands-coalesced spans of every pair
+    * touching the increment, the shared upstream of the per-pair rollup
+    * ([[substringSpansIncOf]]) and the ingest-time mask ranges
+    * ([[spanMaskRangesIncOf]]). Exposed at `graft` scope so the streamed
+    * ingest can persist ONE run grain and derive both of its per-batch
+    * artifacts from it instead of rebuilding the match join twice. */
+  private[graft] def substringIncRunsOf(index: DataFrame, census: DataFrame,
+                                        newShingles: DataFrame,
+                                        minRun: Int = 8,
+                                        maxOcc: Int = 64): DataFrame =
+    runsFromMatches(
+      substringIncMatchesOf(index, census, newShingles, maxOcc), minRun)
+
   /** Incremental [[substringSpansOf]]: per-pair span rollup of every pair
     * touching the increment, off the incremental match grain (same
     * islands window and rollup as the rebuild — restriction-equivalence
@@ -1608,8 +1621,8 @@ object Dedup {
   def substringSpansIncOf(index: DataFrame, census: DataFrame,
                           newShingles: DataFrame, minRun: Int = 8,
                           maxOcc: Int = 64): DataFrame =
-    spansFromRuns(runsFromMatches(
-      substringIncMatchesOf(index, census, newShingles, maxOcc), minRun))
+    spansFromRuns(substringIncRunsOf(index, census, newShingles, minRun,
+                                     maxOcc))
 
   /** Query form: the top decile of doc_ids plays the "new batch" (the
     * minhash tier's [[minhashPairsIncremental]] treatment — deterministic
@@ -1836,12 +1849,17 @@ object Dedup {
     * [[substringIncMatchesOf]]). */
   def spanMaskRangesIncOf(index: DataFrame, census: DataFrame,
                           newShingles: DataFrame, minRun: Int = 8,
-                          maxOcc: Int = 64): DataFrame = {
-    val runs = runsFromMatches(
-      substringIncMatchesOf(index, census, newShingles, maxOcc), minRun)
-    val newDocs = newShingles.select("doc_id").distinct()
+                          maxOcc: Int = 64): DataFrame =
+    maskRangesIncFromRuns(
+      substringIncRunsOf(index, census, newShingles, minRun, maxOcc),
+      newShingles.select("doc_id").distinct())
+
+  /** Mask ranges restricted to `newDocs` off an already-built incremental
+    * run grain — the streamed ingest's entry point (it persists the runs
+    * and derives spans + masks from the one evaluation). */
+  private[graft] def maskRangesIncFromRuns(runs: DataFrame,
+                                           newDocs: DataFrame): DataFrame =
     mergeSides(sidesFromRuns(runs).join(newDocs, Seq("doc_id"), "left_semi"))
-  }
 
   /** Query form: top decile of doc_ids plays the new batch (the
     * [[dedupSubstringInc]] convention — broadcast 1-row cutoff). */

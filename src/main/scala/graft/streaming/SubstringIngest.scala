@@ -101,14 +101,38 @@ object SubstringIngest {
       .drop("batch_id", "attempt")
   }
 
-  /** Committed position index (doc_id, pos, sh) — the serving read. */
-  def committedIndex(wh: Warehouse): DataFrame =
-    committedRows(wh, state(wh), "ss_index")
+  // typed empty stand-ins for the pre-first-commit warehouse, where the
+  // physical tables need not exist (r17 advice: the serving reads threw
+  // table-not-found while ingestBody guarded — same schemas as the
+  // stamped tables minus the stamp, i.e. what committedRows projects)
+  private def emptyIndex(wh: Warehouse): DataFrame =
+    wh.session.createDataFrame(
+      wh.session.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, pos BIGINT, sh STRING"))
 
-  /** Committed census summed to (sh, occ_i) — the serving read. */
-  def committedCensus(wh: Warehouse): DataFrame =
-    committedRows(wh, state(wh), "ss_census")
+  private def emptyCensus(wh: Warehouse): DataFrame =
+    wh.session.createDataFrame(
+      wh.session.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "sh STRING, occ_i BIGINT"))
+
+  /** Committed position index (doc_id, pos, sh) — the serving read.
+    * Empty (typed) before the first commit. */
+  def committedIndex(wh: Warehouse): DataFrame = {
+    val st = state(wh)
+    if (st.commits.isEmpty) emptyIndex(wh)
+    else committedRows(wh, st, "ss_index")
+  }
+
+  /** Committed census summed to (sh, occ_i) — the serving read.
+    * Empty (typed) before the first commit. */
+  def committedCensus(wh: Warehouse): DataFrame = {
+    val st = state(wh)
+    if (st.commits.isEmpty) emptyCensus(wh)
+    else committedRows(wh, st, "ss_census")
       .groupBy("sh").agg(sum("occ_i").as("occ_i"))
+  }
 
   /** Deterministic crash injection for the spec: throws after the named
     * step, simulating a driver loss mid-window. */
@@ -117,29 +141,47 @@ object SubstringIngest {
       throw new IllegalStateException(s"injected crash: $point")
 
   /** Check `docs` against the committed index, hand the span rollup to
-    * `sink` (durable BEFORE any state moves), then fold the batch's
-    * shingles in under a fresh attempt id and commit the manifest.
-    * Returns None for a batch at/under the high-water mark — a replay of
-    * a fully-committed batch, whose results artifact already exists and
-    * whose re-check would self-match against its own indexed shingles.
-    * The fresh result equals a batch rebuild over (indexed ∪ batch) docs
-    * restricted to pairs with a batch side (spec-asserted). */
+    * `sink` and the per-doc mask ranges to `maskSink` (both durable
+    * BEFORE any state moves), then fold the batch's shingles in under a
+    * fresh attempt id and commit the manifest. Returns None for a batch
+    * at/under the high-water mark — a replay of a fully-committed batch,
+    * whose results artifacts already exist and whose re-check would
+    * self-match against its own indexed shingles. The fresh span rollup
+    * equals a batch rebuild over (indexed ∪ batch) docs restricted to
+    * pairs with a batch side, and the mask ranges equal the rebuild's
+    * [[graft.ops.Dedup.spanMaskRangesOf]] restricted to batch docs
+    * (spec-asserted) — both derive from ONE persisted run grain, so the
+    * apply-step artifact costs a range-list-sized merge, not a second
+    * match join. `timer` (probe hook) receives per-phase wall seconds:
+    * "shingle" / "check" / "commit". */
   def ingestBatch(wh: Warehouse, docs: DataFrame, batchId: Long,
                   maxOcc: Int = 64, sink: DataFrame => Unit = _ => (),
-                  failpoint: String = ""): Option[DataFrame] = {
+                  maskSink: DataFrame => Unit = _ => (),
+                  failpoint: String = "",
+                  timer: (String, Double) => Unit = null): Option[DataFrame] = {
     val st = state(wh)
     if (batchId <= st.hwm) return None
+    val t0 = System.nanoTime()
     val newPs = TextOps.posShinglesOf(
         TextOps.withWords(TextOps.normalize(docs)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try ingestBody(wh, st, newPs, batchId, maxOcc, sink, failpoint)
+    // when phase-timing, force the shingle materialization boundary so
+    // "shingle" measures the scan+normalize+explode and "check" the joins
+    if (timer != null) {
+      newPs.count()
+      timer("shingle", (System.nanoTime() - t0) / 1e9)
+    }
+    try ingestBody(wh, st, newPs, batchId, maxOcc, sink, maskSink,
+                   failpoint, timer)
     finally newPs.unpersist(false) // also on a mid-window crash
   }
 
   private def ingestBody(wh: Warehouse, st: State, newPs: DataFrame,
                          batchId: Long, maxOcc: Int,
                          sink: DataFrame => Unit,
-                         failpoint: String): Option[DataFrame] = {
+                         maskSink: DataFrame => Unit,
+                         failpoint: String,
+                         timer: (String, Double) => Unit): Option[DataFrame] = {
     val newCensus = newPs.groupBy("sh").agg(count(lit(1)).as("occ_i"))
     val fresh = st.commits.isEmpty
     // empty-but-typed stand-ins keep the first batch on the same plan
@@ -152,6 +194,12 @@ object SubstringIngest {
       if (fresh) newCensus.where(lit(false))
       else committedRows(wh, st, "ss_census")
         .groupBy("sh").agg(sum("occ_i").as("occ_i"))
+    val tCheck = System.nanoTime()
+    // ONE run grain feeds both per-batch artifacts (span rollup + mask
+    // ranges) — persisted so the match join runs once, not per artifact
+    val runs = Dedup.substringIncRunsOf(index, censusRead, newPs,
+                                        maxOcc = maxOcc)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // eager localCheckpoint, still REQUIRED despite the manifest filter:
     // uncommitted appends are invisible to a lazy re-evaluation (the
     // semi-join drops the new attempt), but once commitState runs the
@@ -159,13 +207,18 @@ object SubstringIngest {
     // frame after that would see the batch's own shingles in the index
     // and self-match. Materialize while the committed state is still the
     // pre-batch one.
-    val spans = Dedup.substringSpansIncOf(index, censusRead, newPs,
-                                          maxOcc = maxOcc)
+    val spans = Dedup.spansFromRuns(runs).localCheckpoint(true)
+    val masks = Dedup.maskRangesIncFromRuns(runs,
+        newPs.select("doc_id").distinct())
       .localCheckpoint(true)
-    // results artifact FIRST: once the manifest moves past this batch a
+    runs.unpersist(false)
+    if (timer != null) timer("check", (System.nanoTime() - tCheck) / 1e9)
+    val tCommit = System.nanoTime()
+    // results artifacts FIRST: once the manifest moves past this batch a
     // replay skips entirely, so everything the batch produces must be
     // durable before the commit
     sink(spans)
+    maskSink(masks)
     failAt(failpoint, "after_results")
     val attempt = java.util.UUID.randomUUID().toString
     def stamp(df: DataFrame): DataFrame = df
@@ -198,6 +251,7 @@ object SubstringIngest {
     failAt(failpoint, "after_index")
     // the ONE commit point: manifest swap (temp + atomic rename)
     commitState(wh, State(st.gen, st.commits :+ (batchId -> attempt)))
+    if (timer != null) timer("commit", (System.nanoTime() - tCommit) / 1e9)
     Some(spans)
   }
 
@@ -216,7 +270,8 @@ object SubstringIngest {
     * Future-batch results are provably unchanged: every read is a pure
     * function of (summed census, live-position set), both of which the
     * fold preserves (spec-asserted on a post-compaction batch). */
-  def compactState(wh: Warehouse, maxOcc: Int = 64): Unit = {
+  def compactState(wh: Warehouse, maxOcc: Int = 64,
+                   sweepAll: Boolean = false): Unit = {
     val st = state(wh)
     if (st.commits.isEmpty) return
     val gen2 = st.gen + 1
@@ -237,21 +292,26 @@ object SubstringIngest {
                          "sh", 16)
     commitState(wh, State(gen2, Seq(st.hwm -> attempt)))
     census.unpersist(false)
-    // previous generations are garbage now — best-effort sweep (a crash
-    // here re-runs harmlessly on the next compaction)
-    for (g <- 0 until gen2; base <- Seq("ss_census", "ss_index"))
+    // the just-superseded generation is garbage now, plus one more back
+    // to absorb a crash that died between the previous compaction's
+    // commit and ITS sweep — older generations were swept long ago, so
+    // re-attempting all of 0..N every time is O(lifetime compactions) of
+    // pointless catalog checks (r17 advice). `sweepAll` is the recovery
+    // escape hatch after repeated crash-in-sweep incidents.
+    val floor = if (sweepAll) 0 else math.max(0, gen2 - 2)
+    for (g <- floor until gen2; base <- Seq("ss_census", "ss_index"))
       wh.dropTable(Db, tableName(base, g))
   }
 
   /** Drain every document file currently in `watchDir` through the
     * ingest cycle and stop (the [[IncrementStream]] AvailableNow shape:
     * re-invoking with the same checkpoint picks up only new files). Each
-    * batch's span rollup lands under `resultsDir` keyed by batch id,
-    * written BEFORE the batch commits — a replay of a committed batch
-    * leaves the artifact untouched. With `compactEvery` > 0 a drain that
-    * ends with at least that many committed batches folds the state into
-    * a fresh generation ([[compactState]]) — the nightly maintenance
-    * slot. */
+    * batch's span rollup lands under `resultsDir` keyed by batch id and
+    * its apply-step mask ranges under `resultsDir/masks`, both written
+    * BEFORE the batch commits — a replay of a committed batch leaves the
+    * artifacts untouched. With `compactEvery` > 0 a drain that ends with
+    * at least that many committed batches folds the state into a fresh
+    * generation ([[compactState]]) — the nightly maintenance slot. */
   def runIngestAvailableNow(spark: SparkSession, dir: String,
                             watchDir: String, checkpointDir: String,
                             wh: Warehouse, resultsDir: String,
@@ -260,8 +320,11 @@ object SubstringIngest {
     val q = spark.readStream.schema(schema).parquet(watchDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        ingestBatch(wh, batch, id, sink = spans =>
-          spans.write.mode("overwrite").parquet(s"$resultsDir/batch_id=$id"))
+        ingestBatch(wh, batch, id,
+          sink = spans => spans.write.mode("overwrite")
+            .parquet(s"$resultsDir/batch_id=$id"),
+          maskSink = masks => masks.write.mode("overwrite")
+            .parquet(s"$resultsDir/masks/batch_id=$id"))
         ()
       }
       .option("checkpointLocation", checkpointDir)

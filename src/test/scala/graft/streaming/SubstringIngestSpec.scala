@@ -25,6 +25,25 @@ class SubstringIngestSpec extends SparkSpec {
   private def collectSpans(df: DataFrame): Seq[(Long, Long, Long, Long, Long)] =
     df.as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
 
+  private def collectMasks(df: DataFrame): Seq[(Long, Long, Long, Long)] =
+    df.select("doc_id", "start_w", "end_w", "masked_words")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+
+  test("serving reads before the first commit: empty, typed, no throw " +
+       "(r17 advice: they used to fail on the missing tables)") {
+    val wh = freshWh()
+    assert(SubstringIngest.committedIndex(wh).count() == 0L)
+    assert(SubstringIngest.committedCensus(wh).count() == 0L)
+    assert(SubstringIngest.committedIndex(wh).columns.toSeq ==
+      Seq("doc_id", "pos", "sh"))
+    assert(SubstringIngest.committedCensus(wh).columns.toSeq ==
+      Seq("sh", "occ_i"))
+    // and they compose with a real check, same as the post-commit frames
+    val probe = graft.etl.Feeds.table(spark, dir, "documents").limit(5)
+    assert(Dedup.substringSpansIncOf(SubstringIngest.committedIndex(wh),
+      SubstringIngest.committedCensus(wh), ps(probe)).count() == 0L)
+  }
+
   test("streamed ingest: each batch's spans equal a fresh-index batch " +
        "check, which equals the rebuild restricted to the batch") {
     val watch = java.nio.file.Files.createTempDirectory("graft_ssw").toString
@@ -72,6 +91,17 @@ class SubstringIngestSpec extends SparkSpec {
       Dedup.substringSpansOf(ps(batch(0).unionAll(batch(1))))
         .where($"doc_b" > cuts(0)))
     assert(streamed1 == rebuild01)
+    // the APPLY-step artifact: batch 2's streamed mask ranges equal the
+    // incremental mask off a fresh index AND the full rebuild's ranges
+    // restricted to batch-2 docs (same restriction proof as the spans)
+    val streamedM = collectMasks(
+      spark.read.parquet(s"$results/masks/batch_id=2"))
+    val freshM = collectMasks(Dedup.spanMaskRangesIncOf(
+      Dedup.substringIndexOf(idxPs, census), census, ps(batch(2))))
+    assert(streamedM == freshM && streamedM.nonEmpty)
+    val rebuildM = collectMasks(
+      Dedup.spanMaskRangesOf(ps(docs)).where($"doc_id" > cuts(1)))
+    assert(streamedM == rebuildM)
   }
 
   test("foreachBatch replay of a COMMITTED batch: skipped entirely — no " +
@@ -82,18 +112,20 @@ class SubstringIngestSpec extends SparkSpec {
     val b1 = docs.where($"doc_id" % 2 === 1)
     assert(SubstringIngest.ingestBatch(wh, b0, batchId = 0L).isDefined)
     var sank = 0
+    var masksSank = 0
     val r1 = SubstringIngest.ingestBatch(wh, b1, batchId = 1L,
-      sink = _ => sank += 1)
-    assert(r1.isDefined && sank == 1)
+      sink = _ => sank += 1, maskSink = _ => masksSank += 1)
+    assert(r1.isDefined && sank == 1 && masksSank == 1)
     def state(): (Long, Long) = (
       SubstringIngest.committedCensus(wh).agg(sum("occ_i")).as[Long].head(),
       SubstringIngest.committedIndex(wh).count())
     val before = state()
     // crash-replay of batch 1: same docs, same id — already committed
     val replayed = SubstringIngest.ingestBatch(wh, b1, batchId = 1L,
-      sink = _ => sank += 1)
+      sink = _ => sank += 1, maskSink = _ => masksSank += 1)
     assert(replayed.isEmpty, "replay of a committed batch must be skipped")
     assert(sank == 1, "replay must not rewrite the results artifact")
+    assert(masksSank == 1, "replay must not rewrite the mask artifact")
     assert(state() == before, "replay mutated the index state")
   }
 
@@ -110,8 +142,10 @@ class SubstringIngestSpec extends SparkSpec {
     // the clean twin: no crashes
     val whClean = freshWh()
     SubstringIngest.ingestBatch(whClean, b0, batchId = 0L)
+    var masks1Clean: Seq[(Long, Long, Long, Long)] = Nil
     val spans1Clean = collectSpans(
-      SubstringIngest.ingestBatch(whClean, b1, batchId = 1L).get)
+      SubstringIngest.ingestBatch(whClean, b1, batchId = 1L,
+        maskSink = m => masks1Clean = collectMasks(m)).get)
     val cleanCensus = SubstringIngest.committedCensus(whClean)
       .agg(sum("occ_i")).as[Long].head()
     val cleanIndex = SubstringIngest.committedIndex(whClean).count()
@@ -132,8 +166,12 @@ class SubstringIngestSpec extends SparkSpec {
         .agg(sum("occ_i")).as[Long].head(),
         SubstringIngest.committedIndex(wh).count()) == post0, fp)
       // replay (same batch id, > hwm): re-runs, converges to clean state
-      val replayed = SubstringIngest.ingestBatch(wh, b1, batchId = 1L)
+      // (mask artifact included: rewritten identically by the replay)
+      var masksReplay: Seq[(Long, Long, Long, Long)] = Nil
+      val replayed = SubstringIngest.ingestBatch(wh, b1, batchId = 1L,
+        maskSink = m => masksReplay = collectMasks(m))
       assert(collectSpans(replayed.get) == spans1Clean, fp)
+      assert(masksReplay == masks1Clean && masks1Clean.nonEmpty, fp)
       assert(SubstringIngest.committedCensus(wh)
         .agg(sum("occ_i")).as[Long].head() == cleanCensus, fp)
       assert(SubstringIngest.committedIndex(wh).count() == cleanIndex, fp)
@@ -234,11 +272,15 @@ class SubstringIngestSpec extends SparkSpec {
     assert(SubstringIngest.state(whC).gen >= 1)
     assert(SubstringIngest.state(whN).gen == 0)
     assert(SubstringIngest.highWaterMark(whC) == 3L)
-    // every batch's results artifact identical across the two drains
+    // every batch's results artifacts (spans AND masks) identical across
+    // the two drains
     for (b <- 1 to 3) {
       val c = collectSpans(spark.read.parquet(s"$resC/batch_id=$b"))
       val n = collectSpans(spark.read.parquet(s"$resN/batch_id=$b"))
       assert(c == n, s"batch $b diverged under compaction")
+      val cm = collectMasks(spark.read.parquet(s"$resC/masks/batch_id=$b"))
+      val nm = collectMasks(spark.read.parquet(s"$resN/masks/batch_id=$b"))
+      assert(cm == nm, s"batch $b mask artifact diverged under compaction")
     }
     // and the final committed state agrees
     assert(SubstringIngest.committedCensus(whC)
@@ -280,6 +322,37 @@ class SubstringIngestSpec extends SparkSpec {
     assert(SubstringIngest.committedIndex(wh).count() ==
       wh.readTable(SubstringIngest.Db,
         SubstringIngest.tableName("ss_index", 1)).count())
+  }
+
+  test("compaction sweep is bounded: a long-dead generation is left " +
+       "alone in the normal path and reclaimed by sweepAll (r17 advice)") {
+    val docs = graft.etl.Feeds.table(spark, dir, "documents")
+    val wh = freshWh()
+    for (i <- 0 to 2) {
+      SubstringIngest.ingestBatch(wh, docs.where($"doc_id" % 3 === i),
+        batchId = i.toLong)
+      SubstringIngest.compactState(wh) // live gen climbs 1, 2, 3
+    }
+    assert(SubstringIngest.state(wh).gen == 3)
+    // plant a stand-in for a generation the normal sweep already handled
+    // long ago (e.g. files restored from a backup): gen 0 = bare name
+    wh.overwrite(SubstringIngest.Db, "ss_census",
+      Seq(("x", 1L)).toDF("sh", "occ_i"))
+    SubstringIngest.ingestBatch(wh, docs.where($"doc_id" % 5 === 0)
+      .withColumn("doc_id", $"doc_id" + 100000L), batchId = 3L)
+    SubstringIngest.compactState(wh) // gen 4: sweeps gens 2-3 only
+    assert(SubstringIngest.state(wh).gen == 4)
+    assert(wh.exists(SubstringIngest.Db, "ss_census"),
+      "normal-path sweep must not re-attempt long-dead generations")
+    assert(!wh.exists(SubstringIngest.Db,
+      SubstringIngest.tableName("ss_census", 3)),
+      "the just-superseded generation must be swept")
+    // the recovery escape hatch reclaims everything below the live gen
+    SubstringIngest.ingestBatch(wh, docs.where($"doc_id" % 5 === 1)
+      .withColumn("doc_id", $"doc_id" + 200000L), batchId = 4L)
+    SubstringIngest.compactState(wh, sweepAll = true)
+    assert(!wh.exists(SubstringIngest.Db, "ss_census"),
+      "sweepAll must reclaim the planted gen-0 leftover")
   }
 
   test("committed reads stay co-located: the manifest semi-join is a " +
