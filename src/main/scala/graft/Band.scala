@@ -63,6 +63,7 @@ object Band {
     s""""wh_total":${Bench.r2(scalar(json, "total", whIx))},""" +
     s""""daily_cycle_sec":${Bench.r2(scalar(json, "daily_cycle_sec", whIx))},""" +
     s""""ss_ingest_sec":${Bench.r2(scalar(json, "ss_ingest_sec", whIx))},""" +
+    s""""ss_compact_sec":${Bench.r2(scalar(json, "ss_compact_sec", whIx))},""" +
     s""""loadavg":[${Bench.r2(loadS)},${Bench.r2(loadE)}],""" +
     s""""warm_spread_gt5":${scalar(json, "warm_spread_gt5").toInt},""" +
     s""""suspect":${arrCount(json, "suspect")},""" +
@@ -94,7 +95,8 @@ object Band {
     s""""materialize_sec":${bandOf(series("materialize_sec", scoped = true))},""" +
     s""""wh_total":${bandOf(series("total", scoped = true))},""" +
     s""""daily_cycle_sec":${bandOf(series("daily_cycle_sec", scoped = true))},""" +
-    s""""ss_ingest_sec":${bandOf(series("ss_ingest_sec", scoped = true))}},""" +
+    s""""ss_ingest_sec":${bandOf(series("ss_ingest_sec", scoped = true))},""" +
+    s""""ss_compact_sec":${bandOf(series("ss_compact_sec", scoped = true))}},""" +
     s""""dataset_consistent":$consistent,""" +
     s""""dataset":${datasets.headOption.flatten.getOrElse("{}")}}"""
   }

@@ -257,6 +257,40 @@ object Bench {
     }
   }
 
+  /** The compaction grain (`w_ss_compact`): ingest the first two
+    * doc_id-range batches directly (untimed bootstrap), then time the
+    * serving check of the third batch against the UNCOMPACTED committed
+    * state, the compaction fold itself, and the same check against the
+    * compacted generation — the cost AND payoff of the nightly
+    * maintenance slot as three tracked numbers (the debt SIZE is already
+    * oracle-checked by q_substring_ingest_debt; this is the reclaim). */
+  private[graft] def ssCompactGrain(spark: SparkSession, sfDir: String,
+                                    root: String): (Double, Double, Double) = {
+    import org.apache.spark.sql.functions.{col, max}
+    import graft.streaming.SubstringIngest
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val n = docs.agg(max("doc_id")).head().getLong(0)
+    val wh = new Warehouse(spark, s"$root/wh")
+    SubstringIngest.ingestBatch(wh, docs.where(col("doc_id") <= n / 3), 0L)
+    SubstringIngest.ingestBatch(wh,
+      docs.where(col("doc_id") > n / 3 && col("doc_id") <= 2 * n / 3), 1L)
+    val probePs = graft.ops.TextOps.posShinglesOf(
+      graft.ops.TextOps.withWords(graft.ops.TextOps.normalize(
+        docs.where(col("doc_id") > 2 * n / 3))))
+    def check(): Double = {
+      val t0 = System.nanoTime()
+      graft.ops.Dedup.substringSpansIncOf(SubstringIngest.committedIndex(wh),
+        SubstringIngest.committedCensus(wh), probePs).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val pre = check()
+    val t0 = System.nanoTime()
+    SubstringIngest.compactState(wh)
+    val compact = (System.nanoTime() - t0) / 1e9
+    val post = check()
+    (pre, compact, post)
+  }
+
   /** Recursive local temp-dir cleanup (shared with ScaleProbe's warehouse
     * probe — both materialize a throwaway warehouse per run). */
   private[graft] def deleteRecursively(root: java.nio.file.Path): Unit = {
@@ -658,7 +692,7 @@ object Bench {
     val dcWeeks = Seq(("1997-03-01", "1997-03-07"),
                       ("1997-04-01", "1997-04-07"),
                       ("1997-05-01", "1997-05-07"))
-    val (matPasses, wSeries, dcPasses, ssPasses) =
+    val (matPasses, wSeries, dcPasses, ssPasses, sscPasses) =
       try {
         val mats = scala.collection.mutable.ArrayBuffer[Double]()
         var p = 1
@@ -727,14 +761,28 @@ object Bench {
             if (!ok) errors += s"warehouse:ss_ingest:p$pn"
             if (ok) sec else -1.0
           }
-          (mats.toSeq, s, dcs, sss)
-        } else (mats.toSeq, Nil, Seq(-1.0), Seq(-1.0))
+          // compaction grain (w_ss_compact): per pass, a fresh 2-batch
+          // state, then (pre-check, compact, post-check) — each pass owns
+          // its dirs like the cycle passes, the fold's timing is inside
+          // ssCompactGrain itself
+          val sscs = (1 to 3).map { pn =>
+            try ssCompactGrain(spark, sfDir, s"$whRoot/.ssc_p$pn")
+            catch { case scala.util.control.NonFatal(_) =>
+              errors += s"warehouse:ss_compact:p$pn"; (-1.0, -1.0, -1.0)
+            }
+          }
+          (mats.toSeq, s, dcs, sss, sscs)
+        } else (mats.toSeq, Nil, Seq(-1.0), Seq(-1.0),
+                Seq((-1.0, -1.0, -1.0)))
       } finally { // don't leak a full warehouse copy per bench run
         deleteRecursively(whRootPath)
       }
     val matSec = minOf(matPasses)
     val dailyCycleSec = minOf(dcPasses)
     val ssIngestSec = minOf(ssPasses)
+    val ssCompactSec = minOf(sscPasses.map(_._2))
+    val ssCheckPreSec = minOf(sscPasses.map(_._1))
+    val ssCheckPostSec = minOf(sscPasses.map(_._3))
     val wMin = mins(wSeries)
 
     val loadEnd = loadAvg1() // after the last timed step
@@ -795,7 +843,11 @@ object Bench {
       s""""daily_cycle_sec":${r3(dailyCycleSec)},""" +
       s"""$dcPartial"daily_cycle_passes":${passesArr(dcPasses)},""" +
       s""""ss_ingest_sec":${r3(ssIngestSec)},""" +
-      s"""$ssPartial"ss_ingest_passes":${passesArr(ssPasses)}},""" +
+      s"""$ssPartial"ss_ingest_passes":${passesArr(ssPasses)},""" +
+      s""""ss_compact_sec":${r3(ssCompactSec)},""" +
+      s""""ss_compact_passes":${passesArr(sscPasses.map(_._2))},""" +
+      s""""ss_check_precompact_sec":${r3(ssCheckPreSec)},""" +
+      s""""ss_check_postcompact_sec":${r3(ssCheckPostSec)}},""" +
       s""""dataset":$datasetJson,""" +
       s""""vs_prev":"$vsPrev",""" +
       s""""pass_spread_gt5":$spread,"warm_spread_gt5":$warmSpread,""" +

@@ -355,7 +355,7 @@ object ScaleProbe {
     val newPs = TextOps.posShinglesOf(
       TextOps.withWords(TextOps.normalize(incDocs)))
     def run(tag: String,
-            idxDocs: org.apache.spark.sql.DataFrame): (Double, Double) = {
+            idxDocs: org.apache.spark.sql.DataFrame): (Double, Double, Double) = {
       spark.catalog.clearCache()
       Caches.invalidateAll(spark)
       val root = java.nio.file.Files.createTempDirectory("graft_ssp")
@@ -372,14 +372,22 @@ object ScaleProbe {
       val n = Dedup.substringSpansIncOf(wh.readTable("ss", "index"),
         wh.readTable("ss", "census"), newPs).count()
       val check = (System.nanoTime() - t1) / 1e9
+      // the mask APPLY step off the same serving read (fixed increment vs
+      // grown persisted index): match grain + per-doc merge scan — the
+      // path q_span_mask_ranges_inc runs at ingest time (its in-query
+      // 64x ratio measures the index REBUILD, adjudicated here)
+      val t2 = System.nanoTime()
+      val nm = Dedup.spanMaskRangesIncOf(wh.readTable("ss", "index"),
+        wh.readTable("ss", "census"), newPs).count()
+      val mask = (System.nanoTime() - t2) / 1e9
       println(f"[scale-ss] $tag%-4s index build=$build%6.2fs  " +
-        f"check=$check%6.2fs  (pairs=$n)")
+        f"check=$check%6.2fs  mask=$mask%6.2fs  (pairs=$n, ranges=$nm)")
       Bench.deleteRecursively(root)
-      (build, check)
+      (build, check, mask)
     }
     run("1x", idxDocs1) // warm code paths
-    val (_, c1) = run("1x", idxDocs1)
-    val (_, cN) = run(s"${copies}x", idxDocsN)
+    val (_, c1, m1) = run("1x", idxDocs1)
+    val (_, cN, mN) = run(s"${copies}x", idxDocsN)
     // the committed shifted-adjudication row: q_dedup_substring_inc's
     // in-query 64× ratio folds an increment that grows WITH the corpus
     // into the rebuild (both sides ×N — densification of the probe, not
@@ -389,6 +397,8 @@ object ScaleProbe {
     // probe_ratio_Nx_shifted beside the graph family's rows.
     println(f"[scale-ss-q] q_dedup_substring_inc ${c1}%6.2f ${cN}%7.2f " +
       f"${cN / c1}%6.2f")
+    println(f"[scale-ss-q] q_span_mask_ranges_inc ${m1}%6.2f ${mN}%7.2f " +
+      f"${mN / m1}%6.2f")
     // streamed ingest cycle (w_ss_ingest, the Bench row's probe): a
     // 3-batch AvailableNow drain on a 1× vs N× corpus — index AND
     // increments both grow, the honest "ingest cost tracks corpus size"
@@ -418,6 +428,45 @@ object ScaleProbe {
     val dN = drain(dstDocs)
     println(f"[scale-ss-w] w_ss_ingest ${d1}%6.2f ${dN}%7.2f " +
       f"${dN / d1}%6.2f")
+    // per-phase split of the same 3-batch cycle (direct ingestBatch with
+    // the timer hook, same doc_id-range batching as Bench.ssIngestCycle):
+    // decides which phase carries the drain's linear term — shingling is
+    // expected linear (the payload IS N× bigger), the check and the
+    // append/commit should stay far below it. Also times the post-drain
+    // compaction (the nightly maintenance slot's cost at 1× vs N×).
+    def phases(dir: String): (Map[String, Double], Double) = {
+      spark.catalog.clearCache()
+      Caches.invalidateAll(spark)
+      val root = java.nio.file.Files.createTempDirectory("graft_ssh")
+      val wh = new catalog.Warehouse(spark, root.toString)
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      val n = d.agg(max("doc_id")).head().getLong(0)
+      val acc = scala.collection.mutable.Map[String, Double]()
+        .withDefaultValue(0.0)
+      for (i <- 0 to 2) {
+        val b = i match {
+          case 0 => d.where(col("doc_id") <= n / 3)
+          case 1 => d.where(col("doc_id") > n / 3 &&
+                            col("doc_id") <= 2 * n / 3)
+          case _ => d.where(col("doc_id") > 2 * n / 3)
+        }
+        graft.streaming.SubstringIngest.ingestBatch(wh, b, i.toLong,
+          timer = (phase, sec) => acc(phase) += sec)
+      }
+      val t0 = System.nanoTime()
+      graft.streaming.SubstringIngest.compactState(wh)
+      val compact = (System.nanoTime() - t0) / 1e9
+      Bench.deleteRecursively(root)
+      (acc.toMap, compact)
+    }
+    phases(src) // warm code paths
+    val (p1, k1) = phases(src)
+    val (pN, kN) = phases(dstDocs)
+    for (ph <- Seq("shingle", "check", "commit"))
+      println(f"[scale-ss-w] w_ss_ingest_$ph%s ${p1(ph)}%6.2f " +
+        f"${pN(ph)}%7.2f ${pN(ph) / p1(ph)}%6.2f")
+    println(f"[scale-ss-w] w_ss_compact ${k1}%6.2f ${kN}%7.2f " +
+      f"${kN / k1}%6.2f")
   }
 
   /** Per-phase split of q_copurchase_partners on the partkey-shifted

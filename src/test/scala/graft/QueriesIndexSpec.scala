@@ -113,6 +113,32 @@ class QueriesIndexSpec extends AnyFunSuite {
       "stream_probes.w_ss_ingest probe row missing")
   }
 
+  test("round-18 adjudications travel with the index: the mask apply " +
+       "step's serving-path shifted rows, the streamed ingest's per-phase " +
+       "split, and the compaction probe (r17 verdict tasks 1, 3, 5)") {
+    val text = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("queries_index.json"))
+    // q_span_mask_ranges_inc's committed 64x measures the in-query index
+    // REBUILD; the serving path (fixed increment, grown persisted bucketed
+    // index, match grain + merge scan) carries its own shifted rows
+    for (tier <- Seq("8x", "64x")) {
+      assert(("\"q_span_mask_ranges_inc\"\\s*:\\s*\\{[^}]*" +
+        s""""probe_ratio_${tier}_shifted":\\s*[0-9]""").r
+        .findFirstIn(text).isDefined,
+        s"span-mask-inc shifted row missing: $tier")
+    }
+    // w_ss_ingest's linear term adjudicated per phase (shingle carries
+    // it; check and append/commit must each have committed rows), and
+    // the compaction fold is itself a probed number
+    for (w <- Seq("w_ss_ingest_shingle", "w_ss_ingest_check",
+                  "w_ss_ingest_commit", "w_ss_compact")) {
+      assert(("\"stream_probes\"\\s*:\\s*\\{[\\s\\S]*\"" + w + "\"\\s*:" +
+        "\\s*\\{[^}]*\"probe_ratio_8x\":\\s*[0-9]").r
+        .findFirstIn(text).isDefined,
+        s"stream_probes.$w probe row missing")
+    }
+  }
+
   test("exactness baselines carry a machine-readable scale_twin naming " +
        "their bounded production sibling (r15 verdict task 2)") {
     val text = java.nio.file.Files.readString(
