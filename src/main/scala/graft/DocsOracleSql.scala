@@ -735,6 +735,21 @@ mask_vs_drop_yield AS (
                     sum(len(d.words)) AS v3_words
              FROM corpus_curated_v3 c JOIN docs_words d USING (doc_id)
              GROUP BY 1) v3 USING (source)),
+corpus_curated_v4_inc AS (
+  SELECT c.* FROM corpus_curated_v4 c, inc_cut WHERE c.doc_id > cutoff),
+quote_heavy_docs_inc AS (
+  SELECT q.* FROM quote_heavy_docs q, inc_cut WHERE q.doc_id > cutoff),
+corpus_stats_v4 AS (
+  SELECT c.lang, d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(c.n_words) AS BIGINT) AS total_words,
+         CAST(sum(c.masked_words) AS BIGINT) AS masked_words,
+         CAST(sum(c.kept_words) AS BIGINT) AS kept_words,
+         CAST(sum(c.masked_words) * 1000000 // sum(c.n_words) AS BIGINT)
+           AS masked_ppm,
+         CAST(sum(CAST(round(c.quality * 1000000) AS BIGINT)) // count(*)
+              AS BIGINT) AS mean_quality_ppm
+  FROM corpus_curated_v4 c JOIN docs d USING (doc_id)
+  GROUP BY 1, 2),
 tier_overlap AS (
   SELECT CAST(sum(CASE WHEN has_m THEN 1 ELSE 0 END) AS BIGINT)
            AS n_minhash,
@@ -1625,6 +1640,35 @@ curation_funnel AS (
       CAST(count(*) FILTER (WHERE f_canon AND f_quality AND f_exact
                               AND f_clean AND f_pii AND f_rep) AS BIGINT)
       FROM cur_flags) s),
+cur_flags_inc AS (
+  SELECT f.* FROM cur_flags f, inc_cut WHERE f.doc_id > cutoff),
+curation_funnel_inc AS (
+  SELECT stage_id, stage, n_docs,
+         CAST(n_docs * 1000000
+              // (SELECT CAST(count(*) AS BIGINT) FROM cur_flags_inc)
+              AS BIGINT) AS retained_ppm
+  FROM (
+    SELECT CAST(1 AS BIGINT) AS stage_id, 'raw' AS stage,
+           CAST(count(*) AS BIGINT) AS n_docs FROM cur_flags_inc
+    UNION ALL SELECT 2, 'canonical',
+      CAST(count(*) FILTER (WHERE f_canon) AS BIGINT) FROM cur_flags_inc
+    UNION ALL SELECT 3, 'quality',
+      CAST(count(*) FILTER (WHERE f_canon AND f_quality) AS BIGINT)
+      FROM cur_flags_inc
+    UNION ALL SELECT 4, 'exact_keeper',
+      CAST(count(*) FILTER (WHERE f_canon AND f_quality AND f_exact)
+           AS BIGINT) FROM cur_flags_inc
+    UNION ALL SELECT 5, 'decontaminated',
+      CAST(count(*) FILTER (WHERE f_canon AND f_quality AND f_exact
+                              AND f_clean) AS BIGINT) FROM cur_flags_inc
+    UNION ALL SELECT 6, 'pii_clean',
+      CAST(count(*) FILTER (WHERE f_canon AND f_quality AND f_exact
+                              AND f_clean AND f_pii) AS BIGINT)
+      FROM cur_flags_inc
+    UNION ALL SELECT 7, 'repetition',
+      CAST(count(*) FILTER (WHERE f_canon AND f_quality AND f_exact
+                              AND f_clean AND f_pii AND f_rep) AS BIGINT)
+      FROM cur_flags_inc) s),
 dedup_length_shift AS (
   SELECT bucket, CAST(count(*) AS BIGINT) AS n_raw,
          CAST(count(c.doc_id) AS BIGINT) AS n_curated,

@@ -803,6 +803,15 @@ cust_gini AS (
     "q_corpus_curated_v4" -> fromDocs("corpus_curated_v4"),
     // per-source v4-vs-v3 token yield (the apply step's justification)
     "q_mask_vs_drop_yield" -> fromDocs("mask_vs_drop_yield"),
+    // incremental curation capstone: the v4 rebuild restricted to the
+    // decile batch IS the oracle (inc admission ≡ restricted rebuild)
+    "q_corpus_curated_v4_inc" -> fromDocs("corpus_curated_v4_inc"),
+    // batch-funnel readout: the 7-stage funnel restricted to the batch
+    "q_curation_funnel_inc" -> fromDocs("curation_funnel_inc"),
+    // incremental quote gate: quote_heavy_docs restricted to the batch
+    "q_quote_heavy_docs_inc" -> fromDocs("quote_heavy_docs_inc"),
+    // v4 release card: per-(lang, source) post-mask token accounting
+    "q_corpus_stats_v4" -> fromDocs("corpus_stats_v4"),
     "q_passage_dup_ratio" -> fromDocs("passage_dup_ratio"),
     "q_pq_codes"          -> fromDocs("pq_codes"),
     "q_pq_adc_topk"       -> fromDocs("pq_adc_topk"),

@@ -240,6 +240,19 @@ object SparkEntry {
     // per-source tokens retained v4 (mask) vs v3 (drop) — the yield
     // readout that justifies the span tier's apply step
     "q_mask_vs_drop_yield" -> ((s, d) => ops.Corpus.maskVsDropYield(s, d)),
+    // incremental curation capstone — per-batch v4 admission off the
+    // incremental cluster/substring tiers (≡ rebuild restricted)
+    "q_corpus_curated_v4_inc" ->
+      ((s, d) => ops.Corpus.curatedV4Inc(s, d)),
+    // per-stage admission funnel of the arriving batch
+    "q_curation_funnel_inc" ->
+      ((s, d) => ops.Corpus.curationFunnelInc(s, d)),
+    // incremental quote gate: arriving docs' quote signal off the
+    // memoized incremental run grain
+    "q_quote_heavy_docs_inc" ->
+      ((s, d) => ops.Dedup.quoteHeavyDocsInc(s, d)),
+    // v4 release card: per-(lang, source) post-mask token accounting
+    "q_corpus_stats_v4" -> ((s, d) => ops.Corpus.corpusStatsV4(s, d)),
     "q_passage_dup_ratio" -> ((s, d) => ops.TextOps.passageDupRatio(s, d)),
     // product quantization: per-subspace encode + ADC table-lookup top-k,
     // and the IVF-PQ composition (cell-blocked candidates, ADC scoring)
@@ -641,5 +654,7 @@ object SparkEntry {
     * committed CORRECTNESS_multi.json (VerifyMultiSpec pins it); reset to
     * the new additions at the start of each round. */
   def newThisRound: Set[String] =
-    Set("q_corpus_curated_v4", "q_mask_vs_drop_yield")
+    Set("q_corpus_curated_v4", "q_mask_vs_drop_yield",
+        "q_corpus_curated_v4_inc", "q_curation_funnel_inc",
+        "q_quote_heavy_docs_inc", "q_corpus_stats_v4")
 }

@@ -178,6 +178,113 @@ object Corpus {
     maskVsDropYieldOf(curatedV3(spark, dir), curatedV4(spark, dir),
                       TextOps.docsWords(spark, dir))
 
+  /** INCREMENTAL v4 curation — the admission decision a 100 TB ingest
+    * actually runs per batch: which ARRIVING docs enter the corpus, with
+    * what mask, without recomputing anything corpus-sized. The capstone
+    * composition of the incremental tiers, and PURE REUSE of the batch
+    * operators — [[curatedOf]] → [[curatedV2Of]] → [[curatedV4Of]] called
+    * verbatim on batch-restricted inputs:
+    *
+    *  - cluster labels from [[Dedup.clustersIncremental]] (merge ≡
+    *    rebuild is its proven contract), restricted to batch docs —
+    *    a batch doc is admitted as canonical iff it near-duplicates
+    *    nothing older and nothing smaller-id in its batch;
+    *  - per-doc frames (quality, PII, repetition, contamination vs the
+    *    fixed benchmark needles, split, words) built from the
+    *    batch-restricted docs frame — per-doc ops commute with the
+    *    restriction by construction;
+    *  - exact keepers from [[Dedup.exactOf]] over the BATCH only: a batch
+    *    doc with an older byte-exact twin shares its cluster (exact dups
+    *    share every shingle, hence every band bucket) and so already
+    *    fails the canonical gate — batch-local keeper rank equals global
+    *    keeper rank for every doc that can reach the join, and a batch
+    *    keeper's global n_dups is its batch n_dups (an older twin would
+    *    have de-keepered it);
+    *  - the quote gate and mask from [[Dedup.quoteHeavyDocsInc]] /
+    *    [[Dedup.spanMaskRangesInc]] off the ONE memoized incremental run
+    *    grain (restriction-equivalence inherited from the match grain's
+    *    combined-cap ≡ corpus-cap proof).
+    *
+    * Net: output EQUALS the full [[curatedV4]] rebuild restricted to
+    * batch docs — the oracle IS that restriction — while every stage's
+    * work is O(batch + affected history), never O(corpus). */
+  def curatedV4Inc(spark: SparkSession, dir: String): DataFrame = {
+    val batch = Dedup.batchOnly(TextOps.docs(spark, dir), spark, dir)
+    val batchWords = TextOps.withWords(batch)
+    val batchShingles = TextOps.shinglesOf(batchWords)
+    val needles = TextOps.shingles(spark, dir).where(col("doc_id") < 5)
+    val labels = Dedup.batchOnly(Dedup.clustersIncremental(spark, dir),
+                                 spark, dir)
+    curatedV4Of(
+      curatedV2Of(
+        curatedOf(batch, labels,
+                  TextOps.qualityScoreOf(TextOps.textStatsOf(batchWords)),
+                  Dedup.exactOf(batch),
+                  Sampling.trainValTestSplitOf(batch)),
+        TextOps.contaminationOf(batchShingles, needles),
+        TextOps.piiScanOf(batch),
+        TextOps.repetitionOf(batchWords, batchShingles)),
+      Dedup.quoteHeavyDocsInc(spark, dir),
+      Dedup.spanMaskRangesInc(spark, dir),
+      batchWords)
+  }
+
+  /** INCREMENTAL curation funnel — [[curationFunnelOf]] on the same
+    * batch-restricted frames as [[curatedV4Inc]]: per-stage survivor
+    * counts for the ARRIVING batch (the ingest-health readout beside the
+    * admission itself — a batch whose canonical stage collapses is a
+    * crawl replay; one whose quality stage collapses is a broken feed).
+    * Stage counts equal the full funnel restricted to batch docs: each
+    * stage's predicate conjunction matches the rebuild's on every doc
+    * where all earlier stages pass (the one divergent flag — batch-local
+    * exact keeperness of a doc with an older twin — is masked by the
+    * canonical stage that doc already fails), and the oracle is that
+    * restriction. */
+  def curationFunnelInc(spark: SparkSession, dir: String): DataFrame = {
+    val batch = Dedup.batchOnly(TextOps.docs(spark, dir), spark, dir)
+    val batchWords = TextOps.withWords(batch)
+    val batchShingles = TextOps.shinglesOf(batchWords)
+    val needles = TextOps.shingles(spark, dir).where(col("doc_id") < 5)
+    curationFunnelOf(
+      batch,
+      Dedup.batchOnly(Dedup.clustersIncremental(spark, dir), spark, dir),
+      TextOps.qualityScoreOf(TextOps.textStatsOf(batchWords)),
+      Dedup.exactOf(batch),
+      TextOps.contaminationOf(batchShingles, needles),
+      TextOps.piiScanOf(batch),
+      TextOps.repetitionOf(batchWords, batchShingles))
+  }
+
+  /** The v4 RELEASE CARD — the per-(lang, source) dataset-card rollup of
+    * the mask-instead-of-drop corpus: admitted docs, pre-mask word mass,
+    * masked and kept words, the masked volume as a ppm of the cell, and
+    * mean quality in exact ppm (round-to-micro-units before the integer
+    * sum — the [[corpusStatsOf]] determinism rule). The token counts a
+    * tokenizer will actually see per cell, which is what a data-mixing
+    * config consumes ([[mixWeightsOf]]'s natural upstream once masking
+    * is on).
+    *
+    * Scale shape: one doc_id equi-join to attach source, then a single
+    * partial-agg groupBy on the |langs|×|sources| key — dimension-sized
+    * output at any corpus size, riding the memoized curation grain. */
+  def corpusStatsV4Of(curatedV4: DataFrame, docsNorm: DataFrame): DataFrame =
+    curatedV4
+      .join(docsNorm.select("doc_id", "source"), "doc_id")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_words").as("total_words"),
+           sum("masked_words").as("masked_words"),
+           sum("kept_words").as("kept_words"),
+           sum(expr("CAST(round(quality * 1000000) AS BIGINT)")).as("qm"))
+      .select(col("lang"), col("source"), col("n_docs"),
+              col("total_words"), col("masked_words"), col("kept_words"),
+              expr("masked_words * 1000000L div total_words")
+                .as("masked_ppm"),
+              expr("qm div n_docs").as("mean_quality_ppm"))
+
+  def corpusStatsV4(spark: SparkSession, dir: String): DataFrame =
+    corpusStatsV4Of(curatedV4(spark, dir), TextOps.docs(spark, dir))
+
   /** The CORPUS CARD — the per-(lang, source) summary every dataset
     * release ships (doc/token/char counts, mean quality, PII incidence,
     * mean repetition): one hash-join chain on doc_id over the per-doc

@@ -315,6 +315,16 @@ object Dedup {
   // substringRunsOf directly.
   private val runsCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]
+  // The INCREMENTAL run grain (spans of every pair touching the decile
+  // batch) feeds four consumers of its own — the per-pair inc rollup,
+  // the ingest-time mask ranges, the incremental quote gate and the
+  // incremental curation capstone — which without a memo each re-run
+  // the identical census → capped-index → match-join → islands pipeline
+  // (r17's two most expensive bench plans, ~6.7 s combined at sf0.1,
+  // were exactly two such re-runs). Same pinned defaults and stale-read
+  // contract as [[runsCache]].
+  private val incRunsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
   // FINAL-round checkpoints of the CC loops: each backs its returned
   // (lazy) labels, so it cannot be released at construction — registered
   // here and drained by invalidateAll (superseded per-round checkpoints
@@ -350,6 +360,7 @@ object Dedup {
   def invalidate(spark: SparkSession, dir: String): Unit = {
     Option(bandsCache.remove((spark, dir))).foreach(_.unpersist(false))
     Option(runsCache.remove((spark, dir))).foreach(_.unpersist(false))
+    Option(incRunsCache.remove((spark, dir))).foreach(_.unpersist(false))
     Option(containmentCache.remove((spark, dir)))
       .foreach(_.unpersist(false))
     pairsCache.entrySet.removeIf { e =>
@@ -383,6 +394,11 @@ object Dedup {
       if (hit) e.getValue.unpersist(false)
       hit
     }
+    incRunsCache.entrySet.removeIf { e =>
+      val hit = e.getKey._1 eq spark
+      if (hit) e.getValue.unpersist(false)
+      hit
+    }
     pairsCache.entrySet.removeIf { e =>
       val hit = e.getKey._1 eq spark
       if (hit) e.getValue.unpersist(false)
@@ -400,6 +416,7 @@ object Dedup {
   private[graft] def cacheSize(spark: SparkSession): Int =
     bandsCache.keySet.asScala.count(_._1 eq spark) +
       runsCache.keySet.asScala.count(_._1 eq spark) +
+      incRunsCache.keySet.asScala.count(_._1 eq spark) +
       pairsCache.keySet.asScala.count(_._1 eq spark) +
       containmentCache.keySet.asScala.count(_._1 eq spark) +
       clustersCache.keySet.asScala.count(_._1 eq spark)
@@ -1624,21 +1641,62 @@ object Dedup {
     spansFromRuns(substringIncRunsOf(index, census, newShingles, minRun,
                                      maxOcc))
 
-  /** Query form: the top decile of doc_ids plays the "new batch" (the
-    * minhash tier's [[minhashPairsIncremental]] treatment — deterministic
-    * cutoff broadcast as a 1-row cross join, no driver-side action). */
-  def dedupSubstringInc(spark: SparkSession, dir: String): DataFrame = {
-    val ps = TextOps.posShingles(spark, dir)
-    val cut = graft.etl.Feeds.table(spark, dir, "documents")
+  /** The decile-batch cutoff as a broadcastable 1-row frame — the shared
+    * "new batch" convention of every incremental query form
+    * ([[minhashPairsIncremental]]'s treatment: deterministic, no
+    * driver-side action). */
+  private[ops] def batchCutoff(spark: SparkSession, dir: String): DataFrame =
+    graft.etl.Feeds.table(spark, dir, "documents")
       .agg(expr("CAST(max(doc_id) * 9 DIV 10 AS BIGINT)").as("cutoff"))
-    val tagged = ps.crossJoin(broadcast(cut))
-    val idx = tagged.where(col("doc_id") <= col("cutoff"))
-      .select("doc_id", "pos", "sh")
-    val inc = tagged.where(col("doc_id") > col("cutoff"))
-      .select("doc_id", "pos", "sh")
-    val census = substringCensusOf(idx)
-    substringSpansIncOf(substringIndexOf(idx, census), census, inc)
-  }
+
+  /** `df` restricted to batch rows (`idCol` above the decile cutoff) —
+    * broadcast 1-row cross join, never a collect. */
+  private[ops] def batchOnly(df: DataFrame, spark: SparkSession,
+                             dir: String,
+                             idCol: String = "doc_id"): DataFrame =
+    df.crossJoin(broadcast(batchCutoff(spark, dir)))
+      .where(col(idCol) > col("cutoff"))
+      .drop("cutoff")
+
+  /** Memoized incremental run grain at the production defaults and the
+    * decile-batch convention — the shared upstream of
+    * [[dedupSubstringInc]], [[spanMaskRangesInc]],
+    * [[quoteHeavyDocsInc]] and [[graft.ops.Corpus.curatedV4Inc]]
+    * (without it each re-runs the identical census → capped-index →
+    * match-join → islands pipeline; same stale-read/invalidate contract
+    * as [[runsCache]]). */
+  private[ops] def substringIncRunsCached(spark: SparkSession,
+                                          dir: String): DataFrame =
+    incRunsCache.computeIfAbsent((spark, dir),
+      { case (s, d) =>
+        val tagged = TextOps.posShingles(s, d)
+          .crossJoin(broadcast(batchCutoff(s, d)))
+        val idx = tagged.where(col("doc_id") <= col("cutoff"))
+          .select("doc_id", "pos", "sh")
+        val inc = tagged.where(col("doc_id") > col("cutoff"))
+          .select("doc_id", "pos", "sh")
+        val census = substringCensusOf(idx)
+        substringIncRunsOf(substringIndexOf(idx, census), census, inc, 8, 64)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) })
+
+  /** Query form: the top decile of doc_ids plays the "new batch"; rides
+    * the memoized incremental run grain. */
+  def dedupSubstringInc(spark: SparkSession, dir: String): DataFrame =
+    spansFromRuns(substringIncRunsCached(spark, dir))
+
+  /** Incremental [[quoteHeavyDocsOf]] — the per-doc quote signal for
+    * BATCH docs only, off the incremental run grain: every span of a
+    * batch doc comes from a pair with a batch side (itself), so the
+    * restriction of the rebuild's per-doc rollup to the batch is exactly
+    * the rollup of the incremental grain restricted to batch-side rows —
+    * the quote gate an ingest applies to arriving docs without
+    * re-shingling the corpus (oracle: [[quoteHeavyDocsOf]] restricted).
+    * Scale shape: the memoized grain + one batch-sized partial agg and
+    * stats join. */
+  def quoteHeavyDocsInc(spark: SparkSession, dir: String): DataFrame =
+    batchOnly(quoteHeavyFromRuns(substringIncRunsCached(spark, dir),
+                                 TextOps.textStats(spark, dir)),
+              spark, dir)
 
   /** Index-build audit view — the substring tier's "no silent caps"
     * readout ([[minhashGiantBuckets]]'s sibling): ONE row saying how much
@@ -1862,19 +1920,13 @@ object Dedup {
     mergeSides(sidesFromRuns(runs).join(newDocs, Seq("doc_id"), "left_semi"))
 
   /** Query form: top decile of doc_ids plays the new batch (the
-    * [[dedupSubstringInc]] convention — broadcast 1-row cutoff). */
-  def spanMaskRangesInc(spark: SparkSession, dir: String): DataFrame = {
-    val ps = TextOps.posShingles(spark, dir)
-    val cut = graft.etl.Feeds.table(spark, dir, "documents")
-      .agg(expr("CAST(max(doc_id) * 9 DIV 10 AS BIGINT)").as("cutoff"))
-    val tagged = ps.crossJoin(broadcast(cut))
-    val idx = tagged.where(col("doc_id") <= col("cutoff"))
-      .select("doc_id", "pos", "sh")
-    val inc = tagged.where(col("doc_id") > col("cutoff"))
-      .select("doc_id", "pos", "sh")
-    val census = substringCensusOf(idx)
-    spanMaskRangesIncOf(substringIndexOf(idx, census), census, inc)
-  }
+    * [[dedupSubstringInc]] convention); rides the memoized incremental
+    * run grain — the mask merge itself is range-list-sized. */
+  def spanMaskRangesInc(spark: SparkSession, dir: String): DataFrame =
+    maskRangesIncFromRuns(
+      substringIncRunsCached(spark, dir),
+      batchOnly(graft.etl.Feeds.table(spark, dir, "documents")
+                  .select("doc_id"), spark, dir))
 
   /** Cross-TIER pair overlap census: the guarded minhash near-dup pairs
     * against the substring-span quote pairs, ONE row — how much of the

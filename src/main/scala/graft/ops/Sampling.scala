@@ -29,13 +29,18 @@ object Sampling {
   }
 
   /** Deterministic train/val/test split on the doc id hash:
-    * first hex char 0-b → train (12/16), c-d → val (2/16), e-f → test. */
-  def trainValTestSplit(spark: SparkSession, dir: String): DataFrame =
-    TextOps.docs(spark, dir).select(
+    * first hex char 0-b → train (12/16), c-d → val (2/16), e-f → test.
+    * Purely per-doc, so it commutes with any restriction of its input —
+    * the incremental curation path relies on that. */
+  def trainValTestSplitOf(docsNorm: DataFrame): DataFrame =
+    docsNorm.select(
       col("doc_id"), col("lang"),
       expr("""CASE WHEN substring(md5(CAST(doc_id AS STRING)), 1, 1) < 'c' THEN 'train'
                    WHEN substring(md5(CAST(doc_id AS STRING)), 1, 1) < 'e' THEN 'val'
                    ELSE 'test' END""").as("split"))
+
+  def trainValTestSplit(spark: SparkSession, dir: String): DataFrame =
+    trainValTestSplitOf(TextOps.docs(spark, dir))
 
   /** Deterministic global training shuffle: every doc gets a (shard, rank)
     * address from a salted content hash — the reproducible epoch-order a

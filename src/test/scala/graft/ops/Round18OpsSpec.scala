@@ -87,4 +87,82 @@ class Round18OpsSpec extends SparkSpec {
     val gained = y.agg(sum("gained_docs")).as[Long].head()
     assert(gained == v4c.count() - v3c.count())
   }
+
+  // ---- incremental curation capstone ------------------------------------
+
+  private def cutoff: Long =
+    graft.etl.Feeds.table(spark, dir, "documents")
+      .agg(expr("CAST(max(doc_id) * 9 DIV 10 AS BIGINT)")).as[Long].head()
+
+  test("incremental v4 curation equals the full rebuild restricted to " +
+       "the batch (sf0.001, both directions)") {
+    val cut = cutoff
+    val want = Corpus.curatedV4(spark, dir).where($"doc_id" > cut)
+    val got = Corpus.curatedV4Inc(spark, dir)
+    assert(got.count() > 0L, "batch admission must be non-empty at sf0.001")
+    assert(got.except(want).count() == 0L, "inc rows absent from rebuild")
+    assert(want.except(got).count() == 0L, "rebuild rows missed by inc")
+  }
+
+  test("incremental quote gate equals the rebuild's quote-heavy frame " +
+       "restricted to the batch") {
+    val cut = cutoff
+    val want = Dedup.quoteHeavyDocs(spark, dir).where($"doc_id" > cut)
+    val got = Dedup.quoteHeavyDocsInc(spark, dir)
+    assert(got.except(want).count() == 0L)
+    assert(want.except(got).count() == 0L)
+  }
+
+  test("incremental funnel: 7 monotone stages over the batch; raw = batch " +
+       "size, final stage = the v4 admission count") {
+    val cut = cutoff
+    val f = Corpus.curationFunnelInc(spark, dir)
+      .orderBy("stage_id")
+      .select("stage_id", "stage", "n_docs", "retained_ppm")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(f.map(_._1) == (1L to 7L), "exactly stages 1..7")
+    val counts = f.map(_._3)
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      "stage counts must be non-increasing")
+    val batchN = graft.ops.TextOps.docs(spark, dir)
+      .where($"doc_id" > cut).count()
+    assert(counts.head == batchN, "stage 1 is the raw batch")
+    assert(f.head._4 == 1000000L)
+    assert(counts.last == Corpus.curatedV4Inc(spark, dir).count(),
+      "the funnel's survivor count IS the v4 admission count")
+  }
+
+  test("incremental run-grain memo: the four inc consumers share ONE " +
+       "cached frame, reclaimed by Caches.invalidateAll") {
+    graft.Caches.invalidateAll(spark)
+    Dedup.dedupSubstringInc(spark, dir).count()
+    val afterOne = Dedup.cacheSize(spark)
+    Dedup.spanMaskRangesInc(spark, dir).count()
+    Dedup.quoteHeavyDocsInc(spark, dir).count()
+    // the follow-on inc queries add no new inc-run-grain entry (the
+    // quote gate pulls in the shared full-run/shingle memos its stats
+    // join needs on first touch, nothing more on repeat)
+    val afterAll = Dedup.cacheSize(spark)
+    Dedup.spanMaskRangesInc(spark, dir).count()
+    Dedup.quoteHeavyDocsInc(spark, dir).count()
+    assert(Dedup.cacheSize(spark) == afterAll)
+    assert(afterOne >= 1)
+    graft.Caches.invalidateAll(spark)
+    assert(Dedup.cacheSize(spark) == 0)
+  }
+
+  test("v4 release card reconciles with the admitted corpus and keeps " +
+       "ppm columns in range") {
+    val v4c = Corpus.curatedV4(spark, dir)
+    val card = Corpus.corpusStatsV4(spark, dir)
+    assert(card.agg(sum("n_docs")).as[Long].head() == v4c.count())
+    assert(card.agg(sum("kept_words")).as[Long].head() ==
+      v4c.agg(sum("kept_words")).as[Long].head())
+    assert(card.where($"masked_ppm" < 0 || $"masked_ppm" > 1000000L)
+      .count() == 0L)
+    assert(card.where($"mean_quality_ppm" < 0 ||
+      $"mean_quality_ppm" > 1000000L).count() == 0L)
+    assert(card.where($"kept_words" + $"masked_words" =!= $"total_words")
+      .count() == 0L)
+  }
 }
