@@ -30,6 +30,7 @@ object Caches {
     ops.TextOps.invalidateAll(spark)
     ops.Vectors.invalidateAll(spark)
     ops.Basket.invalidateAll(spark)
+    ops.Corpus.invalidateAll(spark)
     Ids.invalidateAll(spark)
   }
 
@@ -37,5 +38,5 @@ object Caches {
   private[graft] def size(spark: SparkSession): Int =
     etl.Pipeline.cacheSize(spark) + ops.Dedup.cacheSize(spark) +
       ops.TextOps.cacheSize(spark) + ops.Vectors.cacheSize(spark) +
-      ops.Basket.cacheSize(spark)
+      ops.Basket.cacheSize(spark) + ops.Corpus.cacheSize(spark)
 }

@@ -58,7 +58,7 @@ object SparkEntry {
       ((s, d) => Pipeline.of(s, d).fCustomerRetentionGrain),
     // --- training-data-pipeline operators (BASELINE.json north star) ---
     "q_dedup_exact"         -> ((s, d) => ops.Dedup.exact(s, d)),
-    "q_dedup_minhash_lsh"   -> ((s, d) => ops.Dedup.minhashBands(s, d)),
+    "q_dedup_minhash_lsh"   -> ((s, d) => ops.Dedup.bandsCached(s, d)),
     // exact dense pair list (guard off) — matches the oracle's dense pairs
     "q_dedup_minhash_pairs" -> ((s, d) =>
       ops.Dedup.minhashPairs(s, d, Int.MaxValue)),
@@ -156,8 +156,7 @@ object SparkEntry {
       "shipped_amount", "refunded_amount")),
     "q_sales_rollup" -> ((s, d) => { val p = Pipeline.of(s, d)
       money(ops.Analytics.salesRollupOf(p.uol, p.registerCached), "revenue") }),
-    "q_d_customer_scd" -> ((s, d) =>
-      etl.Dims.dCustomerScd(Pipeline.of(s, d).uolV2)),
+    "q_d_customer_scd" -> ((s, d) => Pipeline.of(s, d).dCustomerScdV2),
     // per-group exact quantiles + equi-width histogram profiling
     "q_quantiles_by_flag"    -> ((s, d) => ops.Profile.priceQuantilesByFlag(s, d)),
     "q_histogram_totalprice" -> ((s, d) => ops.Profile.totalpriceHistogram(s, d)),
@@ -294,7 +293,7 @@ object SparkEntry {
     "q_revenue_anomaly" -> ((s, d) => ops.Analytics.revenueAnomaly(s, d)),
     // SCD2 point-in-time attribution: city as of 30 days before each sale
     "q_scd_pit" -> ((s, d) => { val p = Pipeline.of(s, d)
-      ops.Analytics.scdPointInTimeOf(p.uolV2, etl.Dims.dCustomerScd(p.uolV2)) }),
+      ops.Analytics.scdPointInTimeOf(p.uolV2, p.dCustomerScdV2) }),
     // degree-ordered triangle census of the co-purchase graph
     "q_triangle_stats" -> ((s, d) => ops.Basket.triangleStats(s, d)),
     // Zipf head-mass curve: cumulative token coverage of the top-100 vocab
@@ -309,7 +308,7 @@ object SparkEntry {
     // SCD; the oracle is the FULL-REBUILD SQL (merge ≡ rebuild)
     "q_d_customer_scd_inc" -> ((s, d) => { val p = Pipeline.of(s, d)
       etl.Dims.dCustomerScdMerge(
-        etl.Dims.dCustomerScd(p.uol),
+        p.dCustomerScdHist,
         p.uolTemp.groupBy(col("customer_id"),
             col("date_time").as("day"))
           .agg(org.apache.spark.sql.functions.max("city_id").as("city_id"))) }),
@@ -562,7 +561,7 @@ object SparkEntry {
             "revenue") }),
     // SCD2 version-opening churn per month (dimension-rewrite monitor)
     "q_scd_change_rate" -> ((s, d) => ops.Analytics.scdChangeRateOf(
-      etl.Dims.dCustomerScd(Pipeline.of(s, d).uolV2))),
+      Pipeline.of(s, d).dCustomerScdV2)),
     // power-of-2 session-duration histogram (engagement shape card)
     "q_session_duration_hist" -> ((s, d) =>
       ops.Sessions.sessionDurationHist(s, d)),

@@ -60,6 +60,30 @@ class Pipeline(spark: SparkSession, dir: String) {
     val p = df.persist(MEMORY_AND_DISK); persistedFrames += p; p
   }
 
+  // r18: the STAGING frames are eager localCheckpoints, not persists — a
+  // persisted frame keeps its full logical lineage inside every consumer's
+  // plan, and with ~80 ETL queries re-analyzing the synthesized-feed tree
+  // per action, Catalyst planning (not execution) dominated their warm
+  // cost (guide §3.3/§7.3). A checkpoint truncates each consumer's plan to
+  // a LogicalRDD leaf — the in-session equivalent of the materialized
+  // staging table these frames model anyway. registerCached keeps persist
+  // semantics: its callers rely on CacheManager canonical-dedup of
+  // repeated registrations, which checkpoints (distinct RDDs per call)
+  // would break.
+  // Composite: eager localCheckpoint truncates every consumer's LOGICAL
+  // plan to a LogicalRDD leaf (planning over the nested staging lineage —
+  // not execution — dominated the ETL tail's warm cost, guide §3.3/§7.3),
+  // and the persist on top serves consumers a COLUMNAR in-memory scan
+  // (measured: warehouse materialize reads row-RDD checkpoints ~1.7×
+  // slower than the columnar cache; with persist alone the planning cost
+  // returns). unpersistAll releases both layers.
+  private def materialized(df: DataFrame): DataFrame =
+    persistedFrames.synchronized {
+      val cp = df.localCheckpoint(true)
+      cp.persist(MEMORY_AND_DISK)
+      persistedFrames += cp; cp
+    }
+
   /** Register an externally-built shared subplan in this pipeline's persist
     * registry, so [[Pipeline.invalidate]]/unpersistAll cover it (operators
     * like Analytics.salesCubeOf take this as their `share` hook instead of
@@ -68,7 +92,11 @@ class Pipeline(spark: SparkSession, dir: String) {
     * registration of the same derived frame caches its data only once. */
   def registerCached(df: DataFrame): DataFrame = cached(df)
   private[etl] def unpersistAll(): Unit = persistedFrames.synchronized {
-    persistedFrames.foreach(_.unpersist(false)); persistedFrames.clear()
+    persistedFrames.foreach { df =>
+      df.unpersist(false) // CacheManager entries (persisted frames)
+      graft.etl.Catchup.releaseLocalCheckpoint(df) // checkpoint blocks
+    }
+    persistedFrames.clear()
   }
 
   /** Shared subplans consumed more than once within a single query are
@@ -78,7 +106,7 @@ class Pipeline(spark: SparkSession, dir: String) {
     * these correspond to materialized staging tables; in-memory caching is
     * the single-job equivalent. */
   private lazy val feedCached: DataFrame =
-    cached(Feeds.orderFeed(spark, dir))
+    materialized(Feeds.orderFeed(spark, dir))
   private lazy val ordCut: DataFrame = Feeds.ordersCutoff(spark, dir)
 
   lazy val uol: DataFrame = Feeds.splitLe(feedCached, ordCut, "date_time")
@@ -94,7 +122,7 @@ class Pipeline(spark: SparkSession, dir: String) {
   lazy val priceLog: DataFrame = Feeds.priceLog(spark, dir)
 
   lazy val calDates: DataFrame =
-    cached(Calendar.dates(research, ual, uol))
+    materialized(Calendar.dates(research, ual, uol))
   lazy val dCalendar: DataFrame = Calendar.attrs(calDates)
   /** |d_calendar| — offset for the incremental calendar ids. */
   lazy val calCount: Long = calDates.count()
@@ -114,7 +142,7 @@ class Pipeline(spark: SparkSession, dir: String) {
 
   lazy val weeks: DataFrame = Retention.weeks(dCalendarFull)
   lazy val uolvPeriod: DataFrame =
-    cached(Retention.withPeriod(uolV2, weeks))
+    materialized(Retention.withPeriod(uolV2, weeks))
 
   /** Level-1 retention aggregates, shared across the whole family: 8 of the
     * SparkEntry queries (3 classes × 2 grains + compact mart + 2 full marts)
@@ -127,7 +155,7 @@ class Pipeline(spark: SparkSession, dir: String) {
   private def level1(status: String, includeItem: Boolean): DataFrame =
     l1cache.synchronized {
       l1cache.getOrElseUpdate((status, includeItem),
-        cached(Retention.level1(uolvPeriod, status, includeItem)))
+        materialized(Retention.level1(uolvPeriod, status, includeItem)))
     }
 
   def newCust(includeItem: Boolean): DataFrame =
@@ -136,6 +164,14 @@ class Pipeline(spark: SparkSession, dir: String) {
     Retention.returnedCustFromL1(level1("shipped", includeItem), includeItem)
   def refundedCust(includeItem: Boolean): DataFrame =
     Retention.refundedCustFromL1(level1("refunded", includeItem), includeItem)
+
+  /** r18: the SCD2 dimension builds, memoized per source feed — four
+    * query forms (the SCD itself, its incremental merge's base, the
+    * point-in-time join, the change-rate monitor) each re-ran the
+    * repartition + double-window compress per call; production
+    * materializes the dimension once per load. */
+  lazy val dCustomerScdV2: DataFrame = materialized(Dims.dCustomerScd(uolV2))
+  lazy val dCustomerScdHist: DataFrame = materialized(Dims.dCustomerScd(uol))
 
   lazy val retentionCompact: DataFrame =
     Retention.retentionCompact(newCust(false), returnedCust(false),

@@ -98,7 +98,7 @@ object Dedup {
            max("sz").as("max_sz"))
 
   def minhashBandStats(spark: SparkSession, dir: String): DataFrame =
-    minhashBandStatsOf(minhashBands(spark, dir))
+    minhashBandStatsOf(bandsCached(spark, dir))
 
   /** Prefix fingerprint dedup: group on md5 of the first `k` tokens —
     * catches common-prefix duplicates that full-body hashing misses (the
@@ -338,11 +338,17 @@ object Dedup {
     df
   }
 
-  private def bandsCached(spark: SparkSession, dir: String): DataFrame =
+  // r18: all four grain memos are eager localCheckpoints, not persists —
+  // a persisted grain keeps its full build lineage inside every consumer's
+  // plan, and Catalyst re-analyzing those multi-hundred-node trees per
+  // action dominated the dedup families' warm cost (measured: the span
+  // family's 3-row folds cost seconds of pure planning; guide §3.3/§7.3).
+  private[graft] def bandsCached(spark: SparkSession, dir: String): DataFrame =
     bandsCache.computeIfAbsent((spark, dir),
       { case (s, d) =>
-        minhashBands(s, d)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) })
+        val cp = minhashBands(s, d).localCheckpoint(true)
+        cp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cp })
 
   // The pair list itself is persisted too (it is tiny next to its inputs):
   // one guard level's pairs are computed ONCE and shared by every consumer —
@@ -352,20 +358,26 @@ object Dedup {
   def minhashPairs(spark: SparkSession, dir: String,
                    maxBucket: Int = 256): DataFrame =
     pairsCache.computeIfAbsent((spark, dir, maxBucket),
-      { case (s, d, m) => minhashPairsOf(bandsCached(s, d), m)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) })
+      { case (s, d, m) =>
+        val cp = minhashPairsOf(bandsCached(s, d), m).localCheckpoint(true)
+        cp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cp })
 
   /** Drop this (session, dir)'s memoized frames and unpersist their cached
     * partitions — REQUIRED before re-reading a dir whose files changed. */
+  private def release(df: DataFrame): Unit = {
+    df.unpersist(false) // CacheManager entries (persisted frames)
+    graft.etl.Catchup.releaseLocalCheckpoint(df) // checkpoint blocks
+  }
+
   def invalidate(spark: SparkSession, dir: String): Unit = {
-    Option(bandsCache.remove((spark, dir))).foreach(_.unpersist(false))
-    Option(runsCache.remove((spark, dir))).foreach(_.unpersist(false))
-    Option(incRunsCache.remove((spark, dir))).foreach(_.unpersist(false))
-    Option(containmentCache.remove((spark, dir)))
-      .foreach(_.unpersist(false))
+    Option(bandsCache.remove((spark, dir))).foreach(release)
+    Option(runsCache.remove((spark, dir))).foreach(release)
+    Option(incRunsCache.remove((spark, dir))).foreach(release)
+    Option(containmentCache.remove((spark, dir))).foreach(release)
     pairsCache.entrySet.removeIf { e =>
       val hit = e.getKey._1 == spark && e.getKey._2 == dir
-      if (hit) e.getValue.unpersist(false)
+      if (hit) release(e.getValue)
       hit
     }
     clustersCache.keySet.removeIf(k => k._1 == spark && k._2 == dir)
@@ -386,27 +398,27 @@ object Dedup {
     }
     bandsCache.entrySet.removeIf { e =>
       val hit = e.getKey._1 eq spark
-      if (hit) e.getValue.unpersist(false)
+      if (hit) release(e.getValue)
       hit
     }
     runsCache.entrySet.removeIf { e =>
       val hit = e.getKey._1 eq spark
-      if (hit) e.getValue.unpersist(false)
+      if (hit) release(e.getValue)
       hit
     }
     incRunsCache.entrySet.removeIf { e =>
       val hit = e.getKey._1 eq spark
-      if (hit) e.getValue.unpersist(false)
+      if (hit) release(e.getValue)
       hit
     }
     pairsCache.entrySet.removeIf { e =>
       val hit = e.getKey._1 eq spark
-      if (hit) e.getValue.unpersist(false)
+      if (hit) release(e.getValue)
       hit
     }
     containmentCache.entrySet.removeIf { e =>
       val hit = e.getKey._1 eq spark
-      if (hit) e.getValue.unpersist(false)
+      if (hit) release(e.getValue)
       hit
     }
     clustersCache.keySet.removeIf(_._1 eq spark)
@@ -431,6 +443,28 @@ object Dedup {
   // per consumer (the r4 q_dedup_clusters_fast 2.5 s recompute).
   private val clustersCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String), DataFrame]
+
+  /** Memoize a cluster-label frame under `tag` via get-then-putIfAbsent —
+    * NOT computeIfAbsent, because cluster builders compose (the incremental
+    * merge looks up its history labels in the same map) and a nested
+    * computeIfAbsent on one ConcurrentHashMap throws "Recursive update".
+    * A racy double build is harmless: both frames are identical plans, one
+    * wins the putIfAbsent (the [[graft.ops.Basket]] `cached` stance).
+    * graft-private so sibling operators with cluster-shaped results (the
+    * multimodal frame clusters) share the registry and its invalidate /
+    * teardown contract instead of growing one map each. */
+  private[graft] def memoClusters(spark: SparkSession, dir: String,
+                                  tag: String)
+                                 (build: => DataFrame): DataFrame = {
+    val key = (spark, dir, tag)
+    val hit = clustersCache.get(key)
+    if (hit != null) hit
+    else {
+      val built = build
+      val prev = clustersCache.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
 
   /** Per-doc SimHash as ONE map-side higher-order expression — ZERO shuffle
     * for the hash computation (the former shape exploded ×nBits bit-rows
@@ -705,7 +739,14 @@ object Dedup {
   }
 
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
-    simhashPairsOf(simhash(spark, dir))
+    // r18: memoized + checkpointed — three consumers (the pair query, the
+    // consensus tier, the precision curve) re-ran the hamming bucket join
+    // per call; candidate-sized output, same registry/teardown as the
+    // other grains.
+    memoClusters(spark, dir, "simhash-pairs") {
+      trackCheckpoint(
+        simhashPairsOf(simhash(spark, dir)).localCheckpoint(true))
+    }
 
   def simhash64Pairs(spark: SparkSession, dir: String): DataFrame =
     simhash64PairsOf(simhash64(spark, dir))
@@ -837,7 +878,21 @@ object Dedup {
     * from clustering the old docs over the old-only pair subset —
     * doc_a < doc_b means a pair touches the increment iff doc_b is new,
     * so (old, inc) cleanly partition the full guarded pair set. */
-  def clustersIncremental(spark: SparkSession, dir: String): DataFrame = {
+  def clustersIncremental(spark: SparkSession, dir: String): DataFrame =
+    // r18: memoized like every other cluster frame — the merge's
+    // star-contraction loop over the affected subgraph runs driver-side at
+    // construction, and THREE queries consume this exact frame
+    // (q_dedup_clusters_inc, q_corpus_curated_v4_inc,
+    // q_curation_funnel_inc), each paying the full eager loop per call
+    // without the memo (the r4 q_dedup_clusters_fast recompute class). In
+    // production the merged labels are WRITTEN back as the new label
+    // table, so one evaluation per load is the real shape.
+    memoClusters(spark, dir, "minlabel-inc") {
+      clustersIncrementalBuild(spark, dir)
+    }
+
+  private def clustersIncrementalBuild(spark: SparkSession,
+                                       dir: String): DataFrame = {
     val docs = TextOps.docs(spark, dir).select("doc_id")
     val cut = docs.agg(expr("CAST(max(doc_id) * 9 DIV 10 AS BIGINT)")
       .as("cutoff"))
@@ -853,10 +908,16 @@ object Dedup {
             d.where(col("doc_id") <= col("cutoff")).select("doc_id"),
             p.where(col("doc_b") <= col("cutoff"))
               .select("doc_a", "doc_b")) })
-    clustersIncrementalOf(
-      oldLabels,
-      d.where(col("doc_id") > col("cutoff")).select("doc_id"),
-      p.where(col("doc_b") > col("cutoff")).select("doc_a", "doc_b"))
+    // Eager checkpoint (registered for teardown like every CC label
+    // frame): the pass-through anti-join + affected-subgraph merge is
+    // evaluated once and its three consumers read materialized blocks —
+    // production WRITES the merged labels, it does not re-derive them.
+    trackCheckpoint(
+      clustersIncrementalOf(
+        oldLabels,
+        d.where(col("doc_id") > col("cutoff")).select("doc_id"),
+        p.where(col("doc_b") > col("cutoff")).select("doc_a", "doc_b"))
+        .localCheckpoint(true))
   }
 
   /** Clusters over the VERIFIED pair graph — the full production
@@ -994,9 +1055,22 @@ object Dedup {
     * corpus. */
   def minhashPairsVerified(spark: SparkSession, dir: String,
                            threshold: Double = 0.7): DataFrame =
-    ngramJaccardFor(minhashPairs(spark, dir),
-                    TextOps.shingles(spark, dir))
-      .where(col("jaccard") >= threshold)
+    verifiedJaccardCached(spark, dir).where(col("jaccard") >= threshold)
+
+  /** r18: the exact-Jaccard verification grain over the guarded
+    * candidates, memoized + checkpointed — THREE query families consume
+    * it (pairs-verified/clusters-verified/split-leakage, the est-error
+    * calibration, the threshold sweep), each of which re-ran the
+    * per-candidate intersection join per call. Threshold-independent (the
+    * consumers filter), candidate-sized (907 rows at sf0.1). */
+  private def verifiedJaccardCached(spark: SparkSession,
+                                    dir: String): DataFrame =
+    memoClusters(spark, dir, "verified-jaccard") {
+      trackCheckpoint(
+        ngramJaccardFor(minhashPairs(spark, dir),
+                        TextOps.shingles(spark, dir))
+          .localCheckpoint(true))
+    }
 
   /** ASYMMETRIC containment tier over the guarded candidate pairs:
     * |A∩B|/|A| and |A∩B|/|B| as exact ppm integers. Jaccard misses
@@ -1045,7 +1119,7 @@ object Dedup {
       { case (s, d) =>
           containmentFor(minhashPairs(s, d).select("doc_a", "doc_b"),
                          TextOps.shingles(s, d))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(true)
       })
 
   /** Candidate-pair Jaccard HISTOGRAM in tenth buckets — the
@@ -1143,9 +1217,11 @@ object Dedup {
 
   def minhashEstError(spark: SparkSession, dir: String): DataFrame =
     minhashEstErrorOf(
-      ngramJaccardFor(minhashPairs(spark, dir),
-                      TextOps.shingles(spark, dir)),
-      minhashOf(TextOps.shingles(spark, dir)))
+      verifiedJaccardCached(spark, dir),
+      memoClusters(spark, dir, "minhash-sigs") {
+        trackCheckpoint(minhashOf(TextOps.shingles(spark, dir))
+          .localCheckpoint(true))
+      })
 
   /** Deterministic pair sample (consecutive even/odd doc_id pairs —
     * exercises the full set-intersection machinery regardless of whether
@@ -1218,8 +1294,7 @@ object Dedup {
   }
 
   def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame =
-    dedupThresholdSweepOf(
-      ngramJaccardFor(minhashPairs(spark, dir), TextOps.shingles(spark, dir)))
+    dedupThresholdSweepOf(verifiedJaccardCached(spark, dir))
 
   /** SimHash precision-by-distance curve: for each hamming distance the
     * banding emits (0..maxHamming), the candidate-pair count and how many
@@ -1430,8 +1505,11 @@ object Dedup {
   private[ops] def substringRunsCached(spark: SparkSession,
                                        dir: String): DataFrame =
     runsCache.computeIfAbsent((spark, dir),
-      { case (s, d) => substringRunsOf(TextOps.posShingles(s, d), 8, 64)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) })
+      { case (s, d) =>
+        val cp = substringRunsOf(TextOps.posShingles(s, d), 8, 64)
+          .localCheckpoint(true)
+        cp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cp })
 
   private[graft] def spansFromRuns(runs: DataFrame): DataFrame =
     runs
@@ -1676,8 +1754,10 @@ object Dedup {
         val inc = tagged.where(col("doc_id") > col("cutoff"))
           .select("doc_id", "pos", "sh")
         val census = substringCensusOf(idx)
-        substringIncRunsOf(substringIndexOf(idx, census), census, inc, 8, 64)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) })
+        val cp = substringIncRunsOf(substringIndexOf(idx, census), census,
+                                    inc, 8, 64).localCheckpoint(true)
+        cp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cp })
 
   /** Query form: the top decile of doc_ids plays the "new batch"; rides
     * the memoized incremental run grain. */

@@ -299,6 +299,14 @@ object Multimodal {
   }
 
   def frameNearDupClusters(spark: SparkSession, dir: String): DataFrame =
-    frameNearDupClustersOf(Feeds.table(spark, dir, "documents"))
+    // r18: memoized through the dedup stack's cluster registry — the
+    // banding + spanning-edge + star-contraction pipeline runs eagerly at
+    // construction (checkpoint-backed), so without the memo every call
+    // re-runs the whole build (the same r4 recompute class the text-side
+    // cluster frames already guard against). Same invalidate/teardown
+    // contract as Dedup's own label frames.
+    Dedup.memoClusters(spark, dir, "mm-frame-clusters") {
+      frameNearDupClustersOf(Feeds.table(spark, dir, "documents"))
+    }
 
 }

@@ -52,8 +52,20 @@ object TextOps {
       expr(s"size(filter(words, w -> w IN ($stoplist)))")
         .cast("long").as("stop_cnt"))
 
+  // r18: the per-doc stats frame feeds a dozen query families (quality,
+  // readability, length histograms/moments, the curation chains, the
+  // quote-heavy rollups) — each call re-ran the normalize + split +
+  // 4-regex scan without the memo. Six small numeric columns per doc:
+  // tiny to hold, expensive to recompute. Same contract as shinglesCache.
+  private val statsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+
   def textStats(spark: SparkSession, dir: String): DataFrame =
-    textStatsOf(docsWords(spark, dir))
+    statsCache.computeIfAbsent((spark, dir),
+      { case (s, d) =>
+          val cp = textStatsOf(docsWords(s, d)).localCheckpoint(true)
+          cp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          cp })
 
   /** Composite quality score in [0,1]: length, punctuation-density and
     * stopword-ratio components (deterministic double arithmetic — the
@@ -196,8 +208,19 @@ object TextOps {
         .as(Seq("pos", "sh")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("sh"))
 
+  // r18: memoized + checkpointed — the positional explode (corpus-words
+  // rows) feeds the span-run grain, the incremental-run grain, the
+  // index-stats audit and the ingest-debt ledger; the latter two re-ran
+  // the full explode + md5 per call without the memo.
+  private val posShinglesCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+
   def posShingles(spark: SparkSession, dir: String): DataFrame =
-    posShinglesOf(docsWords(spark, dir))
+    posShinglesCache.computeIfAbsent((spark, dir),
+      { case (s, d) =>
+          val cp = posShinglesOf(docsWords(s, d)).localCheckpoint(true)
+          cp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          cp })
 
   // The distinct-shingle set feeds five query families (jaccard,
   // fingerprint, contamination, repetition, curation v2) — memoize and
@@ -209,8 +232,13 @@ object TextOps {
 
   def shingles(spark: SparkSession, dir: String): DataFrame =
     shinglesCache.computeIfAbsent((spark, dir),
-      { case (s, d) => shinglesOf(docsWords(s, d))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) })
+      // eager checkpoint, not persist: truncates every consumer's plan at
+      // the shingle leaf (r18 — planning over the nested explode tree
+      // dominated the dedup/verify tail's warm cost, guide §3.3)
+      { case (s, d) =>
+          val cp = shinglesOf(docsWords(s, d)).localCheckpoint(true)
+          cp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          cp })
 
   // The (doc, word) term-frequency frame feeds four plan positions in the
   // bag-cosine verify tier alone (both dot sides + both norm attaches) —
@@ -226,29 +254,32 @@ object TextOps {
       { case (s, d) => docsWords(s, d)
           .select(col("doc_id"), explode(col("words")).as("w"))
           .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) })
+          .localCheckpoint(true) match { case cp =>
+            cp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            cp } })
 
   /** Drop the memoized shingle/tf frames for (session, dir) — REQUIRED
     * before re-reading a dir whose files changed (see
     * [[graft.ops.Dedup.invalidate]]). */
   def invalidate(spark: SparkSession, dir: String): Unit = {
-    Option(shinglesCache.remove((spark, dir))).foreach(_.unpersist(false))
-    Option(tfCache.remove((spark, dir))).foreach(_.unpersist(false))
+    Seq(shinglesCache, tfCache, statsCache, posShinglesCache).foreach { c =>
+      Option(c.remove((spark, dir))).foreach { df =>
+        df.unpersist(false)
+        graft.etl.Catchup.releaseLocalCheckpoint(df)
+      }
+    }
   }
 
   /** Drop and unpersist EVERY memoized shingle/tf frame of `spark` — same
     * session-teardown hook as [[graft.ops.Vectors.invalidateAll]]. */
   def invalidateAll(spark: SparkSession): Unit = {
-    shinglesCache.entrySet.removeIf { e =>
+    Seq(shinglesCache, tfCache, statsCache, posShinglesCache)
+      .foreach(_.entrySet.removeIf { e =>
       val hit = e.getKey._1 eq spark
-      if (hit) e.getValue.unpersist(false)
+      if (hit) { e.getValue.unpersist(false)
+                 graft.etl.Catchup.releaseLocalCheckpoint(e.getValue) }
       hit
-    }
-    tfCache.entrySet.removeIf { e =>
-      val hit = e.getKey._1 eq spark
-      if (hit) e.getValue.unpersist(false)
-      hit
-    }
+    })
   }
 
   /** Entry count of this session in the memo map (spec hook). */

@@ -89,9 +89,16 @@ object TpchShapes {
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("n_name"), col("l_partkey").as("p_key"))
       .agg((sum(col("price")) * lit(100)).cast("long").as("value_c"))
-    val tot = value.groupBy(col("n_name").as("t_name"))
-      .agg(sum("value_c").as("total_c"), count(lit(1)).as("n_parts"))
-    value.join(broadcast(tot), col("n_name") === col("t_name"))
+    // r18: per-nation totals as a window over the SAME aggregate instead
+    // of a second groupBy + self-join — the former plan evaluated the
+    // whole lineitem join/agg subtree twice per run (guide §2.4: two
+    // operations keyed the same way share one pass). Same exact-integer
+    // comparison, row-identical output.
+    val byNation = org.apache.spark.sql.expressions.Window
+      .partitionBy("n_name")
+    value
+      .withColumn("total_c", sum("value_c").over(byNation))
+      .withColumn("n_parts", count(lit(1)).over(byNation))
       .where(col("value_c") * col("n_parts") > lit(mult.toLong) * col("total_c"))
       .select("n_name", "p_key", "value_c")
   }

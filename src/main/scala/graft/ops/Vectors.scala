@@ -181,6 +181,15 @@ object Vectors {
   // IS the sample, so two budgets must not alias to one entry
   private val kmSampleCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Int), DataFrame]
+  // r18: the exact brute-force top-k grain, keyed by k — the ground-truth
+  // table EIGHT monitors consume (recall/MRR/rank-stability/label-
+  // agreement/mutual-kNN/components/probe-cmp/ingest-recall), each of
+  // which re-ran the eval×corpus scoring per call without the memo. In
+  // production the exact-truth table is computed once per release and
+  // read by every eval job; the memo plays that role in-session. Output
+  // is |eval set|·k rows — tiny next to its build.
+  private val topkCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), DataFrame]
 
   private def mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
@@ -195,14 +204,19 @@ object Vectors {
   /** Drop this (session, dir)'s memoized ANN frames and unpersist them —
     * REQUIRED before re-reading a dir whose files changed. */
   def invalidate(spark: SparkSession, dir: String): Unit = {
-    Seq(quantizedCache, cellsCache, lshCache, pqCbCache).foreach { c =>
-      Option(c.remove((spark, dir))).foreach(_.unpersist(false))
+    Seq(quantizedCache, cellsCache, lshCache, pqCbCache,
+        pqCodesCache, pqDtabCache).foreach { c =>
+      Option(c.remove((spark, dir))).foreach { df =>
+        df.unpersist(false)
+        graft.etl.Catchup.releaseLocalCheckpoint(df)
+      }
     }
-    kmSampleCache.entrySet.removeIf { e =>
+    Seq(kmSampleCache, topkCache).foreach(_.entrySet.removeIf { e =>
       val hit = e.getKey._1 == spark && e.getKey._2 == dir
-      if (hit) e.getValue.unpersist(false)
+      if (hit) { e.getValue.unpersist(false)
+                 graft.etl.Catchup.releaseLocalCheckpoint(e.getValue) }
       hit
-    }
+    })
   }
 
   /** Drop and unpersist EVERY memoized ANN frame of `spark`, whatever dir
@@ -211,26 +225,34 @@ object Vectors {
     * require enumerating every dir ever touched (entries of a stopped
     * session would otherwise stay pinned for the JVM lifetime). */
   def invalidateAll(spark: SparkSession): Unit = {
-    Seq(quantizedCache, cellsCache, lshCache, pqCbCache).foreach { c =>
+    Seq(quantizedCache, cellsCache, lshCache, pqCbCache,
+        pqCodesCache, pqDtabCache).foreach { c =>
       val it = c.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
-        if (e.getKey._1 eq spark) { e.getValue.unpersist(false); it.remove() }
+        if (e.getKey._1 eq spark) {
+          e.getValue.unpersist(false)
+          graft.etl.Catchup.releaseLocalCheckpoint(e.getValue)
+          it.remove()
+        }
       }
     }
-    kmSampleCache.entrySet.removeIf { e =>
+    Seq(kmSampleCache, topkCache).foreach(_.entrySet.removeIf { e =>
       val hit = e.getKey._1 eq spark
-      if (hit) e.getValue.unpersist(false)
+      if (hit) { e.getValue.unpersist(false)
+                 graft.etl.Catchup.releaseLocalCheckpoint(e.getValue) }
       hit
-    }
+    })
   }
 
   /** Entry count of this session across the ANN memo maps (spec hook). */
   private[graft] def cacheSize(spark: SparkSession): Int = {
     import scala.jdk.CollectionConverters._
-    Seq(quantizedCache, cellsCache, lshCache, pqCbCache)
+    Seq(quantizedCache, cellsCache, lshCache, pqCbCache,
+        pqCodesCache, pqDtabCache)
       .map(_.keySet.asScala.count(_._1 eq spark)).sum +
-      kmSampleCache.keySet.asScala.count(_._1 eq spark)
+      kmSampleCache.keySet.asScala.count(_._1 eq spark) +
+      topkCache.keySet.asScala.count(_._1 eq spark)
   }
 
   private def scored(q: DataFrame, c: DataFrame): DataFrame =
@@ -241,7 +263,9 @@ object Vectors {
   /** Brute-force cosine top-5 for the deterministic query subset
     * (vec_id % 50 == 0). */
   def annCosineTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
-    annCosineTopKOf(quantizedCached(spark, dir), k)
+    topkCache.computeIfAbsent((spark, dir, k),
+      { case (s, d, kk) => annCosineTopKOf(quantizedCached(s, d), kk)
+          .localCheckpoint(true) })
 
   /** Frame-based core of [[annCosineTopK]] (fixture-testable). */
   def annCosineTopKOf(emb: DataFrame, k: Int = 5): DataFrame = {
@@ -353,13 +377,30 @@ object Vectors {
   def kmeansAssign(spark: SparkSession, dir: String,
                    iters: Int = LloydIters): DataFrame = {
     val emb = quantizedCached(spark, dir)
-    var cents = emb.where(col("vec_id") % 40 === 0)
+    // r18: the TRAINED centroids are memoized + checkpointed (k rows) —
+    // the lazily-composed Lloyd rounds otherwise re-execute on every
+    // call/pass of each consumer (the assignment query AND the drift
+    // monitor); production trains once and serves the centroid table.
+    val cents = topkCache.computeIfAbsent((spark, dir, 9 * (1 << 20) + iters),
+      { case (s, d, _) =>
+          lloydTrain(quantizedCached(s, d), quantizedCached(s, d), iters)
+            .localCheckpoint(true) })
+    assignTo(emb, cents)
+  }
+
+  /** `iters` exact-integer Lloyd rounds: seed from `train`'s % 40 members,
+    * assign `train` each round, update in integer fixed-point. Shared by
+    * the full and sampled trainers (identical arithmetic, different
+    * training sets). */
+  private def lloydTrain(train: DataFrame, seedFrom: DataFrame,
+                         iters: Int): DataFrame = {
+    var cents = seedFrom.where(col("vec_id") % 40 === 0)
       .select(col("vec_id").as("cell"), col("qv").as("c_qv"),
               col("n2").as("ca2"))
     for (_ <- 1 to iters) {
-      val assign = assignTo(emb, cents).select("vec_id", "cell")
+      val assign = assignTo(train, cents).select("vec_id", "cell")
       val sums = assign
-        .join(emb.select(col("vec_id"), col("qv")), "vec_id")
+        .join(train.select(col("vec_id"), col("qv")), "vec_id")
         .select(col("cell"), posexplode(col("qv")).as(Seq("dim", "v")))
         .groupBy("cell", "dim")
         .agg(sum("v").as("s"), count(lit(1)).as("n"))
@@ -371,7 +412,7 @@ object Vectors {
           .as("c_qv"))
         .withColumn("ca2", graft.expr.VecDotQ(col("c_qv"), col("c_qv")))
     }
-    assignTo(emb, cents)
+    cents
   }
 
   /** SAMPLED-training k-means assignment — the production shape of
@@ -398,31 +439,17 @@ object Vectors {
                           iters: Int = LloydIters,
                           sampleN: Int = 4096): DataFrame = {
     val emb = quantizedCached(spark, dir)
-    val samp = kmSampleCache.computeIfAbsent((spark, dir, sampleN),
-      { case (s, d, _) => quantizedCached(s, d)
-          .select(col("vec_id"), col("qv"), col("n2"),
-                  md5(col("vec_id").cast("string")).as("h"))
-          .orderBy(col("h"), col("vec_id")).limit(sampleN)
-          .select("vec_id", "qv", "n2")
-          .persist(mem) })
-    var cents = samp.where(col("vec_id") % 40 === 0)
-      .select(col("vec_id").as("cell"), col("qv").as("c_qv"),
-              col("n2").as("ca2"))
-    for (_ <- 1 to iters) {
-      val assign = assignTo(samp, cents).select("vec_id", "cell")
-      val sums = assign
-        .join(samp.select(col("vec_id"), col("qv")), "vec_id")
-        .select(col("cell"), posexplode(col("qv")).as(Seq("dim", "v")))
-        .groupBy("cell", "dim")
-        .agg(sum("v").as("s"), count(lit(1)).as("n"))
-      cents = sums
-        .withColumn("c",
-          expr("CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)"))
-        .groupBy("cell")
-        .agg(expr("transform(array_sort(collect_list(struct(dim, c))), x -> x.c)")
-          .as("c_qv"))
-        .withColumn("ca2", graft.expr.VecDotQ(col("c_qv"), col("c_qv")))
-    }
+    val cents = topkCache.computeIfAbsent(
+      (spark, dir, 11 * (1 << 20) + iters * 100000 + sampleN),
+      { case (s, d, _) =>
+          val samp = kmSampleCache.computeIfAbsent((s, d, sampleN),
+            { case (s2, d2, _) => quantizedCached(s2, d2)
+                .select(col("vec_id"), col("qv"), col("n2"),
+                        md5(col("vec_id").cast("string")).as("h"))
+                .orderBy(col("h"), col("vec_id")).limit(sampleN)
+                .select("vec_id", "qv", "n2")
+                .persist(mem) })
+          lloydTrain(samp, samp, iters).localCheckpoint(true) })
     assignTo(emb, cents)
   }
 
@@ -830,8 +857,26 @@ object Vectors {
       { case (s, d) =>
           pqCodebookTrainedOf(pqSubOf(quantizedCached(s, d))).persist(mem) })
 
+  // r18: the PQ code table and the per-query distance table are THE
+  // serving-index artifacts (written once per build in production) and
+  // feed five query families (codes, flat ADC, IVF-PQ, rerank, recall) —
+  // memoized + checkpointed like the other grains.
+  private val pqCodesCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+  private val pqDtabCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+
   def pqCodes(spark: SparkSession, dir: String): DataFrame =
-    pqEncode(pqSubOf(quantizedCached(spark, dir)), pqCbCached(spark, dir))
+    pqCodesCache.computeIfAbsent((spark, dir),
+      { case (s, d) =>
+          pqEncode(pqSubOf(quantizedCached(s, d)), pqCbCached(s, d))
+            .localCheckpoint(true) })
+
+  private def pqDtabCached(spark: SparkSession, dir: String): DataFrame =
+    pqDtabCache.computeIfAbsent((spark, dir),
+      { case (s, d) =>
+          pqDtabOf(pqSubOf(quantizedCached(s, d)), pqCbCached(s, d))
+            .localCheckpoint(true) })
 
   /** PQ ADC top-k: the query set (vec_id % 50 == 0) precomputes one
     * distance-table row per (query, subspace, codebook entry) — |Q|·M·k'
@@ -874,13 +919,16 @@ object Vectors {
     adcRank(codes, pqDtabOf(sub, cb), k)
   }
 
-  def pqAdcTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val sub = pqSubOf(quantizedCached(spark, dir))
-    val cb = pqCbCached(spark, dir)
-    val codes = pqEncode(sub, cb)
-      .select(col("vec_id").as("cand_id"), col("m").as("cm"), col("code"))
-    adcRank(codes, pqDtabOf(sub, cb), k)
-  }
+  def pqAdcTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    // r18: memoized like the exact grain — the ADC ranking feeds both its
+    // own query and the rank-stability monitor, and |eval|·k rows are
+    // tiny next to the encode+lookup scoring they pay per call otherwise.
+    topkCache.computeIfAbsent((spark, dir, 7 * (1 << 20) + k),
+      { case (s, d, _) =>
+          val codes = pqCodes(s, d)
+            .select(col("vec_id").as("cand_id"), col("m").as("cm"),
+                    col("code"))
+          adcRank(codes, pqDtabCached(s, d), k).localCheckpoint(true) })
 
   /** IVF-PQ — the two halves composed, i.e. the production ANN serving
     * shape (FAISS's default index family): IVF cell blocking prunes the
@@ -901,8 +949,7 @@ object Vectors {
     val cells = ivfCellsCached(spark, dir)
     val codes = pqCodes(spark, dir)
       .select(col("vec_id").as("cand_id"), col("m").as("cm"), col("code"))
-    val sub = pqSubOf(quantizedCached(spark, dir))
-    val dtab = pqDtabOf(sub, pqCbCached(spark, dir))
+    val dtab = pqDtabCached(spark, dir)
     val qCell = cells.where(col("rn") <= nprobe)
       .where(isQuery(col("query_id")))
       .select(col("query_id"), col("centroid_id"))
@@ -1403,8 +1450,13 @@ object Vectors {
   }
 
   def knnComponents(spark: SparkSession, dir: String): DataFrame =
-    // k = 5 to match the oracle's exact-top-k CTE (see knnMutual)
-    knnComponentsOf(annCosineTopK(spark, dir))
+    // k = 5 to match the oracle's exact-top-k CTE (see knnMutual).
+    // r18: memoized through the dedup cluster registry — the min-label CC
+    // loop inside runs eagerly at construction, so an unmemoized call
+    // re-ran it per invocation (the r4 recompute class).
+    graft.ops.Dedup.memoClusters(spark, dir, "knn-mutual-cc") {
+      knnComponentsOf(annCosineTopK(spark, dir))
+    }
 
   /** SAMPLED kNN components — the production monitor sibling of
     * [[knnComponentsOf]] (r14 verdict task 2, mirroring
@@ -1424,7 +1476,18 @@ object Vectors {
     * structure of the sampled subspace (the standard fixed-budget eval
     * protocol), not a subset of the full graph's. */
   def knnComponentsSampledOf(emb: DataFrame, k: Int = 5,
-                             sampleN: Int = 1024): DataFrame = {
+                             sampleN: Int = 1024): DataFrame =
+    knnComponentsOf(sampledMutualTopkOf(emb, k, sampleN))
+
+  /** The sampled exact-top-k grain under [[knnComponentsSampledOf]] —
+    * split out (r18) so the query form can persist it through
+    * [[topkCache]]: the |sample|² scoring is the whole cost of the
+    * monitor, and the component labeling re-reads the grain for nodes
+    * AND edges, so an unpersisted grain is scored twice per call (and
+    * once more per repeated call). Keyed k·2²⁰+sampleN — disjoint from
+    * the corpus-wide exact keys (tiny k) by construction. */
+  private def sampledMutualTopkOf(emb: DataFrame, k: Int,
+                                  sampleN: Int): DataFrame = {
     val s = emb.where(isQuery(col("vec_id")))
       .select(col("vec_id"), col("qv"), col("n2"),
               md5(col("vec_id").cast("string")).as("h"))
@@ -1433,18 +1496,23 @@ object Vectors {
       col("qv").as("q_qv"), col("n2").as("qa2")))
     val c = s.select(col("vec_id").as("cand_id"), col("qv").as("c_qv"),
                      col("n2").as("ca2"))
-    val topk = scored(q, c)
+    scored(q, c)
       .select("query_id", "cand_id", "score") // shed vectors pre-window
       .withColumn("rnk", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("score").desc, col("cand_id"))).cast("long"))
       .where(col("rnk") <= k)
       .select("query_id", "cand_id", "score", "rnk")
-    knnComponentsOf(topk)
   }
 
   def knnComponentsSampled(spark: SparkSession, dir: String): DataFrame =
-    knnComponentsSampledOf(quantizedCached(spark, dir))
+    graft.ops.Dedup.memoClusters(spark, dir, "knn-mutual-cc-sampled") {
+      knnComponentsOf(topkCache.computeIfAbsent(
+        (spark, dir, 5 * (1 << 20) + 1024),
+        { case (s, d, _) =>
+            sampledMutualTopkOf(quantizedCached(s, d), 5, 1024)
+              .localCheckpoint(true) }))
+    }
 
   /** Cosine RANGE search count: per eval query, how many corpus vectors
     * sit within cosine ≥ τ — the radius-neighbor census behind
@@ -1564,11 +1632,11 @@ object Vectors {
         Window.partitionBy("query_id")
           .orderBy(col("score").desc, col("cand_id"))).cast("long"))
       .where(col("rnk") <= 5)
-    val sub = pqSubOf(emb)
-    val cb = pqCbCached(spark, dir)
-    val codes = pqEncode(sub, cb)
+    // r18: rides the memoized code + distance-table grains (identical
+    // frames — same sub/codebook lineage) instead of re-encoding per call
+    val codes = pqCodes(spark, dir)
       .select(col("vec_id").as("cand_id"), col("m").as("cm"), col("code"))
-    val sdtab = pqDtabOf(sub, cb)
+    val sdtab = pqDtabCached(spark, dir)
       .join(broadcast(squery.select(col("vec_id").as("query_id"))),
             Seq("query_id"))
     rankStabilityOf(exact, adcRank(codes, sdtab, 5))

@@ -82,7 +82,14 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("doc-length histogram reads only text from documents") {
-    val scans = scansOf(ops.TextOps.docLenHist(spark, d), "documents")
+    // r18: the query form rides the memoized textStats grain (a
+    // checkpointed leaf, no parquet scan in its plan), so the pruning
+    // property is asserted on the operator composition that BUILDS the
+    // grain — the plan the scan actually runs in.
+    val scans = scansOf(
+      ops.TextOps.docLenHistOf(
+        ops.TextOps.textStatsOf(ops.TextOps.docsWords(spark, d))),
+      "documents")
     assert(scans.nonEmpty)
     for (s <- scans)
       assert(s.requiredSchema.fieldNames.toSet == Set("text"),
