@@ -385,29 +385,37 @@ object Analytics {
     * later week they purchase again — the triangular retention readout
     * behind "week-N retention" dashboards.
     *
-    * Scale shape: collapse to DISTINCT (customer, week) first (partial-agg
-    * shuffle on the pair — the only fact-sized exchange), derive each
-    * customer's cohort with a min-aggregate on the collapsed frame, and
-    * join it back on customer_id (both sides already customer-keyed and
-    * week-collapsed, so the join input is |customers|·|active weeks|, not
-    * |rows|). Cohort sizes are week-cardinality — broadcast. Counts are
-    * exact integers; the retention rate is ONE double division mirrored in
-    * the oracle. */
+    * Scale shape (r18, guide §2.4): ONE linear pipeline over a single
+    * fact scan — repartition by customer_id, collapse to DISTINCT
+    * (customer, week) (hash(customer) clusters the pair key as a prefix,
+    * so the distinct adds no exchange), derive each customer's cohort as
+    * a min-window over the same partitioning (the old plan evaluated the
+    * distinct subtree TWICE — once for the cohort aggregate, once for
+    * the join back — plus a customer-keyed join exchange), then roll up
+    * to the (cohort_week, weeks_since) matrix. Cohort sizes fall out of
+    * the matrix itself: every customer contributes exactly one
+    * weeks_since=0 row (week = cohort_week only at the min week), so
+    * cohort_size is the weeks_since=0 count, attached by a
+    * week-cardinality window instead of a second aggregate + broadcast
+    * join. Counts are exact integers; the retention rate is ONE double
+    * division mirrored in the oracle. */
   def cohortRetentionOf(uol: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val custWeeks = uol
       .select(col("customer_id"),
         date_trunc("week", col("date_time")).as("week"))
+      .repartition(col("customer_id"))
       .distinct()
-    val cohorts = custWeeks.groupBy("customer_id")
-      .agg(min("week").as("cohort_week"))
-    val sizes = cohorts.groupBy("cohort_week")
-      .agg(count(lit(1)).as("cohort_size"))
-    custWeeks.join(cohorts, "customer_id")
+    custWeeks
+      .withColumn("cohort_week",
+        min("week").over(Window.partitionBy("customer_id")))
       .groupBy(col("cohort_week"),
         expr("datediff(week, cohort_week) div 7").cast("long")
           .as("weeks_since"))
       .agg(count(lit(1)).as("n_active"))
-      .join(broadcast(sizes), "cohort_week")
+      .withColumn("cohort_size",
+        max(when(col("weeks_since") === 0L, col("n_active")))
+          .over(Window.partitionBy("cohort_week")))
       .select(col("cohort_week"), col("weeks_since"), col("n_active"),
         col("cohort_size"),
         (col("n_active").cast("double") / col("cohort_size").cast("double"))

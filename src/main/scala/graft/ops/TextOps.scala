@@ -330,17 +330,23 @@ object TextOps {
     * ambiguity that could flip a rank at a rounding boundary. score =
     * tf * ilog2(N/df); ties break by term.
     *
-    * Scale: tf is a (doc, term) partial-agg groupBy; df a (term) one over
-    * distinct (doc, term); the tf↔df join shuffles on term; N joins as a
-    * 1-row broadcast. The top-k window partitions by doc — bounded by
-    * terms-per-doc, never global. */
+    * Scale: tf is a (doc, term) partial-agg groupBy; df rides a COUNT
+    * window partitioned by term over the SAME aggregate — tf's grain is
+    * exactly one row per distinct (doc, term), so counting its rows per
+    * term IS the document frequency (r18, guide §2.4: the old plan
+    * exploded the corpus a second time into a distinct + groupBy branch
+    * and joined it back on term — one extra corpus scan, one distinct
+    * shuffle and one join exchange for a value the first aggregate
+    * already determines). N joins as a 1-row broadcast. The top-k window
+    * partitions by doc — bounded by terms-per-doc, never global. */
   def tfidfTopOf(docsWords: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wf = docsWords.select(col("doc_id"), explode(col("words")).as("w"))
     val tf = wf.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-    val dfq = wf.distinct().groupBy("w").agg(count(lit(1)).as("df"))
     val n = docsWords.select(countDistinct("doc_id").as("n_docs"))
-    val scored = tf.join(dfq, "w").crossJoin(broadcast(n))
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("w")))
+      .crossJoin(broadcast(n))
       .withColumn("score",
         col("tf") * (length(bin(expr("n_docs div df"))) - 1).cast("long"))
     scored

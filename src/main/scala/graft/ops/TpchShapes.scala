@@ -33,15 +33,24 @@ object TpchShapes {
     * groups — dimension-bounded, so no skew risk — instead of a
     * min-aggregate self-join-back, which Catalyst planned as a second
     * full lineitem scan+agg. Ties (two suppliers at the exact min) are
-    * kept — deterministic, no arbitrary pick. */
+    * kept — deterministic, no arbitrary pick.
+    *
+    * r18: aggregate and window share ONE exchange — unit cost computes
+    * at the scan, the narrow (part, supp, cost) row repartitions by
+    * l_partkey before the groupBy (a prefix of the grouping key), and
+    * the per-part min window reuses that partitioning instead of adding
+    * a second fact-sized shuffle (guide §2.4). */
   def minCostSupplierOf(lineitem: DataFrame, supplier: DataFrame,
                         nation: DataFrame, region: DataFrame,
                         part: DataFrame, regionName: String = "EUROPE",
                         maxSize: Int = 15): DataFrame = {
     val supply = lineitem
+      .select(col("l_partkey"), col("l_suppkey"),
+        floor(col("l_extendedprice") * lit(100) / col("l_quantity"))
+          .cast("long").as("unit_cost_line_c"))
+      .repartition(col("l_partkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(min(floor(col("l_extendedprice") * lit(100) / col("l_quantity"))
-        .cast("long")).as("unit_cost_c"))
+      .agg(min(col("unit_cost_line_c")).as("unit_cost_c"))
     val dim = nation
       .join(broadcast(region.where(col("r_name") === regionName)),
             col("n_regionkey") === col("r_regionkey"))
@@ -201,10 +210,19 @@ object TpchShapes {
     * lineitem scan; the per-part totals are UNORDERED windows (no sort)
     * over the suppliers-per-part groups — dimension-bounded — instead of
     * an aggregate self-join-back that would re-scan lineitem; the
-    * supplier⨝nation attach broadcasts; final rollup is supplier-sized. */
+    * supplier⨝nation attach broadcasts; final rollup is supplier-sized.
+    *
+    * r18: aggregate and window share ONE exchange — the 3-column scan
+    * repartitions by l_partkey before the groupBy (hash(l_partkey)
+    * clusters the (part, supp) grouping key as a prefix), so the
+    * per-part window adds no second shuffle (guide §2.4); nearly every
+    * line is a distinct (part, supp) pair at this key density, so the
+    * lost partial aggregation was not collapsing anything. */
   def dominantSuppliersOf(lineitem: DataFrame, supplier: DataFrame,
                           nation: DataFrame): DataFrame = {
-    val sp = lineitem.groupBy(col("l_partkey"), col("l_suppkey"))
+    val sp = lineitem.select("l_partkey", "l_suppkey", "l_quantity")
+      .repartition(col("l_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity").cast("long")).as("qty"))
     val supp = supplier.select("s_suppkey", "s_name", "s_nationkey")
       .join(broadcast(nation.select("n_nationkey", "n_name")),
@@ -238,17 +256,29 @@ object TpchShapes {
     * the only lineitem scan; the per-order (n_supp, n_late) rollup is an
     * UNORDERED window (no sort) over the suppliers-per-order groups —
     * basket-bounded — instead of an aggregate self-join-back that would
-    * re-run the join; supplier⨝nation broadcasts at the end. */
+    * re-run the join; supplier⨝nation broadcasts at the end.
+    *
+    * r18: the aggregate and the window share ONE exchange — the narrow
+    * (orderkey, suppkey, late) row repartitions by l_orderkey BEFORE the
+    * groupBy, which clusters (l_orderkey, l_suppkey) as a prefix, so the
+    * per-order window reuses the partitioning instead of adding a second
+    * fact-sized shuffle (guide §2.4). Partial aggregation would have
+    * saved almost nothing here (nearly every lineitem row is a distinct
+    * (order, supplier) pair), so shuffling pre-agg rows costs ~the same
+    * bytes and drops a whole exchange. */
   def lateOnlySupplierOf(lineitem: DataFrame, orders: DataFrame,
                          supplier: DataFrame, nation: DataFrame,
                          lateDays: Int = 365): DataFrame = {
     val ord = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
       .join(orders.select("o_orderkey", "o_orderdate"),
             col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        when(datediff(to_date(col("l_shipdate")),
+                      to_date(col("o_orderdate"))) > lateDays, 1L)
+          .otherwise(0L).as("late"))
+      .repartition(col("l_orderkey"))
       .groupBy("l_orderkey", "l_suppkey")
-      .agg(max(when(datediff(to_date(col("l_shipdate")),
-                             to_date(col("o_orderdate"))) > lateDays, 1L)
-        .otherwise(0L)).as("is_late"))
+      .agg(max(col("late")).as("is_late"))
     val byOrder = org.apache.spark.sql.expressions.Window
       .partitionBy("l_orderkey")
     val supp = supplier.select("s_suppkey", "s_name", "s_nationkey")
