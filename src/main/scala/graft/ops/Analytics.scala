@@ -386,25 +386,29 @@ object Analytics {
     * behind "week-N retention" dashboards.
     *
     * Scale shape (r18, guide §2.4): ONE linear pipeline over a single
-    * fact scan — repartition by customer_id, collapse to DISTINCT
-    * (customer, week) (hash(customer) clusters the pair key as a prefix,
-    * so the distinct adds no exchange), derive each customer's cohort as
-    * a min-window over the same partitioning (the old plan evaluated the
-    * distinct subtree TWICE — once for the cohort aggregate, once for
-    * the join back — plus a customer-keyed join exchange), then roll up
-    * to the (cohort_week, weeks_since) matrix. Cohort sizes fall out of
-    * the matrix itself: every customer contributes exactly one
-    * weeks_since=0 row (week = cohort_week only at the min week), so
-    * cohort_size is the weeks_since=0 count, attached by a
-    * week-cardinality window instead of a second aggregate + broadcast
-    * join. Counts are exact integers; the retention rate is ONE double
-    * division mirrored in the oracle. */
+    * fact scan — collapse to DISTINCT (customer, week) with partial
+    * aggregation (the ONLY fact-sized exchange, and map-side combining
+    * collapses it to the dimension-bounded customer×week grain BEFORE
+    * the network — the 64× probe showed that hoisting a
+    * repartition(customer_id) above the distinct, Q21-style, ships the
+    * RAW fact rows instead and turns a 1.4 ratio into a linear one;
+    * here, unlike the TPC-H pair grains, the collapse is huge), derive
+    * each customer's cohort as a min-window (one further
+    * dimension-sized exchange; the old plan evaluated the distinct
+    * subtree TWICE — once for the cohort aggregate, once for the join
+    * back — plus a customer-keyed join exchange), then roll up to the
+    * (cohort_week, weeks_since) matrix. Cohort sizes fall out of the
+    * matrix itself: every customer contributes exactly one weeks_since=0
+    * row (week = cohort_week only at the min week), so cohort_size is
+    * the weeks_since=0 count, attached by a week-cardinality window
+    * instead of a second aggregate + broadcast join. Counts are exact
+    * integers; the retention rate is ONE double division mirrored in
+    * the oracle. */
   def cohortRetentionOf(uol: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val custWeeks = uol
       .select(col("customer_id"),
         date_trunc("week", col("date_time")).as("week"))
-      .repartition(col("customer_id"))
       .distinct()
     custWeeks
       .withColumn("cohort_week",
