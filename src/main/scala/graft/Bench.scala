@@ -6,9 +6,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-run benchmark. Prints TWO JSON lines to stdout:
   *
-  *  1. the FULL line — canonical query names, 3-decimal seconds, separate
-  *     `cold`/`warm` per-query maps (first-touch vs steady-state) for both
-  *     series, warehouse detail, errors. Also written to `BENCH_full.json`.
+  *  1. the FULL line — canonical query names, 3-decimal seconds, the raw
+  *     `passes` arrays plus a first-class `cold` map (pass 1 — the
+  *     build-inclusive cost) and a `memo_backed` list stamping every query
+  *     whose steady-state plan reads an in-session materialized frame (r19:
+  *     those rows' min-of-passes price a cache read, so claims about them
+  *     must cite `cold`), warehouse detail, errors. Also written to
+  *     `BENCH_full.json`.
   *  2. the COMPACT driver line, printed LAST — the driver captures only the
   *     final 2000 characters of stdout (measured from the r3/r4 artifacts:
   *     `tail` is exactly 2000 chars and ends with sbt's `[success] …` line,
@@ -32,8 +36,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    plus the raw `materialize_passes`; pass 1 reuses the shared
   *    Pipeline's cached staging frames — the honest cost of materializing
   *    after the query series, not a cold rebuild), then EVERY in-session
-  *    cache is invalidated (Pipeline/Dedup/TextOps/Vectors memo maps +
-  *    `catalog.clearCache()`) so the read-back queries run against the
+  *    cache is invalidated (Pipeline/Dedup/TextOps/Vectors/Corpus/Basket
+  *    memo maps + `catalog.clearCache()`) so the read-back queries run against the
   *    warehouse parquet with no cross-series cache pressure or flattery —
   *    r4's w_* read-back drag was exactly this interference. The synthetic
   *    daily cycle (drain → pruned merge → scoped compaction against the
@@ -376,6 +380,23 @@ object Bench {
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
 
+  /** True when a query's steady-state plan reads an in-session
+    * materialized frame — a checkpoint leaf (`LogicalRDD`) or a cached
+    * relation (`InMemoryRelation`) — rather than recomputing from the
+    * parquet inputs. Such rows' warm passes price a cache read, not the
+    * computation (r18 verdict: min-of-3 over memoized grains flattered
+    * ~14 rows), so the artifact stamps them and carries the cold
+    * (build-inclusive) pass per query beside the min. Deliberately
+    * OVER-approximate: any RDD-backed leaf counts (e.g. the Ids.dense
+    * two-phase id frames), because those plans also serve warm passes
+    * from persisted intermediates — when in doubt, a row is priced by
+    * its cold pass, never the other way. */
+  private[graft] def memoBacked(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case _: org.apache.spark.sql.execution.LogicalRDD => ()
+      case _: org.apache.spark.sql.execution.columnar.InMemoryRelation => ()
+    }.isDefined
+
   /** Whole-run load label: rows whose max/min pass ratio exceeds 5× (see
     * class doc). Failed rows and rows under the 0.05 s floor don't count. */
   private[graft] def passSpreadGt5(series: Seq[(String, Seq[Double])]): Int =
@@ -652,6 +673,12 @@ object Bench {
 
     def mins(s: Seq[(String, Seq[Double])]): Seq[(String, Double)] =
       s.map { case (k, ps) => k -> minOf(ps) }
+    // pass 1 verbatim — the build-inclusive cost (the r18 verdict's memo
+    // accounting + core-sensitivity fix: an 8-vs-32-core comparison over
+    // `cold` sees compute, where min-of-3 over memo grains sees cache
+    // reads). A failed pass 1 reports its -1 as-is.
+    def colds(s: Seq[(String, Seq[Double])]): Seq[(String, Double)] =
+      s.map { case (k, ps) => k -> ps.head }
     def medians(s: Seq[(String, Seq[Double])]): Seq[(String, Double)] =
       s.map { case (k, ps) => k -> medianOf(ps) }
     def okSum(m: Seq[(String, Double)]): Double =
@@ -676,6 +703,10 @@ object Bench {
       .map { case (n, f) => n -> (() => f(spark, sfDir)) }
     val pSeries = series(pipelineQs, "pipeline")
     val pMin = mins(pSeries)
+    // memo stamps are read AFTER the timed passes (plan analysis only —
+    // every grain the steady state uses is materialized by now)
+    val memoBackedQs = pipelineQs.collect { case (n, fn)
+      if scala.util.Try(memoBacked(fn())).getOrElse(false) => n }.sorted
 
     val whRootPath = java.nio.file.Files.createTempDirectory("graft_bench_wh")
     val whRoot = whRootPath.toString
@@ -711,6 +742,14 @@ object Bench {
         ops.Dedup.invalidate(spark, sfDir)
         ops.TextOps.invalidate(spark, sfDir)
         ops.Vectors.invalidate(spark, sfDir)
+        // r18 ADVICE: these two grains are checkpoint-backed RDD blocks
+        // that clearCache() does NOT evict — without their own hooks the
+        // read-back series no longer measured the warehouse parquet alone.
+        // Basket keys its checkpoint registry by session only, so the
+        // whole-session hook is its per-dir barrier here (every Basket
+        // grain in this run was built from sfDir).
+        ops.Corpus.invalidate(spark, sfDir)
+        ops.Basket.invalidateAll(spark)
         spark.catalog.clearCache()
         if (mats.headOption.exists(_ >= 0)) {
           // pass 1 succeeded → the warehouse is complete and readable
@@ -835,11 +874,15 @@ object Bench {
       s""""queries":${jmap(pMin, r3)},"sf":"$sfDir",""" +
       s""""median":${jmap(medians(pSeries), r3)},""" +
       s""""passes":${jmapArr(pSeries)},""" +
+      s""""cold":${jmap(colds(pSeries), r3)},""" +
+      s""""memo_backed":${
+        memoBackedQs.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""warehouse":{"materialize_sec":${r3(matSec)},""" +
       s"""$matPartial"materialize_passes":${passesArr(matPasses)},""" +
       s"""$whPartial"total":${r3(whTotal)},"queries":${jmap(wMin, r3)},""" +
       s""""median":${jmap(medians(wSeries), r3)},""" +
       s""""passes":${jmapArr(wSeries)},""" +
+      s""""cold":${jmap(colds(wSeries), r3)},""" +
       s""""daily_cycle_sec":${r3(dailyCycleSec)},""" +
       s"""$dcPartial"daily_cycle_passes":${passesArr(dcPasses)},""" +
       s""""ss_ingest_sec":${r3(ssIngestSec)},""" +

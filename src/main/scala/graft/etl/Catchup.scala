@@ -1,5 +1,6 @@
 package graft.etl
 
+import graft.Memo.TruncateOps
 import graft.Ids
 import org.apache.spark.sql.DataFrame
 
@@ -37,7 +38,7 @@ object Catchup {
     * unpersists the superseded checkpoint's blocks, so a long catchup
     * holds O(1) executor storage, not O(#increments). */
   def applyAll(history: DataFrame, increments: Seq[DataFrame],
-               materialize: DataFrame => DataFrame = _.localCheckpoint(true),
+               materialize: DataFrame => DataFrame = _.truncated,
                release: DataFrame => Unit = releaseLocalCheckpoint)
       : DataFrame = {
     var acc = materialize(Ids.dense(history, sortCols, "id"))

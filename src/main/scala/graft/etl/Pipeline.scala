@@ -1,5 +1,6 @@
 package graft.etl
 
+import graft.Memo.TruncateOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Wires the §3 DAG as plain function composition: feeds → dims → facts →
@@ -77,12 +78,15 @@ class Pipeline(spark: SparkSession, dir: String) {
   // (measured: warehouse materialize reads row-RDD checkpoints ~1.7×
   // slower than the columnar cache; with persist alone the planning cost
   // returns). unpersistAll releases both layers.
-  private def materialized(df: DataFrame): DataFrame =
-    persistedFrames.synchronized {
-      val cp = df.localCheckpoint(true)
-      cp.persist(MEMORY_AND_DISK)
-      persistedFrames += cp; cp
-    }
+  // The checkpoint JOB runs outside the registry lock (r18 ADVICE: a
+  // concurrent registerCached/unpersistAll caller blocked for the full
+  // materialization otherwise); only the registry append is locked.
+  private def materialized(df: DataFrame): DataFrame = {
+    val cp = df.truncated
+    cp.persist(MEMORY_AND_DISK)
+    persistedFrames.synchronized { persistedFrames += cp }
+    cp
+  }
 
   /** Register an externally-built shared subplan in this pipeline's persist
     * registry, so [[Pipeline.invalidate]]/unpersistAll cover it (operators

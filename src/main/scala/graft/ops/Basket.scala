@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Memo.TruncateOps
 import graft.etl.Feeds
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -55,7 +56,7 @@ object Basket {
     SparkSession, java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]
 
   private def checkpointTracked(df: DataFrame): DataFrame = {
-    val cp = df.localCheckpoint(true)
+    val cp = df.truncated
     ckpts.computeIfAbsent(cp.sparkSession,
       _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]).add(cp)
     cp

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Memo.TruncateOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -50,7 +51,11 @@ object Corpus {
     else {
       val built = build
       val prev = resultCache.putIfAbsent(key, built)
-      if (prev != null) prev else built
+      // a concurrent first call loses the race with an already-materialized
+      // checkpoint: release its blocks, they are reachable from nowhere
+      // (r18 ADVICE — unlike Dedup.memoClusters, losers here are not
+      // covered by any tracked registry)
+      if (prev != null) { release(built); prev } else built
     }
   }
 
@@ -134,7 +139,7 @@ object Corpus {
         curated(spark, dir),
         TextOps.contamination(spark, dir),
         TextOps.piiScan(spark, dir),
-        TextOps.repetition(spark, dir)).localCheckpoint(true)
+        TextOps.repetition(spark, dir)).truncated
     }
 
   /** Quote-ppm ceiling for v3 admission: a doc with more than a quarter
@@ -196,7 +201,7 @@ object Corpus {
     cached(spark, dir, "curatedV4") {
       curatedV4Of(curatedV2(spark, dir), Dedup.quoteHeavyDocs(spark, dir),
                   Dedup.spanMaskRanges(spark, dir),
-                  TextOps.docsWords(spark, dir)).localCheckpoint(true)
+                  TextOps.docsWords(spark, dir)).truncated
     }
 
   /** The number that justifies the span tier's apply step: per source,
@@ -276,12 +281,12 @@ object Corpus {
   private def incBatchWords(spark: SparkSession, dir: String): DataFrame =
     cached(spark, dir, "incBatchWords") {
       TextOps.withWords(Dedup.batchOnly(TextOps.docs(spark, dir),
-                                        spark, dir)).localCheckpoint(true)
+                                        spark, dir)).truncated
     }
 
   private def incBatchShingles(spark: SparkSession, dir: String): DataFrame =
     cached(spark, dir, "incBatchShingles") {
-      TextOps.shinglesOf(incBatchWords(spark, dir)).localCheckpoint(true)
+      TextOps.shinglesOf(incBatchWords(spark, dir)).truncated
     }
 
   def curatedV4Inc(spark: SparkSession, dir: String): DataFrame = {

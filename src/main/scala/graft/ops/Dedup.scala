@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Memo.TruncateOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.jdk.CollectionConverters._
@@ -346,7 +347,7 @@ object Dedup {
   private[graft] def bandsCached(spark: SparkSession, dir: String): DataFrame =
     bandsCache.computeIfAbsent((spark, dir),
       { case (s, d) =>
-        val cp = minhashBands(s, d).localCheckpoint(true)
+        val cp = minhashBands(s, d).truncated
         cp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         cp })
 
@@ -359,7 +360,7 @@ object Dedup {
                    maxBucket: Int = 256): DataFrame =
     pairsCache.computeIfAbsent((spark, dir, maxBucket),
       { case (s, d, m) =>
-        val cp = minhashPairsOf(bandsCached(s, d), m).localCheckpoint(true)
+        val cp = minhashPairsOf(bandsCached(s, d), m).truncated
         cp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         cp })
 
@@ -380,7 +381,16 @@ object Dedup {
       if (hit) release(e.getValue)
       hit
     }
-    clustersCache.keySet.removeIf(k => k._1 == spark && k._2 == dir)
+    // cluster-label values are checkpoint-topped; releasing them here
+    // (not only via the invalidateAll-drained registry) keeps a per-dir
+    // invalidate + rebuild from pinning the stale frames' blocks for the
+    // session lifetime (r18 ADVICE). Double release via the registry at
+    // teardown is a safe no-op.
+    clustersCache.entrySet.removeIf { e =>
+      val hit = e.getKey._1 == spark && e.getKey._2 == dir
+      if (hit) graft.etl.Catchup.releaseLocalCheckpoint(e.getValue)
+      hit
+    }
   }
 
   /** Drop and unpersist EVERY memoized frame of `spark`, whatever dir it
@@ -627,7 +637,7 @@ object Dedup {
     // released HERE instead of leaking for the session lifetime (r14
     // advice) — the checkpoint itself is registered in the tracked
     // queue, so Caches.invalidateAll reclaims its blocks.
-    val edges = trackCheckpoint(barrier.localCheckpoint(true))
+    val edges = trackCheckpoint(barrier.truncated)
     if (owned) hashes.unpersist(false)
     edges
   }
@@ -745,7 +755,7 @@ object Dedup {
     // other grains.
     memoClusters(spark, dir, "simhash-pairs") {
       trackCheckpoint(
-        simhashPairsOf(simhash(spark, dir)).localCheckpoint(true))
+        simhashPairsOf(simhash(spark, dir)).truncated)
     }
 
   def simhash64Pairs(spark: SparkSession, dir: String): DataFrame =
@@ -800,7 +810,7 @@ object Dedup {
     // cost grows superlinearly (the standard iterative-algorithm pitfall).
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
-      .localCheckpoint(true)
+      .truncated
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -808,7 +818,7 @@ object Dedup {
         .select(col("dst").as("doc_id"), col("cluster"))
       val next = labels.unionAll(viaEdges)
         .groupBy("doc_id").agg(min("cluster").as("cluster"))
-        .localCheckpoint(true)
+        .truncated
       changed = next.join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
         .where(col("cluster") =!= col("prev")).count()
       // prev labels' checkpoint blocks are dead once `changed` is counted
@@ -917,7 +927,7 @@ object Dedup {
         oldLabels,
         d.where(col("doc_id") > col("cutoff")).select("doc_id"),
         p.where(col("doc_b") > col("cutoff")).select("doc_a", "doc_b"))
-        .localCheckpoint(true))
+        .truncated)
   }
 
   /** Clusters over the VERIFIED pair graph — the full production
@@ -960,7 +970,7 @@ object Dedup {
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
               least(col("doc_a"), col("doc_b")).as("v"))
       .where(col("u") =!= col("v")).distinct()
-      .localCheckpoint(true)
+      .truncated
 
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.select(col("u"), col("v"))
@@ -1001,7 +1011,7 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = smallStar(largeStar(edges)).truncated
       val nextSig = sig(next)
       converged = nextSig == cur
       // `next` is fully materialized (eager checkpoint) and its lineage
@@ -1069,7 +1079,7 @@ object Dedup {
       trackCheckpoint(
         ngramJaccardFor(minhashPairs(spark, dir),
                         TextOps.shingles(spark, dir))
-          .localCheckpoint(true))
+          .truncated)
     }
 
   /** ASYMMETRIC containment tier over the guarded candidate pairs:
@@ -1119,7 +1129,7 @@ object Dedup {
       { case (s, d) =>
           containmentFor(minhashPairs(s, d).select("doc_a", "doc_b"),
                          TextOps.shingles(s, d))
-            .localCheckpoint(true)
+            .truncated
       })
 
   /** Candidate-pair Jaccard HISTOGRAM in tenth buckets — the
@@ -1220,7 +1230,7 @@ object Dedup {
       verifiedJaccardCached(spark, dir),
       memoClusters(spark, dir, "minhash-sigs") {
         trackCheckpoint(minhashOf(TextOps.shingles(spark, dir))
-          .localCheckpoint(true))
+          .truncated)
       })
 
   /** Deterministic pair sample (consecutive even/odd doc_id pairs —
@@ -1507,7 +1517,7 @@ object Dedup {
     runsCache.computeIfAbsent((spark, dir),
       { case (s, d) =>
         val cp = substringRunsOf(TextOps.posShingles(s, d), 8, 64)
-          .localCheckpoint(true)
+          .truncated
         cp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         cp })
 
@@ -1755,7 +1765,7 @@ object Dedup {
           .select("doc_id", "pos", "sh")
         val census = substringCensusOf(idx)
         val cp = substringIncRunsOf(substringIndexOf(idx, census), census,
-                                    inc, 8, 64).localCheckpoint(true)
+                                    inc, 8, 64).truncated
         cp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         cp })
 

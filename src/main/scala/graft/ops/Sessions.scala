@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Memo.TruncateOps
 import graft.etl.Feeds
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -503,7 +504,7 @@ object Sessions {
       // three consumers (pair model, from-model, final join) — truncate
       // the lineage so the event-sized lag window runs ONCE, not per
       // branch; the materialized frame is per-user-pair grain (≪ events)
-      .localCheckpoint(true)
+      .truncated
     val pairModel = trans.groupBy("from_type", "to_type")
       .agg(sum(col("n_ut")).as("c_pair"))
     val fromModel = pairModel.groupBy("from_type")

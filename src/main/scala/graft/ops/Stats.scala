@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Memo.TruncateOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -84,7 +85,7 @@ object Stats {
     // end to end, everything downstream is histogram-sized.
     val cell = documents.groupBy("source", "n_chars")
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+      .truncated
     val lengths = cell.select("n_chars").distinct()
     val sources = cell.groupBy("source").agg(sum("cnt").as("n_source"))
     val globalCdf = cell.groupBy("n_chars").agg(sum("cnt").as("gcnt"))

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Memo.TruncateOps
 import graft.etl.Feeds
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -63,7 +64,7 @@ object TextOps {
   def textStats(spark: SparkSession, dir: String): DataFrame =
     statsCache.computeIfAbsent((spark, dir),
       { case (s, d) =>
-          val cp = textStatsOf(docsWords(s, d)).localCheckpoint(true)
+          val cp = textStatsOf(docsWords(s, d)).truncated
           cp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           cp })
 
@@ -218,7 +219,7 @@ object TextOps {
   def posShingles(spark: SparkSession, dir: String): DataFrame =
     posShinglesCache.computeIfAbsent((spark, dir),
       { case (s, d) =>
-          val cp = posShinglesOf(docsWords(s, d)).localCheckpoint(true)
+          val cp = posShinglesOf(docsWords(s, d)).truncated
           cp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           cp })
 
@@ -236,7 +237,7 @@ object TextOps {
       // the shingle leaf (r18 — planning over the nested explode tree
       // dominated the dedup/verify tail's warm cost, guide §3.3)
       { case (s, d) =>
-          val cp = shinglesOf(docsWords(s, d)).localCheckpoint(true)
+          val cp = shinglesOf(docsWords(s, d)).truncated
           cp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           cp })
 
@@ -254,7 +255,7 @@ object TextOps {
       { case (s, d) => docsWords(s, d)
           .select(col("doc_id"), explode(col("words")).as("w"))
           .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-          .localCheckpoint(true) match { case cp =>
+          .truncated match { case cp =>
             cp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             cp } })
 

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Memo.TruncateOps
 import graft.etl.Feeds
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -188,8 +189,13 @@ object Vectors {
   // production the exact-truth table is computed once per release and
   // read by every eval job; the memo plays that role in-session. Output
   // is |eval set|·k rows — tiny next to its build.
+  // keyed (session, dir, tag, param) — the tag names WHAT the frame is
+  // (exact top-k, trained centroids, ADC ranking, sampled grain) and the
+  // param its dial (k / iters / sampleN). r18 packed all of these into one
+  // hand-offset Int (9·2^20+iters, ...), where an out-of-range caller value
+  // silently collided into a frame with a different schema (r18 ADVICE).
   private val topkCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Int), DataFrame]
+    (SparkSession, String, String, Int), DataFrame]
 
   private def mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
@@ -211,12 +217,18 @@ object Vectors {
         graft.etl.Catchup.releaseLocalCheckpoint(df)
       }
     }
-    Seq(kmSampleCache, topkCache).foreach(_.entrySet.removeIf { e =>
+    kmSampleCache.entrySet.removeIf { e =>
       val hit = e.getKey._1 == spark && e.getKey._2 == dir
       if (hit) { e.getValue.unpersist(false)
                  graft.etl.Catchup.releaseLocalCheckpoint(e.getValue) }
       hit
-    })
+    }
+    topkCache.entrySet.removeIf { e =>
+      val hit = e.getKey._1 == spark && e.getKey._2 == dir
+      if (hit) { e.getValue.unpersist(false)
+                 graft.etl.Catchup.releaseLocalCheckpoint(e.getValue) }
+      hit
+    }
   }
 
   /** Drop and unpersist EVERY memoized ANN frame of `spark`, whatever dir
@@ -237,12 +249,18 @@ object Vectors {
         }
       }
     }
-    Seq(kmSampleCache, topkCache).foreach(_.entrySet.removeIf { e =>
+    kmSampleCache.entrySet.removeIf { e =>
       val hit = e.getKey._1 eq spark
       if (hit) { e.getValue.unpersist(false)
                  graft.etl.Catchup.releaseLocalCheckpoint(e.getValue) }
       hit
-    })
+    }
+    topkCache.entrySet.removeIf { e =>
+      val hit = e.getKey._1 eq spark
+      if (hit) { e.getValue.unpersist(false)
+                 graft.etl.Catchup.releaseLocalCheckpoint(e.getValue) }
+      hit
+    }
   }
 
   /** Entry count of this session across the ANN memo maps (spec hook). */
@@ -263,9 +281,9 @@ object Vectors {
   /** Brute-force cosine top-5 for the deterministic query subset
     * (vec_id % 50 == 0). */
   def annCosineTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
-    topkCache.computeIfAbsent((spark, dir, k),
-      { case (s, d, kk) => annCosineTopKOf(quantizedCached(s, d), kk)
-          .localCheckpoint(true) })
+    topkCache.computeIfAbsent((spark, dir, "exact-topk", k),
+      { case (s, d, _, kk) => annCosineTopKOf(quantizedCached(s, d), kk)
+          .truncated })
 
   /** Frame-based core of [[annCosineTopK]] (fixture-testable). */
   def annCosineTopKOf(emb: DataFrame, k: Int = 5): DataFrame = {
@@ -381,10 +399,10 @@ object Vectors {
     // the lazily-composed Lloyd rounds otherwise re-execute on every
     // call/pass of each consumer (the assignment query AND the drift
     // monitor); production trains once and serves the centroid table.
-    val cents = topkCache.computeIfAbsent((spark, dir, 9 * (1 << 20) + iters),
-      { case (s, d, _) =>
+    val cents = topkCache.computeIfAbsent((spark, dir, "km-cents", iters),
+      { case (s, d, _, _) =>
           lloydTrain(quantizedCached(s, d), quantizedCached(s, d), iters)
-            .localCheckpoint(true) })
+            .truncated })
     assignTo(emb, cents)
   }
 
@@ -440,8 +458,8 @@ object Vectors {
                           sampleN: Int = 4096): DataFrame = {
     val emb = quantizedCached(spark, dir)
     val cents = topkCache.computeIfAbsent(
-      (spark, dir, 11 * (1 << 20) + iters * 100000 + sampleN),
-      { case (s, d, _) =>
+      (spark, dir, s"km-cents-sampled-n$sampleN", iters),
+      { case (s, d, _, _) =>
           val samp = kmSampleCache.computeIfAbsent((s, d, sampleN),
             { case (s2, d2, _) => quantizedCached(s2, d2)
                 .select(col("vec_id"), col("qv"), col("n2"),
@@ -449,7 +467,7 @@ object Vectors {
                 .orderBy(col("h"), col("vec_id")).limit(sampleN)
                 .select("vec_id", "qv", "n2")
                 .persist(mem) })
-          lloydTrain(samp, samp, iters).localCheckpoint(true) })
+          lloydTrain(samp, samp, iters).truncated })
     assignTo(emb, cents)
   }
 
@@ -870,13 +888,13 @@ object Vectors {
     pqCodesCache.computeIfAbsent((spark, dir),
       { case (s, d) =>
           pqEncode(pqSubOf(quantizedCached(s, d)), pqCbCached(s, d))
-            .localCheckpoint(true) })
+            .truncated })
 
   private def pqDtabCached(spark: SparkSession, dir: String): DataFrame =
     pqDtabCache.computeIfAbsent((spark, dir),
       { case (s, d) =>
           pqDtabOf(pqSubOf(quantizedCached(s, d)), pqCbCached(s, d))
-            .localCheckpoint(true) })
+            .truncated })
 
   /** PQ ADC top-k: the query set (vec_id % 50 == 0) precomputes one
     * distance-table row per (query, subspace, codebook entry) — |Q|·M·k'
@@ -923,12 +941,12 @@ object Vectors {
     // r18: memoized like the exact grain — the ADC ranking feeds both its
     // own query and the rank-stability monitor, and |eval|·k rows are
     // tiny next to the encode+lookup scoring they pay per call otherwise.
-    topkCache.computeIfAbsent((spark, dir, 7 * (1 << 20) + k),
-      { case (s, d, _) =>
+    topkCache.computeIfAbsent((spark, dir, "adc-topk", k),
+      { case (s, d, _, _) =>
           val codes = pqCodes(s, d)
             .select(col("vec_id").as("cand_id"), col("m").as("cm"),
                     col("code"))
-          adcRank(codes, pqDtabCached(s, d), k).localCheckpoint(true) })
+          adcRank(codes, pqDtabCached(s, d), k).truncated })
 
   /** IVF-PQ — the two halves composed, i.e. the production ANN serving
     * shape (FAISS's default index family): IVF cell blocking prunes the
@@ -1484,8 +1502,8 @@ object Vectors {
     * [[topkCache]]: the |sample|² scoring is the whole cost of the
     * monitor, and the component labeling re-reads the grain for nodes
     * AND edges, so an unpersisted grain is scored twice per call (and
-    * once more per repeated call). Keyed k·2²⁰+sampleN — disjoint from
-    * the corpus-wide exact keys (tiny k) by construction. */
+    * once more per repeated call). Keyed by its own tag — never aliases
+    * the corpus-wide exact grain. */
   private def sampledMutualTopkOf(emb: DataFrame, k: Int,
                                   sampleN: Int): DataFrame = {
     val s = emb.where(isQuery(col("vec_id")))
@@ -1508,10 +1526,10 @@ object Vectors {
   def knnComponentsSampled(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.memoClusters(spark, dir, "knn-mutual-cc-sampled") {
       knnComponentsOf(topkCache.computeIfAbsent(
-        (spark, dir, 5 * (1 << 20) + 1024),
-        { case (s, d, _) =>
+        (spark, dir, "sampled-mutual-topk-k5", 1024),
+        { case (s, d, _, _) =>
             sampledMutualTopkOf(quantizedCached(s, d), 5, 1024)
-              .localCheckpoint(true) }))
+              .truncated }))
     }
 
   /** Cosine RANGE search count: per eval query, how many corpus vectors

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Memo.TruncateOps
 import graft.catalog.Warehouse
 import graft.ops.{Dedup, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -207,10 +208,10 @@ object SubstringIngest {
     // frame after that would see the batch's own shingles in the index
     // and self-match. Materialize while the committed state is still the
     // pre-batch one.
-    val spans = Dedup.spansFromRuns(runs).localCheckpoint(true)
+    val spans = Dedup.spansFromRuns(runs).truncated
     val masks = Dedup.maskRangesIncFromRuns(runs,
         newPs.select("doc_id").distinct())
-      .localCheckpoint(true)
+      .truncated
     runs.unpersist(false)
     if (timer != null) timer("check", (System.nanoTime() - tCheck) / 1e9)
     val tCommit = System.nanoTime()
