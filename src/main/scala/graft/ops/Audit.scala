@@ -68,24 +68,27 @@ object Audit {
   /** Data-quality profile — per-column row/null/distinct counts, the
     * first thing a load validation (or a dataset card) reports.
     *
-    * Scale shape: ONE scan. The multi-column distinct counts plan as a
-    * single Expand-based aggregate (Spark rewrites n countDistincts into
-    * an n-way expand + two-phase agg) rather than n separate scans; the
-    * per-column rollup rows come from a `stack` unpivot of the 1-row
-    * aggregate — driver-sized output. countDistinct ignores NULLs (the
+    * Scale shape (r19): a UNION of per-column single-distinct aggregates —
+    * each branch scans exactly ONE column (columnar pruning makes the six
+    * branches read the same total bytes as the old single six-column
+    * scan), partial-aggregates to that column's distinct values, and
+    * emits one row. The previous form was the textbook n-countDistinct
+    * Expand plan (one scan expanded 7x with 7-column partial-agg keys);
+    * measured 2.5x slower at sf0.1 than the union (1.2 s -> 0.5 s warm,
+    * OPTIMIZATION_r19.md) — the expand's row multiplication and wide
+    * null-padded grouping keys cost more than it saves in scans, and at
+    * cluster scale the branches also shuffle narrow (value, counts) rows
+    * instead of 14-column expand output. countDistinct ignores NULLs (the
     * oracle's count(DISTINCT c) semantics). */
-  def dqProfileOf(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aggs = cols.flatMap(c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
-      countDistinct(col(c)).as(s"dist_$c")))
-    val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
-    val stackArgs = cols.map(c => s"'$c', null_$c, dist_$c").mkString(", ")
-    one.select(
-        expr(s"stack(${cols.size}, $stackArgs)" +
-          " AS (column_name, n_null, n_distinct)"),
-        col("n_rows"))
-      .select("column_name", "n_rows", "n_null", "n_distinct")
-  }
+  def dqProfileOf(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.map { c =>
+      df.select(col(c))
+        .agg(count(lit(1)).as("n_rows"),
+             sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+             countDistinct(col(c)).as("n_distinct"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_null"),
+                col("n_distinct"))
+    }.reduce(_ unionAll _)
 
   /** Query form: the orders table, every column. */
   def dqProfile(spark: SparkSession, dir: String): DataFrame =

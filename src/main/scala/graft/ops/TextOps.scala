@@ -196,16 +196,19 @@ object TextOps {
     * 0-based word offset kept and NO per-doc dedup: the substring-tier
     * dedup input ([[Dedup.substringSpansOf]]), where runs of consecutive
     * positions are the signal the distinct-set shingles erase. Hashed at
-    * the source (md5) so every downstream shuffle moves 32-byte keys,
-    * never shingle strings; docs under 3 words emit no row (a sub-3-word
-    * doc has no 3-gram span by definition). Map-side explode — scales
-    * like [[shinglesOf]]. */
+    * the source — `unhex(md5(...))`, the raw 16-BYTE digest (r19, guide
+    * §2.3 narrower types: the hex rendering doubled every downstream
+    * shuffle/index key to 32 bytes for zero information; unhex is
+    * bijective on md5 output so grouping/join semantics are identical,
+    * and no query ever emits `sh` itself). Docs under 3 words emit no
+    * row (a sub-3-word doc has no 3-gram span by definition). Map-side
+    * explode — scales like [[shinglesOf]]. */
   def posShinglesOf(docsWords: DataFrame): DataFrame =
     docsWords
       .where(expr("size(words) >= 3"))
       .select(col("doc_id"), posexplode(expr(
         """transform(sequence(0, size(words) - 3),
-             i -> md5(concat_ws(' ', words[i], words[i+1], words[i+2])))"""))
+             i -> unhex(md5(concat_ws(' ', words[i], words[i+1], words[i+2]))))"""))
         .as(Seq("pos", "sh")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("sh"))
 

@@ -110,13 +110,13 @@ object SubstringIngest {
     wh.session.createDataFrame(
       wh.session.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(
-        "doc_id BIGINT, pos BIGINT, sh STRING"))
+        "doc_id BIGINT, pos BIGINT, sh BINARY"))
 
   private def emptyCensus(wh: Warehouse): DataFrame =
     wh.session.createDataFrame(
       wh.session.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(
-        "sh STRING, occ_i BIGINT"))
+        "sh BINARY, occ_i BIGINT"))
 
   /** Committed position index (doc_id, pos, sh) — the serving read.
     * Empty (typed) before the first commit. */

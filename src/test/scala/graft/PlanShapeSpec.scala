@@ -96,11 +96,17 @@ class PlanShapeSpec extends SparkSpec {
         s.requiredSchema.fieldNames.mkString(","))
   }
 
-  test("DQ profile plans exactly ONE orders scan (Expand multi-distinct)") {
-    // the whole point of the Expand rewrite: n countDistincts must not
-    // become n table scans
+  test("DQ profile plans one single-COLUMN scan per profiled column") {
+    // r19: the 6-way Expand multi-distinct (one 6-column scan expanded
+    // 7x, wide partial-agg keys) measured 2.5x slower than a union of
+    // per-column single-distinct aggregates. Columnar scans make the
+    // union read the SAME total bytes (each branch prunes to its one
+    // column) without the row multiplication — the invariant to pin is
+    // column pruning per branch, not scan count.
     val scans = scansOf(ops.Audit.dqProfile(spark, d), "orders")
-    assert(scans.size == 1, s"${scans.size} scans of orders")
+    assert(scans.size == 6, s"${scans.size} scans of orders")
+    assert(scans.forall(_.requiredSchema.fieldNames.length == 1),
+      scans.map(_.requiredSchema.fieldNames.mkString(",")).mkString(";"))
   }
 
   test("Q5: date filter pushes to the orders scan; nation dim broadcasts") {

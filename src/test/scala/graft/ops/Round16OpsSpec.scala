@@ -134,7 +134,8 @@ class Round16OpsSpec extends SparkSpec {
       .map(i => (i, s"$quote ${(1 to 10).map(j => s"w${i}_$j").mkString(" ")}"))
       .toDF("doc_id", "text")
     val shingles = ps(docs)
-    val occ = shingles.groupBy("sh").count().as[(String, Long)].collect()
+    val occ = shingles.groupBy("sh").count()
+      .select("count").as[Long].collect().map(((), _))
     val expectOver = occ.count(_._2 > 2L).toLong
     val expectKept = occ.filter(_._2 <= 2L).map(_._2).sum
     val row = Dedup.substringIndexStatsOf(shingles, maxOcc = 2)

@@ -337,7 +337,7 @@ class SubstringIngestSpec extends SparkSpec {
     // plant a stand-in for a generation the normal sweep already handled
     // long ago (e.g. files restored from a backup): gen 0 = bare name
     wh.overwrite(SubstringIngest.Db, "ss_census",
-      Seq(("x", 1L)).toDF("sh", "occ_i"))
+      Seq((Array[Byte](120), 1L)).toDF("sh", "occ_i"))
     SubstringIngest.ingestBatch(wh, docs.where($"doc_id" % 5 === 0)
       .withColumn("doc_id", $"doc_id" + 100000L), batchId = 3L)
     SubstringIngest.compactState(wh) // gen 4: sweeps gens 2-3 only
