@@ -840,10 +840,18 @@ object Dedup {
               coalesce(col("cluster"), col("doc_id")).as("cluster"))
   }
 
+  // every clustersCache entry point goes through memoClusters (get-then-
+  // putIfAbsent): cluster builders COMPOSE (clustersVerified's lambda
+  // reaches verifiedJaccardCached, which memoizes into the same map), and
+  // a computeIfAbsent whose mapping function writes the same
+  // ConcurrentHashMap throws "Recursive update" whenever the two keys
+  // collide into one bin — identity-hash dependent, so it fired
+  // nondeterministically (a full-registry ScaleProbe run, round 19)
   def clusters(spark: SparkSession, dir: String): DataFrame =
-    clustersCache.computeIfAbsent((spark, dir, "minlabel"),
-      { case (s, d, _) => clustersOf(TextOps.docs(s, d).select("doc_id"),
-                                     minhashPairs(s, d)) })
+    memoClusters(spark, dir, "minlabel") {
+      clustersOf(TextOps.docs(spark, dir).select("doc_id"),
+                 minhashPairs(spark, dir))
+    }
 
   /** INCREMENTAL cluster maintenance — the daily-admission shape of
     * near-dup CC: only clusters TOUCHED by the increment's candidate
@@ -911,13 +919,12 @@ object Dedup {
     // history labels are MEMOIZED like every cluster frame (in production
     // they would be READ from the previous load, not recomputed — the
     // memo plays that role here, so repeat calls pay only the merge)
-    val oldLabels = clustersCache.computeIfAbsent(
-      (spark, dir, "minlabel-history"),
-      { case (s, _, _) =>
-          clustersOf(
-            d.where(col("doc_id") <= col("cutoff")).select("doc_id"),
-            p.where(col("doc_b") <= col("cutoff"))
-              .select("doc_a", "doc_b")) })
+    val oldLabels = memoClusters(spark, dir, "minlabel-history") {
+      clustersOf(
+        d.where(col("doc_id") <= col("cutoff")).select("doc_id"),
+        p.where(col("doc_b") <= col("cutoff"))
+          .select("doc_a", "doc_b"))
+    }
     // Eager checkpoint (registered for teardown like every CC label
     // frame): the pass-through anti-join + affected-subgraph merge is
     // evaluated once and its three consumers read materialized blocks —
@@ -937,17 +944,18 @@ object Dedup {
     * clusters can only be equal-or-finer than [[clusters]]'. Memoized like
     * its siblings; reuses the shared pairs and shingle frames. */
   def clustersVerified(spark: SparkSession, dir: String): DataFrame =
-    clustersCache.computeIfAbsent((spark, dir, "verified"),
-      { case (s, d, _) =>
-          clustersOf(TextOps.docs(s, d).select("doc_id"),
-                     minhashPairsVerified(s, d).select("doc_a", "doc_b")) })
+    memoClusters(spark, dir, "verified") {
+      clustersOf(TextOps.docs(spark, dir).select("doc_id"),
+                 minhashPairsVerified(spark, dir).select("doc_a", "doc_b"))
+    }
 
   /** Memoized star-contraction variant over the same shared pair list —
     * same (doc_id, cluster) contract and oracle as [[clusters]]. */
   def clustersFast(spark: SparkSession, dir: String): DataFrame =
-    clustersCache.computeIfAbsent((spark, dir, "star"),
-      { case (s, d, _) => clustersFastOf(TextOps.docs(s, d).select("doc_id"),
-                                         minhashPairs(s, d)) })
+    memoClusters(spark, dir, "star") {
+      clustersFastOf(TextOps.docs(spark, dir).select("doc_id"),
+                     minhashPairs(spark, dir))
+    }
 
   /** Connected components via alternating large-star / small-star rounds
     * (Kiveris et al., "Connected Components in MapReduce and Beyond") —

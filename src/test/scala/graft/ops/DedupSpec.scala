@@ -216,6 +216,25 @@ class DedupSpec extends SparkSpec {
     assert(nV >= nU)
   }
 
+  test("cluster memo entry points compose: nested memoization inside an " +
+       "outer build (clustersVerified -> verified-jaccard) memo-hits on " +
+       "repeat calls instead of recursing into the registry") {
+    // r19: clustersVerified's builder reaches verifiedJaccardCached, which
+    // memoizes into the SAME registry — a computeIfAbsent there threw
+    // "Recursive update" whenever the two keys collided into one hash bin
+    // (identity-hash dependent; a full-registry ScaleProbe run hit it).
+    // All entry points now go through the get-then-putIfAbsent memo; this
+    // pins the composed build succeeding AND both layers memo-hitting.
+    val d = "/root/testdata/sf0.001"
+    Dedup.invalidate(spark, d)
+    val v1 = Dedup.clustersVerified(spark, d) // builds nested grain inside
+    val p1 = Dedup.minhashPairsVerified(spark, d)
+    assert(Dedup.clustersVerified(spark, d) eq v1, "outer memo must hit")
+    assert(Dedup.minhashPairsVerified(spark, d).queryExecution.logical ==
+           p1.queryExecution.logical,
+           "nested verified-jaccard grain must be the memoized instance")
+  }
+
   test("bag dedup groups reordered token multisets; multiset still counts") {
     val dw = TextOps.withWords(TextOps.normalize(Seq(
       (0L, "alpha beta gamma"),
