@@ -251,7 +251,13 @@ object ScaleProbe {
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$dstCust/$t.parquet")
     }
-    val custQs = Seq("q_order_gaps", "q_cohort_ltv")
+    // r19: q_cohort_retention joins the customer-depth family — its
+    // refreshed default-builder 64× ratio (19.4 on the r18 single-scan
+    // rewrite) is the same densification artifact as q_cohort_ltv's
+    // (unshifted o_custkey ⇒ per-customer history deepens N×, the
+    // distinct's map-side collapse degrades); the shifted builder keeps
+    // per-customer depth constant, the way real growth adds customers
+    val custQs = Seq("q_order_gaps", "q_cohort_ltv", "q_cohort_retention")
     def time(dir: String): Map[String, Double] = {
       spark.catalog.clearCache()
       Caches.invalidateAll(spark)
